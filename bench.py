@@ -1,0 +1,66 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall-clock over all headline queries (each timed
+to full materialization via a count-collecting action). Session startup
+is excluded — the engine's per-query cost is what scales to a cluster,
+JVM boot is not.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from end_to_end_database_pipeline_project_spark.plans import QUERIES
+from end_to_end_database_pipeline_project_spark.plans import load_all  # noqa: F401
+from end_to_end_database_pipeline_project_spark.session import get_spark
+
+# Headline set: the reference-semantics rollups plus the widest
+# relational / LLM-data queries — weighted toward shuffles and joins,
+# which dominate at scale.
+HEADLINE = [
+    "daily_weather_rollup",
+    "monthly_weather_rollup",
+    "hourly_dedup_agg",
+    "station_enrichment",
+    "unit_conversions",
+    "json_props_extract",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("bench")
+
+    names = [n for n in HEADLINE if n in QUERIES]
+    # include any registered headline-worthy packs added later
+    extra = os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "")
+    names += [n for n in extra.split(",") if n and n in QUERIES and n not in names]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        df = QUERIES[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,310 @@
+"""Reference-parity queries over the ``events`` table (SURVEY.md §2.4/§2.8).
+
+``events`` plays the reference's ``weather_observations`` fact table
+(FIXTURES.md §2): ts -> timestamp, user_id -> station_id, value -> the
+measure, props JSON -> nested doc fields. Each query mirrors one
+reference behavior (clickhouse_etl.py / redis_etl.py / mongodb_etl.py
+citations inline) and carries a DuckDB oracle with identical aliases.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import scalar
+from ..operators.rollup import daily_rollup, hourly_aggregate, monthly_rollup
+from ..sources.catalog import load_table
+from .registry import query
+
+_R = 6  # float rounding applied identically on both sides
+
+
+def _round(df: DataFrame, *cols: str, r: int = _R) -> DataFrame:
+    for c in cols:
+        df = df.withColumn(c, F.round(F.col(c), r))
+    return df
+
+
+# Shared oracle CTE: the A1 hourly dedup aggregate (clickhouse_etl.py:318-331).
+_HOURLY_CTE = """
+hourly AS (
+  SELECT CAST(ts AS DATE) AS obs_date,
+         CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS obs_hour,
+         avg(value) AS avg_value,
+         max(value) AS max_value,
+         min(value) AS min_value,
+         count(*) AS observation_count
+  FROM events
+  WHERE value IS NOT NULL
+  GROUP BY 1, 2
+)"""
+
+_DAILY_CTE = f"""
+{_HOURLY_CTE},
+daily AS (
+  SELECT obs_date,
+         avg(avg_value) AS avg_value,
+         max(max_value) AS max_value,
+         min(min_value) AS min_value,
+         sum(max_value) AS total_value,
+         CAST(sum(observation_count) AS BIGINT) AS observation_count
+  FROM hourly GROUP BY obs_date
+)"""
+
+_MONTHLY_CTE = f"""
+{_DAILY_CTE},
+monthly AS (
+  SELECT CAST(year(obs_date) AS BIGINT) AS year,
+         CAST(month(obs_date) AS BIGINT) AS month,
+         avg(avg_value) AS avg_value,
+         max(max_value) AS max_value,
+         min(min_value) AS min_value,
+         sum(total_value) AS total_value,
+         CAST(sum(observation_count) AS BIGINT) AS observation_count
+  FROM daily GROUP BY 1, 2
+)"""
+
+
+@query(
+    "hourly_dedup_agg",
+    oracle=f"""WITH {_HOURLY_CTE}
+SELECT obs_date, obs_hour, round(avg_value, 6) AS avg_value,
+       round(max_value, 6) AS max_value, round(min_value, 6) AS min_value,
+       observation_count
+FROM hourly""",
+)
+def hourly_dedup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: the hour-grain dedup aggregate (clickhouse_etl.py:318-331)."""
+    ev = load_table(spark, sf_dir, "events")
+    return _round(hourly_aggregate(ev), "avg_value", "max_value", "min_value")
+
+
+@query(
+    "daily_weather_rollup",
+    oracle=f"""WITH {_DAILY_CTE}
+SELECT obs_date, round(avg_value, 6) AS avg_value, round(max_value, 6) AS max_value,
+       round(min_value, 6) AS min_value, round(total_value, 6) AS total_value,
+       observation_count
+FROM daily ORDER BY obs_date DESC LIMIT 30""",
+)
+def daily_weather_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship (SURVEY.md §7.3): A1 -> A2 avg-of-avgs daily rollup,
+    last 30 days (clickhouse_etl.py:309-334 + :554-556)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = daily_rollup(hourly_aggregate(ev))
+    daily = _round(daily, "avg_value", "max_value", "min_value", "total_value")
+    return daily.orderBy(F.desc("obs_date")).limit(30)
+
+
+@query(
+    "monthly_weather_rollup",
+    oracle=f"""WITH {_MONTHLY_CTE}
+SELECT year, month, round(avg_value, 6) AS avg_value, round(max_value, 6) AS max_value,
+       round(min_value, 6) AS min_value, round(total_value, 6) AS total_value,
+       observation_count
+FROM monthly ORDER BY year DESC, month DESC LIMIT 12""",
+)
+def monthly_weather_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A4: three-level rollup, last-12-months serving shape
+    (clickhouse_etl.py:370-411, :472-524)."""
+    ev = load_table(spark, sf_dir, "events")
+    monthly = monthly_rollup(daily_rollup(hourly_aggregate(ev)))
+    monthly = _round(monthly, "avg_value", "max_value", "min_value", "total_value")
+    return monthly.orderBy(F.desc("year"), F.desc("month")).limit(12)
+
+
+@query(
+    "daily_averages_serving",
+    oracle=f"""WITH {_HOURLY_CTE},
+daily AS (
+  SELECT obs_date,
+         avg(avg_value) AS avg_value,
+         sum(max_value) AS total_value,
+         CAST(sum(observation_count) AS BIGINT) AS observation_count,
+         max(obs_hour) AS latest_obs_time
+  FROM hourly GROUP BY obs_date
+)
+SELECT obs_date, round(avg_value, 6) AS avg_value, round(total_value, 6) AS total_value,
+       observation_count, latest_obs_time
+FROM daily ORDER BY obs_date DESC LIMIT 30""",
+)
+def daily_averages_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: serving daily averages with latest-observation-time carried
+    through (clickhouse_etl.py:526-573)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = hourly_aggregate(ev)
+    daily = hourly.groupBy("obs_date").agg(
+        F.avg("avg_value").alias("avg_value"),
+        F.sum("max_value").alias("total_value"),
+        F.sum("observation_count").alias("observation_count"),
+        F.max("obs_hour").alias("latest_obs_time"),
+    )
+    daily = _round(daily, "avg_value", "total_value")
+    return daily.orderBy(F.desc("obs_date")).limit(30)
+
+
+@query(
+    "overall_summary",
+    oracle=f"""WITH {_MONTHLY_CTE}
+SELECT round(avg(avg_value), 6) AS overall_avg_value,
+       round(sum(total_value), 6) AS overall_total_value,
+       round(avg(max_value), 6) AS avg_monthly_max,
+       CAST(count(*) AS BIGINT) AS period_months
+FROM monthly""",
+)
+def overall_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/A9: cache-time overall-averages summary — avg over monthly
+    avgs, grand totals, period count (redis_etl.py:31-58;
+    dashboard.py:1108-1126 collapse into one engine-side op)."""
+    ev = load_table(spark, sf_dir, "events")
+    monthly = monthly_rollup(daily_rollup(hourly_aggregate(ev)))
+    return monthly.agg(
+        F.round(F.avg("avg_value"), _R).alias("overall_avg_value"),
+        F.round(F.sum("total_value"), _R).alias("overall_total_value"),
+        F.round(F.avg("max_value"), _R).alias("avg_monthly_max"),
+        F.count(F.lit(1)).alias("period_months"),
+    )
+
+
+@query(
+    "latest_record",
+    oracle="""SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+FROM events ORDER BY ts DESC, event_id DESC LIMIT 1""",
+)
+def latest_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10: latest-record lookup (mongodb_etl.py:124-128); event_id
+    breaks timestamp ties deterministically."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(1)
+    )
+
+
+@query(
+    "station_enrichment",
+    oracle="""SELECT user_id,
+       round(avg(value), 6) AS avg_value,
+       round(sum(value), 6) AS total_value,
+       count(*) AS observation_count,
+       count(*) FILTER (WHERE event_type = 'error') AS error_count,
+       count(*) FILTER (WHERE value IS NOT NULL) AS non_null_count
+FROM events GROUP BY user_id""",
+)
+def station_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: per-entity enrichment metrics — the reference's per-document
+    calculated_metrics (mongodb_etl.py:22-77) as one hash aggregate
+    keyed by the station role column."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.round(F.avg("value"), _R).alias("avg_value"),
+        F.round(F.sum("value"), _R).alias("total_value"),
+        F.count(F.lit(1)).alias("observation_count"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("error_count"),
+        F.count("value").alias("non_null_count"),
+    )
+
+
+@query(
+    "unit_conversions",
+    oracle="""SELECT event_id,
+       round(CASE WHEN value > 100 THEN value - 273.15 ELSE value END, 6) AS temp_c,
+       round(CASE WHEN value < 1 THEN value * 1000 ELSE value END, 6) AS rain_mm,
+       round(value * 9 / 5 + 32, 6) AS temp_f,
+       round((value - 32) * 5 / 9, 6) AS forecast_c,
+       round(CASE WHEN value IS NOT NULL AND value > 0
+                  THEN least(value, 100.0) ELSE value END, 6) AS capped_humidity
+FROM events""",
+)
+def unit_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F4 + F12: the value-sniffing unit conversions and the
+    only-when-positive humidity cap, applied per row
+    (clickhouse_etl.py:218-227,520; mongodb_etl.py:38-49,63-64)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    return ev.select(
+        "event_id",
+        F.round(scalar.kelvin_sniff_to_celsius(v), _R).alias("temp_c"),
+        F.round(scalar.meters_sniff_to_mm(v), _R).alias("rain_mm"),
+        F.round(scalar.celsius_to_fahrenheit(v), _R).alias("temp_f"),
+        F.round(scalar.fahrenheit_to_celsius(v), _R).alias("forecast_c"),
+        F.round(scalar.humidity_cap(v), _R).alias("capped_humidity"),
+    )
+
+
+@query(
+    "weather_buckets",
+    oracle="""SELECT CASE WHEN value * 9 / 5 + 32 > 75 THEN 'Sunny'
+            WHEN value * 9 / 5 + 32 > 60 THEN 'Partly Cloudy'
+            WHEN value * 9 / 5 + 32 > 45 THEN 'Cloudy'
+            ELSE 'Cool' END AS description,
+       count(*) AS n,
+       round(avg(value), 6) AS avg_value
+FROM events WHERE value IS NOT NULL GROUP BY 1""",
+)
+def weather_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17: weather-description bucketing over display-Fahrenheit
+    (dashboard.py:699), grouped with counts."""
+    ev = load_table(spark, sf_dir, "events")
+    f = scalar.celsius_to_fahrenheit(F.col("value"))
+    return (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(scalar.weather_description(f).alias("description"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), _R).alias("avg_value"),
+        )
+    )
+
+
+@query(
+    "json_props_extract",
+    oracle="""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       count(*) AS n,
+       round(avg(value), 6) AS avg_value,
+       round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS avg_k
+FROM events GROUP BY 1""",
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15/P1: semi-structured extraction — parse the props JSON column,
+    pull a nested field, aggregate by it (the reference's nested
+    properties.*.value access, clickhouse_etl.py:210-238, re-expressed
+    as get_json_object over a JSON string column)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy((k % 10).alias("k_bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), _R).alias("avg_value"),
+        F.round(F.avg(k.cast("double")), _R).alias("avg_k"),
+    )
+
+
+@query(
+    "lineage_stamped_load",
+    oracle="""SELECT event_id, user_id,
+       'batch_' || strftime(CAST(ts AS TIMESTAMP), '%Y%m%d') AS etl_batch_id,
+       CAST(user_id AS VARCHAR) || '_' || CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS VARCHAR)
+         AS observation_id,
+       'full' AS sync_type
+FROM events""",
+)
+def lineage_stamped_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.4/F8/F11: lineage metadata stamping with deterministic ids —
+    batch id from the event's own date, observation id as
+    station_epochms (nws_api_fetcher_v2.py:123; mongodb_etl.py:97;
+    clickhouse_etl.py:241) — wall-clock made injectable per SURVEY §5.3."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.concat(F.lit("batch_"), F.date_format("ts", "yyyyMMdd")).alias("etl_batch_id"),
+        # floor μs→ms explicitly: Spark's unix_millis half-rounds, DuckDB's
+        # epoch_ms floors — floor on both sides keeps the hash stable.
+        scalar.synthetic_id(
+            F.col("user_id").cast("string"),
+            F.expr("unix_micros(ts) div 1000").cast("string"),
+        ).alias("observation_id"),
+        F.lit("full").alias("sync_type"),
+    )
