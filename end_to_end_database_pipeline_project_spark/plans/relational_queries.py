@@ -1,0 +1,633 @@
+"""Generalized relational surface over the star schema (SURVEY.md §2.3/2.5-2.7, M4).
+
+The reference exercises no joins/windows/set-ops (SURVEY.md §2.3: zero
+joins by design), but the driver's fixtures are a TPC-H-ish star schema,
+so the engine exposes the full Spark repertoire. Scale notes per query:
+dimension joins broadcast (region/nation/supplier are tiny by
+construction in a star schema); fact-fact joins shuffle on their keys
+with AQE skew handling; windows partition by the natural entity key so
+state stays bounded per partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import scalar
+from ..sources.catalog import load_table
+from .registry import query
+
+_R = 6
+
+
+def _t(spark, sf_dir, *names):
+    return [load_table(spark, sf_dir, n) for n in names]
+
+
+# ---------------------------------------------------------------- aggregates
+
+
+@query(
+    "pricing_summary",
+    oracle="""SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6) AS sum_qty,
+       round(sum(l_extendedprice), 6) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus""",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical wide hash-aggregate. One shuffle on
+    a 6-value key; map-side partial aggregation collapses everything
+    before the exchange, so it scales with distinct keys, not rows."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), _R).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), _R).alias("sum_base_price"),
+            F.round(F.sum(disc), _R).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), _R).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), _R).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), _R).alias("avg_price"),
+            F.round(F.avg("l_discount"), _R).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# -------------------------------------------------------------------- joins
+
+
+@query(
+    "nation_region_join",
+    oracle="""SELECT r.r_name AS region_name, count(*) AS nation_count
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name""",
+)
+def nation_region_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dimension equi-join: region is 5 rows — broadcast
+    explicitly so the plan is a BroadcastHashJoin with no shuffle of
+    nation (and would stay so at 1000 executors)."""
+    nation, region = _t(spark, sf_dir, "nation", "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(F.count(F.lit(1)).alias("nation_count"))
+    )
+
+
+@query(
+    "regional_revenue",
+    oracle="""SELECT r.r_name AS region_name, n.n_name AS nation_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+       count(DISTINCT o.o_orderkey) AS order_count
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2""",
+)
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The star join: fact-fact (lineitem⋈orders) shuffles on orderkey;
+    every dimension hop (customer, nation, region) broadcasts. At 100 TB
+    the only exchange is the single orderkey shuffle — Catalyst + AQE
+    pick this shape, the explicit broadcasts pin it."""
+    li, orders, customer, nation, region = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "region"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), _R
+            ).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("order_count"),
+        )
+    )
+
+
+@query(
+    "customers_with_open_orders",
+    oracle="""SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')""",
+)
+def customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): no payload from the right side crosses
+    the exchange — the build side is just the distinct key set."""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    open_orders = orders.where(F.col("o_orderstatus") == "O")
+    return customer.join(
+        open_orders, customer.c_custkey == open_orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+@query(
+    "customers_without_orders",
+    oracle="""SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS)."""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "nation_customer_supplier_balance",
+    oracle="""WITH c AS (
+  SELECT c_nationkey AS nationkey, count(*) AS customer_count,
+         round(sum(c_acctbal), 6) AS customer_balance
+  FROM customer GROUP BY 1
+), s AS (
+  SELECT s_nationkey AS nationkey, count(*) AS supplier_count,
+         round(sum(s_acctbal), 6) AS supplier_balance
+  FROM supplier GROUP BY 1
+)
+SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+       coalesce(customer_count, 0) AS customer_count,
+       coalesce(customer_balance, 0.0) AS customer_balance,
+       coalesce(supplier_count, 0) AS supplier_count,
+       coalesce(supplier_balance, 0.0) AS supplier_balance
+FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey""",
+)
+def nation_customer_supplier_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join of two pre-aggregated sides. Aggregate-then-join:
+    the join inputs are one row per nation, so the outer join is trivial
+    regardless of fact-table size."""
+    customer, supplier = _t(spark, sf_dir, "customer", "supplier")
+    c = customer.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("customer_count"),
+        F.round(F.sum("c_acctbal"), _R).alias("customer_balance"),
+    )
+    s = supplier.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("supplier_count"),
+        F.round(F.sum("s_acctbal"), _R).alias("supplier_balance"),
+    )
+    joined = c.join(s, "nationkey", "full_outer")
+    return joined.select(
+        "nationkey",
+        F.coalesce("customer_count", F.lit(0)).alias("customer_count"),
+        F.coalesce("customer_balance", F.lit(0.0)).alias("customer_balance"),
+        F.coalesce("supplier_count", F.lit(0)).alias("supplier_count"),
+        F.coalesce("supplier_balance", F.lit(0.0)).alias("supplier_balance"),
+    )
+
+
+@query(
+    "late_shipment_orders",
+    oracle="""SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority""",
+)
+def late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS with an inequality — a
+    left-semi join whose condition spans both sides."""
+    orders, li = _t(spark, sf_dir, "orders", "lineitem")
+    cond = (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate)
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "price_band_join",
+    oracle="""WITH bands AS (
+  SELECT CAST(i AS BIGINT) AS band_id,
+         900.0 + CAST(i AS DOUBLE) * 20.0 AS lo,
+         900.0 + CAST(i AS DOUBLE) * 20.0 + 20.0 AS hi
+  FROM generate_series(0, 4) AS t(i)
+)
+SELECT band_id, count(*) AS part_count, round(avg(p_retailprice), 6) AS avg_price
+FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band_id""",
+)
+def price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join: facts against a tiny derived band table. The
+    band side broadcasts, so the inequality join is a broadcast
+    nested-loop that never shuffles the fact side."""
+    (part,) = _t(spark, sf_dir, "part")
+    bands = spark.range(0, 5).select(
+        F.col("id").alias("band_id"),
+        (900.0 + F.col("id").cast("double") * 20.0).alias("lo"),
+        (900.0 + F.col("id").cast("double") * 20.0 + 20.0).alias("hi"),
+    )
+    cond = (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi)
+    return (
+        part.join(F.broadcast(bands), cond)
+        .groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("part_count"),
+            F.round(F.avg("p_retailprice"), _R).alias("avg_price"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ windows
+
+
+@query(
+    "top_orders_per_customer",
+    oracle="""SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+  FROM orders
+) WHERE rn <= 3""",
+)
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group: row_number window, orderkey tie-break for
+    determinism. One shuffle on the partition key; per-group state is a
+    single heap of K."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+        ).where(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "order_gap_days",
+    oracle="""SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(date_diff('day',
+            lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey),
+            o_orderdate) AS BIGINT) AS gap_days
+FROM orders""",
+)
+def order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() analytic: days since the customer's previous order."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+        .cast("long")
+        .alias("gap_days"),
+    )
+
+
+@query(
+    "running_supplier_quantity",
+    oracle="""SELECT l_suppkey, l_orderkey, l_linenumber,
+       round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_qty
+FROM lineitem""",
+)
+def running_supplier_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-total frame (rowsBetween): cumulative shipped quantity
+    per supplier; fully-keyed ordering makes the cumulative float sum
+    deterministic on both engines."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum("l_quantity").over(w), _R).alias("running_qty"),
+    )
+
+
+@query(
+    "rolling_7day_avg",
+    oracle="""WITH daily AS (
+  SELECT CAST(ts AS DATE) AS obs_date, avg(value) AS day_avg
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+)
+SELECT obs_date,
+       round(avg(day_avg) OVER (
+         ORDER BY date_diff('day', DATE '1970-01-01', obs_date)
+         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS avg_7d
+FROM daily""",
+)
+def rolling_7day_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rangeBetween frame: 7-day rolling mean over the daily series,
+    keyed on epoch-day so the range frame is integer-valued on both
+    engines. (The trailing-window serving analog of the reference's
+    daily aggregates.) The unpartitioned window is safe at any scale:
+    its input is the day-grain aggregate, bounded by calendar
+    cardinality (~365 rows/year), not by fact rows."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(F.to_date("ts").alias("obs_date"))
+        .agg(F.avg("value").alias("day_avg"))
+    )
+    w = (
+        Window.orderBy(F.datediff("obs_date", F.lit("1970-01-01").cast("date")))
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "obs_date", F.round(F.avg("day_avg").over(w), _R).alias("avg_7d")
+    )
+
+
+@query(
+    "user_sessionization",
+    oracle="""WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('second', lag(ts) OVER w, CAST(ts AS TIMESTAMP)) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*) AS events_in_session
+FROM sessions GROUP BY user_id, session_id""",
+)
+def user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min-gap sessions via lag + cumulative flag —
+    the batch analog of session_window (SURVEY.md §2.10 generalization).
+    State per user is one running counter; scales with users, not events."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_session"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = flagged.select(
+        "user_id", F.sum("new_session").over(w2).cast("long").alias("session_id")
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("events_in_session")
+    )
+
+
+# ----------------------------------------------------- sorts / limits / topk
+
+
+@query(
+    "top_orders_global",
+    oracle="""SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""",
+)
+def top_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-K: Spark plans TakeOrderedAndProject — per-partition
+    heaps then a driver merge of K, never a full sort at scale."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.select("o_orderkey", "o_custkey", "o_totalprice").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    ).limit(25)
+
+
+# ---------------------------------------------------------------- group sets
+
+
+@query(
+    "rollup_returnflag_status",
+    oracle="""SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6) AS sum_qty, count(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+)
+def rollup_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (superset of the reference's manual
+    hour→day→month hierarchy, computed in one pass)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), _R).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "cube_status_priority",
+    oracle="""SELECT o_orderstatus, o_orderpriority,
+       round(sum(o_totalprice), 6) AS total_price, count(*) AS n
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.round(F.sum("o_totalprice"), _R).alias("total_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "order_status_pivot",
+    oracle="""SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS status_O,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS status_F,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS status_P
+FROM orders GROUP BY o_orderpriority""",
+)
+def order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: status columns per priority. Explicit value list keeps the
+    output schema static (no extra distinct-scan, required for stable
+    plans at scale)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce("O", F.lit(0)).alias("status_O"),
+        F.coalesce("F", F.lit(0)).alias("status_F"),
+        F.coalesce("P", F.lit(0)).alias("status_P"),
+    )
+
+
+# ------------------------------------------------------------------ set ops
+
+
+@query(
+    "nations_with_both",
+    oracle="""SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier""",
+)
+def nations_with_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: nations having both customers and suppliers."""
+    customer, supplier = _t(spark, sf_dir, "customer", "supplier")
+    return customer.select(F.col("c_nationkey").alias("nationkey")).intersect(
+        supplier.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+@query(
+    "nations_customers_only",
+    oracle="""SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 8000""",
+)
+def nations_customers_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set semantics, like SQL EXCEPT = Spark ``subtract``):
+    customer nations lacking a high-balance (>8000) supplier."""
+    customer, supplier = _t(spark, sf_dir, "customer", "supplier")
+    return customer.select(F.col("c_nationkey").alias("nationkey")).subtract(
+        supplier.where(F.col("s_acctbal") > 8000).select(
+            F.col("s_nationkey").alias("nationkey")
+        )
+    )
+
+
+@query(
+    "heterogeneous_format_union",
+    oracle="""WITH modern AS (
+  SELECT event_id, CAST(ts AS DATE) AS obs_date, value AS temp_c,
+         CAST(NULL AS DOUBLE) AS max_temp_c, CAST(NULL AS DOUBLE) AS min_temp_c,
+         'nws' AS format
+  FROM events WHERE event_type IN ('click', 'view', 'purchase')
+), legacy AS (
+  SELECT event_id, CAST(ts AS DATE) AS obs_date, CAST(NULL AS DOUBLE) AS temp_c,
+         value + 5.0 AS max_temp_c, value - 5.0 AS min_temp_c,
+         'legacy_daily' AS format
+  FROM events WHERE event_type IN ('signup', 'error')
+), unioned AS (
+  SELECT * FROM modern UNION ALL SELECT * FROM legacy
+)
+SELECT event_id, obs_date, format,
+       round(coalesce((max_temp_c + min_temp_c) / 2, max_temp_c, min_temp_c, temp_c), 6)
+         AS unified_temp_c
+FROM unioned""",
+)
+def heterogeneous_format_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3/P3/F13: the reference's multi-format reader — two differently
+    shaped branches unioned by name with missing columns null, then the
+    midpoint-with-fallback chain resolves a unified measure
+    (clickhouse_etl.py:103-170 re-expressed)."""
+    ev = load_table(spark, sf_dir, "events")
+    modern = ev.where(F.col("event_type").isin("click", "view", "purchase")).select(
+        "event_id",
+        F.to_date("ts").alias("obs_date"),
+        F.col("value").alias("temp_c"),
+        F.lit("nws").alias("format"),
+    )
+    legacy = ev.where(F.col("event_type").isin("signup", "error")).select(
+        "event_id",
+        F.to_date("ts").alias("obs_date"),
+        (F.col("value") + 5.0).alias("max_temp_c"),
+        (F.col("value") - 5.0).alias("min_temp_c"),
+        F.lit("legacy_daily").alias("format"),
+    )
+    unioned = modern.unionByName(legacy, allowMissingColumns=True)
+    unified = F.coalesce(
+        scalar.midpoint_fallback(F.col("max_temp_c"), F.col("min_temp_c")),
+        F.col("temp_c"),
+    )
+    return unioned.select(
+        "event_id", "obs_date", "format", F.round(unified, _R).alias("unified_temp_c")
+    )
+
+
+# ------------------------------------------------------- distinct / approx
+
+
+@query(
+    "distinct_counts",
+    oracle="""SELECT count(DISTINCT l_orderkey) AS n_orders,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_suppliers
+FROM lineitem""",
+)
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expand + two-phase count-distinct)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+    )
+
+
+@query("approx_distinct_orders")  # HLL sketches differ per engine → rows-only
+def approx_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the constant-memory
+    distinct count for 100 TB — sketch merge instead of expand-shuffle.
+    Engine-specific sketch values, so no value oracle; the companion
+    exact query above anchors correctness."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+    )
+
+
+@query(
+    "quantity_quantiles",
+    oracle="""SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+       round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty
+FROM lineitem GROUP BY l_returnflag""",
+)
+def quantity_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous quantiles per group (percentile). The scale path
+    is approx_percentile (t-digest); exact keeps the oracle meaningful."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), _R).alias("median_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), _R).alias("p90_qty"),
+    )
+
+
+@query(
+    "above_average_customers",
+    oracle="""SELECT c_custkey, c_name, round(c_acctbal, 6) AS c_acctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)""",
+)
+def above_average_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery pattern (TPC-H Q17 shape): global aggregate
+    broadcast back against the table — one extra tiny stage, no
+    re-shuffle of the fact side."""
+    (customer,) = _t(spark, sf_dir, "customer")
+    avg_bal = customer.agg(F.avg("c_acctbal").alias("avg_bal"))
+    return (
+        customer.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .select("c_custkey", "c_name", F.round("c_acctbal", _R).alias("c_acctbal"))
+    )

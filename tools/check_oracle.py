@@ -26,9 +26,10 @@ from end_to_end_database_pipeline_project_spark.sources.catalog import TABLES
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # canonical row order: stringify everything, sort
-    key = df.astype(str).agg("|".join, axis=1)
-    return df.loc[key.sort_values(kind="mergesort").index].reset_index(drop=True)
+    # canonical row order: stringify everything, sort by all columns
+    s = df.astype(str)
+    idx = s.sort_values(by=list(s.columns), kind="mergesort").index
+    return df.loc[idx].reset_index(drop=True)
 
 
 def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
