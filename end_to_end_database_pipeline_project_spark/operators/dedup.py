@@ -1,0 +1,218 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Four families, all pure DataFrame compositions (no Python in the hot
+path), designed so every stage is a hash-partition-friendly groupBy/join:
+
+- **exact**: content-hash groupBy (md5) — one shuffle on the hash key.
+- **n-gram Jaccard**: shingle inverted index self-join — exact set
+  similarity on candidate pairs that share ≥1 shingle.
+- **MinHash + LSH**: k independent min-hashes per doc, banded into
+  buckets; only bucket-colliding pairs are compared. Hashes are
+  ``md5(seed || shingle)`` with *lexicographic-min* semantics, which
+  keeps the construction engine-portable (any engine with md5 yields
+  identical signatures — the DuckDB oracle reproduces them exactly).
+- **SimHash**: 16-bit charwise-md5 sign-aggregate fingerprint; collision
+  groups are near-dup candidates.
+
+Scale notes: the shingle inverted index is the classic quadratic risk —
+a shingle appearing in f docs emits f·(f-1)/2 candidate pairs. The
+mitigation at 100 TB is the MinHash/LSH path (bounded k·bands work per
+doc) plus dropping ultra-frequent "stop shingles" before the join;
+n-gram Jaccard here is the exact-verification stage run on LSH survivors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles
+
+MINHASH_SEEDS = 16
+LSH_BANDS = 4  # 4 bands x 4 rows
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: md5-content groups with representative = min id.
+
+    One shuffle keyed on the 128-bit content hash; count(*) per group is
+    the duplication factor (reference analog: re-delivered observations,
+    README.md:236-244)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("representative_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def shingle_index(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Inverted index: one row per (doc, distinct word-k-gram shingle)."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), k)).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index self-join.
+
+    |A∩B| from the shingle join, |A|/|B| from per-doc shingle counts:
+    J = c / (|A| + |B| - c). Emits (doc_a, doc_b, jaccard) for J ≥
+    threshold, doc_a < doc_b."""
+    sh = shingle_index(df, text_col, id_col, k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3, seeds: int = MINHASH_SEEDS
+) -> DataFrame:
+    """MinHash signature rows: (doc_id, seed, sig) with
+    sig = lexicographic min over shingles of md5(seed || '|' || shingle).
+
+    md5-as-hash keeps the signature engine-portable (the DuckDB oracle
+    computes the identical min); per-doc work is O(shingles × seeds)
+    with a single groupBy — no pairwise anything."""
+    sh = shingle_index(df, text_col, id_col, k)
+    seeded = sh.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(i) for i in range(seeds)])).alias("seed"),
+        "shingle",
+    )
+    return (
+        seeded.select(
+            "doc_id",
+            "seed",
+            F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("shingle"))).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("sig"))
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = LSH_BANDS, seeds: int = MINHASH_SEEDS
+) -> DataFrame:
+    """LSH banding: hash each band of rows_per_band signature components
+    to a bucket; pairs sharing any bucket are candidates.
+
+    Bucket construction: md5 of the '|'-joined sigs in seed order.
+    The self-join is keyed on (band, bucket) — each bucket of f docs
+    emits f·(f-1)/2 pairs, but LSH bounds f to true-ish near-dups."""
+    rows_per_band = seeds // bands
+    banded = (
+        sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "sig"))),
+                        lambda x: x["sig"],
+                    ),
+                )
+            ).alias("bucket")
+        )
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    est_threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: signatures -> banded buckets
+    -> candidate pairs -> estimated Jaccard (matching signature fraction)
+    filtered at est_threshold."""
+    sigs = minhash_signatures(df, text_col, id_col, k)
+    cands = lsh_candidate_pairs(sigs)
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), "seed", F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), "seed", F.col("sig").alias("sig_b"))
+    est = (
+        cands.join(sa, "doc_a")
+        .join(sb, ["doc_b", "seed"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.round(
+                F.avg(F.when(F.col("sig_a") == F.col("sig_b"), 1.0).otherwise(0.0)), 6
+            ).alias("est_jaccard")
+        )
+    )
+    return est.where(F.col("est_jaccard") >= est_threshold)
+
+
+def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """16-bit SimHash fingerprint per document.
+
+    For bit j (0..15): take hex digit j//4 of each shingle's md5, test
+    bit j%4; sum +1/-1 votes over shingles; bit set iff sum >= 0.
+    Engine-portable by the same md5 argument as MinHash."""
+    sh = shingle_index(df, text_col, id_col, k).withColumn(
+        "h", F.md5(F.col("shingle"))
+    )
+    bits = sh.select(
+        "doc_id",
+        "h",
+        F.explode(F.array(*[F.lit(j) for j in range(16)])).alias("j"),
+    )
+    digit = F.substring(F.col("h"), (F.col("j") / 4).cast("int") + 1, 1)
+    hexval = F.conv(digit, 16, 10).cast("int")
+    # shiftleft's bit-count arg must be a literal in PySpark -> SQL expr
+    bit = hexval.bitwiseAND(F.expr("shiftleft(1, j % 4)"))
+    vote = F.when(bit > 0, 1).otherwise(-1)
+    votes = bits.select("doc_id", "j", vote.alias("v")).groupBy("doc_id", "j").agg(
+        F.sum("v").alias("votes")
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("votes") >= 0, F.expr("shiftleft(1, j)")).otherwise(0))
+        .cast("long")
+        .alias("simhash")
+    )
+
+
+def simhash_collision_groups(df: DataFrame, **kwargs) -> DataFrame:
+    """SimHash near-dup candidates: fingerprint collision groups."""
+    return (
+        simhash16(df, **kwargs)
+        .groupBy("simhash")
+        .agg(F.min("doc_id").alias("representative_id"), F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") > 1)
+    )

@@ -1,0 +1,184 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two execution paths:
+
+- **Expression path** (default): cosine via built-in higher-order
+  functions (``functions.vector``) — JVM-side, codegen'd, zero Python.
+  Brute-force top-k is a broadcast of the (small) query set against the
+  corpus + per-query heap (window rank), i.e. one pass over the corpus
+  with no shuffle of the corpus itself.
+- **Pandas-UDF matrix path**: ``mapInPandas`` batches the corpus through
+  NumPy, computing a queries×batch dot-product GEMM per Arrow batch.
+  Wins when |queries| is large enough that per-row expression evaluation
+  loses to BLAS. Same results, pick by shape.
+
+The scale path is **IVF**: partition the corpus by nearest centroid
+(here: deterministic seed vectors; at 100 TB a k-means fit), then search
+only the probe's cluster — corpus scan cost drops by the cluster fan-out
+factor and the cluster assignment is a broadcast join, not a shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from ..functions.vector import cosine
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries, rank per query.
+
+    Output: (query_id, neighbor_id, cosine, rank), rank 1..k, self
+    excluded, ties broken by neighbor id."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+def assign_clusters(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF cluster assignment: nearest centroid by cosine (argmax,
+    centroid-id tie-break). Centroids broadcast; no corpus shuffle."""
+    cent = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
+    )
+    scored = corpus.crossJoin(F.broadcast(cent)).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        "centroid_id",
+        cosine(F.col(vec_col), F.col("cent_vec")).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("centroid_id").alias("cluster_id"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: search only within the query's own cluster.
+
+    Approximate (recall < 1 when true neighbors fall across the cluster
+    boundary) but the scan per query drops from |corpus| to
+    |corpus|/n_clusters. nprobe>1 = relax the cluster equality to the
+    top-n clusters of the query."""
+    assigned = assign_clusters(corpus, centroids, id_col, vec_col)
+    q = assigned.join(
+        queries.select(F.col(id_col).alias("vec_id")), "vec_id", "left_semi"
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("cluster_id").alias("q_cluster"),
+    )
+    scored = (
+        assigned.join(
+            F.broadcast(q),
+            (F.col("cluster_id") == F.col("q_cluster"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("q_vec"), F.col("embedding")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rank")
+    )
+
+
+def brute_force_topk_pandas(
+    corpus: DataFrame,
+    queries_pdf: pd.DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matrix-kernel variant: queries held as a NumPy matrix, corpus
+    streamed through mapInPandas, one GEMM per Arrow batch, local top-k
+    per batch then a global window to cut to k. Demonstrates the
+    vectorized-Python slow path done right (Arrow batches, no per-row
+    Python)."""
+    import numpy as np
+
+    q_ids = queries_pdf[id_col].to_numpy()
+    q_mat = np.vstack(queries_pdf[vec_col].to_numpy()).astype("float64")
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c_mat = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            c_norm = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = q_norm @ c_norm.T  # |Q| x |batch|
+            n_ids = pdf[id_col].to_numpy()
+            out = []
+            for qi, qid in enumerate(q_ids):
+                # local top-k within the batch bounds the shuffled rows
+                row = sims[qi]
+                take = min(k + 1, len(row))
+                idx = np.argpartition(-row, take - 1)[:take]
+                for j in idx:
+                    if n_ids[j] != qid:
+                        out.append((int(qid), int(n_ids[j]), float(row[j])))
+            yield pd.DataFrame(out, columns=["query_id", "neighbor_id", "cos"])
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        score, schema="query_id long, neighbor_id long, cos double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rank")
+    )

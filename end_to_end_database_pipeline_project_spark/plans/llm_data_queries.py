@@ -1,0 +1,470 @@
+"""LLM-data-pipeline queries: dedup, similarity search, text analysis,
+multimodal columns (BASELINE.json north star; M6).
+
+Everything here is designed for the 100 TB curation workload and tested
+against DuckDB oracles on the ``documents`` / ``embeddings`` fixtures.
+Hash-based constructions (MinHash, SimHash, fingerprints) use md5 with
+lexicographic-min / hex-digit-bit semantics precisely so the oracle can
+reproduce them bit-for-bit in ANSI SQL — engine-portable by design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..operators import dedup as DD
+from ..operators import multimodal as MM
+from ..operators import similarity as SIM
+from ..sources.catalog import load_table
+from .registry import query
+
+_R = 6
+
+# ---------------------------------------------------------------------------
+# Shared oracle CTEs: word shingles (k=3, distinct, lowercased)
+# ---------------------------------------------------------------------------
+
+_SHINGLE_CTE = r"""
+w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(ws) - 2, 1) + 1),
+           i -> array_to_string(list_slice(ws, i, i + 2), ' ')))) AS shingle
+  FROM w
+)"""
+
+
+# ------------------------------------------------------------------- dedup
+
+
+@query(
+    "exact_dedup_docs",
+    oracle="""WITH doubled AS (
+  SELECT * FROM documents UNION ALL SELECT * FROM documents
+)
+SELECT md5(text) AS content_hash, min(doc_id) AS representative_id,
+       count(*) AS dup_count
+FROM doubled GROUP BY 1""",
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact hash dedup over a doubled corpus (simulating re-delivered
+    content, the reference's duplicate-observation scenario,
+    README.md:236-244). Every group collapses to one representative."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.exact_dedup(docs.unionByName(docs))
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle=f"""WITH {_SHINGLE_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.6""",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (J >= 0.6) via the
+    shingle inverted-index self-join."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, threshold=0.6)
+    return pairs.select("doc_a", "doc_b", F.round("jaccard", _R).alias("jaccard"))
+
+
+_MINHASH_CTE = f"""{_SHINGLE_CTE},
+seeded AS (
+  SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || '|' || shingle) AS h
+  FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
+),
+sigs AS (SELECT doc_id, seed, min(h) AS sig FROM seeded GROUP BY 1, 2),
+banded AS (
+  SELECT doc_id, seed // 4 AS band,
+         md5(string_agg(sig, '|' ORDER BY seed)) AS bucket
+  FROM sigs GROUP BY 1, 2
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)"""
+
+
+@query(
+    "minhash_lsh_pairs",
+    oracle=f"""WITH {_MINHASH_CTE}
+SELECT doc_a, doc_b,
+       round(avg(CASE WHEN sa.sig = sb.sig THEN 1.0 ELSE 0.0 END), 6) AS est_jaccard
+FROM cands
+JOIN sigs sa ON sa.doc_id = doc_a
+JOIN sigs sb ON sb.doc_id = doc_b AND sb.seed = sa.seed
+GROUP BY doc_a, doc_b
+HAVING avg(CASE WHEN sa.sig = sb.sig THEN 1.0 ELSE 0.0 END) >= 0.5""",
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (16 hashes) + LSH (4 bands x 4 rows) near-dup candidates
+    with estimated Jaccard >= 0.5. The oracle reproduces the identical
+    signatures via the same md5-min construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.minhash_lsh_dedup(docs, est_threshold=0.5)
+
+
+_SIMHASH_CTE = f"""{_SHINGLE_CTE},
+hs AS (SELECT doc_id, md5(shingle) AS h FROM sh),
+bits AS (
+  SELECT doc_id, j, h FROM hs CROSS JOIN (SELECT unnest(range(16)) AS j) js
+),
+votes AS (
+  SELECT doc_id, j,
+         sum(CASE WHEN (strpos('0123456789abcdef', substr(h, j // 4 + 1, 1)) - 1)
+                       & (1 << (j % 4)) > 0
+                  THEN 1 ELSE -1 END) AS v
+  FROM bits GROUP BY 1, 2
+),
+fp AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v >= 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY 1
+)"""
+
+
+@query(
+    "simhash_fingerprints",
+    oracle=f"WITH {_SIMHASH_CTE}\nSELECT doc_id, simhash FROM fp",
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (hex-digit-bit votes over shingle
+    md5s — engine-portable, oracle reproduces each bit)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.simhash16(docs)
+
+
+@query(
+    "simhash_collisions",
+    oracle=f"""WITH {_SIMHASH_CTE}
+SELECT simhash, min(doc_id) AS representative_id, count(*) AS n_docs
+FROM fp GROUP BY 1 HAVING count(*) > 1""",
+)
+def simhash_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash collision groups = near-dup candidate sets."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.simhash_collision_groups(docs)
+
+
+# ------------------------------------------------------------ text analysis
+
+
+@query(
+    "doc_text_stats",
+    oracle=r"""SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS word_count,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^\sA-Za-z0-9_]')) AS INT)
+         AS token_count,
+       round(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0
+             / length(text), 6) AS punct_ratio,
+       round(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+                                     w -> length(w))) * 1.0
+             / len(string_split_regex(trim(text), '\s+')), 6) AS mean_word_len,
+       n_chars
+FROM documents""",
+)
+def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text statistics: whitespace word count, BPE-ish
+    token count, punctuation ratio, mean word length — all native
+    expressions (no UDF)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TX.word_count(t).alias("word_count"),
+        TX.token_count(t).alias("token_count"),
+        F.round(TX.punct_ratio(t), _R).alias("punct_ratio"),
+        F.round(TX.mean_word_length(t), _R).alias("mean_word_len"),
+        "n_chars",
+    )
+
+
+@query(
+    "doc_quality_scores",
+    oracle=r"""WITH s AS (
+  SELECT doc_id,
+    CASE WHEN length(text) >= 100 AND length(text) <= 20000 THEN 1.0
+         WHEN length(text) > 0 THEN 0.5 ELSE 0.0 END AS len_score,
+    1.0 - least(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0
+                / length(text) * 5, 1.0) AS punct_score,
+    least(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+          w -> list_contains(['the','a','and','of','to','in','is','it'], w))) * 1.0
+          / len(string_split_regex(lower(trim(text)), '\s+')) * 4, 1.0) AS stop_score
+  FROM documents
+)
+SELECT doc_id,
+       round(len_score * 0.4 + punct_score * 0.3 + stop_score * 0.3, 6)
+         AS quality_score
+FROM s""",
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (length band + punctuation noise +
+    stopword fluency), the cheap first-pass filter of corpus curation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", TX.quality_score(F.col("text")).alias("quality_score")
+    )
+
+
+@query(
+    "doc_language_id",
+    oracle=r"""WITH m AS (
+  SELECT doc_id,
+    length(regexp_replace(text, '[^぀-ヿ]', '', 'g')) AS kana,
+    length(regexp_replace(text, '[^가-힯]', '', 'g')) AS hangul,
+    length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk,
+    length(regexp_replace(text, '[^Ѐ-ӿ]', '', 'g')) AS cyr,
+    length(regexp_replace(text, '[^À-ɏ]', '', 'g')) AS accented,
+    greatest(length(text), 1) AS n,
+    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        w -> list_contains(['the','a','and','of','to','in','is','it'], w))) * 1.0
+      / len(string_split_regex(lower(trim(text)), '\s+')) AS en_stops
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN kana * 1.0 / n > 0.05 THEN 'ja'
+       WHEN hangul * 1.0 / n > 0.05 THEN 'ko'
+       WHEN cjk * 1.0 / n > 0.05 THEN 'zh'
+       WHEN cyr * 1.0 / n > 0.05 THEN 'ru'
+       WHEN en_stops > 0.08 THEN 'en'
+       WHEN accented * 1.0 / n > 0.02 THEN 'latin-other'
+       ELSE 'unknown' END AS lang_pred,
+  count(*) OVER (PARTITION BY CASE WHEN kana * 1.0 / n > 0.05 THEN 'ja'
+       WHEN hangul * 1.0 / n > 0.05 THEN 'ko'
+       WHEN cjk * 1.0 / n > 0.05 THEN 'zh'
+       WHEN cyr * 1.0 / n > 0.05 THEN 'ru'
+       WHEN en_stops > 0.08 THEN 'en'
+       WHEN accented * 1.0 / n > 0.02 THEN 'latin-other'
+       ELSE 'unknown' END) AS lang_cohort_size
+FROM m""",
+)
+def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (character-class histograms + stopword
+    probe), plus the size of each predicted-language cohort."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    pred = TX.lang_id(F.col("text"))
+    out = docs.select("doc_id", pred.alias("lang_pred"))
+    return out.withColumn(
+        "lang_cohort_size",
+        F.count(F.lit(1)).over(Window.partitionBy("lang_pred")),
+    )
+
+
+@query(
+    "token_frequencies",
+    oracle=r"""SELECT token, count(*) AS freq
+FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      FROM documents)
+GROUP BY token ORDER BY freq DESC, token LIMIT 20""",
+)
+def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token histogram, top 20 — the tokenize-explode-aggregate
+    shape (at 100 TB: map-side partial agg collapses the explosion
+    before the shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token")
+    )
+    return (
+        words.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(20)
+    )
+
+
+@query(
+    "doc_fingerprints",
+    oracle=r"""SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+FROM documents""",
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint over whitespace-normalized lowercased text —
+    the md5 (oracle-portable) twin of the xxhash64 fingerprint used at
+    scale (functions.text.fingerprint64)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")).alias(
+            "fingerprint"
+        ),
+    )
+
+
+# ------------------------------------------------------- similarity search
+
+
+_KNN_ORACLE = """WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 10
+),
+scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])) AS cos
+  FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 5"""
+
+
+def _emb(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.withColumn("embedding", F.col("embedding").cast("array<double>"))
+
+
+@query("knn_topk", oracle=_KNN_ORACLE)
+def knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for the first 10 query vectors:
+    broadcast queries x one corpus pass, per-query heap. (Float arrays
+    are cast to double on both engines so dot products agree exactly.)"""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 10)
+    return SIM.brute_force_topk(emb, queries, k=5)
+
+
+@query("knn_topk_pandas", oracle=_KNN_ORACLE)
+def knn_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same top-5 via the Arrow-batched NumPy GEMM kernel
+    (mapInPandas) — the vectorized-Python path, verified against the
+    same oracle as the expression path."""
+    emb = _emb(spark, sf_dir)
+    queries_pdf = emb.where(F.col("vec_id") < 10).toPandas()
+    return SIM.brute_force_topk_pandas(emb, queries_pdf, k=5)
+
+
+@query(
+    "embedding_near_dup_pairs",
+    oracle="""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings a
+JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id < 1000
+  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.42""",
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.42; left side
+    bounded to the first 1000 ids to cap the pairwise probe). At 100 TB
+    the full-pairwise form is replaced by the IVF/LSH bucketing below —
+    this is the exact-verification kernel."""
+    emb = _emb(spark, sf_dir)
+    from ..functions.vector import cosine
+
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, (F.col("a.vec_id") < F.col("b.vec_id")))
+        .where(F.col("a.vec_id") < 1000)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.42)
+        .withColumn("cosine", F.round("cosine", _R))
+    )
+
+
+@query(
+    "ivf_topk",
+    oracle="""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+assigned AS (
+  SELECT vec_id, v, centroid_id AS cluster_id FROM (
+    SELECT e.vec_id, e.v, cent.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, cent.cv) DESC, cent.centroid_id) AS rn
+    FROM e CROSS JOIN cent
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, cluster_id AS q_cluster
+  FROM assigned WHERE vec_id < 10
+),
+scored AS (
+  SELECT query_id, a.vec_id AS neighbor_id,
+         list_cosine_similarity(qv, a.v) AS cos
+  FROM assigned a JOIN q
+    ON a.cluster_id = q.q_cluster AND a.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+FROM scored QUALIFY rank <= 3""",
+)
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN: assign every vector to its nearest of 8 seed
+    centroids, then search top-3 only within the query's cluster — the
+    scale path where per-query scan cost divides by the cluster count."""
+    emb = _emb(spark, sf_dir)
+    centroids = emb.where(F.col("vec_id") < 8)
+    queries = emb.where(F.col("vec_id") < 10)
+    return SIM.ivf_topk(emb, centroids, queries, k=3)
+
+
+@query(
+    "embedding_norms",
+    oracle="""SELECT vec_id,
+       round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                          x -> x * x))), 6) AS l2_norm,
+       CAST(len(embedding) AS INT) AS dim
+FROM embeddings""",
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector hygiene scan: L2 norm + dimensionality per embedding
+    (the cheap full-corpus validation pass before any ANN build)."""
+    emb = _emb(spark, sf_dir)
+    from ..functions.vector import norm
+
+    return emb.select(
+        "vec_id",
+        F.round(norm(F.col("embedding")), _R).alias("l2_norm"),
+        F.size("embedding").alias("dim"),
+    )
+
+
+# ----------------------------------------------------------------- multimodal
+
+
+@query(
+    "multimodal_features",
+    oracle="""SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       md5(text) AS content_md5,
+       'text' AS modality
+FROM documents""",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing: text re-encoded as a true
+    BinaryType payload column, features extracted by an Arrow-batched
+    mapInPandas kernel (operators.multimodal; decode stubbed per the
+    container's missing media libs, md5/byte-length real)."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = MM.to_binary_column(docs)
+    return MM.extract_features(assets)

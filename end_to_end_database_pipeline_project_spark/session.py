@@ -15,10 +15,47 @@ assumes:
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
 _DEF_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+_SHIPPED_SESSIONS: set[int] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    Pandas-UDF / mapInPandas closures that reference module-level
+    functions are pickled *by reference* — workers must import the
+    module. On a real cluster that's ``--py-files``; here we zip the
+    package once per session and ``addPyFile`` it, which covers any
+    externally-created SparkSession (e.g. the driver harness) whose
+    working directory is not the repo root."""
+    if id(spark) in _SHIPPED_SESSIONS:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    # per-process zip: a fixed path could serve stale code across edits
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"{pkg_name}-pyfiles-{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.join(
+                            pkg_name, os.path.relpath(full, pkg_dir)
+                        )
+                        zf.write(full, rel)
+        os.replace(tmp, zip_path)
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED_SESSIONS.add(id(spark))
 
 
 def get_spark(

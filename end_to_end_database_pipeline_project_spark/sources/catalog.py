@@ -50,6 +50,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # engine semantics are UTC (matches DuckDB's naive-UTC parquet reads);
     # pin it even on externally-supplied sessions (driver default session).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # ship this package to executor Python workers (pandas-UDF closures
+    # are pickled by module reference)
+    from ..session import ship_package
+
+    ship_package(spark)
     df = spark.read.parquet(path)
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
