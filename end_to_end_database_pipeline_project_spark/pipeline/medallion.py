@@ -1,0 +1,158 @@
+"""The reference's four-store pipeline as one Spark job graph (SURVEY.md §3.1).
+
+Reference shape: NWS API -> MongoDB (bronze) -> ClickHouse (silver+gold)
+-> Redis (serving), four processes over four networks
+(run_pipeline.py:9-65). Spark shape: one lineage-explicit DataFrame DAG
+
+    bronze (nested docs) --explode/normalize--> silver (flat facts)
+      --rollup chain--> gold (daily/monthly) --envelope--> serving
+
+with each layer persistable as parquet. The cross-store network
+boundaries disappear; the only remaining boundary is source ingestion.
+
+Layer semantics ported exactly:
+- bronze docs carry the raw nested shape + lineage ids (S6, §3.4);
+- silver rows apply P1/P2 normalization incl. unit sniffing (F1/F3);
+- gold applies the A1→A2→A3 dedup-rollup hierarchy with audit columns
+  (A7: warehouse_load_time, rows_loaded, load_mode);
+- serving applies the humidity cap (F12), JSON envelope (F14/S15) and
+  TTL-freshness status (S16) — TTL modeled as data, not wall-clock.
+
+Scale: silver is written partitioned by date and sorted within
+partitions by (timestamp, station) — the Spark analog of the MergeTree
+``ORDER BY (timestamp, station_id)`` clustering (§1.4); gold refresh is
+an idempotent overwrite (no SummingMergeTree delete dance, §4.2).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import scalar
+from ..operators.rollup import daily_rollup, hourly_aggregate, monthly_rollup
+from ..sources.catalog import load_table
+
+
+def build_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assemble raw nested documents from events — one doc per
+    (station, day), observations[] inside, lineage stamped from data
+    (deterministic; SURVEY.md §5.3). Mirrors the fetcher's document
+    assembly (nws_api_fetcher_v2.py:121-195)."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.select(
+        "user_id",
+        F.to_date("ts").alias("obs_date"),
+        F.struct(
+            F.struct(
+                F.col("ts").alias("timestamp"),
+                F.concat(F.lit("https://stations/"), F.col("user_id")).alias("station"),
+                F.struct(F.col("value").alias("value")).alias("temperature"),
+                F.struct((F.col("value") / 200).alias("value")).alias(
+                    "precipitationLastHour"
+                ),
+                F.struct(
+                    F.get_json_object("props", "$.k").cast("double").alias("value")
+                ).alias("relativeHumidity"),
+            ).alias("properties")
+        ).alias("obs"),
+    )
+    return obs.groupBy("user_id", "obs_date").agg(
+        F.sort_array(F.collect_list("obs")).alias("observations")
+    ).select(
+        F.concat(F.lit("batch_"), F.date_format("obs_date", "yyyyMMdd")).alias(
+            "etl_batch_id"
+        ),
+        F.concat(F.lit("req_"), F.col("user_id"), F.lit("_"), F.col("obs_date")).alias(
+            "api_request_id"
+        ),
+        "user_id",
+        "obs_date",
+        "observations",
+    )
+
+
+def bronze_to_silver(bronze: DataFrame) -> DataFrame:
+    """Explode + normalize (P1/P2): nested properties to the flat
+    12-ish-column silver schema with unit sniffing, id synthesis and
+    lineage carried (clickhouse_etl.py:207-256 as one select)."""
+    ex = bronze.select(
+        "etl_batch_id",
+        "api_request_id",
+        F.explode("observations").alias("o"),
+    )
+    props = F.col("o.properties")
+    return ex.select(
+        scalar.synthetic_id(
+            scalar.last_path_segment(props["station"]),
+            F.expr("unix_micros(o.properties.timestamp) div 1000").cast("string"),
+        ).alias("observation_id"),
+        scalar.last_path_segment(props["station"]).alias("station_id"),
+        props["timestamp"].alias("timestamp"),
+        scalar.kelvin_sniff_to_celsius(props["temperature"]["value"]).alias(
+            "temperature_c"
+        ),
+        scalar.meters_sniff_to_mm(props["precipitationLastHour"]["value"]).alias(
+            "rainfall_mm"
+        ),
+        props["relativeHumidity"]["value"].alias("humidity_percent"),
+        "etl_batch_id",
+        "api_request_id",
+    ).where(F.col("timestamp").isNotNull())
+
+
+def write_silver(silver: DataFrame, out_dir: str) -> None:
+    """Silver at rest: date-partitioned, clustered within partitions —
+    parquet min/max stats give the same pruning the MergeTree ORDER BY
+    provided."""
+    (
+        silver.withColumn("obs_date", F.to_date("timestamp"))
+        .repartition("obs_date")
+        .sortWithinPartitions("timestamp", "station_id")
+        .write.mode("overwrite")
+        .partitionBy("obs_date")
+        .parquet(os.path.join(out_dir, "silver"))
+    )
+
+
+def gold_tables(silver: DataFrame) -> tuple[DataFrame, DataFrame]:
+    hourly = hourly_aggregate(silver, ts="timestamp", measure="temperature_c")
+    daily = daily_rollup(hourly)
+    monthly = monthly_rollup(daily)
+    return daily, monthly
+
+
+def serving_view(daily: DataFrame, monthly: DataFrame, as_of: str) -> DataFrame:
+    """Serving envelope (S15/S16 analog): last-30-days slice with the
+    humidity-cap semantics applied to the avg measure, cache freshness
+    derived from data (as_of is the injectable 'now')."""
+    capped = daily.withColumn("avg_value", scalar.humidity_cap(F.col("avg_value")))
+    latest = F.max("obs_date").over(Window.partitionBy())
+    return (
+        capped.withColumn(
+            "sync_status",
+            F.when(
+                F.datediff(F.lit(as_of).cast("date"), latest) <= 1, F.lit("full")
+            ).otherwise(F.lit("partial")),
+        )
+        .orderBy(F.desc("obs_date"))
+        .limit(30)
+    )
+
+
+def run_medallion(spark: SparkSession, sf_dir: str, out_dir: str | None = None) -> DataFrame:
+    """End-to-end: bronze -> silver -> gold -> serving. Optionally
+    persists each layer under out_dir. Returns the serving frame."""
+    bronze = build_bronze(spark, sf_dir)
+    silver = bronze_to_silver(bronze)
+    if out_dir:
+        bronze.write.mode("overwrite").parquet(os.path.join(out_dir, "bronze"))
+        write_silver(silver, out_dir)
+    daily, monthly = gold_tables(silver)
+    if out_dir:
+        daily.write.mode("overwrite").parquet(os.path.join(out_dir, "gold_daily"))
+        monthly.write.mode("overwrite").parquet(os.path.join(out_dir, "gold_monthly"))
+    as_of = silver.agg(F.date_format(F.max("timestamp"), "yyyy-MM-dd").alias("d")).collect()[0]["d"]
+    return serving_view(daily, monthly, as_of)

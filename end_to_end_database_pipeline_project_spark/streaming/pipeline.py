@@ -1,0 +1,104 @@
+"""Structured Streaming analog of the reference's scheduler-driven
+micro-batching (SURVEY.md §2.10, M5).
+
+The reference "streams" by re-running batch syncs every 30/60 minutes
+(scheduler.py:45-73) and tolerates re-delivered observations via its
+max-per-hour aggregate. Here that becomes a real streaming pipeline:
+
+- file source (parquet) with explicit schema — the landing-zone pattern:
+  each scheduler tick's fetch drops files, the stream picks them up;
+- ``dropDuplicates`` on the natural key bounded by a watermark
+  (the dedup the reference got implicitly from max-per-hour);
+- 1-hour tumbling window aggregate (``toStartOfHour`` analog);
+- ``availableNow`` trigger = the reference's catch-up batch semantics,
+  ``processingTime`` trigger = its interval scheduler.
+
+Batch-equivalence: with a catch-up trigger over static input, the
+windowed result equals the batch hourly aggregate — asserted by the
+oracle and tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # raw TIMESTAMP(NANOS) as int64
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (explicit schema —
+    streaming sources never infer), nanos->micros normalized like the
+    batch loader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # file streaming sources require a directory basePath; select just
+    # the events file out of the fixture dir with a glob filter
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_windowed_agg(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Deduped 1-hour tumbling aggregate: watermark bounds both the
+    dropDuplicates state and the window state; at steady state the
+    memory footprint is (hours within watermark) x (distinct keys)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicates(["event_id"])
+        .where(F.col("value").isNotNull())
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(
+            F.avg("value").alias("avg_value"),
+            F.max("value").alias("max_value"),
+            F.min("value").alias("min_value"),
+            F.count(F.lit(1)).alias("observation_count"),
+        )
+        .select(
+            F.col("win.start").alias("obs_hour"),
+            "avg_value",
+            "max_value",
+            "min_value",
+            "observation_count",
+        )
+    )
+
+
+def run_hourly_stream_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the windowed stream to completion over the static fixture
+    (availableNow semantics via a memory sink in complete mode) and
+    return the result as a batch DataFrame.
+
+    Complete output mode is used so open windows (those newer than the
+    watermark) are emitted too — giving exact batch equivalence."""
+    agg = hourly_windowed_agg(stream_events(spark, sf_dir))
+    name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name)

@@ -1,0 +1,86 @@
+"""Tests for the medallion pipeline, streaming batch-equivalence and
+the as-of join operators."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from end_to_end_database_pipeline_project_spark.pipeline.medallion import (
+    build_bronze,
+    bronze_to_silver,
+    gold_tables,
+    run_medallion,
+    write_silver,
+)
+from end_to_end_database_pipeline_project_spark.operators.rollup import (
+    daily_rollup,
+    hourly_aggregate,
+)
+from end_to_end_database_pipeline_project_spark.sources.catalog import load_table
+from end_to_end_database_pipeline_project_spark.streaming.pipeline import (
+    run_hourly_stream_available_now,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_medallion_layers_consistent(spark):
+    bronze = build_bronze(spark, SF)
+    silver = bronze_to_silver(bronze)
+    ev_rows = load_table(spark, SF, "events").count()
+    # every event becomes exactly one silver observation
+    assert silver.count() == ev_rows
+    daily, monthly = gold_tables(silver)
+    # dedup-rollup hierarchy conserves observation counts level-to-level
+    d = daily.agg(F.sum("observation_count")).collect()[0][0]
+    m = monthly.agg(F.sum("observation_count")).collect()[0][0]
+    assert d == m == ev_rows
+
+
+def test_medallion_persists_partitioned(spark, tmp_path):
+    out = str(tmp_path / "lake")
+    serving = run_medallion(spark, SF, out_dir=out)
+    assert serving.count() == 30
+    # silver written date-partitioned (hive-style directories)
+    parts = [p for p in os.listdir(os.path.join(out, "silver")) if p.startswith("obs_date=")]
+    assert len(parts) >= 25  # ~30 days of fixture data
+    # layers re-readable
+    assert spark.read.parquet(os.path.join(out, "gold_daily")).count() > 0
+
+
+def test_streaming_equals_batch(spark):
+    stream_out = run_hourly_stream_available_now(spark, SF)
+    ev = load_table(spark, SF, "events")
+    batch = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(F.date_trunc("hour", "ts").alias("obs_hour"))
+        .agg(
+            F.avg("value").alias("avg_value"),
+            F.count(F.lit(1)).alias("observation_count"),
+        )
+    )
+    s = {r["obs_hour"]: (r["avg_value"], r["observation_count"]) for r in stream_out.collect()}
+    b = {r["obs_hour"]: (r["avg_value"], r["observation_count"]) for r in batch.collect()}
+    assert set(s) == set(b)
+    for k in b:
+        assert abs(s[k][0] - b[k][0]) < 1e-9
+        assert s[k][1] == b[k][1]
+
+
+def test_asof_join_carries_latest_right(spark):
+    df_l = spark.createDataFrame(
+        [(1, 10, "u"), (2, 20, "u"), (3, 5, "v")], "id long, t long, k string"
+    )
+    df_r = spark.createDataFrame(
+        [(9, 100.0, "u"), (15, 200.0, "u"), (99, 300.0, "v")],
+        "rt long, val double, k string",
+    )
+    from end_to_end_database_pipeline_project_spark.operators.asof import asof_join
+
+    out = asof_join(
+        df_l, df_r, on="t", by="k", right_on="rt", right_cols=["val"]
+    ).orderBy("id")
+    rows = out.collect()
+    assert [r["val_asof"] for r in rows] == [100.0, 200.0, None]
