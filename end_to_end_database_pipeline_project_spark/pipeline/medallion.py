@@ -142,6 +142,55 @@ def serving_view(daily: DataFrame, monthly: DataFrame, as_of: str) -> DataFrame:
     )
 
 
+def write_gold_daily(daily: DataFrame, out_dir: str) -> None:
+    """Gold daily at rest, partitioned by month so refresh can be
+    partition-scoped."""
+    (
+        daily.withColumn("obs_month", F.date_format("obs_date", "yyyy-MM"))
+        .write.mode("overwrite")
+        .partitionBy("obs_month")
+        .parquet(os.path.join(out_dir, "gold_daily"))
+    )
+
+
+def refresh_gold_daily_months(
+    silver: DataFrame, out_dir: str, months: list[str]
+) -> None:
+    """Partition-scoped gold refresh — the reference recomputes ALL
+    aggregates from full history every sync, then ALTER TABLE DELETEs
+    affected periods before re-insert (clickhouse_etl.py:309-334,
+    341-346; O(history) per sync, SURVEY.md §6). Here only the affected
+    month partitions are recomputed from the silver slice and swapped
+    atomically via dynamic partition overwrite — O(delta). Valid because
+    the rollup hierarchy never crosses a month boundary.
+
+    At 100 TB this is the difference between re-shuffling the entire
+    fact table per sync and touching only the partitions a sync landed
+    data in."""
+    spark = silver.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        sl = silver.where(
+            F.date_format(F.to_date("timestamp"), "yyyy-MM").isin(months)
+        )
+        daily = daily_rollup(
+            hourly_aggregate(sl, ts="timestamp", measure="temperature_c")
+        )
+        (
+            daily.withColumn("obs_month", F.date_format("obs_date", "yyyy-MM"))
+            .write.mode("overwrite")
+            .partitionBy("obs_month")
+            .parquet(os.path.join(out_dir, "gold_daily"))
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def read_gold_daily(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, "gold_daily")).drop("obs_month")
+
+
 def run_medallion(spark: SparkSession, sf_dir: str, out_dir: str | None = None) -> DataFrame:
     """End-to-end: bronze -> silver -> gold -> serving. Optionally
     persists each layer under out_dir. Returns the serving frame."""

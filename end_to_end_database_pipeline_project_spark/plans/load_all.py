@@ -28,3 +28,10 @@ try:
     _PACKS.append("streaming_queries")
 except ImportError:
     pass
+
+try:
+    from . import source_queries  # noqa: F401
+
+    _PACKS.append("source_queries")
+except ImportError:
+    pass

@@ -1,0 +1,139 @@
+"""Source/sink format coverage (SURVEY.md §2.1).
+
+The reference's sources are HTTP JSON documents (GeoJSON-shaped station
+lists, nested observation payloads, nws_api_fetcher_v2.py:21-119) landed
+into stores by driver code; its DDL/load surface is ClickHouse SQL
+(CREATE TABLE IF NOT EXISTS / INSERT / TRUNCATE-overwrite,
+clickhouse_etl.py:22-296). Spark analogs, each proven by a round-trip
+whose result is oracle-checked against the parquet fixtures:
+
+- ``spark.read.json`` over nested documents + ``explode`` projection
+  (S3: station-list extraction from GeoJSON features);
+- CSV sink + schema'd CSV source (landing-zone interchange format);
+- ``spark.sql`` DDL: CREATE TABLE USING parquet, INSERT INTO (append,
+  S12), INSERT OVERWRITE (truncate-and-load, S13).
+
+Everything writes to per-query temp dirs; at scale the same code paths
+point at object-store URIs (the writers/readers are path-agnostic).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import query
+
+_R = 6
+
+
+@query(
+    "json_source_stations",
+    oracle="""SELECT DISTINCT 'S' || CAST(user_id AS VARCHAR) AS stationIdentifier
+FROM events""",
+)
+def json_source_stations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 analog: assemble a GeoJSON-shaped station document (features[]
+    with nested properties), write it as JSON, read it back with
+    ``spark.read.json`` (schema inferred from the documents) and project
+    ``features[].properties.stationIdentifier`` via explode — the
+    reference's station-list extraction (nws_api_fetcher_v2.py:54-64)
+    as a real multi-line-JSON source scan."""
+    tmp = tempfile.mkdtemp(prefix="json_src_")
+    ev = load_table(spark, sf_dir, "events")
+    stations = ev.select(
+        F.concat(F.lit("S"), F.col("user_id").cast("string")).alias("sid")
+    ).distinct()
+    doc = stations.agg(
+        F.collect_list(
+            F.struct(
+                F.lit("Feature").alias("type"),
+                F.struct(F.col("sid").alias("stationIdentifier")).alias("properties"),
+            )
+        ).alias("features")
+    ).select(F.lit("FeatureCollection").alias("type"), "features")
+    doc.write.mode("overwrite").json(tmp)
+    feats = spark.read.json(tmp)
+    return feats.select(F.explode("features").alias("f")).select(
+        F.col("f.properties.stationIdentifier").alias("stationIdentifier")
+    )
+
+
+@query(
+    "csv_roundtrip_pricing",
+    oracle="""SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6) AS sum_qty,
+       round(sum(l_extendedprice), 6) AS sum_price,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY 1, 2""",
+)
+def csv_roundtrip_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + schema'd CSV source round-trip: lineitem columns out
+    to headered CSV, back in with an explicit schema (CSV never infers
+    in production — inference is a full extra pass), then the pricing
+    aggregate. Values surviving the text round-trip bit-exactly is the
+    point: Spark's CSV writer emits round-trippable doubles."""
+    tmp = tempfile.mkdtemp(prefix="csv_src_")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"
+    )
+    li.write.mode("overwrite").option("header", True).csv(tmp)
+    back = (
+        spark.read.schema(
+            "l_returnflag string, l_linestatus string, "
+            "l_quantity double, l_extendedprice double"
+        )
+        .option("header", True)
+        .csv(tmp)
+    )
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), _R).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), _R).alias("sum_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "sql_ddl_pipeline",
+    oracle="""WITH silver AS (
+  SELECT CAST(user_id AS VARCHAR) AS station_id,
+         CASE WHEN value > 100 THEN value - 273.15 ELSE value END AS temperature_c
+  FROM events WHERE value IS NOT NULL
+)
+SELECT station_id, CAST(count(*) AS BIGINT) AS n_obs,
+       round(avg(temperature_c), 6) AS avg_temp_c
+FROM silver GROUP BY 1""",
+)
+def sql_ddl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11/S12/S13 as Spark SQL: CREATE TABLE ... USING parquet at an
+    explicit location, INSERT INTO (append), then INSERT OVERWRITE with
+    the same rows (the truncate-and-load mode) — the final state must be
+    exactly one copy, proving overwrite replaced the append rather than
+    stacking on it. Aggregate read back via ``spark.sql``."""
+    loc = tempfile.mkdtemp(prefix="ddl_tbl_")
+    tbl = f"weather_obs_{uuid.uuid4().hex[:8]}"
+    ev = load_table(spark, sf_dir, "events")
+    silver = ev.where(F.col("value").isNotNull()).select(
+        F.col("user_id").cast("string").alias("station_id"),
+        F.when(F.col("value") > 100, F.col("value") - 273.15)
+        .otherwise(F.col("value"))
+        .alias("temperature_c"),
+    )
+    silver.createOrReplaceTempView(f"{tbl}_src")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(
+        f"CREATE TABLE {tbl} (station_id STRING, temperature_c DOUBLE) "
+        f"USING parquet LOCATION '{loc}'"
+    )
+    spark.sql(f"INSERT INTO {tbl} SELECT * FROM {tbl}_src")
+    spark.sql(f"INSERT OVERWRITE {tbl} SELECT * FROM {tbl}_src")
+    out = spark.sql(
+        f"""SELECT station_id, count(*) AS n_obs,
+                   round(avg(temperature_c), {_R}) AS avg_temp_c
+            FROM {tbl} GROUP BY station_id"""
+    )
+    return out

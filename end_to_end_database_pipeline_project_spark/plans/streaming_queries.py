@@ -11,9 +11,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join, asof_join_pandas
-from ..pipeline.medallion import build_bronze, bronze_to_silver, gold_tables, serving_view
+from ..operators.rollup import daily_rollup, hourly_aggregate
+from ..pipeline.medallion import (
+    build_bronze,
+    bronze_to_silver,
+    gold_tables,
+    read_gold_daily,
+    refresh_gold_daily_months,
+    serving_view,
+    write_gold_daily,
+)
+from ..session import ship_package
 from ..sources.catalog import load_table
-from ..streaming.pipeline import run_hourly_stream_available_now
+from ..streaming.pipeline import run_hourly_stream_available_now, run_stream_to_table, stream_events
+from ..streaming.stateful import (
+    session_window_agg,
+    sliding_window_agg,
+    stateful_user_totals,
+)
 from .registry import query
 
 _R = 6
@@ -194,4 +209,162 @@ def asof_last_purchase_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("purchase_ts_asof"),
         F.round("purchase_value_asof", _R).alias("purchase_value_asof"),
+    )
+
+
+@query(
+    "streaming_sliding_window",
+    oracle="""WITH e AS (
+  SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events WHERE value IS NOT NULL
+),
+x AS (
+  SELECT unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR])
+           AS win_start,
+         value
+  FROM e
+)
+SELECT win_start, win_start + INTERVAL 2 HOUR AS win_end,
+       round(avg(value), 6) AS avg_value, count(*) AS observation_count
+FROM x GROUP BY 1""",
+)
+def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping window (2h size / 1h slide) over the event stream — each
+    event lands in two windows; window starts align to epoch multiples
+    of the slide, so the oracle unnests each event's two window starts.
+    State is bounded by the watermark (§2.10 generalization)."""
+    out = run_stream_to_table(
+        sliding_window_agg(stream_events(spark, sf_dir)), "complete", "stream_slide"
+    )
+    return out.select(
+        "win_start",
+        "win_end",
+        F.round("avg_value", _R).alias("avg_value"),
+        "observation_count",
+    )
+
+
+@query(
+    "streaming_session_window",
+    oracle="""WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+),
+m AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM s GROUP BY user_id, sid""",
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (30-min gap) via ``F.session_window`` in
+    a real streaming query — the state store merges variable-length
+    windows as events arrive. Oracle: batch gaps-and-islands (lag +
+    cumulative break-sum), the only batch-SQL equivalent."""
+    out = run_stream_to_table(
+        session_window_agg(stream_events(spark, sf_dir)), "complete", "stream_sess"
+    )
+    return out.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        F.round("total_value", _R).alias("total_value"),
+    )
+
+
+@query(
+    "stateful_user_totals",
+    oracle="""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(coalesce(value, 0)), 6) AS total_value
+FROM events GROUP BY user_id""",
+)
+def stateful_user_totals_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-stateful streaming op via ``applyInPandasWithState``:
+    per-user running (count, total) kept in explicit group state across
+    micro-batches. The update-mode sink holds one row per (key, batch);
+    the final totals are the max-count row per key."""
+    ship_package(spark)
+    out = run_stream_to_table(
+        stateful_user_totals(stream_events(spark, sf_dir)), "update", "stream_state"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("total_value", _R).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "gold_partition_refresh",
+    oracle="""WITH silver AS (
+  SELECT CAST(ts AS TIMESTAMP) AS timestamp,
+         CASE WHEN value > 100 THEN value - 273.15 ELSE value END AS temperature_c
+  FROM events
+),
+hourly AS (
+  SELECT CAST(timestamp AS DATE) AS obs_date, date_trunc('hour', timestamp) AS obs_hour,
+         avg(temperature_c) AS avg_value, max(temperature_c) AS max_value,
+         min(temperature_c) AS min_value, count(*) AS observation_count
+  FROM silver WHERE temperature_c IS NOT NULL GROUP BY 1, 2
+)
+SELECT obs_date, round(avg(avg_value), 6) AS avg_value,
+       round(max(max_value), 6) AS max_value, round(min(min_value), 6) AS min_value,
+       round(sum(max_value), 6) AS total_value,
+       CAST(sum(observation_count) AS BIGINT) AS observation_count
+FROM hourly GROUP BY 1""",
+)
+def gold_partition_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental gold maintenance (the O(history)->O(delta) headroom
+    called out in BASELINE.md): gold daily is written partitioned by
+    month with the newest month stale-missing, then ONLY that month is
+    recomputed from the silver slice and swapped in via dynamic
+    partition overwrite. The read-back must equal the full-history
+    rollup — proving partition-scoped refresh is semantics-preserving."""
+    import tempfile
+
+    silver = bronze_to_silver(build_bronze(spark, sf_dir))
+    months = [
+        r["m"]
+        for r in silver.select(
+            F.date_format(F.to_date("timestamp"), "yyyy-MM").alias("m")
+        )
+        .distinct()
+        .collect()
+    ]
+    last = max(months)
+    out_dir = tempfile.mkdtemp(prefix="gold_refresh_")
+    stale = silver.where(
+        F.date_format(F.to_date("timestamp"), "yyyy-MM") != last
+    )
+    write_gold_daily(
+        daily_rollup(hourly_aggregate(stale, ts="timestamp", measure="temperature_c")),
+        out_dir,
+    )
+    refresh_gold_daily_months(silver, out_dir, [last])
+    out = read_gold_daily(spark, out_dir)
+    return out.select(
+        "obs_date",
+        F.round("avg_value", _R).alias("avg_value"),
+        F.round("max_value", _R).alias("max_value"),
+        F.round("min_value", _R).alias("min_value"),
+        F.round("total_value", _R).alias("total_value"),
+        "observation_count",
     )

@@ -80,17 +80,21 @@ def hourly_windowed_agg(events: DataFrame, watermark: str = "2 hours") -> DataFr
     )
 
 
-def run_hourly_stream_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Run the windowed stream to completion over the static fixture
-    (availableNow semantics via a memory sink in complete mode) and
-    return the result as a batch DataFrame.
+def run_stream_to_table(
+    agg: DataFrame, output_mode: str = "complete", name_prefix: str = "stream"
+) -> DataFrame:
+    """Run a streaming frame to completion over its (static) source —
+    availableNow trigger into a memory sink — and return the sink
+    contents as a batch DataFrame.
 
-    Complete output mode is used so open windows (those newer than the
-    watermark) are emitted too — giving exact batch equivalence."""
-    agg = hourly_windowed_agg(stream_events(spark, sf_dir))
-    name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
+    Complete output mode (aggregations) emits open windows newer than
+    the watermark too, giving exact batch equivalence; update mode is
+    for arbitrary-stateful ops (applyInPandasWithState), whose sink then
+    holds one row per (key, batch) — callers reduce to the final row."""
+    spark = agg.sparkSession
+    name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
     q = (
-        agg.writeStream.outputMode("complete")
+        agg.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
         .trigger(availableNow=True)
@@ -102,3 +106,11 @@ def run_hourly_stream_available_now(spark: SparkSession, sf_dir: str) -> DataFra
         if q.isActive:
             q.stop()
     return spark.table(name)
+
+
+def run_hourly_stream_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the hourly windowed stream to completion over the static
+    fixture and return the result as a batch DataFrame."""
+    return run_stream_to_table(
+        hourly_windowed_agg(stream_events(spark, sf_dir)), "complete", "stream_hourly"
+    )
