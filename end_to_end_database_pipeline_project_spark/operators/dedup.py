@@ -48,8 +48,14 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingle_index(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
-    """Inverted index: one row per (doc, distinct word-k-gram shingle)."""
-    return df.select(
+    """Inverted index: one row per (doc, distinct word-k-gram shingle).
+
+    The source is fanned out to full parallelism first: the explode
+    multiplies rows ~50x, so it must run on every core, not on however
+    few splits the (locally tiny) input file happens to have."""
+    from ..session import fan_out
+
+    return fan_out(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(shingles(F.col(text_col), k)).alias("shingle"),
     )
@@ -66,8 +72,13 @@ def ngram_jaccard_pairs(
 
     |A∩B| from the shingle join, |A|/|B| from per-doc shingle counts:
     J = c / (|A| + |B| - c). Emits (doc_a, doc_b, jaccard) for J ≥
-    threshold, doc_a < doc_b."""
-    sh = shingle_index(df, text_col, id_col, k)
+    threshold, doc_a < doc_b.
+
+    The shingle index is materialized once (localCheckpoint — a
+    persisted index table at scale): it feeds both self-join sides and
+    the per-doc size aggregate, and re-exploding the text three times
+    costs more than the join itself."""
+    sh = shingle_index(df, text_col, id_col, k).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -161,8 +172,14 @@ def minhash_lsh_dedup(
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: signatures -> banded buckets
     -> candidate pairs -> estimated Jaccard (matching signature fraction)
-    filtered at est_threshold."""
-    sigs = minhash_signatures(df, text_col, id_col, k)
+    filtered at est_threshold.
+
+    Signatures are materialized once (localCheckpoint) before fan-out:
+    they feed the band self-join (both sides) and both sides of the
+    estimation join, and recomputing the shingle×seed explosion four
+    times dominates the runtime otherwise. At 100 TB the checkpoint
+    becomes a persisted signature table."""
+    sigs = minhash_signatures(df, text_col, id_col, k).localCheckpoint()
     cands = lsh_candidate_pairs(sigs)
     sa = sigs.select(F.col("doc_id").alias("doc_a"), "seed", F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), "seed", F.col("sig").alias("sig_b"))
@@ -188,24 +205,21 @@ def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: 
     sh = shingle_index(df, text_col, id_col, k).withColumn(
         "h", F.md5(F.col("shingle"))
     )
-    bits = sh.select(
-        "doc_id",
-        "h",
-        F.explode(F.array(*[F.lit(j) for j in range(16)])).alias("j"),
-    )
-    digit = F.substring(F.col("h"), (F.col("j") / 4).cast("int") + 1, 1)
-    hexval = F.conv(digit, 16, 10).cast("int")
-    # shiftleft's bit-count arg must be a literal in PySpark -> SQL expr
-    bit = hexval.bitwiseAND(F.expr("shiftleft(1, j % 4)"))
-    vote = F.when(bit > 0, 1).otherwise(-1)
-    votes = bits.select("doc_id", "j", vote.alias("v")).groupBy("doc_id", "j").agg(
-        F.sum("v").alias("votes")
-    )
-    return votes.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("votes") >= 0, F.expr("shiftleft(1, j)")).otherwise(0))
-        .cast("long")
-        .alias("simhash")
-    )
+    # one conditional-sum aggregate per bit instead of a 16x row explode:
+    # votes_j = sum(+1/-1 over shingles), all 16 in a single groupBy, so
+    # the shuffle carries one row per doc rather than 16 per shingle
+    aggs = []
+    for j in range(16):
+        digit = F.substring(F.col("h"), j // 4 + 1, 1)
+        hexval = F.conv(digit, 16, 10).cast("int")
+        bit = hexval.bitwiseAND(F.lit(1 << (j % 4)))
+        aggs.append(F.sum(F.when(bit > 0, 1).otherwise(-1)).alias(f"v{j}"))
+    votes = sh.groupBy("doc_id").agg(*aggs)
+    fingerprint = None
+    for j in range(16):
+        term = F.when(F.col(f"v{j}") >= 0, F.lit(1 << j)).otherwise(0)
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return votes.select("doc_id", fingerprint.cast("long").alias("simhash"))
 
 
 def simhash_collision_groups(df: DataFrame, **kwargs) -> DataFrame:

@@ -42,10 +42,12 @@ def brute_force_topk(
 
     Output: (query_id, neighbor_id, cosine, rank), rank 1..k, self
     excluded, ties broken by neighbor id."""
+    from ..session import fan_out
+
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(
+    c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
     scored = (
@@ -77,10 +79,12 @@ def assign_clusters(
 ) -> DataFrame:
     """IVF cluster assignment: nearest centroid by cosine (argmax,
     centroid-id tie-break). Centroids broadcast; no corpus shuffle."""
+    from ..session import fan_out
+
     cent = centroids.select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
     )
-    scored = corpus.crossJoin(F.broadcast(cent)).select(
+    scored = fan_out(corpus).crossJoin(F.broadcast(cent)).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("embedding"),
         "centroid_id",
@@ -173,7 +177,9 @@ def brute_force_topk_pandas(
                         out.append((int(qid), int(n_ids[j]), float(row[j])))
             yield pd.DataFrame(out, columns=["query_id", "neighbor_id", "cos"])
 
-    scored = corpus.select(id_col, vec_col).mapInPandas(
+    from ..session import fan_out
+
+    scored = fan_out(corpus).select(id_col, vec_col).mapInPandas(
         score, schema="query_id long, neighbor_id long, cos double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -181,4 +187,52 @@ def brute_force_topk_pandas(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rank")
+    )
+
+
+def near_dup_pairs_pandas(
+    corpus: DataFrame,
+    left_pdf: pd.DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, matrix-kernel form: the bounded
+    left side rides along as a NumPy matrix, the corpus streams through
+    ``mapInPandas``, and each Arrow batch is one |left|×|batch| GEMM.
+    Emits (vec_a, vec_b, cosine) with vec_a < vec_b and cosine ≥
+    threshold.
+
+    Replaces the per-pair higher-order-function cosine (a
+    BroadcastNestedLoopJoin evaluating interpreted lambdas per element —
+    ~30× slower at 2k×64d); the 100 TB form shards the left matrix so
+    each executor holds one slab."""
+    import numpy as np
+
+    l_ids = left_pdf[id_col].to_numpy()
+    l_mat = np.vstack(left_pdf[vec_col].to_numpy()).astype("float64")
+    l_norm = l_mat / np.linalg.norm(l_mat, axis=1, keepdims=True)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c_mat = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            c_norm = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = l_norm @ c_norm.T  # |left| x |batch|
+            c_ids = pdf[id_col].to_numpy()
+            li, ci = np.nonzero(sims >= threshold)
+            keep = l_ids[li] < c_ids[ci]
+            yield pd.DataFrame(
+                {
+                    "vec_a": l_ids[li][keep],
+                    "vec_b": c_ids[ci][keep],
+                    "cosine": sims[li, ci][keep],
+                }
+            )
+
+    from ..session import fan_out
+
+    return fan_out(corpus).select(id_col, vec_col).mapInPandas(
+        score, schema="vec_a long, vec_b long, cosine double"
     )

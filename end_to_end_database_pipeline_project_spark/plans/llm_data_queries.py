@@ -367,26 +367,15 @@ WHERE a.vec_id < 1000
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold 0.42; left side
-    bounded to the first 1000 ids to cap the pairwise probe). At 100 TB
-    the full-pairwise form is replaced by the IVF/LSH bucketing below —
-    this is the exact-verification kernel."""
+    bounded to the first 1000 ids to cap the pairwise probe). Matrix
+    form: left slab as a NumPy matrix, corpus streamed through
+    mapInPandas, one GEMM per Arrow batch. At 100 TB the full-pairwise
+    form is replaced by the IVF/LSH bucketing below — this is the
+    exact-verification kernel."""
     emb = _emb(spark, sf_dir)
-    from ..functions.vector import cosine
-
-    a = emb.alias("a")
-    b = emb.alias("b")
-    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
-    return (
-        a.join(b, (F.col("a.vec_id") < F.col("b.vec_id")))
-        .where(F.col("a.vec_id") < 1000)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cos.alias("cosine"),
-        )
-        .where(F.col("cosine") >= 0.42)
-        .withColumn("cosine", F.round("cosine", _R))
-    )
+    left_pdf = emb.where(F.col("vec_id") < 1000).select("vec_id", "embedding").toPandas()
+    out = SIM.near_dup_pairs_pandas(emb, left_pdf, threshold=0.42)
+    return out.withColumn("cosine", F.round("cosine", _R))
 
 
 @query(

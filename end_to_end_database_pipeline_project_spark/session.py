@@ -85,3 +85,17 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def fan_out(df, min_partitions: int | None = None):
+    """Repartition up to the session's default parallelism when the
+    input arrives in fewer partitions — locally a small table is one
+    parquet split, which would serialize explode-/GEMM-heavy pipelines
+    onto one core. No-op when the source already provides enough splits
+    (the 100 TB case: thousands of parquet splits), so the extra shuffle
+    only ever moves small inputs."""
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
