@@ -81,3 +81,80 @@ def extract_features(assets: DataFrame) -> DataFrame:
             yield out
 
     return assets.mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx long, frame_md5 string"
+RESIZE_SCHEMA = "doc_id long, resized_len long, resized_md5 string"
+
+
+def frame_sample(
+    assets: DataFrame, frame_chars: int = 64, stride_chars: int = 128
+) -> DataFrame:
+    """Frame sampling over a media payload: one input row fans out to
+    every stride-th frame (video keyframe extraction shape). The real
+    kernel would be ``av.open(...).decode(video=0)`` taking every Nth
+    frame; the deterministic fake treats the decoded text as the media
+    stream and each ``frame_chars``-char slice at ``stride_chars``
+    offsets as a frame.
+
+    Plumbing is the real thing: mapInPandas with a row-multiplying
+    kernel (1 asset row -> n frame rows per Arrow batch, no explode of
+    pre-materialized arrays, so frames never exist all-at-once in
+    memory for a long video)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for doc_id, content, mime in zip(
+                pdf["doc_id"], pdf["content"], pdf["mime_type"]
+            ):
+                if mime != "text/plain":
+                    raise NotImplementedError(
+                        f"frame decode for {mime!r} requires av/ffmpeg"
+                    )
+                stream = bytes(content).decode("utf-8")
+                n_frames = math.ceil(len(stream) / stride_chars)
+                for i in range(n_frames):
+                    frame = stream[i * stride_chars : i * stride_chars + frame_chars]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    hashes.append(hashlib.md5(frame.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_md5": hashes}
+            )
+
+    return assets.mapInPandas(kernel, schema=FRAME_SCHEMA)
+
+
+def resize(assets: DataFrame, target_chars: int = 256) -> DataFrame:
+    """Resize/normalize kernel shape: every payload mapped to a
+    fixed-size representation (image thumbnailing analog — the real
+    kernel is ``PIL.Image.resize`` + re-encode). Deterministic fake:
+    right-pad/truncate the decoded text to ``target_chars`` and hash.
+
+    Same mapInPandas batch shape as decode — 1:1 rows, bounded output
+    size regardless of input payload size."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_len, out_md5 = [], []
+            for content, mime in zip(pdf["content"], pdf["mime_type"]):
+                if mime != "text/plain":
+                    raise NotImplementedError(
+                        f"resize for {mime!r} requires PIL/soundfile"
+                    )
+                s = bytes(content).decode("utf-8")
+                s = s[:target_chars].ljust(target_chars, " ")
+                out_len.append(len(s))
+                out_md5.append(hashlib.md5(s.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "resized_len": out_len,
+                    "resized_md5": out_md5,
+                }
+            )
+
+    return assets.mapInPandas(kernel, schema=RESIZE_SCHEMA)

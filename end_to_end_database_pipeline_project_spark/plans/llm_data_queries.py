@@ -457,3 +457,40 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     assets = MM.to_binary_column(docs)
     return MM.extract_features(assets)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""WITH f AS (
+  SELECT doc_id, text,
+         unnest(range(0, CAST(ceil(length(text) / 128.0) AS INT))) AS frame_idx
+  FROM documents
+)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       md5(substring(text, CAST(frame_idx AS INT) * 128 + 1, 64)) AS frame_md5
+FROM f""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary media payloads: 1 asset row fans out
+    to every stride-th frame inside the pandas kernel (video keyframe
+    shape; decode faked deterministically over the text payload, real
+    kernel documented in operators.multimodal.frame_sample)."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = MM.to_binary_column(docs)
+    return MM.frame_sample(assets, frame_chars=64, stride_chars=128)
+
+
+@query(
+    "multimodal_resize",
+    oracle="""SELECT doc_id,
+       CAST(256 AS BIGINT) AS resized_len,
+       md5(rpad(substring(text, 1, 256), 256, ' ')) AS resized_md5
+FROM documents""",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/normalize kernel: every payload mapped to a fixed-size
+    representation (thumbnailing analog), bounded output per row
+    regardless of payload size (operators.multimodal.resize)."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = MM.to_binary_column(docs)
+    return MM.resize(assets, target_chars=256)

@@ -308,3 +308,105 @@ def lineage_stamped_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("observation_id"),
         F.lit("full").alias("sync_type"),
     )
+
+
+@query(
+    "dashboard_display",
+    oracle=f"""WITH {_DAILY_CTE[1:]}
+SELECT obs_date,
+       strftime(obs_date, '%b %Y') AS month_label,
+       round((avg_value * 9/5) + 32, 1) AS avg_temp_f,
+       CAST(round(((avg_value * 9/5) + 32) + 8, 0) AS BIGINT) AS high_estimate_f,
+       CAST(round(((avg_value * 9/5) + 32) - 8, 0) AS BIGINT) AS low_estimate_f,
+       CASE WHEN (avg_value * 9/5) + 32 > 75 THEN 'Sunny'
+            WHEN (avg_value * 9/5) + 32 > 60 THEN 'Partly Cloudy'
+            WHEN (avg_value * 9/5) + 32 > 45 THEN 'Cloudy'
+            ELSE 'Cool' END AS weather_description
+FROM daily""",
+)
+def dashboard_display(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dashboard's display-layer scalar functions as engine columns:
+    C->F (F4, dashboard.py:1091-1092), high/low estimate = round(F +- 8)
+    (F18, dashboard.py:678-681), weather-description bucketing (F17,
+    dashboard.py:699), month-name label (F19, dashboard.py:822-823),
+    display rounding (F21) — over the A2 daily rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = daily_rollup(hourly_aggregate(ev, ts="ts", measure="value"))
+    temp_f = (F.col("avg_value") * 9 / 5) + 32
+    return daily.select(
+        "obs_date",
+        F.date_format("obs_date", "MMM yyyy").alias("month_label"),
+        F.round(temp_f, 1).alias("avg_temp_f"),
+        F.round(temp_f + 8, 0).cast("long").alias("high_estimate_f"),
+        F.round(temp_f - 8, 0).cast("long").alias("low_estimate_f"),
+        F.when(temp_f > 75, "Sunny")
+        .when(temp_f > 60, "Partly Cloudy")
+        .when(temp_f > 45, "Cloudy")
+        .otherwise("Cool")
+        .alias("weather_description"),
+    )
+
+
+@query(
+    "serving_json_envelope",
+    oracle=f"""WITH {_MONTHLY_CTE[1:]},
+recent AS (
+  SELECT * FROM monthly ORDER BY year DESC, month DESC LIMIT 12
+),
+summary AS (
+  SELECT round(avg(avg_value), 6) AS avg_temperature_c,
+         round(sum(total_value), 6) AS total_rainfall_mm,
+         round(avg(CASE WHEN avg_value IS NOT NULL AND avg_value > 0
+                        THEN least(avg_value, 100.0) ELSE avg_value END), 6)
+           AS avg_humidity_percent,
+         CAST(count(*) AS BIGINT) AS period_months,
+         CAST(max(year * 100 + month) AS BIGINT) AS latest_period
+  FROM recent
+)
+SELECT 'weather:stockton:monthly_averages' AS cache_key,
+       to_json(struct_pack(
+         location := 'stockton',
+         data_version := 'v' || CAST(latest_period AS VARCHAR),
+         refresh_interval_sec := CAST(3600 AS BIGINT),
+         avg_temperature_c := avg_temperature_c,
+         total_rainfall_mm := total_rainfall_mm,
+         avg_humidity_percent := avg_humidity_percent,
+         period_months := period_months
+       )) AS payload
+FROM summary""",
+)
+def serving_json_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15/A8: the Redis cache envelope as data — overall averages over
+    the last 12 months (avg-of-avgs again, redis_etl.py:31-58), humidity
+    cap applied (F12), serialized with ``to_json`` (F14) under the
+    reference's cache key, with data_version derived from the latest
+    period instead of wall clock (deterministic, SURVEY.md §5.3) and the
+    TTL carried as envelope metadata (refresh_interval_sec,
+    redis_etl.py:44-46)."""
+    ev = load_table(spark, sf_dir, "events")
+    monthly = monthly_rollup(daily_rollup(hourly_aggregate(ev, ts="ts", measure="value")))
+    recent = monthly.orderBy(F.desc("year"), F.desc("month")).limit(12)
+    capped = scalar.humidity_cap(F.col("avg_value"))
+    summary = recent.agg(
+        F.round(F.avg("avg_value"), _R).alias("avg_temperature_c"),
+        F.round(F.sum("total_value"), _R).alias("total_rainfall_mm"),
+        F.round(F.avg(capped), _R).alias("avg_humidity_percent"),
+        F.count(F.lit(1)).alias("period_months"),
+        F.max(F.col("year") * 100 + F.col("month")).alias("latest_period"),
+    )
+    return summary.select(
+        F.lit("weather:stockton:monthly_averages").alias("cache_key"),
+        F.to_json(
+            F.struct(
+                F.lit("stockton").alias("location"),
+                F.concat(F.lit("v"), F.col("latest_period").cast("string")).alias(
+                    "data_version"
+                ),
+                F.lit(3600).cast("long").alias("refresh_interval_sec"),
+                F.col("avg_temperature_c"),
+                F.col("total_rainfall_mm"),
+                F.col("avg_humidity_percent"),
+                F.col("period_months"),
+            )
+        ).alias("payload"),
+    )

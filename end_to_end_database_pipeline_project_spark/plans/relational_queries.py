@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import scalar
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, load_tables
 from .registry import query
 
 _R = 6
@@ -630,4 +630,83 @@ def above_average_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         customer.join(F.broadcast(avg_bal))
         .where(F.col("c_acctbal") > F.col("avg_bal"))
         .select("c_custkey", "c_name", F.round("c_acctbal", _R).alias("c_acctbal"))
+    )
+
+
+@query(
+    "props_map_stats",
+    oracle="""WITH x AS (
+  SELECT unnest(json_keys(props)) AS prop_key, props FROM events
+)
+SELECT prop_key, CAST(count(*) AS BIGINT) AS n_values,
+       round(avg(CAST(json_extract_string(props, '$.' || prop_key) AS DOUBLE)), 6)
+         AS avg_value,
+       round(min(CAST(json_extract_string(props, '$.' || prop_key) AS DOUBLE)), 6)
+         AS min_value,
+       round(max(CAST(json_extract_string(props, '$.' || prop_key) AS DOUBLE)), 6)
+         AS max_value
+FROM x GROUP BY 1""",
+)
+def props_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15 full-parse form: ``from_json`` into a typed map, explode to
+    (key, value) rows, aggregate per key — the schema-on-read path for
+    semi-structured columns (vs the single-path ``get_json_object`` of
+    json_props_extract). At scale the map parse is one pass, codegen'd,
+    no Python."""
+    ev = load_table(spark, sf_dir, "events")
+    kv = ev.select(
+        F.explode(F.from_json("props", "map<string,double>")).alias(
+            "prop_key", "v"
+        )
+    )
+    return kv.groupBy("prop_key").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.round(F.avg("v"), _R).alias("avg_value"),
+        F.round(F.min("v"), _R).alias("min_value"),
+        F.round(F.max("v"), _R).alias("max_value"),
+    )
+
+
+@query(
+    "shipping_priority",
+    oracle="""SELECT l.l_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+       CAST(o.o_orderdate AS DATE) AS o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < DATE '1998-01-01'
+  AND l.l_shipdate > DATE '1998-01-01'
+GROUP BY 1, 3, 4
+ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customer dim broadcast into
+    orders, date-disjoint predicates pushed to both fact scans, revenue
+    aggregate, top-10 (TakeOrderedAndProject — no full sort). The
+    selective dimension filter reaching the scan is the point at
+    100 TB."""
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    cutoff = "1998-01-01"
+    c = t["customer"].where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = t["orders"].where(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_custkey", F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+    l = t["lineitem"].where(F.col("l_shipdate") > cutoff).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), _R
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
     )
