@@ -1,0 +1,108 @@
+"""Skew and co-location techniques for 100 TB operation.
+
+AQE's skew-join splitting and partition coalescing handle much of this
+at runtime, but two patterns still need explicit engineering at scale
+and are first-class operators here:
+
+- **Salting**: a hot grouping/join key (one user, one null-bucket, one
+  default id) overwhelms a single reducer. Aggregations decompose into
+  a salted partial pass (key, salt) followed by a final combine on the
+  key — both shuffles are uniform. Joins replicate the (small) build
+  side once per salt so the probe side can carry a deterministic salt
+  and join on (key, salt) without any reducer seeing the whole hot key.
+- **Bucketing**: both join sides pre-hash-partitioned (and sorted) into
+  the same number of buckets on the join key at write time; the join
+  then runs with zero shuffle — the classic co-located join for fact
+  tables joined repeatedly on the same key.
+
+Salts are deterministic (hash of a unique column, not rand()) so
+results are reproducible and retries are safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SALTS = 32
+
+
+def salted_sum_avg(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    salt_src: str,
+    n_salts: int = DEFAULT_SALTS,
+) -> DataFrame:
+    """Two-phase skew-proof aggregate: sum/count/avg of ``value_col``
+    per ``key_cols``.
+
+    Phase 1 groups by (key, salt) — the hot key's rows spread over
+    ``n_salts`` reducers; phase 2 combines the tiny per-salt partials.
+    avg is recomposed from (sum, count), never averaged-of-averaged.
+    Equivalent to the plain groupBy for all inputs (oracle-checked)."""
+    salt = F.pmod(F.xxhash64(F.col(salt_src)), F.lit(n_salts)).alias("__salt")
+    partial = (
+        df.groupBy(*key_cols, salt)
+        .agg(
+            F.sum(value_col).alias("__s"),
+            F.count(value_col).alias("__c"),
+        )
+    )
+    return partial.groupBy(*key_cols).agg(
+        F.sum("__s").alias("total_value"),
+        F.sum("__c").alias("n_values"),
+        (F.sum("__s") / F.sum("__c")).alias("avg_value"),
+    )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_src: str,
+    n_salts: int = DEFAULT_SALTS,
+) -> DataFrame:
+    """Skew-proof equi-join: the dim side is replicated once per salt,
+    the fact side carries a deterministic salt, and the join key becomes
+    (key, salt) — a hot fact key now lands on ``n_salts`` reducers
+    instead of one.
+
+    Use when the dim is too big to broadcast but small enough to
+    replicate ``n_salts``×; otherwise prefer broadcast (no shuffle at
+    all) or AQE skew splitting."""
+    salted_fact = fact.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(salt_src)), F.lit(n_salts))
+    )
+    salted_dim = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("long"))
+    return salted_fact.join(salted_dim, [key, "__salt"]).drop("__salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_key: str,
+    n_buckets: int = 8,
+    database_location: str | None = None,
+) -> None:
+    """Persist a table hash-bucketed (and sorted) on the join key.
+
+    Both sides of a repeated fact-fact join written this way join with
+    NO exchange: each task zips bucket i with bucket i. ``database_location``
+    pins the metastore-managed files to an explicit path (tests use a
+    temp dir) — on a cluster this is the warehouse/object-store root."""
+    spark = df.sparkSession
+    if "." in table and database_location:
+        db = table.split(".")[0]
+        spark.sql(
+            f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{database_location}'"
+        )
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_key)
+        .sortBy(bucket_key)
+        .format("parquet")
+        .saveAsTable(table)
+    )

@@ -35,3 +35,10 @@ try:
     _PACKS.append("source_queries")
 except ImportError:
     pass
+
+try:
+    from . import scale_queries  # noqa: F401
+
+    _PACKS.append("scale_queries")
+except ImportError:
+    pass

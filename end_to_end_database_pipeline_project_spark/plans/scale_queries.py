@@ -1,0 +1,118 @@
+"""Scale-technique queries: salting and bucketing, oracle-checked.
+
+Each query produces results identical to its naive form (the DuckDB
+oracle IS the naive form) — the point is that the physical plan
+distributes the same answer skew-proof / shuffle-free. A plan-shape
+test (tests/test_scale.py) asserts the physical properties the
+fixtures are too small to show in wall-clock.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import scale as SC
+from ..sources.catalog import load_table, load_tables
+from .registry import query
+
+_R = 6
+
+
+@query(
+    "salted_event_stats",
+    oracle="""SELECT event_type,
+       round(sum(value), 6) AS total_value,
+       CAST(count(value) AS BIGINT) AS n_values,
+       round(avg(value), 6) AS avg_value
+FROM events GROUP BY 1""",
+)
+def salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof aggregate: event_type is a 5-value key (the hot-key
+    shape), so the salted two-phase plan spreads each key over 32
+    reducers before the final tiny combine. Oracle is the plain
+    groupBy — identical results by construction."""
+    ev = load_table(spark, sf_dir, "events")
+    out = SC.salted_sum_avg(
+        ev, key_cols=["event_type"], value_col="value", salt_src="event_id"
+    )
+    return out.select(
+        "event_type",
+        F.round("total_value", _R).alias("total_value"),
+        "n_values",
+        F.round("avg_value", _R).alias("avg_value"),
+    )
+
+
+@query(
+    "salted_nation_join",
+    oracle="""SELECT n.n_name,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(sum(c.c_acctbal), 6) AS total_acctbal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1""",
+)
+def salted_nation_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof join: customers concentrate on few nations (the
+    hot-dimension-key shape); the nation side is replicated per salt so
+    no reducer sees a whole nation. Oracle is the plain join. (At this
+    dim size broadcast wins — the query exists to prove the salted plan
+    is semantics-preserving for when the build side can't broadcast.)"""
+    t = load_tables(spark, sf_dir, "customer", "nation")
+    c = t["customer"].select(
+        F.col("c_nationkey").alias("nationkey"), "c_acctbal", "c_custkey"
+    )
+    n = t["nation"].select(F.col("n_nationkey").alias("nationkey"), "n_name")
+    joined = SC.salted_join(c, n, key="nationkey", salt_src="c_custkey", n_salts=8)
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), _R).alias("total_acctbal"),
+    )
+
+
+@query(
+    "bucketed_orders_revenue",
+    oracle="""SELECT o.o_orderstatus,
+       CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY 1""",
+)
+def bucketed_orders_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via bucketing: orders and lineitem are written
+    bucketed+sorted on the order key, then joined — with broadcast
+    disabled the plan is a SortMergeJoin with NO shuffle exchange on
+    either side (asserted by tests/test_scale.py). This is the layout
+    decision that turns every repeated fact-fact join at 100 TB from
+    two full shuffles into zero."""
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    loc = tempfile.mkdtemp(prefix="bucketdb_")
+    db = f"bucketdemo_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+    SC.write_bucketed(
+        t["orders"].select("o_orderkey", "o_orderstatus"),
+        f"{db}.orders_b",
+        "o_orderkey",
+        n_buckets=8,
+    )
+    SC.write_bucketed(
+        t["lineitem"].select("l_orderkey", "l_extendedprice", "l_discount"),
+        f"{db}.lineitem_b",
+        "l_orderkey",
+        n_buckets=8,
+    )
+    o = spark.table(f"{db}.orders_b")
+    l = spark.table(f"{db}.lineitem_b")
+    joined = l.join(o, l.l_orderkey == o.o_orderkey)
+    # round(2) not round(6): the per-status sum is ~1e9, where one ULP
+    # of a double exceeds 1e-6 — 6-decimal rounding can't absorb
+    # summation-order noise at that magnitude
+    return joined.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_orderkey").alias("n_orders"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )

@@ -1,0 +1,98 @@
+"""Physical-plan assertions for the scale techniques.
+
+The fixtures are too small for skew/bucketing to show in wall-clock, so
+these tests pin the *plan shapes* that matter at 100 TB: the bucketed
+join must not shuffle, the salted aggregate must actually contain the
+two-phase (key, salt) grouping, and both must return exactly the naive
+results.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from end_to_end_database_pipeline_project_spark.operators import scale as SC
+from end_to_end_database_pipeline_project_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_salted_agg_matches_plain(spark):
+    ev = load_table(spark, SF, "events")
+    salted = SC.salted_sum_avg(
+        ev, key_cols=["event_type"], value_col="value", salt_src="event_id"
+    ).orderBy("event_type")
+    plain = (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum("value").alias("total_value"),
+            F.count("value").alias("n_values"),
+            F.avg("value").alias("avg_value"),
+        )
+        .orderBy("event_type")
+    )
+    s, p = salted.collect(), plain.collect()
+    assert len(s) == len(p)
+    for rs, rp in zip(s, p):
+        assert rs["event_type"] == rp["event_type"]
+        assert rs["n_values"] == rp["n_values"]
+        assert rs["total_value"] == pytest.approx(rp["total_value"], rel=1e-9)
+        assert rs["avg_value"] == pytest.approx(rp["avg_value"], rel=1e-9)
+
+
+def test_salted_agg_plan_has_salt_phase(spark):
+    ev = load_table(spark, SF, "events")
+    salted = SC.salted_sum_avg(
+        ev, key_cols=["event_type"], value_col="value", salt_src="event_id"
+    )
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    # the salt column is inlined as _groupingexpression; its defining
+    # expression is the stable thing to assert on
+    assert "pmod(xxhash64" in plan, "salted grouping was optimized away:\n" + plan
+
+
+def test_salted_join_matches_plain(spark):
+    ev = load_table(spark, SF, "events")
+    fact = ev.select("event_id", "user_id", "value")
+    dim = (
+        ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("user_events"))
+    )
+    salted = SC.salted_join(
+        fact, dim, key="user_id", salt_src="event_id", n_salts=4
+    )
+    plain = fact.join(dim, "user_id")
+    assert salted.count() == plain.count()
+    s = salted.agg(F.sum("user_events")).collect()[0][0]
+    p = plain.agg(F.sum("user_events")).collect()[0][0]
+    assert s == p
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_orderstatus")
+    lineitem = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    loc = tempfile.mkdtemp(prefix="bucket_test_")
+    db = f"buckettest_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+    SC.write_bucketed(orders, f"{db}.orders_b", "o_orderkey", n_buckets=4)
+    SC.write_bucketed(lineitem, f"{db}.lineitem_b", "l_orderkey", n_buckets=4)
+    o = spark.table(f"{db}.orders_b")
+    l = spark.table(f"{db}.lineitem_b")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = l.join(o, l.l_orderkey == o.o_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, (
+            "bucketed join should be shuffle-free:\n" + plan
+        )
+        # and it still returns the right row count
+        assert joined.count() == l.join(o.hint("merge"), l.l_orderkey == o.o_orderkey).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
