@@ -74,17 +74,23 @@ def build_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def bronze_to_silver(bronze: DataFrame) -> DataFrame:
+def bronze_to_silver(bronze: DataFrame, quarantine: bool = False) -> DataFrame:
     """Explode + normalize (P1/P2): nested properties to the flat
     12-ish-column silver schema with unit sniffing, id synthesis and
-    lineage carried (clickhouse_etl.py:207-256 as one select)."""
+    lineage carried (clickhouse_etl.py:207-256 as one select).
+
+    Error-row policy (SURVEY.md §7.4): the reference silently drops
+    unparseable observations (clickhouse_etl.py:254-256). Default
+    replicates that (timestamp-null rows dropped); ``quarantine=True``
+    keeps every row and adds a ``_quarantined`` flag instead, so bad
+    records stay auditable downstream."""
     ex = bronze.select(
         "etl_batch_id",
         "api_request_id",
         F.explode("observations").alias("o"),
     )
     props = F.col("o.properties")
-    return ex.select(
+    out = ex.select(
         scalar.synthetic_id(
             scalar.last_path_segment(props["station"]),
             F.expr("unix_micros(o.properties.timestamp) div 1000").cast("string"),
@@ -100,7 +106,10 @@ def bronze_to_silver(bronze: DataFrame) -> DataFrame:
         props["relativeHumidity"]["value"].alias("humidity_percent"),
         "etl_batch_id",
         "api_request_id",
-    ).where(F.col("timestamp").isNotNull())
+    )
+    if quarantine:
+        return out.withColumn("_quarantined", F.col("timestamp").isNull())
+    return out.where(F.col("timestamp").isNotNull())
 
 
 def write_silver(silver: DataFrame, out_dir: str) -> None:

@@ -25,7 +25,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, register_views
 from .registry import query
 
 _R = 6
@@ -137,3 +137,30 @@ def sql_ddl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM {tbl} GROUP BY station_id"""
     )
     return out
+
+
+@query(
+    "sql_interface_pricing",
+    oracle="""SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6) AS sum_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+WHERE l_shipdate <= DATE '2001-09-01'
+GROUP BY 1, 2""",
+)
+def sql_interface_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure-SQL front door: fixture tables registered as views,
+    query expressed as a SQL string via ``spark.sql`` — same Catalyst
+    plan as the DataFrame form (the reference's own query medium was
+    SQL strings, clickhouse_etl.py:309-334)."""
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """SELECT l_returnflag, l_linestatus,
+                  round(sum(l_quantity), 6) AS sum_qty,
+                  round(avg(l_extendedprice), 6) AS avg_price,
+                  count(*) AS n
+           FROM lineitem
+           WHERE l_shipdate <= DATE '2001-09-01'
+           GROUP BY 1, 2"""
+    )
