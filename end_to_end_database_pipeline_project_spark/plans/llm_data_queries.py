@@ -494,3 +494,26 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     assets = MM.to_binary_column(docs)
     return MM.resize(assets, target_chars=256)
+
+
+@query(
+    "doc_token_preview",
+    oracle=r"""SELECT doc_id,
+       array_to_string(list_slice(string_split_regex(trim(text), '\s+'), 1, 10), ' ')
+         AS preview,
+       CAST(least(len(string_split_regex(trim(text), '\s+')), 10) AS INT)
+         AS n_preview_tokens
+FROM documents""",
+)
+def doc_token_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 prefix-slice semantics (the reference's periods[:7] /
+    stations[:3], mongodb_etl.py:60) as array ops: tokenize, slice the
+    first 10 tokens, rejoin — array functions stay codegen'd, no
+    explode needed for a bounded prefix."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(toks, 1, 10)).alias("preview"),
+        F.least(F.size(toks), F.lit(10)).alias("n_preview_tokens"),
+    )
