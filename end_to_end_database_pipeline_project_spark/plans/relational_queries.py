@@ -99,16 +99,18 @@ JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY 1, 2""",
 )
 def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The star join: fact-fact (lineitem⋈orders) shuffles on orderkey;
-    every dimension hop (customer, nation, region) broadcasts. At 100 TB
-    the only exchange is the single orderkey shuffle — Catalyst + AQE
-    pick this shape, the explicit broadcasts pin it."""
+    """The star join: fact-fact (lineitem⋈orders) merge-joins on
+    orderkey — facts are never broadcast (a fact side can't fit an
+    executor at 100 TB, so the plan must not depend on it); the small
+    dimension hops (nation, region) broadcast explicitly, and customer
+    is left to Catalyst/AQE, which broadcasts it while it fits and
+    degrades to shuffle when it doesn't."""
     li, orders, customer, nation, region = _t(
         spark, sf_dir, "lineitem", "orders", "customer", "nation", "region"
     )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy(

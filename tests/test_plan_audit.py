@@ -32,11 +32,21 @@ def test_rollup_has_partial_aggregation(spark):
     assert "partial_avg" in plan, "map-side combine missing from rollup"
 
 
-def test_star_join_broadcasts_dimensions(spark):
+def test_star_join_broadcasts_dims_and_merges_facts(spark):
     plan = _plan(spark, "regional_revenue")
+    # dimensions ride broadcast joins; the fact-fact join must be a
+    # shuffle join (facts can't be broadcast at scale)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" in plan, (
+        "lineitem⋈orders should merge-join, never broadcast a fact:\n" + plan
+    )
+
+
+def test_pure_dim_join_is_broadcast_only(spark):
+    plan = _plan(spark, "nation_region_join")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, (
-        "dimension join should broadcast, not shuffle both sides:\n" + plan
+        "dim⋈dim should broadcast, not shuffle both sides:\n" + plan
     )
 
 
