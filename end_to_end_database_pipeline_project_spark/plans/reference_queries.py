@@ -410,3 +410,76 @@ def serving_json_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("payload"),
     )
+
+
+@query(
+    "monthly_averages_serving",
+    oracle=f"""WITH {_HOURLY_CTE},
+daily AS (
+  SELECT obs_date,
+         avg(avg_value) AS avg_value,
+         max(max_value) AS max_value,
+         min(min_value) AS min_value,
+         sum(max_value) AS total_value,
+         CAST(sum(observation_count) AS BIGINT) AS observation_count,
+         max(obs_hour) AS latest_hour
+  FROM hourly GROUP BY obs_date
+),
+monthly AS (
+  SELECT CAST(year(obs_date) AS BIGINT) AS year,
+         CAST(month(obs_date) AS BIGINT) AS month,
+         avg(avg_value) AS avg_value,
+         max(max_value) AS max_value,
+         min(min_value) AS min_value,
+         sum(total_value) AS total_value,
+         CAST(sum(observation_count) AS BIGINT) AS observation_count,
+         max(latest_hour) AS latest_obs_time
+  FROM daily GROUP BY 1, 2
+)
+SELECT year, month,
+       round(CASE WHEN avg_value IS NOT NULL AND avg_value > 0
+                  THEN least(avg_value, 100.0) ELSE avg_value END, 6) AS avg_value,
+       round(max_value, 6) AS max_value, round(min_value, 6) AS min_value,
+       round(total_value, 6) AS total_value, observation_count, latest_obs_time
+FROM monthly ORDER BY year DESC, month DESC LIMIT 12""",
+)
+def monthly_averages_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: the monthly serving variant — hour->day->month rollup with the
+    latest observation hour carried through every grain, last-12-months
+    slice, humidity-cap semantics on the served average
+    (clickhouse_etl.py:472-524; cap at :520)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = hourly_aggregate(ev, ts="ts", measure="value")
+    daily = hourly.groupBy("obs_date").agg(
+        F.avg("avg_value").alias("avg_value"),
+        F.max("max_value").alias("max_value"),
+        F.min("min_value").alias("min_value"),
+        F.sum("max_value").alias("total_value"),
+        F.sum("observation_count").alias("observation_count"),
+        F.max("obs_hour").alias("latest_hour"),
+    )
+    monthly = daily.groupBy(
+        F.year("obs_date").cast("long").alias("year"),
+        F.month("obs_date").cast("long").alias("month"),
+    ).agg(
+        F.avg("avg_value").alias("avg_value"),
+        F.max("max_value").alias("max_value"),
+        F.min("min_value").alias("min_value"),
+        F.sum("total_value").alias("total_value"),
+        F.sum("observation_count").alias("observation_count"),
+        F.max("latest_hour").alias("latest_obs_time"),
+    )
+    return (
+        monthly.select(
+            "year",
+            "month",
+            F.round(scalar.humidity_cap(F.col("avg_value")), _R).alias("avg_value"),
+            F.round("max_value", _R).alias("max_value"),
+            F.round("min_value", _R).alias("min_value"),
+            F.round("total_value", _R).alias("total_value"),
+            "observation_count",
+            "latest_obs_time",
+        )
+        .orderBy(F.desc("year"), F.desc("month"))
+        .limit(12)
+    )

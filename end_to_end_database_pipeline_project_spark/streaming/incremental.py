@@ -1,0 +1,85 @@
+"""Streaming ingestion driving incremental gold maintenance.
+
+The reference's scheduler re-runs the whole warehouse sync every 30-60
+minutes, recomputing every aggregate from full history
+(clickhouse_etl.py:309-334 — no date predicate; SURVEY.md §6). The
+Spark-native form: a file-landing stream whose ``foreachBatch`` hook
+
+1. normalizes the micro-batch to silver and appends it to the silver
+   table (the incremental fact load, S12);
+2. computes which month partitions the batch touched;
+3. recomputes ONLY those partitions from accumulated silver and swaps
+   them in via dynamic partition overwrite
+   (``pipeline.medallion.refresh_gold_daily_months``).
+
+Per sync the work is O(batch + touched-partition history), not
+O(full history). ``availableNow`` + ``maxFilesPerTrigger`` gives the
+catch-up batch cadence; ``processingTime`` gives the reference's
+interval scheduling — the batch hook is identical either way.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import scalar
+from ..pipeline.medallion import refresh_gold_daily_months
+
+EVENT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, "
+    "event_type string, value double, props string"
+)
+
+
+def normalize_batch(batch: DataFrame) -> DataFrame:
+    """Flat-event normalization to the silver shape the gold refresh
+    expects (unit sniffing + station id, P1/P2 over an already-flat
+    landing format)."""
+    return batch.select(
+        F.col("user_id").cast("string").alias("station_id"),
+        F.col("ts").alias("timestamp"),
+        scalar.kelvin_sniff_to_celsius(F.col("value")).alias("temperature_c"),
+    ).where(F.col("timestamp").isNotNull())
+
+
+def run_incremental_pipeline(
+    spark: SparkSession, landing_dir: str, out_dir: str, max_files_per_trigger: int = 1
+) -> None:
+    """Consume the landing directory to completion, maintaining silver
+    (append) and gold daily (partition-scoped refresh) per micro-batch."""
+    silver_path = os.path.join(out_dir, "silver")
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        silver = normalize_batch(batch)
+        silver.write.mode("append").parquet(silver_path)
+        months = [
+            r["m"]
+            for r in silver.select(
+                F.date_format(F.to_date("timestamp"), "yyyy-MM").alias("m")
+            )
+            .distinct()
+            .collect()
+        ]
+        if not months:
+            return
+        full_silver = spark.read.parquet(silver_path)
+        refresh_gold_daily_months(full_silver, out_dir, months)
+
+    q = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "part-*")
+        .parquet(landing_dir)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        if q.isActive:
+            q.stop()
