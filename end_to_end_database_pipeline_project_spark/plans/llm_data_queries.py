@@ -517,3 +517,111 @@ def doc_token_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", F.slice(toks, 1, 10)).alias("preview"),
         F.least(F.size(toks), F.lit(10)).alias("n_preview_tokens"),
     )
+
+
+@query(
+    "deterministic_split",
+    oracle="""WITH b AS (
+  SELECT doc_id, lang,
+         strpos('0123456789abcdef',
+                substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1 AS bucket
+  FROM documents
+),
+s AS (
+  SELECT doc_id, lang,
+         CASE WHEN bucket < 13 THEN 'train'
+              WHEN bucket = 13 THEN 'val'
+              ELSE 'test' END AS split
+  FROM b
+)
+SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM s GROUP BY 1, 2""",
+)
+def deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment by content-stable hash bucket (md5 last
+    hex digit -> 16 buckets -> 13/1/2 split): the standard reproducible
+    sharding for training corpora — no rand(), no state, identical
+    assignment on every engine and every rerun, join-free and
+    shuffle-free until the final count."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 32, 1), 16, 10)
+        .cast("int")
+    )
+    split = (
+        F.when(bucket < 13, "train").when(bucket == 13, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "corpus_mix_by_source",
+    oracle="""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       round(100.0 * count(*) / (SELECT count(*) FROM documents), 6) AS share_pct,
+       round(avg(n_chars), 6) AS avg_chars,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM documents GROUP BY 1""",
+)
+def corpus_mix_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report — the mixing-weight input of training-
+    data curation: per-source document share, size and language spread.
+    The global total rides a window aggregate (one extra exchange of a
+    single row, not a second scan)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    total = F.sum(F.count(F.lit(1))).over(Window.partitionBy())
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(100.0 * F.count(F.lit(1)) / total, _R).alias("share_pct"),
+        F.round(F.avg("n_chars"), _R).alias("avg_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+_SHINGLE5_CTE = r"""
+w5 AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents
+),
+sh5 AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(ws) - 4, 1) + 1),
+           i -> array_to_string(list_slice(ws, i, i + 4), ' ')))) AS shingle
+  FROM w5
+)"""
+
+
+@query(
+    "decontamination_flags",
+    oracle=f"""WITH {_SHINGLE5_CTE},
+bench AS (SELECT DISTINCT shingle FROM sh5 WHERE doc_id < 20),
+hits AS (
+  SELECT s.doc_id, CAST(count(DISTINCT s.shingle) AS BIGINT) AS n_shared_ngrams
+  FROM sh5 s JOIN bench b ON s.shingle = b.shingle
+  WHERE s.doc_id >= 20
+  GROUP BY 1
+)
+SELECT doc_id, n_shared_ngrams FROM hits""",
+)
+def decontamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word 5-gram with the held-out set (doc_id < 20 plays the benchmark).
+    The benchmark shingle set is tiny -> broadcast; the corpus side
+    streams through one semi-structured join, no pairwise comparison —
+    the shape that scales to a 100 TB corpus vs a fixed eval suite."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = DD.shingle_index(docs, k=5)
+    bench = (
+        sh.where(F.col("doc_id") < 20).select("shingle").distinct()
+    )
+    return (
+        sh.where(F.col("doc_id") >= 20)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("n_shared_ngrams"))
+    )
