@@ -483,3 +483,42 @@ def monthly_averages_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("year"), F.desc("month"))
         .limit(12)
     )
+
+
+@query(
+    "null_handling_defaults",
+    oracle="""SELECT
+  CAST(count(*) AS BIGINT) AS n_total,
+  CAST(count(value) AS BIGINT) AS n_value_present,
+  round(sum(coalesce(value, 0.0)), 6) AS total_with_defaults,
+  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_defaulted,
+  round(avg(CASE WHEN value IS NOT NULL THEN value END), 6) AS avg_dropna
+FROM events""",
+)
+def null_handling_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16 null-coalescing defaults as DataFrame NA ops: ``na.fill`` for
+    the rainfall-or-0 pattern (dashboard.py:824), ``na.drop`` for the
+    filter-then-average pattern (mongodb_etl.py:39-54) — both are sugar
+    over the same coalesce/isNotNull expressions Catalyst optimizes."""
+    ev = load_table(spark, sf_dir, "events")
+    filled = ev.na.fill({"value": 0.0})
+    dropped = ev.na.drop(subset=["value"])
+    return (
+        ev.agg(F.count(F.lit(1)).alias("n_total"))
+        .crossJoin(
+            filled.agg(F.round(F.sum("value"), _R).alias("total_with_defaults"))
+        )
+        .crossJoin(
+            dropped.agg(
+                F.count(F.lit(1)).alias("n_value_present"),
+                F.round(F.avg("value"), _R).alias("avg_dropna"),
+            )
+        )
+        .select(
+            "n_total",
+            "n_value_present",
+            "total_with_defaults",
+            (F.col("n_total") - F.col("n_value_present")).alias("n_defaulted"),
+            "avg_dropna",
+        )
+    )

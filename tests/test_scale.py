@@ -96,3 +96,13 @@ def test_bucketed_join_has_no_shuffle(spark):
         assert joined.count() == l.join(o.hint("merge"), l.l_orderkey == o.o_orderkey).count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_fan_out_is_noop_on_well_partitioned_input(spark):
+    from end_to_end_database_pipeline_project_spark.session import fan_out
+
+    par = spark.sparkContext.defaultParallelism
+    wide = spark.range(10_000).repartition(par * 2)
+    assert fan_out(wide) is wide, "fan_out must not touch pre-split inputs"
+    narrow = spark.range(10_000).coalesce(1)
+    assert fan_out(narrow).rdd.getNumPartitions() == par
