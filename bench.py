@@ -78,13 +78,13 @@ def main() -> None:
         except Exception:
             pass
 
-    # min of two runs per query: this box's wall-clock is noisy (±2x
+    # min of three runs per query: this box's wall-clock is noisy (±2x
     # under transient load); the min is the reproducible steady-state
     # cost of the plan, which is what the engine controls.
     timings: dict[str, float] = {}
     for name in names:
         best = None
-        for _ in range(2):
+        for _ in range(3):
             df = QUERIES[name](spark, sf_dir)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()

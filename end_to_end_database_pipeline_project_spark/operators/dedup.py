@@ -101,26 +101,26 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3, seeds: int = MINHASH_SEEDS
 ) -> DataFrame:
-    """MinHash signature rows: (doc_id, seed, sig) with
-    sig = lexicographic min over shingles of md5(seed || '|' || shingle).
+    """Wide MinHash signatures: one row per doc with columns s0..s{n-1},
+    si = lexicographic min over shingles of md5(i || '|' || shingle).
 
     md5-as-hash keeps the signature engine-portable (the DuckDB oracle
-    computes the identical min); per-doc work is O(shingles × seeds)
-    with a single groupBy — no pairwise anything."""
+    computes the identical min). The wide layout matters for scale: all
+    ``seeds`` hashes ride one (doc, shingle) row, so the signature build
+    is a single groupBy with ``seeds`` min-aggregates — no seed explode,
+    no ``seeds``×-wider shuffle, and map-side partial aggregation
+    collapses each input split to ≤|docs-in-split| rows before the
+    exchange."""
     sh = shingle_index(df, text_col, id_col, k)
-    seeded = sh.select(
+    hashed = sh.select(
         "doc_id",
-        F.explode(F.array(*[F.lit(i) for i in range(seeds)])).alias("seed"),
-        "shingle",
+        *[
+            F.md5(F.concat_ws("|", F.lit(str(i)), F.col("shingle"))).alias(f"h{i}")
+            for i in range(seeds)
+        ],
     )
-    return (
-        seeded.select(
-            "doc_id",
-            "seed",
-            F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("shingle"))).alias("h"),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("sig"))
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"s{i}") for i in range(seeds)]
     )
 
 
@@ -130,27 +130,36 @@ def lsh_candidate_pairs(
     """LSH banding: hash each band of rows_per_band signature components
     to a bucket; pairs sharing any bucket are candidates.
 
-    Bucket construction: md5 of the '|'-joined sigs in seed order.
-    The self-join is keyed on (band, bucket) — each bucket of f docs
-    emits f·(f-1)/2 pairs, but LSH bounds f to true-ish near-dups."""
+    Bucket construction: md5 of the '|'-joined sigs in seed order —
+    a pure projection over the wide signature row (no groupBy), fanned
+    to ``bands`` rows per doc only for the (band, bucket) self-join.
+    Each bucket of f docs emits f·(f-1)/2 pairs, but LSH bounds f to
+    true-ish near-dups."""
     rows_per_band = seeds // bands
-    banded = (
-        sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seed", "sig"))),
-                        lambda x: x["sig"],
-                    ),
-                )
-            ).alias("bucket")
-        )
-    )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    buckets = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col(f"s{b * rows_per_band + r}")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
     return (
         a.join(
             b,
@@ -169,6 +178,7 @@ def minhash_lsh_dedup(
     id_col: str = "doc_id",
     k: int = 3,
     est_threshold: float = 0.5,
+    seeds: int = MINHASH_SEEDS,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: signatures -> banded buckets
     -> candidate pairs -> estimated Jaccard (matching signature fraction)
@@ -176,21 +186,34 @@ def minhash_lsh_dedup(
 
     Signatures are materialized once (localCheckpoint) before fan-out:
     they feed the band self-join (both sides) and both sides of the
-    estimation join, and recomputing the shingle×seed explosion four
-    times dominates the runtime otherwise. At 100 TB the checkpoint
-    becomes a persisted signature table."""
-    sigs = minhash_signatures(df, text_col, id_col, k).localCheckpoint()
-    cands = lsh_candidate_pairs(sigs)
-    sa = sigs.select(F.col("doc_id").alias("doc_a"), "seed", F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col("doc_id").alias("doc_b"), "seed", F.col("sig").alias("sig_b"))
+    estimation join, and recomputing the shingle explosion four times
+    dominates the runtime otherwise. At 100 TB the checkpoint becomes a
+    persisted signature table. Estimation is join-then-project on the
+    wide rows — comparing all ``seeds`` components in one codegen'd
+    expression per pair, not a per-(pair, seed) join + re-aggregate."""
+    sigs = minhash_signatures(df, text_col, id_col, k, seeds).localCheckpoint()
+    cands = lsh_candidate_pairs(sigs, seeds=seeds)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"s{i}").alias(f"a{i}") for i in range(seeds)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"s{i}").alias(f"b{i}") for i in range(seeds)],
+    )
+    matches = None
+    for i in range(seeds):
+        term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        matches = term if matches is None else matches + term
     est = (
         cands.join(sa, "doc_a")
-        .join(sb, ["doc_b", "seed"])
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.round(
-                F.avg(F.when(F.col("sig_a") == F.col("sig_b"), 1.0).otherwise(0.0)), 6
-            ).alias("est_jaccard")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(matches.cast("double") / F.lit(float(seeds)), 6).alias(
+                "est_jaccard"
+            ),
         )
     )
     return est.where(F.col("est_jaccard") >= est_threshold)
