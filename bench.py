@@ -37,6 +37,7 @@ HEADLINE = [
     "pricing_summary",
     "regional_revenue",
     "top_orders_per_customer",
+    "market_share",
     # LLM-data ops: dedup + similarity
     "exact_dedup_docs",
     "minhash_lsh_pairs",

@@ -42,3 +42,10 @@ try:
     _PACKS.append("scale_queries")
 except ImportError:
     pass
+
+try:
+    from . import tpch_queries  # noqa: F401
+
+    _PACKS.append("tpch_queries")
+except ImportError:
+    pass
