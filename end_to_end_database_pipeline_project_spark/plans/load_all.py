@@ -49,3 +49,10 @@ try:
     _PACKS.append("tpch_queries")
 except ImportError:
     pass
+
+try:
+    from . import udf_queries  # noqa: F401
+
+    _PACKS.append("udf_queries")
+except ImportError:
+    pass

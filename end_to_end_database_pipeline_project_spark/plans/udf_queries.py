@@ -1,0 +1,144 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.9).
+
+The reference registers no UDFs anywhere — all its custom logic is
+driver-side Python loops (mongodb_etl.py:22-93, clickhouse_etl.py:
+126-256) — and this repo's policy is the same logic as *native column
+expressions*. These queries exist to prove the full Spark extension
+surface is available and correctly wired when semantics genuinely need
+it, each form demonstrated once and oracle-checked:
+
+- **scalar pandas UDF** (`@pandas_udf` returning a Series): Arrow-batched,
+  vectorized — the only acceptable scalar-Python form in a hot path;
+- **grouped-agg pandas UDF** (UDAF): a whole-group reduction NumPy can
+  express but ``F`` aggregates cannot (directly);
+- **Python UDTF** (``@udtf``): variable-row-count output per input row,
+  the table-function form (Spark's native ``explode`` covers most real
+  cases — the UDTF is for logic that can't be an array expression).
+
+All three stay off the recommended path for reference-parity semantics;
+see the per-query docstrings for when each is actually warranted.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udtf
+
+from ..sources.catalog import load_table
+from .registry import query
+
+_R = 6
+
+
+@query(
+    "pandas_scalar_log_value",
+    oracle="""SELECT event_id, round(ln(1 + value), 6) AS log1p_value
+FROM events WHERE value IS NOT NULL AND value > -1""",
+)
+def pandas_scalar_log_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF: log1p over the event measure, computed in
+    Arrow batches by NumPy. Deliberately something ``F.log1p`` also
+    does — the point is the *form*: a ``@pandas_udf`` receives/returns
+    whole ``pd.Series`` per batch (one Python call per ~10k rows, not
+    per row), which is the only scalar-Python shape that survives at
+    100 TB. Hot paths should still prefer the built-in."""
+    import numpy as np
+
+    @pandas_udf("double")
+    def log1p_vec(v: pd.Series) -> pd.Series:
+        return pd.Series(np.log1p(v.to_numpy()))
+
+    from ..session import fan_out, ship_package
+
+    ship_package(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        fan_out(ev.where(F.col("value").isNotNull() & (F.col("value") > -1)))
+        .select("event_id", F.round(log1p_vec("value"), _R).alias("log1p_value"))
+    )
+
+
+@query(
+    "pandas_udaf_geomean",
+    oracle="""SELECT event_type,
+       round(exp(avg(ln(value))), 6) AS geomean_value,
+       CAST(count(*) AS BIGINT) AS n
+FROM events WHERE value IS NOT NULL AND value > 0
+GROUP BY event_type""",
+)
+def pandas_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDF (the UDAF form): geometric mean of the
+    positive event measure per event type. The UDAF receives each
+    group's column as one Series and returns a scalar; Spark runs it
+    after the same hash-partition shuffle a built-in aggregate uses, so
+    group state is bounded per executor. (This particular reduction
+    decomposes as exp(avg(ln x)) — shown both ways; a UDAF earns its
+    keep only when no such decomposition exists, e.g. a streaming
+    quantile sketch.)"""
+    import numpy as np
+
+    @pandas_udf("double")
+    def geomean(v: pd.Series) -> float:
+        return float(np.exp(np.mean(np.log(v.to_numpy()))))
+
+    # grouped-agg pandas UDFs can't mix with JVM aggregates in one agg()
+    # (INVALID_PANDAS_UDF_PLACEMENT) — the count rides the same UDF path
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return len(v)
+
+    from ..session import fan_out, ship_package
+
+    ship_package(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        fan_out(ev.where(F.col("value").isNotNull() & (F.col("value") > 0)))
+        .groupBy("event_type")
+        .agg(
+            geomean("value").alias("g"),
+            n_rows("value").alias("n"),
+        )
+        .select("event_type", F.round("g", _R).alias("geomean_value"), "n")
+    )
+
+
+@query(
+    "udtf_sentence_split",
+    oracle=r"""SELECT doc_id, CAST(idx - 1 AS INT) AS sentence_idx,
+       CAST(length(s) AS INT) AS sentence_chars
+FROM (
+  SELECT doc_id, unnest(string_split(text, '. ')) AS s,
+         generate_subscripts(string_split(text, '. '), 1) AS idx
+  FROM documents
+)
+WHERE length(s) > 0""",
+)
+def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF: one input document row fans out to N sentence rows
+    (index + length). A UDTF is Spark's arbitrary table-function form —
+    per-row Python emitting any number of rows — demonstrated on logic
+    that ``posexplode(split(...))`` also expresses (and which the
+    built-in should own in production; the UDTF row-at-a-time path costs
+    ~100x). Real UDTF territory is row expansion no array expression
+    can write, e.g. a stateful parser over an opaque payload."""
+
+    @udtf(returnType="sentence_idx int, sentence_chars int")
+    class SentenceSplit:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, s in enumerate(text.split(". ")):
+                if s:
+                    yield i, len(s)
+
+    from ..session import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    # lateral-join form: the UDTF runs once per document row
+    return (
+        docs.lateralJoin(SentenceSplit(F.col("text").outer()))
+        .select("doc_id", "sentence_idx", "sentence_chars")
+    )
