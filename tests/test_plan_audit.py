@@ -61,3 +61,34 @@ def test_topk_uses_take_ordered_not_full_sort(spark):
     assert "TakeOrderedAndProject" in plan, (
         "top-k should plan TakeOrderedAndProject, not a global sort:\n" + plan
     )
+
+
+def test_widest_join_tree_merges_facts_broadcasts_dims(spark):
+    # Q8 shape: 7 join hops — exactly ONE shuffle join (lineitem⋈orders);
+    # every dimension hop (part/supplier/customer/nation×2/region) broadcasts
+    plan = _plan(spark, "market_share")
+    assert plan.count("SortMergeJoin") == 1, (
+        "market_share must merge-join exactly the fact-fact edge:\n" + plan
+    )
+    assert plan.count("BroadcastHashJoin") >= 5
+    # selective dim predicates reach their scans
+    assert "EqualTo(p_type,ECONOMY)" in plan
+    assert "EqualTo(r_name,ASIA)" in plan
+
+
+def test_disjunctive_predicate_pushes_to_fact_scan(spark):
+    # Q19 shape: Catalyst must push the lineitem-side residual of the
+    # three-way OR down to the parquet reader, not evaluate it post-join
+    plan = _plan(spark, "disjunctive_predicate_revenue")
+    assert "Or(Or(" in plan and "l_quantity" in plan.split("Or(Or(")[1][:200], (
+        "quantity disjunction should reach the lineitem scan:\n" + plan
+    )
+
+
+def test_large_volume_customers_single_lineitem_pass(spark):
+    # Q18 shape: the IN-subquery aggregate IS the outer aggregate —
+    # lineitem must be scanned/aggregated once, not once per subquery
+    plan = _plan(spark, "large_volume_customers")
+    assert plan.count("Scan parquet") == 3, (
+        "expected one scan each of lineitem/orders/customer:\n" + plan
+    )
