@@ -106,3 +106,44 @@ def write_bucketed(
         .format("parquet")
         .saveAsTable(table)
     )
+
+
+def binned_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: float,
+) -> DataFrame:
+    """Point-in-interval join ([lo, hi) containment) as an equi-join.
+
+    A raw inequality join plans as a nested-loop — O(|points|·|intervals|)
+    comparisons, viable only while one side broadcasts. When both sides
+    are large, discretize: map each point to ``floor(value/bin_width)``,
+    explode each interval to every bin it overlaps, hash-join on the bin,
+    then apply the exact containment predicate as a residual filter.
+    Cost drops to O(points + intervals·spanned_bins + true_matches·k)
+    and both sides shuffle-partition uniformly.
+
+    ``bin_width`` tuning: ≈ the typical interval width, so intervals
+    span O(1) bins. Degenerate wide intervals fan out proportionally —
+    at scale, split interval sets by width class and use a width-matched
+    bin per class."""
+    pt = points.withColumn(
+        "__bin", F.floor(F.col(value_col) / F.lit(bin_width)).cast("long")
+    )
+    iv = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(bin_width)).cast("long"),
+                F.floor(F.col(hi_col) / F.lit(bin_width)).cast("long"),
+            )
+        ),
+    )
+    return (
+        pt.join(iv, "__bin")
+        .where((F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col)))
+        .drop("__bin")
+    )

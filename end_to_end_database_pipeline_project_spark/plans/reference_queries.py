@@ -522,3 +522,103 @@ def null_handling_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_dropna",
         )
     )
+
+
+# F20: the dashboard's 8-stop warm-to-cool rainfall gradient
+# (dashboard.py:830-906). One shared stop table generates BOTH the Spark
+# piecewise expression and the DuckDB CASE chain, so the two sides are
+# the same formula by construction. JS Math.round == floor(x + 0.5) for
+# the non-negative channel values, used verbatim on both engines.
+_GRADIENT_STOPS = [
+    (0.0, 255, 100, 150),   # reddish-pink
+    (0.15, 255, 165, 0),    # orange
+    (0.3, 255, 200, 50),    # yellow-orange
+    (0.45, 180, 200, 80),   # olive green
+    (0.6, 100, 220, 100),   # bright green
+    (0.75, 50, 200, 180),   # teal
+    (0.9, 50, 150, 255),    # medium blue
+    (1.0, 100, 200, 255),   # sky blue
+]
+
+
+def _gradient_channel_spark(t, ch: int):
+    expr = None
+    for i in range(len(_GRADIENT_STOPS) - 1):
+        p0, p1 = _GRADIENT_STOPS[i][0], _GRADIENT_STOPS[i + 1][0]
+        c0, c1 = _GRADIENT_STOPS[i][ch], _GRADIENT_STOPS[i + 1][ch]
+        local = (t - F.lit(p0)) / F.lit(p1 - p0)
+        seg = F.lit(float(c0)) + F.lit(float(c1 - c0)) * local
+        if i < len(_GRADIENT_STOPS) - 2:
+            clause = F.when(t < F.lit(p1), seg)
+            expr = clause if expr is None else expr.when(t < F.lit(p1), seg)
+        else:
+            expr = expr.otherwise(seg)
+    return F.floor(expr + F.lit(0.5)).cast("int")
+
+
+def _gradient_channel_sql(ch: int) -> str:
+    parts = []
+    for i in range(len(_GRADIENT_STOPS) - 1):
+        p0, p1 = _GRADIENT_STOPS[i][0], _GRADIENT_STOPS[i + 1][0]
+        c0, c1 = _GRADIENT_STOPS[i][ch], _GRADIENT_STOPS[i + 1][ch]
+        seg = f"{float(c0)} + {float(c1 - c0)} * ((t - {p0}) / {p1 - p0})"
+        if i < len(_GRADIENT_STOPS) - 2:
+            parts.append(f"WHEN t < {p1} THEN {seg}")
+        else:
+            parts.append(f"ELSE {seg}")
+    return "CAST(floor((CASE " + " ".join(parts) + " END) + 0.5) AS INT)"
+
+
+@query(
+    "rainfall_gradient_colors",
+    oracle=f"""WITH {_DAILY_CTE},
+norm AS (
+  SELECT obs_date, total_value AS rainfall,
+         least(total_value / max(total_value) OVER (), 1.0) AS t
+  FROM daily
+)
+SELECT obs_date, round(rainfall, 6) AS rainfall,
+  CASE WHEN rainfall = 0 THEN 255 ELSE {_gradient_channel_sql(1)} END AS r,
+  CASE WHEN rainfall = 0 THEN 255 ELSE {_gradient_channel_sql(2)} END AS g,
+  CASE WHEN rainfall = 0 THEN 255 ELSE {_gradient_channel_sql(3)} END AS b,
+  CASE WHEN rainfall = 0 THEN 0.15
+       ELSE round(0.5 + t * 0.25, 6) END AS alpha,
+  CASE WHEN rainfall = 0 THEN 255
+       ELSE least({_gradient_channel_sql(1)} + 30, 255) END AS border_r,
+  CASE WHEN rainfall = 0 THEN 255
+       ELSE least({_gradient_channel_sql(2)} + 30, 255) END AS border_g,
+  CASE WHEN rainfall = 0 THEN 255
+       ELSE least({_gradient_channel_sql(3)} + 30, 255) END AS border_b
+FROM norm""",
+)
+def rainfall_gradient_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F20: the dashboard's piecewise-linear 8-stop gradient over
+    normalized daily rainfall intensity (dashboard.py:830-906), with
+    the zero-rainfall white special case and the +30-capped border
+    variant (dashboard.py:893-906). The normalization max is a global
+    window aggregate — one single-row exchange over the (tiny, already
+    aggregated) daily series, not a second scan. Emitted as numeric
+    rgba components: string assembly is presentation, the math is the
+    operator."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = daily_rollup(hourly_aggregate(ev)).select(
+        "obs_date", F.col("total_value").alias("rainfall")
+    )
+    t = F.least(F.col("rainfall") / F.max("rainfall").over(Window.partitionBy()), F.lit(1.0))
+    norm = daily.select("obs_date", "rainfall", t.alias("t"))
+    tc = F.col("t")
+    zero = F.col("rainfall") == 0
+    r, g, b = (_gradient_channel_spark(tc, ch) for ch in (1, 2, 3))
+    return norm.select(
+        "obs_date",
+        F.round("rainfall", _R).alias("rainfall"),
+        F.when(zero, 255).otherwise(r).alias("r"),
+        F.when(zero, 255).otherwise(g).alias("g"),
+        F.when(zero, 255).otherwise(b).alias("b"),
+        F.when(zero, 0.15).otherwise(F.round(0.5 + tc * 0.25, _R)).alias("alpha"),
+        F.when(zero, 255).otherwise(F.least(r + 30, F.lit(255))).alias("border_r"),
+        F.when(zero, 255).otherwise(F.least(g + 30, F.lit(255))).alias("border_g"),
+        F.when(zero, 255).otherwise(F.least(b + 30, F.lit(255))).alias("border_b"),
+    )

@@ -116,3 +116,39 @@ def bucketed_orders_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue"),
     )
+
+
+@query(
+    "binned_price_band_join",
+    oracle="""WITH bands AS (
+  SELECT CAST(i AS BIGINT) AS band_id,
+         900.0 + CAST(i AS DOUBLE) * 5.0 AS lo,
+         900.0 + CAST(i AS DOUBLE) * 5.0 + 5.0 AS hi
+  FROM generate_series(0, 39) AS t(i)
+)
+SELECT band_id, CAST(count(*) AS BIGINT) AS part_count,
+       round(avg(p_retailprice), 6) AS avg_price
+FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band_id""",
+)
+def binned_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale form of the range join (vs ``price_band_join``'s
+    broadcast nested-loop, which requires one side to fit in memory):
+    operators.scale.binned_range_join discretizes prices and bands to
+    width-5 bins, hash-joins on the bin, and applies exact containment
+    as a residual — the same result through a shuffle-partitionable
+    equi-join that survives when BOTH sides are fact-sized (e.g. events
+    against a billion validity intervals)."""
+    (part,) = [load_table(spark, sf_dir, "part")]
+    bands = spark.range(0, 40).select(
+        F.col("id").alias("band_id"),
+        (900.0 + F.col("id").cast("double") * 5.0).alias("lo"),
+        (900.0 + F.col("id").cast("double") * 5.0 + 5.0).alias("hi"),
+    )
+    joined = SC.binned_range_join(
+        part, bands, "p_retailprice", "lo", "hi", bin_width=5.0
+    )
+    return joined.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("part_count"),
+        F.round(F.avg("p_retailprice"), 6).alias("avg_price"),
+    )

@@ -106,3 +106,17 @@ def test_fan_out_is_noop_on_well_partitioned_input(spark):
     assert fan_out(wide) is wide, "fan_out must not touch pre-split inputs"
     narrow = spark.range(10_000).coalesce(1)
     assert fan_out(narrow).rdd.getNumPartitions() == par
+
+
+def test_binned_range_join_is_hash_join_not_nested_loop(spark):
+    # the binned reformulation must plan a hash/merge equi-join on the
+    # bin key; the naive inequality join would be a nested loop
+    from end_to_end_database_pipeline_project_spark.plans import QUERIES
+    from end_to_end_database_pipeline_project_spark.plans import load_all  # noqa: F401
+
+    plan = (
+        QUERIES["binned_price_band_join"](spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan), plan
