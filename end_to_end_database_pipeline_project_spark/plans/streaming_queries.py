@@ -368,3 +368,4 @@ def gold_partition_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("total_value", _R).alias("total_value"),
         "observation_count",
     )
+

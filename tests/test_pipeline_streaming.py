@@ -84,3 +84,40 @@ def test_asof_join_carries_latest_right(spark):
     ).orderBy("id")
     rows = out.collect()
     assert [r["val_asof"] for r in rows] == [100.0, 200.0, None]
+
+
+def test_transform_with_state_gated_or_agrees(spark):
+    """transformWithStateInPandas needs protobuf; in this container the
+    operator must fail fast with NotImplementedError. Where protobuf
+    exists, it must agree with the applyInPandasWithState totals."""
+    import pytest
+
+    from end_to_end_database_pipeline_project_spark.streaming.pipeline import (
+        run_stream_to_table,
+        stream_events,
+    )
+    from end_to_end_database_pipeline_project_spark.streaming.stateful import (
+        stateful_user_totals_tws,
+    )
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            stateful_user_totals_tws(stream_events(spark, SF))
+        return
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = run_stream_to_table(
+            stateful_user_totals_tws(stream_events(spark, SF)), "update", "tws"
+        ).localCheckpoint()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    assert out.count() > 0
