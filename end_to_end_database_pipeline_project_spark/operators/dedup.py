@@ -225,17 +225,21 @@ def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: 
     For bit j (0..15): take hex digit j//4 of each shingle's md5, test
     bit j%4; sum +1/-1 votes over shingles; bit set iff sum >= 0.
     Engine-portable by the same md5 argument as MinHash."""
+    # one conv() of the first 4 hex chars per shingle (not 16 per-digit
+    # convs): v packs digits 1..4 big-endian, so digit j//4+1 sits at
+    # nibble 3-(j//4) and bit j of the fingerprint scheme is
+    # (v >> (4*(3-j//4) + j%4)) & 1 — pure bitwise ops after a single
+    # string decode, ~16x less expression work per shingle row
     sh = shingle_index(df, text_col, id_col, k).withColumn(
-        "h", F.md5(F.col("shingle"))
+        "v", F.conv(F.substring(F.md5(F.col("shingle")), 1, 4), 16, 10).cast("long")
     )
     # one conditional-sum aggregate per bit instead of a 16x row explode:
     # votes_j = sum(+1/-1 over shingles), all 16 in a single groupBy, so
     # the shuffle carries one row per doc rather than 16 per shingle
     aggs = []
     for j in range(16):
-        digit = F.substring(F.col("h"), j // 4 + 1, 1)
-        hexval = F.conv(digit, 16, 10).cast("int")
-        bit = hexval.bitwiseAND(F.lit(1 << (j % 4)))
+        shift = 4 * (3 - j // 4) + (j % 4)
+        bit = F.shiftright(F.col("v"), shift).bitwiseAND(F.lit(1))
         aggs.append(F.sum(F.when(bit > 0, 1).otherwise(-1)).alias(f"v{j}"))
     votes = sh.groupBy("doc_id").agg(*aggs)
     fingerprint = None

@@ -1,0 +1,115 @@
+"""Scale-up stress harness: headline queries on a xK blowup of sf0.1.
+
+The fixtures stop at sf0.1 (~600k lineitem rows); this tool derives a
+K-times larger dataset from them (union of K key-shifted copies — same
+distributions, disjoint keys, so join fan-outs and group cardinalities
+scale linearly like real growth) and times the headline queries on it.
+The point is trend, not absolutes: a query whose runtime scales ~K
+(or better, for fixed-output aggregates) is shuffle-disciplined; one
+that scales ~K^2 has a quadratic term the fixtures were hiding.
+
+Derived data lands in a temp dir (NOT /root/testdata — fixtures stay
+read-only) and is removed on exit unless --keep.
+
+Usage: python tools/stress.py [K] [query ...]   (default K=8)
+Prints one JSON line: {"k": K, "queries": {name: sec}, "rows": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from end_to_end_database_pipeline_project_spark.plans import QUERIES
+from end_to_end_database_pipeline_project_spark.plans import load_all  # noqa: F401
+from end_to_end_database_pipeline_project_spark.session import get_spark
+from end_to_end_database_pipeline_project_spark.sources.catalog import TABLES, load_table
+
+SRC_SF = "/root/testdata/sf0.1"
+
+# key columns shifted per copy so the blowup preserves key cardinality
+# (a pure union would multiply duplicates-per-key by K instead of
+# growing the key space, distorting joins and dedup ops)
+SHIFT_KEYS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+DEFAULT_QUERIES = [
+    "pricing_summary",
+    "regional_revenue",
+    "market_share",
+    "hourly_dedup_agg",
+    "daily_weather_rollup",
+    "exact_dedup_docs",
+    "minhash_lsh_pairs",
+    "simhash_fingerprints",
+    "token_frequencies",
+]
+
+
+def blow_up(spark, out_dir: str, k: int) -> dict[str, int]:
+    rows = {}
+    for t in TABLES:
+        src = load_table(spark, SRC_SF, t)
+        if t in SHIFT_KEYS:
+            span = {
+                c: src.agg(F.max(c)).collect()[0][0] + 1 for c in SHIFT_KEYS[t]
+            }
+            copies = []
+            for i in range(k):
+                c = src
+                for col, width in span.items():
+                    c = c.withColumn(col, F.col(col) + F.lit(i * width))
+                copies.append(c)
+            big = copies[0]
+            for c in copies[1:]:
+                big = big.unionByName(c)
+        else:  # dims (region/nation/part/supplier) keep their size
+            big = src
+        dest = os.path.join(out_dir, f"{t}.parquet")
+        big.write.mode("overwrite").parquet(dest)
+        rows[t] = spark.read.parquet(dest).count()
+    return rows
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    names = [a for a in sys.argv[2:] if a != "--keep"] or DEFAULT_QUERIES
+    keep = "--keep" in sys.argv
+    spark = get_spark("stress")
+    out_dir = tempfile.mkdtemp(prefix=f"stress_x{k}_")
+    try:
+        rows = blow_up(spark, out_dir, k)
+        # warm python worker pool once, as bench.py does
+        spark.range(128).repartition(32).mapInPandas(
+            lambda it: it, "id long"
+        ).write.format("noop").mode("overwrite").save()
+        timings = {}
+        for name in names:
+            df = QUERIES[name](spark, out_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        print(json.dumps({"k": k, "queries": timings, "rows": rows}))
+    finally:
+        if keep:
+            print(f"kept: {out_dir}", file=sys.stderr)
+        else:
+            shutil.rmtree(out_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
