@@ -236,3 +236,82 @@ def near_dup_pairs_pandas(
     return fan_out(corpus).select(id_col, vec_col).mapInPandas(
         score, schema="vec_a long, vec_b long, cosine double"
     )
+
+
+def srp_hyperplanes(n_planes: int, dim: int, seed: int = 42):
+    """Deterministic signed-random-projection hyperplanes (Gaussian,
+    fixed seed) — the LSH family for cosine similarity: P[same sign] =
+    1 - angle/pi. Returned as a plain list-of-lists so callers can
+    inline the SAME literals into engine-portable expressions (both the
+    Spark plan and a SQL oracle)."""
+    import numpy as np
+
+    rs = np.random.RandomState(seed)
+    return rs.randn(n_planes, dim).tolist()
+
+
+def srp_bucket_expr(vec_col: str, planes) -> "F.Column":
+    """SRP bucket id as a pure column expression: bit j = sign of the
+    dot product with hyperplane j. Evaluated once per vector — O(dim x
+    planes) per row, no shuffle."""
+    bucket = None
+    for j, h in enumerate(planes):
+        lit = F.array(*[F.lit(float(x)) for x in h])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), lit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        term = F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    return bucket
+
+
+def srp_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """LSH-bucketed ANN (the second scale path besides IVF): vectors
+    hash to 2^n_planes sign-pattern buckets; each query searches only
+    its own bucket. Unlike IVF there is no centroid fit — the hash
+    family is data-independent, so bucketing a 100 TB corpus is a
+    single stateless pass (and new data buckets without re-clustering);
+    the trade is less adaptive bucket balance. nprobe>1 = also search
+    buckets at Hamming distance 1 in the sign pattern."""
+    from ..session import fan_out
+
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = srp_hyperplanes(n_planes, dim, seed)
+    assigned = fan_out(corpus).withColumn(
+        "bucket", srp_bucket_expr(vec_col, planes)
+    )
+    q = assigned.join(
+        queries.select(F.col(id_col).alias(id_col)), id_col, "left_semi"
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    scored = (
+        assigned.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("q_bucket"))
+            & (F.col(id_col) != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            cosine(F.col("q_vec"), F.col(vec_col)).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rank")
+    )

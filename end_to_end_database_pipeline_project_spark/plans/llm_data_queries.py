@@ -625,3 +625,48 @@ def decontamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.countDistinct("shingle").alias("n_shared_ngrams"))
     )
+
+
+def _srp_bucket_sql(planes) -> str:
+    terms = []
+    for j, h in enumerate(planes):
+        lits = "[" + ", ".join(repr(float(x)) for x in h) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {lits}) >= 0 THEN {1 << j} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+_SRP_PLANES = SIM.srp_hyperplanes(6, 64)
+
+
+@query(
+    "srp_lsh_topk",
+    oracle=f"""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+b AS (SELECT vec_id, v, ({_srp_bucket_sql(_SRP_PLANES)}) AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket AS q_bucket
+      FROM b WHERE vec_id < 10),
+scored AS (
+  SELECT query_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(qv, b.v) AS cos
+  FROM b JOIN q ON b.bucket = q.q_bucket AND b.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+FROM scored QUALIFY rank <= 3""",
+)
+def srp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN via signed random projections: 6 fixed Gaussian
+    hyperplanes hash every vector to a 64-bucket sign pattern; top-3
+    searched within the query's bucket only. Complements ivf_topk as
+    the second bucketed scale path — data-independent (no centroid
+    fit, new data buckets statelessly), which is what a continuously
+    ingesting 100 TB embedding store wants. The identical hyperplane
+    literals are inlined into the Spark plan and the oracle SQL, so
+    both engines compute the same buckets bit-for-bit."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 10)
+    return SIM.srp_lsh_topk(emb, queries, k=3, n_planes=6)
