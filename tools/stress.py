@@ -97,12 +97,19 @@ def main() -> None:
         spark.range(128).repartition(32).mapInPandas(
             lambda it: it, "id long"
         ).write.format("noop").mode("overwrite").save()
+        # min of two runs: the first pass pays first-touch page cache on
+        # the freshly written blowup + codegen warmup, which isn't the
+        # scaling signal this tool measures
         timings = {}
         for name in names:
-            df = QUERIES[name](spark, out_dir)
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 4)
+            best = None
+            for _ in range(2):
+                df = QUERIES[name](spark, out_dir)
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 4)
         print(json.dumps({"k": k, "queries": timings, "rows": rows}))
     finally:
         if keep:
