@@ -32,9 +32,15 @@ def _t(spark, sf_dir, *names):
     "pricing_summary",
     oracle="""SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 6) AS sum_qty,
-       round(sum(l_extendedprice), 6) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
+         AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                      * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE)
+         AS sum_charge,
        round(avg(l_quantity), 6) AS avg_qty,
        round(avg(l_extendedprice), 6) AS avg_price,
        round(avg(l_discount), 6) AS avg_disc,
@@ -46,17 +52,32 @@ GROUP BY l_returnflag, l_linestatus""",
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: the canonical wide hash-aggregate. One shuffle on
     a 6-value key; map-side partial aggregation collapses everything
-    before the exchange, so it scales with distinct keys, not rows."""
+    before the exchange, so it scales with distinct keys, not rows.
+
+    Money aggregates run in DECIMAL end-to-end: double summation is
+    order-dependent, and at ~1e9 per group one ULP exceeds even a
+    2-decimal round at a boundary. The inputs are exact 2-decimal money
+    values, so casting THEM to decimal (never a rounding tie — the
+    stored double sits ~1e-13 from its decimal, the tie 5e-3 away) and
+    multiplying/summing in decimal is exact and order-independent on
+    both engines at any scale factor. Quantity sums are integer-valued
+    doubles — exact under double addition — and stay as-is."""
     (li,) = _t(spark, sf_dir, "lineitem")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ep = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_d = ep * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+    charge_d = disc_d * (F.lit(1) + F.col("l_tax").cast("decimal(4,2)"))
+    # round in DECIMAL (exact HALF_UP on both engines) BEFORE the double
+    # cast — a scale-4/6 sum ending on a half-cent would round
+    # differently through the double path
+    dec2 = lambda c: F.round(F.sum(c), 2).cast("double")
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), _R).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), _R).alias("sum_base_price"),
-            F.round(F.sum(disc), _R).alias("sum_disc_price"),
-            F.round(F.sum(disc * (1 + F.col("l_tax"))), _R).alias("sum_charge"),
+            F.sum(ep).cast("double").alias("sum_base_price"),
+            dec2(disc_d).alias("sum_disc_price"),
+            dec2(charge_d).alias("sum_charge"),
             F.round(F.avg("l_quantity"), _R).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), _R).alias("avg_price"),
             F.round(F.avg("l_discount"), _R).alias("avg_disc"),
@@ -313,18 +334,21 @@ def order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     "running_supplier_quantity",
     oracle="""SELECT l_suppkey, l_orderkey, l_linenumber,
        round(sum(l_quantity) OVER (PARTITION BY l_suppkey
-             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_qty
 FROM lineitem""",
 )
 def running_supplier_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running-total frame (rowsBetween): cumulative shipped quantity
-    per supplier; fully-keyed ordering makes the cumulative float sum
-    deterministic on both engines."""
+    per supplier. The ordering must be TOTAL for a deterministic prefix
+    sum: the fixture's (orderkey, linenumber) is not unique (118k dup
+    pairs at sf0.1), so l_quantity joins the sort key — rows still tied
+    after that are interchangeable for a quantity prefix sum, making
+    the output order-insensitive on both engines."""
     (li,) = _t(spark, sf_dir, "lineitem")
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return li.select(
@@ -451,14 +475,18 @@ def rollup_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "cube_status_priority",
     oracle="""SELECT o_orderstatus, o_orderpriority,
-       round(sum(o_totalprice), 6) AS total_price, count(*) AS n
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS total_price, count(*) AS n
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
 )
 def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE grouping sets."""
+    """CUBE grouping sets. The grand-total cell sums ALL orders (~5e9
+    at sf0.1) — decimal accumulation for an order-independent sum."""
     (orders,) = _t(spark, sf_dir, "orders")
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
-        F.round(F.sum("o_totalprice"), _R).alias("total_price"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("total_price"),
         F.count(F.lit(1)).alias("n"),
     )
 

@@ -67,7 +67,8 @@ def json_source_stations(spark: SparkSession, sf_dir: str) -> DataFrame:
     "csv_roundtrip_pricing",
     oracle="""SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 6) AS sum_qty,
-       round(sum(l_extendedprice), 6) AS sum_price,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS sum_price,
        CAST(count(*) AS BIGINT) AS n
 FROM lineitem GROUP BY 1, 2""",
 )
@@ -92,7 +93,11 @@ def csv_roundtrip_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return back.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), _R).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), _R).alias("sum_price"),
+        # decimal accumulation: the per-group price sum is ~1e9 at
+        # sf0.1, where double summation-order noise exceeds round(6)
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("sum_price"),
         F.count(F.lit(1)).alias("n"),
     )
 

@@ -37,7 +37,8 @@ _R = 6
 @query(
     "streaming_hourly_window",
     oracle="""SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS obs_hour,
-       round(avg(value), 6) AS avg_value,
+       round(CAST(sum(CAST(value AS DECIMAL(25,12))) AS DOUBLE) / count(*), 6)
+         AS avg_value,
        round(max(value), 6) AS max_value,
        round(min(value), 6) AS min_value,
        count(*) AS observation_count

@@ -187,10 +187,12 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "product_profit_by_nation",
-    oracle="""SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    oracle="""SELECT nation, o_year,
+       CAST(round(sum(amount), 2) AS DOUBLE) AS sum_profit
 FROM (
   SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-         l.l_extendedprice * (1 - l.l_discount) AS amount
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l.l_discount AS DECIMAL(4,2))) AS amount
   FROM part p
   JOIN lineitem l ON p.p_partkey = l.l_partkey
   JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -221,9 +223,20 @@ def product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
+            # decimal END-TO-END, rounded BEFORE the double cast: the
+            # scale-4 decimal sum can end exactly on a half-cent, where
+            # the engines' double-rounding paths disagree; decimal
+            # round(2) is exact HALF_UP on both, and the rounded value
+            # converts to double identically.
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_profit")
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("sum_profit")
         )
     )
 

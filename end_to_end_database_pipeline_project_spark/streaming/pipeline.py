@@ -65,7 +65,15 @@ def hourly_windowed_agg(events: DataFrame, watermark: str = "2 hours") -> DataFr
         .where(F.col("value").isNotNull())
         .groupBy(F.window("ts", "1 hour").alias("win"))
         .agg(
-            F.avg("value").alias("avg_value"),
+            # decimal-exact sum / count instead of avg(): double
+            # summation is order-dependent and micro-batch boundaries
+            # change the order, so a round-6 oracle hash can straddle a
+            # boundary at larger SFs; the decimal(25,12) sum is exact
+            # and order-independent (truncation error ~5e-13 per value)
+            (
+                F.sum(F.col("value").cast("decimal(25,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_value"),
             F.max("value").alias("max_value"),
             F.min("value").alias("min_value"),
             F.count(F.lit(1)).alias("observation_count"),
