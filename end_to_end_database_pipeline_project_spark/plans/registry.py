@@ -51,3 +51,27 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
         return fn
 
     return deco
+
+
+# --- exact money arithmetic (shared by query packs) -------------------
+#
+# The fixture money columns are exact 2-decimal values; computing
+# revenue as DECIMAL end-to-end makes sums order-independent and
+# identical across engines at any scale factor (double summation noise
+# exceeds any fixed rounding once group sums are large enough, and
+# round-after-double-cast flips on half-cent boundaries — see
+# spark-graft oracle conventions).
+
+DEC_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+)
+
+
+def dec_rev():
+    """l_extendedprice * (1 - l_discount) as an exact decimal column."""
+    from pyspark.sql import functions as F
+
+    return F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )

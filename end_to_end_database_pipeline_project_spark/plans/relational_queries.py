@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..functions import scalar
 from ..sources.catalog import load_table, load_tables
-from .registry import query
+from .registry import DEC_REV_SQL, dec_rev, query
 
 _R = 6
 
@@ -110,7 +110,9 @@ def nation_region_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "regional_revenue",
     oracle="""SELECT r.r_name AS region_name, n.n_name AS nation_name,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
+         AS revenue,
        count(DISTINCT o.o_orderkey) AS order_count
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -132,7 +134,7 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "lineitem", "orders", "customer", "nation", "region"
     )
     order_rev = li.groupBy("l_orderkey").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("order_rev")
+        F.sum(dec_rev()).alias("order_rev")
     )
     return (
         order_rev.join(orders.hint("merge"), order_rev.l_orderkey == orders.o_orderkey)
@@ -143,10 +145,9 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name")
         )
         .agg(
-            # round(2): per-group revenue is ~1e8 — one double ULP
-            # exceeds 1e-6 there, so 6-decimal rounding can't absorb
-            # summation-order noise (see bucketed_orders_revenue)
-            F.round(F.sum("order_rev"), 2).alias("revenue"),
+            # decimal both levels: exact, order-independent, rounded in
+            # decimal before the double cast (half-cent safety)
+            F.round(F.sum("order_rev"), 2).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("order_count"),
         )
     )
@@ -187,11 +188,13 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nation_customer_supplier_balance",
     oracle="""WITH c AS (
   SELECT c_nationkey AS nationkey, count(*) AS customer_count,
-         round(sum(c_acctbal), 6) AS customer_balance
+         CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS customer_balance
   FROM customer GROUP BY 1
 ), s AS (
   SELECT s_nationkey AS nationkey, count(*) AS supplier_count,
-         round(sum(s_acctbal), 6) AS supplier_balance
+         CAST(round(sum(CAST(s_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS supplier_balance
   FROM supplier GROUP BY 1
 )
 SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
@@ -206,13 +209,16 @@ def nation_customer_supplier_balance(spark: SparkSession, sf_dir: str) -> DataFr
     the join inputs are one row per nation, so the outer join is trivial
     regardless of fact-table size."""
     customer, supplier = _t(spark, sf_dir, "customer", "supplier")
+    dec_sum = lambda c: F.round(
+        F.sum(F.col(c).cast("decimal(18,2)")), 2
+    ).cast("double")
     c = customer.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
         F.count(F.lit(1)).alias("customer_count"),
-        F.round(F.sum("c_acctbal"), _R).alias("customer_balance"),
+        dec_sum("c_acctbal").alias("customer_balance"),
     )
     s = supplier.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
         F.count(F.lit(1)).alias("supplier_count"),
-        F.round(F.sum("s_acctbal"), _R).alias("supplier_balance"),
+        dec_sum("s_acctbal").alias("supplier_balance"),
     )
     joined = c.join(s, "nationkey", "full_outer")
     return joined.select(
@@ -705,8 +711,8 @@ def props_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "shipping_priority",
-    oracle="""SELECT l.l_orderkey,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+    oracle=f"""SELECT l.l_orderkey,
+       CAST(round(sum({DEC_REV_SQL}), 6) AS DOUBLE) AS revenue,
        CAST(o.o_orderdate AS DATE) AS o_orderdate, o.o_orderpriority
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -737,11 +743,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), _R
-            ).alias("revenue")
-        )
+        .agg(F.round(F.sum(dec_rev()), _R).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
@@ -780,8 +782,8 @@ def order_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "returned_item_report",
-    oracle="""SELECT c.c_custkey, c.c_name, n.n_name,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+    oracle=f"""SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(round(sum({DEC_REV_SQL}), 2) AS DOUBLE) AS revenue,
        round(c.c_acctbal, 6) AS c_acctbal
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -807,11 +809,7 @@ def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(F.round(F.sum(dec_rev()), 2).cast("double").alias("revenue"))
         .select(
             "c_custkey", "c_name", "n_name", "revenue",
             F.round("c_acctbal", _R).alias("c_acctbal"),
@@ -823,11 +821,11 @@ def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "promo_revenue_share",
-    oracle="""SELECT round(
-         100.0 * sum(CASE WHEN p.p_type = 'PROMO'
-                          THEN l.l_extendedprice * (1 - l.l_discount)
-                          ELSE 0 END)
-         / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_revenue_pct
+    oracle=f"""SELECT round(
+         100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                          THEN {DEC_REV_SQL}
+                          ELSE 0 END) AS DOUBLE)
+         / CAST(sum({DEC_REV_SQL}) AS DOUBLE), 6) AS promo_revenue_pct
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= DATE '1998-01-01' AND l.l_shipdate < DATE '1998-04-01'""",
 )
@@ -840,14 +838,17 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1998-04-01")
     ).select("l_partkey", "l_extendedprice", "l_discount")
     p = t["part"].select("p_partkey", "p_type")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = dec_rev()
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .agg(
+            # decimal sums (exact) cast to double, THEN the ratio in
+            # double — identical operands give an identical quotient
             F.round(
                 100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+                .cast("double")
+                / F.sum(rev).cast("double"),
                 _R,
             ).alias("promo_revenue_pct")
         )

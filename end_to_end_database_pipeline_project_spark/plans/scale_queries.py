@@ -51,7 +51,8 @@ def salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "salted_nation_join",
     oracle="""SELECT n.n_name,
        CAST(count(*) AS BIGINT) AS n_customers,
-       round(sum(c.c_acctbal), 6) AS total_acctbal
+       CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS total_acctbal
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY 1""",
 )
@@ -69,7 +70,9 @@ def salted_nation_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = SC.salted_join(c, n, key="nationkey", salt_src="c_custkey", n_salts=8)
     return joined.groupBy("n_name").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        F.round(F.sum("c_acctbal"), _R).alias("total_acctbal"),
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total_acctbal"),
     )
 
 
@@ -77,7 +80,9 @@ def salted_nation_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bucketed_orders_revenue",
     oracle="""SELECT o.o_orderstatus,
        CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
+         AS revenue
 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 GROUP BY 1""",
 )
@@ -107,14 +112,14 @@ def bucketed_orders_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = spark.table(f"{db}.orders_b")
     l = spark.table(f"{db}.lineitem_b")
     joined = l.join(o, l.l_orderkey == o.o_orderkey)
-    # round(2) not round(6): the per-status sum is ~1e9, where one ULP
-    # of a double exceeds 1e-6 — 6-decimal rounding can't absorb
-    # summation-order noise at that magnitude
+    # decimal end-to-end: the per-status sum is ~1e9, where double
+    # summation-order noise exceeds any fixed rounding; exact decimal
+    # accumulation is order-independent (rounded in decimal, then cast)
+    from .registry import dec_rev
+
     return joined.groupBy("o_orderstatus").agg(
         F.countDistinct("o_orderkey").alias("n_orders"),
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
+        F.round(F.sum(dec_rev()), 2).cast("double").alias("revenue"),
     )
 
 

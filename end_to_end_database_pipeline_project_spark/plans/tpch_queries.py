@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table, load_tables
-from .registry import query
+from .registry import DEC_REV_SQL, dec_rev, query
 
 _R = 6
 
@@ -28,7 +28,9 @@ def _t(spark, sf_dir, *names):
 
 @query(
     "forecast_revenue_change",
-    oracle="""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue_increase
+    oracle="""SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE)
+         AS revenue_increase
 FROM lineitem
 WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
@@ -49,20 +51,27 @@ def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue_increase"
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * F.col("l_discount").cast("decimal(4,2)")
+                ),
+                2,
             )
+            .cast("double")
+            .alias("revenue_increase")
         )
     )
 
 
 @query(
     "volume_shipping",
-    oracle="""SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    oracle=f"""SELECT supp_nation, cust_nation, l_year,
+       CAST(round(sum(volume), 2) AS DOUBLE) AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
-         l.l_extendedprice * (1 - l.l_discount) AS volume
+         {DEC_REV_SQL} AS volume
   FROM supplier s
   JOIN lineitem l ON s.s_suppkey = l.l_suppkey
   JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -110,22 +119,19 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").cast("long").alias("l_year"),
         )
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(F.round(F.sum(dec_rev()), 2).cast("double").alias("revenue"))
     )
 
 
 @query(
     "market_share",
-    oracle="""SELECT o_year,
-       round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
-             / sum(volume), 6) AS mkt_share
+    oracle=f"""SELECT o_year,
+       round(CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                  AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
 FROM (
   SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-         l.l_extendedprice * (1 - l.l_discount) AS volume,
+         {DEC_REV_SQL} AS volume,
          n2.n_name AS nation
   FROM part p
   JOIN lineitem l ON p.p_partkey = l.l_partkey
@@ -165,7 +171,7 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
     )
     r = t["region"].where(F.col("r_name") == "ASIA").select("r_regionkey")
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol = dec_rev()
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .join(o.hint("merge"), l.l_orderkey == o.o_orderkey)
@@ -177,8 +183,9 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
             F.round(
-                F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(0.0))
-                / F.sum(vol),
+                F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(F.lit(0)))
+                .cast("double")
+                / F.sum(vol).cast("double"),
                 _R,
             ).alias("mkt_share")
         )
@@ -274,7 +281,8 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "small_quantity_revenue",
-    oracle="""SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    oracle="""SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                        AS DOUBLE) / 7.0, 2) AS avg_yearly
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 WHERE p.p_brand = 'Brand#1'
@@ -298,7 +306,13 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .withColumn("avg_qty", F.avg("l_quantity").over(w))
         .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
     )
 
 
@@ -350,7 +364,7 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "disjunctive_predicate_revenue",
-    oracle="""SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    oracle=f"""SELECT CAST(round(sum({DEC_REV_SQL}), 2) AS DOUBLE) AS revenue
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
@@ -379,11 +393,7 @@ def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .where(disj)
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(F.round(F.sum(dec_rev()), 2).cast("double").alias("revenue"))
     )
 
 
@@ -395,7 +405,8 @@ def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 SELECT CAST(c.c_nationkey AS INT) AS nationkey,
        CAST(count(*) AS BIGINT) AS numcust,
-       round(sum(c.c_acctbal), 2) AS totacctbal
+       CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS totacctbal
 FROM customer c, pos
 WHERE c.c_nationkey IN (1, 3, 5, 7)
   AND c.c_acctbal > pos.threshold
@@ -424,6 +435,8 @@ def dormant_high_balance_customers(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy(F.col("c_nationkey").cast("int").alias("nationkey"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("totacctbal"),
         )
     )
