@@ -670,3 +670,146 @@ def srp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < 10)
     return SIM.srp_lsh_topk(emb, queries, k=3, n_planes=6)
+
+
+@query(
+    "bm25_retrieval",
+    oracle=r"""WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents
+),
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT CAST(sum(dl) AS DOUBLE) / count(*) FROM doclen) AS avgdl
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks
+  WHERE term IN ('data', 'model', 'learning') GROUP BY 1, 2
+),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum(
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * doclen.dl / stats.avgdl))
+         ) AS score
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN doclen ON doclen.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY 1
+)
+SELECT doc_id, round(score, 6) AS bm25
+FROM scored ORDER BY score DESC, doc_id LIMIT 10""",
+)
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) document retrieval for a fixed term set —
+    the classic sparse-retrieval scorer of training-data curation (and
+    of quality-classifier feature stacks). All set statistics (N, avgdl,
+    df) are one-row/short aggregates broadcast into the per-(doc, term)
+    score; the only fact-sized shuffles are the tokenize-count and the
+    final top-k (TakeOrderedAndProject). The per-doc score sums 3
+    term contributions of magnitude ~1-10, where double noise is 1e-16
+    — 10 orders under the 6-decimal round."""
+    from ..session import fan_out
+
+    TERMS = ["data", "model", "learning"]
+    K1, B = 1.2, 0.75
+    docs = load_table(spark, sf_dir, "documents")
+    toks = fan_out(docs).select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    )
+    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n_docs = docs.count()
+    avgdl = doclen.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl")
+    ).collect()[0][0]
+    tf = (
+        toks.where(F.col("term").isin(TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    contrib = idf * (F.col("tf") * (K1 + 1)) / (
+        F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.lit(float(avgdl)))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(doclen, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.sum(contrib).alias("score"))
+    )
+    return (
+        scored.select("doc_id", F.round("score", _R).alias("bm25"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+@query(
+    "stratified_sample",
+    oracle="""WITH s AS (
+  SELECT doc_id, lang, source,
+         strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+           AS b
+  FROM documents
+),
+kept AS (
+  SELECT doc_id, lang FROM s
+  WHERE b < (CASE WHEN lang = 'en' THEN 2 ELSE 8 END)
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+       CAST(min(doc_id) AS BIGINT) AS min_id, CAST(max(doc_id) AS BIGINT) AS max_id
+FROM kept GROUP BY 1""",
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling — the corpus-rebalancing
+    op (downsample the over-represented language, keep the tail): keep
+    a doc iff its content-hash bucket falls under the stratum's rate
+    (en: 2/16, others: 8/16). Hash-based, not ``sampleBy``: rand()-based
+    sampling is irreproducible across engines/retries, while the hash
+    rule gives the same sample on every engine, every rerun, and every
+    cluster size — the property a 100 TB curation pipeline needs for
+    auditable data lineage. Shuffle-free until the per-stratum count."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10)
+        .cast("int")
+    )
+    rate = F.when(F.col("lang") == "en", 2).otherwise(8)
+    kept = docs.where(bucket < rate)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+@query("ivf_kmeans_topk")  # k-means centroids are engine-specific -> rows-only
+def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production form of IVF: centroids FIT by k-means (Spark ML,
+    fixed seed) instead of ivf_topk's seed-vector stand-ins, then the
+    same cluster-restricted ANN search. MLlib's k-means is the
+    distributed fit that scales to the 100 TB corpus (k-means|| init,
+    one pass per iteration); the trained centroids are a tiny broadcast
+    table. Rows-only check: centroid placement is engine-specific, so
+    no SQL oracle — the search path over the fitted centroids is the
+    oracle-checked ivf_topk/srp_lsh_topk machinery."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    emb = _emb(spark, sf_dir)
+    vecs = emb.select(
+        "vec_id", array_to_vector(F.col("embedding")).alias("features")
+    )
+    model = KMeans(k=8, seed=42, maxIter=5).fit(vecs)
+    centroids = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "vec_id long, embedding array<double>",
+    )
+    queries = emb.where(F.col("vec_id") < 10)
+    return SIM.ivf_topk(emb, centroids, queries, k=3)
