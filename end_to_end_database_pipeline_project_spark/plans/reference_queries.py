@@ -628,3 +628,80 @@ def rainfall_gradient_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(zero, 255).otherwise(F.least(g + 30, F.lit(255))).alias("border_g"),
         F.when(zero, 255).otherwise(F.least(b + 30, F.lit(255))).alias("border_b"),
     )
+
+
+@query(
+    "value_outlier_counts",
+    oracle="""WITH stats AS (
+  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n_values,
+       CAST(sum(CASE WHEN abs((e.value - s.mu) / s.sigma) > 3
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(s.mu, 6) AS mean_value,
+       round(s.sigma, 6) AS stddev_value
+FROM events e JOIN stats s ON e.event_type = s.event_type
+WHERE e.value IS NOT NULL
+GROUP BY e.event_type, s.mu, s.sigma""",
+)
+def value_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical data-quality scan: per-type 3-sigma outlier counts —
+    the screening pass a sensor pipeline (or a training-data numeric
+    feature audit) runs before trusting aggregates. Two passes over the
+    fact: a tiny per-type stats aggregate broadcast back into the scan
+    (aggregate-then-join, no window over the full table needed — a
+    global-partition window would funnel every row through one
+    reducer)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = F.abs((F.col("value") - F.col("mu")) / F.col("sigma"))
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type", "mu", "sigma")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.sum(F.when(z > 3, 1).otherwise(0)).alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n_values",
+            "n_outliers",
+            F.round("mu", _R).alias("mean_value"),
+            F.round("sigma", _R).alias("stddev_value"),
+        )
+    )
+
+
+@query(
+    "monthly_value_change",
+    oracle=f"""WITH {_MONTHLY_CTE}
+SELECT year, month,
+       round(avg_value, 6) AS avg_value,
+       round(avg_value - lag(avg_value) OVER (ORDER BY year, month), 6)
+         AS change_abs,
+       round(100.0 * (avg_value - lag(avg_value) OVER (ORDER BY year, month))
+             / lag(avg_value) OVER (ORDER BY year, month), 6) AS change_pct
+FROM monthly""",
+)
+def monthly_value_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month delta/percent change on the A3 monthly rollup —
+    the dashboard trend-line shape (dashboard.py:816-823) as a lag
+    window over the (tiny, already-aggregated) monthly series: the
+    window runs on ~tens of rows regardless of fact size."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    monthly = monthly_rollup(daily_rollup(hourly_aggregate(ev)))
+    w = Window.orderBy("year", "month")
+    prev = F.lag("avg_value").over(w)
+    return monthly.select(
+        "year",
+        "month",
+        F.round("avg_value", _R).alias("avg_value"),
+        F.round(F.col("avg_value") - prev, _R).alias("change_abs"),
+        F.round(100.0 * (F.col("avg_value") - prev) / prev, _R).alias("change_pct"),
+    )
