@@ -160,3 +160,69 @@ def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def _session_expiry_fn(
+    key: Tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user open-session accumulator with event-time timeout: rows
+    accumulate into the open session; when the watermark passes the
+    session's last event + gap, the timeout fires (an invocation with
+    no input rows) and the CLOSED session is emitted exactly once."""
+    GAP_MS = 30 * 60 * 1000
+    if state.hasTimedOut:
+        n, total, first_ts, last_ts = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "session_start_ms": [first_ts],
+                "session_end_ms": [last_ts + GAP_MS],
+            }
+        )
+        return
+    n, total, first_ts, last_ts = state.get if state.exists else (0, 0.0, None, None)
+    for pdf in pdfs:
+        ts_ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
+        n += len(pdf)
+        total += float(pdf["value"].fillna(0.0).sum())
+        lo, hi = min(ts_ms), max(ts_ms)
+        first_ts = lo if first_ts is None else min(first_ts, lo)
+        last_ts = hi if last_ts is None else max(last_ts, hi)
+    state.update((n, total, first_ts, last_ts))
+    state.setTimeoutTimestamp(last_ts + GAP_MS)
+    yield pd.DataFrame(
+        {
+            "user_id": pd.Series([], dtype="int64"),
+            "n_events": pd.Series([], dtype="int64"),
+            "total_value": pd.Series([], dtype="float64"),
+            "session_start_ms": pd.Series([], dtype="int64"),
+            "session_end_ms": pd.Series([], dtype="int64"),
+        }
+    )
+
+
+def stateful_sessions_with_timeout(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Custom sessionization via explicit state + EventTimeTimeout: the
+    state-store TTL mechanism ``session_window`` uses internally, made
+    explicit — state holds (count, sum, first_ts, last_ts) per user and
+    is REMOVED when its timeout fires, so store size is bounded by
+    (open sessions), not (all keys ever seen). The timeout-driven
+    emit-once-on-close is the pattern for any custom windowing scheme
+    no built-in window expresses."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_expiry_fn,
+            outputStructType=(
+                "user_id bigint, n_events bigint, total_value double, "
+                "session_start_ms bigint, session_end_ms bigint"
+            ),
+            stateStructType="n bigint, total double, first_ts bigint, last_ts bigint",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
