@@ -92,3 +92,17 @@ def test_large_volume_customers_single_lineitem_pass(spark):
     assert plan.count("Scan parquet") == 3, (
         "expected one scan each of lineitem/orders/customer:\n" + plan
     )
+
+
+def test_no_unpruned_wide_scans_in_headliners(spark):
+    # fleet-rule: no headline query may scan every column of a wide
+    # table (tools/scan_audit.py runs the same check over all queries)
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from tools.scan_audit import audit
+    from bench import HEADLINE
+
+    flags = []
+    for name in HEADLINE:
+        flags.extend(audit(spark, name))
+    assert not flags, flags
