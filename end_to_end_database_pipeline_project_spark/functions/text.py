@@ -68,11 +68,13 @@ def quality_score(text: Column) -> Column:
     return F.round(len_score * 0.4 + punct_score * 0.3 + stop_score * 0.3, 6)
 
 
-def shingles(text: Column, k: int = 3) -> Column:
+def shingles(text: Column, k: int = 3, distinct: bool = True) -> Column:
     """Word k-gram shingles (array<string>) for Jaccard/MinHash dedup.
 
-    Distinct shingles only (set semantics). Documents shorter than k
-    words yield a single shingle of the whole text.
+    Distinct shingles by default (set semantics); ``distinct=False``
+    keeps the full multiset (repetition scoring needs the duplicates).
+    Documents shorter than k words yield a single shingle of the whole
+    text.
     """
     words = F.split(F.lower(F.trim(text)), _WORD_RE)
     n = F.size(words)
@@ -80,7 +82,7 @@ def shingles(text: Column, k: int = 3) -> Column:
         F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(words, i, k)),
     )
-    return F.array_distinct(grams)
+    return F.array_distinct(grams) if distinct else grams
 
 
 def char_ngrams(text: Column, n: int = 4) -> Column:

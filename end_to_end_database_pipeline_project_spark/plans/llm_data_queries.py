@@ -813,3 +813,88 @@ def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     queries = emb.where(F.col("vec_id") < 10)
     return SIM.ivf_topk(emb, centroids, queries, k=3)
+
+
+@query(
+    "doc_repetition_scores",
+    oracle=r"""WITH g AS (
+  SELECT doc_id,
+         len(list_transform(range(1, greatest(len(ws) - 2, 1) + 1),
+             i -> array_to_string(list_slice(ws, i, i + 2), ' '))) AS n_grams,
+         len(list_distinct(list_transform(range(1, greatest(len(ws) - 2, 1) + 1),
+             i -> array_to_string(list_slice(ws, i, i + 2), ' ')))) AS n_distinct
+  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        FROM documents)
+)
+SELECT doc_id,
+       round(1.0 - n_distinct * 1.0 / n_grams, 6) AS rep_3gram_frac,
+       CASE WHEN 1.0 - n_distinct * 1.0 / n_grams > 0.2
+            THEN 1 ELSE 0 END AS flag_repetitive
+FROM g""",
+)
+def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition score — the Gopher-rules quality
+    signal (fraction of duplicated word 3-grams; templated/spammy text
+    scores high). Pure array expressions per row: the n-gram list and
+    its distinct count never leave the document's row, so the op is
+    shuffle-free and scales embarrassingly — the shape you want for a
+    per-document filter over 100 TB."""
+    from ..functions.text import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = shingles(F.col("text"), 3, distinct=False)
+    rep = 1.0 - F.size(F.array_distinct(grams)) / F.size(grams)
+    return docs.select(
+        "doc_id",
+        F.round(rep, _R).alias("rep_3gram_frac"),
+        F.when(rep > 0.2, 1).otherwise(0).alias("flag_repetitive"),
+    )
+
+
+@query(
+    "boilerplate_lines",
+    oracle=r"""WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents
+),
+lines AS (
+  SELECT doc_id, trim(line) AS line
+  FROM (SELECT doc_id, unnest(string_split(text, '.')) AS line FROM corpus)
+  WHERE length(trim(line)) >= 20
+),
+freq AS (
+  SELECT line, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM lines GROUP BY 1
+)
+SELECT line, n_docs FROM freq
+WHERE n_docs >= 2
+ORDER BY n_docs DESC, line LIMIT 20""",
+)
+def boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection — the C4-style line-level
+    dedup signal: sentences appearing verbatim in many documents are
+    template/boilerplate, removed (or down-weighted) during curation.
+    The fixture corpus has no naturally shared sentences, so (like
+    exact_dedup_docs) a doubled corpus with shifted ids plays the
+    template-reuse scenario. One explode + one distinct-count aggregate
+    keyed by line content; at 100 TB the frequent-line table this emits
+    is the broadcast-able filter side for the removal pass."""
+    from ..session import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "text").unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    lines = (
+        fan_out(corpus)
+        .select("doc_id", F.explode(F.split(F.col("text"), r"\.")).alias("raw"))
+        .select("doc_id", F.trim(F.col("raw")).alias("line"))
+        .where(F.length("line") >= 20)
+    )
+    freq = lines.groupBy("line").agg(F.countDistinct("doc_id").alias("n_docs"))
+    return (
+        freq.where(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.asc("line"))
+        .limit(20)
+    )
