@@ -214,3 +214,59 @@ def run_medallion(spark: SparkSession, sf_dir: str, out_dir: str | None = None) 
         monthly.write.mode("overwrite").parquet(os.path.join(out_dir, "gold_monthly"))
     as_of = silver.agg(F.date_format(F.max("timestamp"), "yyyy-MM-dd").alias("d")).collect()[0]["d"]
     return serving_view(daily, monthly, as_of)
+
+
+def backfill_bronze_days(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    max_days: int = 7,
+    rate_limit_s: float = 0.0,
+    fetch_day=None,
+    sleep=None,
+) -> list[str]:
+    """S5 analog: the bounded, rate-limited historical backfill
+    (nws_api_fetcher_v2.py:79-119) as a day-partitioned bronze landing
+    loop. The reference walks per-day windows newest-first, caps the
+    horizon at 7 days, sleeps between requests and tolerates failed
+    windows (HTTP 400 -> skip); here each day window is fetched
+    (default: sliced from the events fixture — in production an HTTP
+    reader), written as one bronze day-partition, and failures skip the
+    day without aborting the backfill. Returns the list of day strings
+    actually landed.
+
+    The driver-side loop is ingestion orchestration, not a data-plane
+    operator: each iteration's WORK is a distributed write, the loop
+    just sequences bounded external requests (exactly why the reference
+    rate-limits). Re-running is idempotent — day partitions overwrite."""
+    import time as _time
+
+    ev = load_table(spark, sf_dir, "events")
+    days = [
+        r["d"]
+        for r in ev.select(F.to_date("ts").alias("d"))
+        .distinct()
+        .orderBy(F.desc("d"))
+        .limit(max_days)
+        .collect()
+    ]
+    sleep = sleep or _time.sleep
+    landed: list[str] = []
+    for i, day in enumerate(days):
+        if i and rate_limit_s:
+            sleep(rate_limit_s)
+        try:
+            batch = (
+                fetch_day(spark, sf_dir, day)
+                if fetch_day
+                else ev.where(F.to_date("ts") == F.lit(day))
+            )
+            (
+                batch.write.mode("overwrite").parquet(
+                    os.path.join(out_dir, f"day={day.isoformat()}")
+                )
+            )
+            landed.append(day.isoformat())
+        except Exception:
+            continue  # the reference tolerates a failed window (HTTP 400)
+    return landed

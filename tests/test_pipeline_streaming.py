@@ -181,3 +181,46 @@ def test_event_time_timeout_closes_sessions_once(spark, tmp_path):
     for u, emitted in real.items():
         assert len(emitted) == 1, f"user {u} emitted {len(emitted)} times"
         assert emitted[0]["n_events"] == expected[u]
+
+
+def test_backfill_bronze_days(spark, tmp_path):
+    """S5 semantics: newest-first, bounded horizon, rate-limited,
+    failed windows skipped without aborting."""
+    from end_to_end_database_pipeline_project_spark.pipeline.medallion import (
+        backfill_bronze_days,
+    )
+
+    out = str(tmp_path / "bronze")
+    sleeps = []
+
+    def fake_sleep(s):
+        sleeps.append(s)
+
+    calls = {"n": 0}
+
+    def flaky_fetch(spark_, sf_dir_, day):
+        calls["n"] += 1
+        if calls["n"] == 2:  # second-newest day fails like an HTTP 400
+            raise RuntimeError("400")
+        from end_to_end_database_pipeline_project_spark.sources.catalog import (
+            load_table,
+        )
+
+        ev = load_table(spark_, sf_dir_, "events")
+        return ev.where(F.to_date("ts") == F.lit(day))
+
+    landed = backfill_bronze_days(
+        spark, SF, out, max_days=3, rate_limit_s=0.3,
+        fetch_day=flaky_fetch, sleep=fake_sleep,
+    )
+    assert len(landed) == 2, landed            # 3 attempted, 1 skipped
+    assert sleeps == [0.3, 0.3]                # rate limit between windows
+    assert landed == sorted(landed, reverse=True)  # newest-first
+    total = spark.read.option("basePath", out).parquet(out).count()
+    import datetime
+
+    ev = load_table(spark, SF, "events")
+    expected = ev.where(
+        F.to_date("ts").cast("string").isin([d for d in landed])
+    ).count()
+    assert total == expected
