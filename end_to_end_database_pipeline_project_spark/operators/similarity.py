@@ -275,14 +275,18 @@ def srp_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    hamming_probe: int = 1,
 ) -> DataFrame:
     """LSH-bucketed ANN (the second scale path besides IVF): vectors
-    hash to 2^n_planes sign-pattern buckets; each query searches only
-    its own bucket. Unlike IVF there is no centroid fit — the hash
-    family is data-independent, so bucketing a 100 TB corpus is a
-    single stateless pass (and new data buckets without re-clustering);
-    the trade is less adaptive bucket balance. nprobe>1 = also search
-    buckets at Hamming distance 1 in the sign pattern."""
+    hash to 2^n_planes sign-pattern buckets; each query searches its
+    own bucket plus (``hamming_probe=1``, the default) every bucket one
+    sign-flip away — multi-probe recovers the neighbors that landed
+    just across a hyperplane for (1+n_planes)/2^n_planes of the corpus
+    scanned, the standard recall/cost dial of multi-probe LSH. Unlike
+    IVF there is no centroid fit — the hash family is
+    data-independent, so bucketing a 100 TB corpus is a single
+    stateless pass (and new data buckets without re-clustering); the
+    trade is less adaptive bucket balance."""
     from ..session import fan_out
 
     dim = len(corpus.select(vec_col).first()[0])
@@ -290,12 +294,20 @@ def srp_lsh_topk(
     assigned = fan_out(corpus).withColumn(
         "bucket", srp_bucket_expr(vec_col, planes)
     )
-    q = assigned.join(
-        queries.select(F.col(id_col).alias(id_col)), id_col, "left_semi"
-    ).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        F.col("bucket").alias("q_bucket"),
+    probe_masks = [0] + (
+        [1 << j for j in range(n_planes)] if hamming_probe >= 1 else []
+    )
+    q = (
+        assigned.join(
+            queries.select(F.col(id_col).alias(id_col)), id_col, "left_semi"
+        )
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.explode(
+                F.array(*[F.col("bucket").bitwiseXOR(m) for m in probe_masks])
+            ).alias("q_bucket"),
+        )
     )
     scored = (
         assigned.join(

@@ -646,8 +646,10 @@ _SRP_PLANES = SIM.srp_hyperplanes(6, 64)
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
 b AS (SELECT vec_id, v, ({_srp_bucket_sql(_SRP_PLANES)}) AS bucket FROM e),
-q AS (SELECT vec_id AS query_id, v AS qv, bucket AS q_bucket
-      FROM b WHERE vec_id < 10),
+q AS (SELECT vec_id AS query_id, v AS qv,
+             xor(bucket, m) AS q_bucket
+      FROM b CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8, 16, 32]) AS m)
+      WHERE vec_id < 10),
 scored AS (
   SELECT query_id, b.vec_id AS neighbor_id,
          list_cosine_similarity(qv, b.v) AS cos
@@ -661,15 +663,17 @@ FROM scored QUALIFY rank <= 3""",
 def srp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN via signed random projections: 6 fixed Gaussian
     hyperplanes hash every vector to a 64-bucket sign pattern; top-3
-    searched within the query's bucket only. Complements ivf_topk as
-    the second bucketed scale path — data-independent (no centroid
-    fit, new data buckets statelessly), which is what a continuously
-    ingesting 100 TB embedding store wants. The identical hyperplane
-    literals are inlined into the Spark plan and the oracle SQL, so
-    both engines compute the same buckets bit-for-bit."""
+    searched within the query's bucket plus its 6 Hamming-1 neighbors
+    (multi-probe — 7/64ths of the corpus scanned per query instead of
+    all of it). Complements ivf_topk as the second bucketed scale path
+    — data-independent (no centroid fit, new data buckets statelessly),
+    which is what a continuously ingesting 100 TB embedding store
+    wants. The identical hyperplane literals are inlined into the Spark
+    plan and the oracle SQL, so both engines compute the same buckets
+    bit-for-bit."""
     emb = _emb(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < 10)
-    return SIM.srp_lsh_topk(emb, queries, k=3, n_planes=6)
+    return SIM.srp_lsh_topk(emb, queries, k=3, n_planes=6, hamming_probe=1)
 
 
 @query(

@@ -106,3 +106,24 @@ def test_no_unpruned_wide_scans_in_headliners(spark):
     for name in HEADLINE:
         flags.extend(audit(spark, name))
     assert not flags, flags
+
+
+def test_partitioned_silver_read_prunes_partitions(spark, tmp_path):
+    # partition pruning: a date-filtered read of the date-partitioned
+    # silver table must show the filter under PartitionFilters (pruned
+    # at planning/AQE time — 100 TB of history, one day's files read)
+    from pyspark.sql import functions as F
+
+    from end_to_end_database_pipeline_project_spark.pipeline.medallion import (
+        build_bronze,
+        bronze_to_silver,
+        write_silver,
+    )
+
+    silver = bronze_to_silver(build_bronze(spark, SF))
+    out = str(tmp_path / "silver")
+    write_silver(silver, out)
+    day = spark.read.parquet(out).select(F.min("obs_date")).collect()[0][0]
+    filtered = spark.read.parquet(out).where(F.col("obs_date") == F.lit(day))
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(obs_date" in plan, plan
