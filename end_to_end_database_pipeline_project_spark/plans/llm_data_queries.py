@@ -902,3 +902,74 @@ def boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), F.asc("line"))
         .limit(20)
     )
+
+
+@query(
+    "curated_corpus_report",
+    oracle=r"""WITH scored AS (
+  SELECT doc_id, text, lang, n_chars,
+    (CASE WHEN length(text) >= 100 AND length(text) <= 20000 THEN 1.0
+          WHEN length(text) > 0 THEN 0.5 ELSE 0.0 END) * 0.4
+    + (1.0 - least(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0
+                   / length(text) * 5, 1.0)) * 0.3
+    + least(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+            w -> list_contains(['the','a','and','of','to','in','is','it'], w))) * 1.0
+            / len(string_split_regex(lower(trim(text)), '\s+')) * 4, 1.0) * 0.3
+      AS quality
+  FROM documents
+),
+kept AS (SELECT * FROM scored WHERE quality >= 0.5),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+      ORDER BY doc_id) AS rn
+    FROM kept
+  ) WHERE rn = 1
+),
+split AS (
+  SELECT lang, n_chars,
+         CASE WHEN strpos('0123456789abcdef',
+                          substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1 < 13
+              THEN 'train'
+              WHEN strpos('0123456789abcdef',
+                          substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1 = 13
+              THEN 'val' ELSE 'test' END AS split
+  FROM deduped
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM split GROUP BY 1""",
+)
+def curated_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone curation pipeline as ONE Spark plan: quality-score
+    filter (doc_quality_scores' blend) -> whitespace-normalized exact
+    dedup keeping the lowest id (doc_fingerprints' hash) -> content-
+    stable train/val/test split (deterministic_split's buckets) ->
+    per-split corpus report. Composing the operators in one DataFrame
+    chain means Catalyst fuses the filter+score into the scan pass and
+    the only shuffles are the dedup window and the final count — the
+    whole-corpus curation pass a 100 TB pipeline runs nightly, in three
+    exchanges total."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.where(TX.quality_score(F.col("text")) >= 0.5)
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    w = Window.partitionBy(fp).orderBy("doc_id")
+    deduped = kept.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 32, 1), 16, 10)
+        .cast("int")
+    )
+    split = F.when(bucket < 13, "train").when(bucket == 13, "val").otherwise("test")
+    return (
+        deduped.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
