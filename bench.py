@@ -45,6 +45,8 @@ HEADLINE = [
     "simhash_fingerprints",
     "knn_topk",
     "embedding_near_dup_pairs",
+    "bm25_retrieval",
+    "curated_corpus_report",
 ]
 
 
