@@ -135,6 +135,11 @@ def lsh_candidate_pairs(
     to ``bands`` rows per doc only for the (band, bucket) self-join.
     Each bucket of f docs emits f·(f-1)/2 pairs, but LSH bounds f to
     true-ish near-dups."""
+    if seeds % bands:
+        raise ValueError(
+            f"seeds ({seeds}) must divide evenly into bands ({bands}) — "
+            "trailing signature components would silently never bucket"
+        )
     rows_per_band = seeds // bands
     buckets = sigs.select(
         "doc_id",

@@ -804,7 +804,7 @@ def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     no SQL oracle — the search path over the fitted centroids is the
     oracle-checked ivf_topk/srp_lsh_topk machinery."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     emb = _emb(spark, sf_dir)
     vecs = emb.select(
@@ -918,7 +918,7 @@ def boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
       AS quality
   FROM documents
 ),
-kept AS (SELECT * FROM scored WHERE quality >= 0.5),
+kept AS (SELECT * FROM scored WHERE round(quality, 6) >= 0.5),
 deduped AS (
   SELECT * FROM (
     SELECT *, row_number() OVER (

@@ -174,7 +174,8 @@ def sql_interface_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "orc_roundtrip_orders",
     oracle="""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
-       round(sum(o_totalprice), 2) AS total_price
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS total_price
 FROM orders GROUP BY 1""",
 )
 def orc_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -191,5 +192,9 @@ def orc_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.orc(tmp)
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        # decimal accumulation like every money sum (the ~5e9 per-status
+        # sum is exactly where double summation-order noise bites)
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total_price"),
     )

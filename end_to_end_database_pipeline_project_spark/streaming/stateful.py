@@ -162,46 +162,56 @@ def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
     )
 
 
+_SESSION_GAP_MS = 30 * 60 * 1000
+
+
 def _session_expiry_fn(
     key: Tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    """Per-user open-session accumulator with event-time timeout: rows
-    accumulate into the open session; when the watermark passes the
-    session's last event + gap, the timeout fires (an invocation with
-    no input rows) and the CLOSED session is emitted exactly once."""
-    GAP_MS = 30 * 60 * 1000
-    if state.hasTimedOut:
-        n, total, first_ts, last_ts = state.get
-        state.remove()
-        yield pd.DataFrame(
+    """Per-user gap sessionization with event-time timeout. Input rows
+    (assumed time-ordered across batches, as a chronological landing
+    feed delivers them) are walked in timestamp order: a gap > GAP
+    CLOSES the current session and starts the next, so batch packing
+    does not change the output — sessions split identically whether the
+    two bursts share a micro-batch or not. The final open session stays
+    in state until the watermark passes last_ts + gap, then the timeout
+    fires (an invocation with no input rows) and it is emitted exactly
+    once."""
+
+    def emit(n, total, first_ts, last_ts):
+        return pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_events": [n],
                 "total_value": [total],
                 "session_start_ms": [first_ts],
-                "session_end_ms": [last_ts + GAP_MS],
+                "session_end_ms": [last_ts + _SESSION_GAP_MS],
             }
         )
+
+    if state.hasTimedOut:
+        n, total, first_ts, last_ts = state.get
+        state.remove()
+        yield emit(n, total, first_ts, last_ts)
         return
+
     n, total, first_ts, last_ts = state.get if state.exists else (0, 0.0, None, None)
+    rows = []
     for pdf in pdfs:
-        ts_ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
-        n += len(pdf)
-        total += float(pdf["value"].fillna(0.0).sum())
-        lo, hi = min(ts_ms), max(ts_ms)
-        first_ts = lo if first_ts is None else min(first_ts, lo)
-        last_ts = hi if last_ts is None else max(last_ts, hi)
+        ts_ms = pdf["ts"].astype("int64") // 1_000_000
+        vals = pdf["value"].fillna(0.0)
+        rows.extend(zip(ts_ms.tolist(), vals.tolist()))
+    rows.sort()
+    for ts, val in rows:
+        if last_ts is not None and ts - last_ts > _SESSION_GAP_MS:
+            yield emit(n, total, first_ts, last_ts)
+            n, total, first_ts = 0, 0.0, None
+        n += 1
+        total += float(val)
+        first_ts = ts if first_ts is None else first_ts
+        last_ts = ts
     state.update((n, total, first_ts, last_ts))
-    state.setTimeoutTimestamp(last_ts + GAP_MS)
-    yield pd.DataFrame(
-        {
-            "user_id": pd.Series([], dtype="int64"),
-            "n_events": pd.Series([], dtype="int64"),
-            "total_value": pd.Series([], dtype="float64"),
-            "session_start_ms": pd.Series([], dtype="int64"),
-            "session_end_ms": pd.Series([], dtype="int64"),
-        }
-    )
+    state.setTimeoutTimestamp(last_ts + _SESSION_GAP_MS)
 
 
 def stateful_sessions_with_timeout(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

@@ -123,66 +123,6 @@ def test_transform_with_state_gated_or_agrees(spark):
     assert out.count() > 0
 
 
-def test_event_time_timeout_closes_sessions_once(spark, tmp_path):
-    """EventTimeTimeout: a user's open session must be emitted exactly
-    once, when (and only when) the watermark passes last_event + gap —
-    and its state removed. Sentinel users push the watermark forward in
-    later micro-batches; the last sentinel's own session never closes
-    (nothing advances the watermark past it) and must not be emitted."""
-    import time as _time
-    import uuid as _uuid
-
-    from end_to_end_database_pipeline_project_spark.sources.catalog import load_table
-    from end_to_end_database_pipeline_project_spark.streaming.stateful import (
-        stateful_sessions_with_timeout,
-    )
-
-    ev = load_table(spark, SF, "events").select("ts", "user_id", "value")
-    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
-    from datetime import timedelta
-
-    src = str(tmp_path / "landing")
-    schema = "ts timestamp, user_id long, value double"
-    ev.coalesce(1).write.mode("append").parquet(src)
-    _time.sleep(1.1)
-    sent = [(hi + timedelta(hours=2), 999998, 1.0)]
-    spark.createDataFrame(sent, schema).coalesce(1).write.mode("append").parquet(src)
-    _time.sleep(1.1)
-    sent2 = [(hi + timedelta(hours=5), 999999, 1.0)]
-    spark.createDataFrame(sent2, schema).coalesce(1).write.mode("append").parquet(src)
-
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    out = stateful_sessions_with_timeout(stream, watermark="1 hour")
-    name = f"sessions_{_uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    rows = spark.table(name).collect()
-    by_user = {}
-    for r in rows:
-        by_user.setdefault(r["user_id"], []).append(r)
-    # every real user closed exactly once; the last sentinel never closed
-    expected = {
-        r["user_id"]: r["n"]
-        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    assert 999999 not in by_user, "un-expired session must not be emitted"
-    real = {u: v for u, v in by_user.items() if u < 999998}
-    assert set(real) == set(expected), (len(real), len(expected))
-    for u, emitted in real.items():
-        assert len(emitted) == 1, f"user {u} emitted {len(emitted)} times"
-        assert emitted[0]["n_events"] == expected[u]
-
-
 def test_backfill_bronze_days(spark, tmp_path):
     """S5 semantics: newest-first, bounded horizon, rate-limited,
     failed windows skipped without aborting."""
@@ -224,3 +164,66 @@ def test_backfill_bronze_days(spark, tmp_path):
         F.to_date("ts").cast("string").isin([d for d in landed])
     ).count()
     assert total == expected
+
+
+def test_event_time_timeout_sessionization_matches_session_window(spark, tmp_path):
+    """Gap sessionization via explicit state + EventTimeTimeout must
+    reproduce the built-in session_window's sessions exactly (same
+    per-user session count and sizes), with each session emitted once —
+    including splits WITHIN a micro-batch. Sentinel users push the
+    watermark so every real session expires; the last sentinel's own
+    session never closes and must not be emitted."""
+    import time as _time
+    import uuid as _uuid
+    from datetime import timedelta
+
+    from end_to_end_database_pipeline_project_spark.sources.catalog import load_table
+    from end_to_end_database_pipeline_project_spark.streaming.stateful import (
+        stateful_sessions_with_timeout,
+    )
+
+    ev = load_table(spark, SF, "events").select("ts", "user_id", "value")
+    hi = ev.agg(F.max("ts")).collect()[0][0]
+    src = str(tmp_path / "landing")
+    schema = "ts timestamp, user_id long, value double"
+    ev.coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)
+    for i, (dt, uid) in enumerate([(2, 999998), (5, 999999)]):
+        spark.createDataFrame(
+            [(hi + timedelta(hours=dt), uid, 1.0)], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        if i == 0:
+            _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stateful_sessions_with_timeout(stream, watermark="1 hour")
+    name = f"sessions_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    all_rows = spark.table(name).collect()
+    assert 999999 not in {r["user_id"] for r in all_rows}, (
+        "un-expired session must not be emitted"
+    )
+    got = [
+        (r["user_id"], r["n_events"]) for r in all_rows if r["user_id"] < 999998
+    ]
+    # ground truth: the built-in session window over the same events
+    expected = [
+        (r["user_id"], r["n_events"])
+        for r in ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("sw")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    ]
+    assert sorted(got) == sorted(expected), (len(got), len(expected))

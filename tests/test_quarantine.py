@@ -52,14 +52,18 @@ def test_permissive_json_source_quarantines_corrupt_records(spark, tmp_path):
     assert any("not json" in r["_corrupt_record"] for r in bad)
     assert any("not-a-number" in r["_corrupt_record"] for r in bad)
 
-    # FAILFAST is the strict alternative: same file must raise
+    # FAILFAST is the strict alternative: same file must raise, and the
+    # error must actually be the malformed-record failure
     import pytest
-    from pyspark.errors.exceptions.captured import SparkUpgradeException
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
 
     strict = (
         spark.read.schema("station_id string, temperature_c double")
         .option("mode", "FAILFAST")
         .json(str(p))
     )
-    with pytest.raises(Exception):
+    with pytest.raises(
+        (PySparkException, Py4JJavaError), match="MALFORMED_RECORD|FAILFAST|Malformed"
+    ):
         strict.collect()

@@ -37,14 +37,18 @@ SRC_SF = "/root/testdata/sf0.1"
 
 # key columns shifted per copy so the blowup preserves key cardinality
 # (a pure union would multiply duplicates-per-key by K instead of
-# growing the key space, distorting joins and dedup ops)
+# growing the key space, distorting joins and dedup ops). Columns that
+# reference the same key DOMAIN (orderkey appears in lineitem+orders,
+# custkey in orders+customer) must shift by the SAME span or copy>0
+# foreign keys dangle across copies — the span is computed per domain
+# over every member column, not per table.
 SHIFT_KEYS = {
-    "lineitem": ["l_orderkey"],
-    "orders": ["o_orderkey", "o_custkey"],
-    "customer": ["c_custkey"],
-    "events": ["event_id"],
-    "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
+    "lineitem": {"l_orderkey": "orderkey"},
+    "orders": {"o_orderkey": "orderkey", "o_custkey": "custkey"},
+    "customer": {"c_custkey": "custkey"},
+    "events": {"event_id": "eventid"},
+    "documents": {"doc_id": "docid"},
+    "embeddings": {"vec_id": "vecid"},
 }
 
 DEFAULT_QUERIES = [
@@ -61,18 +65,24 @@ DEFAULT_QUERIES = [
 
 
 def blow_up(spark, out_dir: str, k: int) -> dict[str, int]:
+    # one span per key domain = max over every column in that domain
+    domain_span: dict[str, int] = {}
+    for t, cols in SHIFT_KEYS.items():
+        src = load_table(spark, SRC_SF, t)
+        for col, domain in cols.items():
+            mx = src.agg(F.max(col)).collect()[0][0] + 1
+            domain_span[domain] = max(domain_span.get(domain, 0), mx)
     rows = {}
     for t in TABLES:
         src = load_table(spark, SRC_SF, t)
         if t in SHIFT_KEYS:
-            span = {
-                c: src.agg(F.max(c)).collect()[0][0] + 1 for c in SHIFT_KEYS[t]
-            }
             copies = []
             for i in range(k):
                 c = src
-                for col, width in span.items():
-                    c = c.withColumn(col, F.col(col) + F.lit(i * width))
+                for col, domain in SHIFT_KEYS[t].items():
+                    c = c.withColumn(
+                        col, F.col(col) + F.lit(i * domain_span[domain])
+                    )
                 copies.append(c)
             big = copies[0]
             for c in copies[1:]:
@@ -86,8 +96,12 @@ def blow_up(spark, out_dir: str, k: int) -> dict[str, int]:
 
 
 def main() -> None:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    names = [a for a in sys.argv[2:] if a != "--keep"] or DEFAULT_QUERIES
+    args = sys.argv[1:]
+    k = 8
+    if args and args[0].isdigit():
+        k = int(args[0])
+        args = args[1:]
+    names = [a for a in args if a != "--keep"] or DEFAULT_QUERIES
     keep = "--keep" in sys.argv
     spark = get_spark("stress")
     out_dir = tempfile.mkdtemp(prefix=f"stress_x{k}_")
