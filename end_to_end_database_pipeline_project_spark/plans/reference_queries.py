@@ -705,3 +705,30 @@ def monthly_value_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("avg_value") - prev, _R).alias("change_abs"),
         F.round(100.0 * (F.col("avg_value") - prev) / prev, _R).alias("change_pct"),
     )
+
+
+@query(
+    "latest_value_by_station",
+    oracle="""SELECT user_id,
+       max_by(value, ts ORDER BY ts, event_id) AS latest_value,
+       min_by(value, ts ORDER BY ts, event_id) AS earliest_value,
+       CAST(max(ts) AS TIMESTAMP) AS latest_ts
+FROM events
+WHERE value IS NOT NULL
+GROUP BY user_id""",
+)
+def latest_value_by_station(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 generalized: latest/earliest measure per station via the
+    max_by/min_by ordered-selection aggregates — one hash aggregate, no
+    window and no self-join (the classic argmax without the
+    row_number() shuffle-and-filter detour). Ties on ts broken by
+    event_id so both engines select the same row."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    # tie-break: pack (ts, event_id) into a struct ordering key so the
+    # argmax row is unique on both engines
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return ev.groupBy("user_id").agg(
+        F.max_by("value", key).alias("latest_value"),
+        F.min_by("value", key).alias("earliest_value"),
+        F.max("ts").alias("latest_ts"),
+    )
