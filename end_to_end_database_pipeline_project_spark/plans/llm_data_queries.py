@@ -722,28 +722,33 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     TERMS = ["data", "model", "learning"]
     K1, B = 1.2, 0.75
     docs = load_table(spark, sf_dir, "documents")
+    # token table materialized once (localCheckpoint; a persisted table
+    # at scale): it feeds both the doc-length aggregate and the tf pass
     toks = fan_out(docs).select(
         "doc_id",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    ).localCheckpoint()
+    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")).localCheckpoint()
+    # corpus stats stay IN the plan as a one-row broadcast (no driver
+    # round-trip): n_docs and avgdl ride a crossJoin into the scorer
+    stats = doclen.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
-    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    n_docs = docs.count()
-    avgdl = doclen.agg(
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl")
-    ).collect()[0][0]
     tf = (
         toks.where(F.col("term").isin(TERMS))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
     )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
-    idf = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     contrib = idf * (F.col("tf") * (K1 + 1)) / (
-        F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.lit(float(avgdl)))
+        F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))
     )
     scored = (
         tf.join(F.broadcast(df), "term")
         .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(F.sum(contrib).alias("score"))
     )
