@@ -978,3 +978,67 @@ def curated_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("lang").alias("n_langs"),
         )
     )
+
+
+@query(
+    "sequence_packing_report",
+    oracle=r"""WITH lens AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+placed AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS cum_before
+  FROM lens
+),
+seqs AS (
+  SELECT doc_id, n_tokens,
+         coalesce(cum_before, 0) // 512 AS seq_id,
+         (coalesce(cum_before, 0) + n_tokens - 1) // 512 AS end_seq
+  FROM placed
+)
+SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN end_seq > seq_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_straddling
+FROM seqs GROUP BY 1""",
+)
+def sequence_packing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining — the concat-and-chunk layout:
+    documents are concatenated in a deterministic order and chopped
+    into fixed 512-token training sequences; each doc's start offset is
+    the running token count before it, its sequence the offset div the
+    budget. One window cumsum over (tiny) per-doc lengths + one
+    aggregate. At 100 TB the global ORDER BY cumsum is the scale
+    hazard: production form computes per-partition subtotals first
+    (two-pass prefix sum) so no single reducer sees the full corpus —
+    same assignment, partition-parallel."""
+    from pyspark.sql import Window
+
+    BUDGET = 512
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select(
+        "doc_id", TX.word_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    placed = lens.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    seqs = placed.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("cum_before") / BUDGET).cast("long").alias("seq_id"),
+        ((F.col("cum_before") + F.col("n_tokens") - 1) / BUDGET)
+        .cast("long")
+        .alias("end_seq"),
+    )
+    return seqs.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum(F.when(F.col("end_seq") > F.col("seq_id"), 1).otherwise(0)).alias(
+            "n_straddling"
+        ),
+    )
