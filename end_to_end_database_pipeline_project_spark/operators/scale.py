@@ -147,3 +147,53 @@ def binned_range_join(
         .where((F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col)))
         .drop("__bin")
     )
+
+
+def distributed_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cum_before",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exclusive prefix sum over a global ordering WITHOUT a global
+    window — the two-pass scheme every sequence-packing / offset-
+    assignment job needs at scale.
+
+    A plain ``sum().over(Window.orderBy(...))`` with no PARTITION BY
+    collapses to a single partition (Spark literally warns): one
+    reducer streams the whole corpus. Instead:
+
+    1. range-partition by the order column (already sorted within
+       partitions);
+    2. per-partition subtotals (one tiny row each) -> driver-free
+       cumulative offsets via a window over the FEW subtotal rows;
+    3. broadcast-join offsets back, then a per-partition running sum
+       (window PARTITION BY the physical partition id — state bounded
+       per partition) plus the partition's offset.
+
+    Identical result to the global window (asserted in
+    tests/test_scale.py), wall-clock bounded by the largest partition,
+    not the corpus."""
+    from pyspark.sql import Window
+
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, F.col(order_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    subtotals = ranged.groupBy("__pid").agg(F.sum(value_col).alias("__psum"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = subtotals.withColumn(
+        "__offset", F.coalesce(F.sum("__psum").over(w_off), F.lit(0))
+    ).select("__pid", "__offset")
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ranged.withColumn("__local", F.coalesce(F.sum(value_col).over(w_local), F.lit(0)))
+        .join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, F.col("__local") + F.col("__offset"))
+        .drop("__pid", "__local", "__offset")
+    )

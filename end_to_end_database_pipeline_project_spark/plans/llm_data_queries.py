@@ -1011,22 +1011,20 @@ def sequence_packing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents are concatenated in a deterministic order and chopped
     into fixed 512-token training sequences; each doc's start offset is
     the running token count before it, its sequence the offset div the
-    budget. One window cumsum over (tiny) per-doc lengths + one
-    aggregate. At 100 TB the global ORDER BY cumsum is the scale
-    hazard: production form computes per-partition subtotals first
-    (two-pass prefix sum) so no single reducer sees the full corpus —
-    same assignment, partition-parallel."""
-    from pyspark.sql import Window
+    budget. The offset comes from operators.scale.distributed_prefix_sum
+    — the two-pass partition-parallel prefix sum (per-range-partition
+    subtotals, broadcast offsets, local running sums), NOT a
+    global-ORDER-BY window that would funnel the whole corpus through
+    one reducer. Values identical to the single-window oracle
+    (equality also asserted in tests/test_scale.py)."""
+    from ..operators.scale import distributed_prefix_sum
 
     BUDGET = 512
     docs = load_table(spark, sf_dir, "documents")
     lens = docs.select(
         "doc_id", TX.word_count(F.col("text")).cast("long").alias("n_tokens")
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
-    placed = lens.withColumn(
-        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    )
+    placed = distributed_prefix_sum(lens, "doc_id", "n_tokens")
     seqs = placed.select(
         "doc_id",
         "n_tokens",

@@ -120,3 +120,35 @@ def test_binned_range_join_is_hash_join_not_nested_loop(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan), plan
+
+
+def test_distributed_prefix_sum_equals_global_window(spark):
+    from pyspark.sql import Window
+
+    from end_to_end_database_pipeline_project_spark.operators.scale import (
+        distributed_prefix_sum,
+    )
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", F.length("text").alias("v")
+    )
+    two_pass = {
+        r["doc_id"]: r["cum_before"]
+        for r in distributed_prefix_sum(docs, "doc_id", "v", num_partitions=8).collect()
+    }
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    global_win = {
+        r["doc_id"]: r["cum"]
+        for r in docs.withColumn(
+            "cum", F.coalesce(F.sum("v").over(w), F.lit(0))
+        ).collect()
+    }
+    assert two_pass == global_win
+    # the full-data running sum must be partitioned by __pid (state per
+    # range partition); the only single-partition stage allowed is the
+    # n-row subtotal-offset window, which never sees row-level data
+    plan = (
+        distributed_prefix_sum(docs, "doc_id", "v", num_partitions=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "windowspecdefinition(__pid" in plan, plan
