@@ -142,3 +142,51 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.lateralJoin(SentenceSplit(F.col("text").outer()))
         .select("doc_id", "sentence_idx", "sentence_chars")
     )
+
+
+@query(
+    "grouped_map_zscores",
+    oracle="""WITH stats AS (
+  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+)
+SELECT e.event_id, e.event_type,
+       round((e.value - s.mu) / s.sigma, 6) AS z
+FROM events e JOIN stats s ON e.event_type = s.event_type
+WHERE e.value IS NOT NULL""",
+)
+def grouped_map_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map pandas UDF (``groupBy().applyInPandas``) — the
+    whole-group-in/whole-group-out form, completing the pandas API
+    surface (scalar, grouped-agg, map, cogrouped-map live elsewhere):
+    per-type z-score standardization, where the UDF sees each group as
+    ONE pandas DataFrame and returns the transformed frame. Per-group
+    feature standardization is the classic use — but note the same
+    semantics decompose into aggregate-then-broadcast-join (see
+    value_outlier_counts), which scales without holding a whole group
+    in one worker's memory; applyInPandas earns its keep when the
+    per-group logic genuinely needs the full group matrix (pandas/
+    sklearn transforms)."""
+    import numpy as np
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"].to_numpy()
+        mu = float(np.mean(v))
+        sigma = float(np.std(v, ddof=1))
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "z": np.round((v - mu) / sigma, 6),
+            }
+        )
+
+    from ..session import fan_out, ship_package
+
+    ship_package(spark)
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    return (
+        fan_out(ev.select("event_id", "event_type", "value"))
+        .groupBy("event_type")
+        .applyInPandas(zscore, schema="event_id long, event_type string, z double")
+    )
