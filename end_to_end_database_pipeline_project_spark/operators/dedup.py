@@ -47,18 +47,41 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def shingle_index(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
+def shingle_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
     """Inverted index: one row per (doc, distinct word-k-gram shingle).
 
     The source is fanned out to full parallelism first: the explode
     multiplies rows ~50x, so it must run on every core, not on however
-    few splits the (locally tiny) input file happens to have."""
+    few splits the (locally tiny) input file happens to have.
+
+    ``max_doc_freq`` drops *stop shingles* — shingles appearing in more
+    than that many documents — before any self-join consumer.  This is
+    the quadratic-blowup guard: a shingle shared by f docs emits
+    f·(f-1)/2 candidate pairs, so one boilerplate phrase in 1M docs is
+    5·10¹¹ pairs at 100 TB.  Heavy hitters are by definition few, so the
+    hot set is broadcast and removed with a map-side anti-join (no extra
+    shuffle of the index itself)."""
     from ..session import fan_out
 
-    return fan_out(df).select(
+    idx = fan_out(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(shingles(F.col(text_col), k)).alias("shingle"),
     )
+    if max_doc_freq is not None:
+        hot = (
+            idx.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_doc_freq)
+            .select("shingle")
+        )
+        idx = idx.join(F.broadcast(hot), "shingle", "left_anti")
+    return idx
 
 
 def ngram_jaccard_pairs(
@@ -67,6 +90,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.6,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted-index self-join.
 
@@ -77,8 +101,13 @@ def ngram_jaccard_pairs(
     The shingle index is materialized once (localCheckpoint — a
     persisted index table at scale): it feeds both self-join sides and
     the per-doc size aggregate, and re-exploding the text three times
-    costs more than the join itself."""
-    sh = shingle_index(df, text_col, id_col, k).localCheckpoint()
+    costs more than the join itself.
+
+    ``max_doc_freq`` applies the stop-shingle cap (see
+    :func:`shingle_index`); Jaccard is then computed over the capped
+    shingle sets on both the numerator and the sizes, which is the
+    standard stop-word-removed set similarity."""
+    sh = shingle_index(df, text_col, id_col, k, max_doc_freq).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -95,6 +124,58 @@ def ngram_jaccard_pairs(
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def jaccard_on_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard for an explicit candidate-pair list — the
+    verification stage that makes the inverted-index join scale-safe.
+
+    Instead of self-joining the full corpus index (quadratic in hot
+    shingles), only documents that appear in ``pairs`` are shingled and
+    joined, and the join is driven BY the pair list: pairs ⨝ shingles(a)
+    on doc_a, then ⨝ shingles(b) on (doc_b, shingle) — a composite-key
+    equi-join whose row count is Σ_pairs |A|, linear in the candidate
+    set.  With LSH upstream (`minhash_lsh_dedup`) the candidate set is
+    bounded per doc, so the whole fused pipeline is shuffle-bounded at
+    100 TB.  Pairs with zero surviving common shingles keep a row
+    (jaccard 0) via the left join."""
+    pairs = pairs.select("doc_a", "doc_b").localCheckpoint()
+    wanted = (
+        pairs.select(F.col("doc_a").alias(id_col))
+        .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    sub = df.join(wanted, id_col, "left_semi")
+    sh = shingle_index(sub, text_col, id_col, k, max_doc_freq).localCheckpoint()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        pairs.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    c = F.coalesce(F.col("c"), F.lit(0))
+    return (
+        pairs.join(common, ["doc_a", "doc_b"], "left")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (c / (F.col("na") + F.col("nb") - c)).alias("jaccard"),
+        )
     )
 
 

@@ -120,6 +120,53 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_lsh_dedup(docs, est_threshold=0.5)
 
 
+_STOP_SHINGLE_CAP = 32  # doc-frequency above this = boilerplate stop shingle
+
+
+@query(
+    "jaccard_on_lsh_survivors",
+    oracle=f"""WITH {_MINHASH_CTE},
+surv AS (
+  SELECT doc_a, doc_b
+  FROM cands
+  JOIN sigs sa ON sa.doc_id = doc_a
+  JOIN sigs sb ON sb.doc_id = doc_b AND sb.seed = sa.seed
+  GROUP BY doc_a, doc_b
+  HAVING avg(CASE WHEN sa.sig = sb.sig THEN 1.0 ELSE 0.0 END) >= 0.5
+),
+shc AS (
+  SELECT * FROM sh WHERE shingle NOT IN (
+    SELECT shingle FROM sh GROUP BY 1 HAVING count(*) > {_STOP_SHINGLE_CAP})
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
+common AS (
+  SELECT s.doc_a, s.doc_b, count(*) AS c
+  FROM surv s
+  JOIN shc a ON a.doc_id = s.doc_a
+  JOIN shc b ON b.doc_id = s.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT s.doc_a, s.doc_b,
+       round(coalesce(c, 0) * 1.0
+             / (sa.n + sb.n - coalesce(c, 0)), 6) AS jaccard
+FROM surv s
+LEFT JOIN common co ON co.doc_a = s.doc_a AND co.doc_b = s.doc_b
+JOIN sizes sa ON sa.doc_id = s.doc_a
+JOIN sizes sb ON sb.doc_id = s.doc_b""",
+)
+def jaccard_on_lsh_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-safe fused near-dup pipeline: MinHash+LSH bounds the
+    candidate set, then exact n-gram Jaccard verifies ONLY the survivor
+    pairs (with the stop-shingle cap killing boilerplate-driven
+    quadratic blowup).  This is the 100 TB replacement for running the
+    full-corpus inverted-index self-join (`ngram_jaccard_pairs`), whose
+    cost is unbounded in hot shingles."""
+    docs = load_table(spark, sf_dir, "documents")
+    survivors = DD.minhash_lsh_dedup(docs, est_threshold=0.5)
+    exact = DD.jaccard_on_pairs(docs, survivors, max_doc_freq=_STOP_SHINGLE_CAP)
+    return exact.select("doc_a", "doc_b", F.round("jaccard", _R).alias("jaccard"))
+
+
 _SIMHASH_CTE = f"""{_SHINGLE_CTE},
 hs AS (SELECT doc_id, md5(shingle) AS h FROM sh),
 bits AS (

@@ -626,16 +626,39 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_orders")  # HLL sketches differ per engine → rows-only
+@query(
+    "approx_distinct_orders",
+    oracle="""SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS orders_within_5pct,
+       TRUE AS parts_within_5pct
+FROM lineitem""",
+)
 def approx_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): the constant-memory
     distinct count for 100 TB — sketch merge instead of expand-shuffle.
-    Engine-specific sketch values, so no value oracle; the companion
-    exact query above anchors correctness."""
+
+    HLL sketch values are engine-specific, so the sketch estimate itself
+    can't hash-match DuckDB; instead the query emits the exact count
+    plus an in-query bounded-error assertion (|approx-exact|/exact <=
+    5%, the rsd requested of the sketch).  The oracle asserts the same
+    bound as a constant TRUE — a sketch drifting out of tolerance flips
+    the boolean and fails the value hash, making HLL hard-checkable."""
     (li,) = _t(spark, sf_dir, "lineitem")
-    return li.agg(
+    out = li.agg(
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
         F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
         F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+    )
+    within = lambda a, e: (  # noqa: E731
+        F.abs(F.col(a) - F.col(e)) / F.col(e) <= F.lit(0.05)
+    )
+    return out.select(
+        "exact_orders",
+        "exact_parts",
+        within("approx_orders", "exact_orders").alias("orders_within_5pct"),
+        within("approx_parts", "exact_parts").alias("parts_within_5pct"),
     )
 
 

@@ -50,6 +50,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # engine semantics are UTC (matches DuckDB's naive-UTC parquet reads);
     # pin it even on externally-supplied sessions (driver default session).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Fixtures may carry parquet TIMESTAMP(MICROS, isAdjustedToUTC=false),
+    # which Spark would infer as TIMESTAMP_NTZ — a type `unix_micros` and
+    # friends reject. Read it as an instant (engine time is UTC anyway).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     # ship this package to executor Python workers (pandas-UDF closures
     # are pickled by module reference)
     from ..session import ship_package
@@ -62,6 +66,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # double's 2^53 integer precision, so float division would
             # corrupt the microsecond value.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            # belt-and-suspenders for sessions where inferTimestampNTZ was
+            # resolved before our conf set: NTZ→instant is exact under the
+            # pinned UTC session timezone.
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

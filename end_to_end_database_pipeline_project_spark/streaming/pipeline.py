@@ -27,32 +27,49 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # raw TIMESTAMP(NANOS) as int64
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (explicit schema —
-    streaming sources never infer), nanos->micros normalized like the
-    batch loader."""
+    streaming sources never infer), ts normalized like the batch loader.
+
+    The fixture's physical ts type has varied across driver generations
+    — TIMESTAMP(NANOS) (readable only as raw int64 via ``nanosAsLong``)
+    vs TIMESTAMP(MICROS, isAdjustedToUTC=false) — so probe the footer
+    with a zero-row batch read and pick the matching streaming schema
+    instead of hardcoding one."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    probed = (
+        spark.read.option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .schema["ts"]
+        .dataType
+    )
     # file streaming sources require a directory basePath; select just
     # the events file out of the fixture dir with a glob filter
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema(probed))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(probed, T.LongType):  # TIMESTAMP(NANOS) as raw int64
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif not isinstance(probed, T.TimestampType):
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def hourly_windowed_agg(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -23,8 +23,13 @@ def test_rollup_scan_is_pruned_and_pushed(spark):
     plan = _plan(spark, "daily_weather_rollup")
     # the not-null measure filter reaches the parquet reader...
     assert "PushedFilters: [IsNotNull(value)]" in plan
-    # ...and the scan reads only the two referenced columns
-    assert "ReadSchema: struct<ts:bigint,value:double>" in plan
+    # ...and the scan reads only the two referenced columns (ts's
+    # physical type varies by fixture generation: raw-nanos bigint vs
+    # micros timestamp — pruning is what's asserted, not the type)
+    assert (
+        "ReadSchema: struct<ts:bigint,value:double>" in plan
+        or "ReadSchema: struct<ts:timestamp,value:double>" in plan
+    )
 
 
 def test_rollup_has_partial_aggregation(spark):
