@@ -2,11 +2,15 @@
 
 Images/audio/video are opaque ``binary`` columns plus a typed metadata
 struct; decode/feature-extraction runs as Arrow-batched pandas
-iterators over ``mapInPandas``. The decode kernels themselves are
-STUBBED (no image/audio libs in this container — each stub documents the
-real library call and raises ``NotImplementedError`` for formats it
-can't fake), but the Spark-side plumbing — schema, batch iteration,
-partitioning, UDF signature — is real and tested.
+iterators over ``mapInPandas``.
+
+One real binary modality is fully implemented: **BMP images** (24-bit
+uncompressed), whose header+pixel layout needs no external libraries —
+``encode_bmp``/``decode_bmp`` below are a complete pure-Python codec
+(magic, DIB header, 4-byte row stride), so the binary path is exercised
+with genuine non-text bytes end-to-end. Codecs that DO need native
+libraries (JPEG/PNG via PIL, audio via soundfile, video via av) remain
+stubs that document the real call and raise ``NotImplementedError``.
 
 At scale: binary payloads ride the columnar format untouched (parquet
 keeps them page-compressed); feature extraction is embarrassingly
@@ -18,12 +22,14 @@ smaller row-group targets so a task's batch fits executor memory.
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 FEATURE_SCHEMA = (
     "doc_id long, byte_len long, content_md5 string, modality string"
@@ -46,21 +52,129 @@ def to_binary_column(
 
 
 def decode_stub(content: bytes, mime_type: str) -> dict:
-    """STUB decode kernel. Real implementation would be e.g.
-    ``PIL.Image.open(io.BytesIO(content))`` for images or
-    ``soundfile.read`` for audio; neither library ships in this
-    container. Deterministic fake for text payloads; anything else is
-    explicitly unimplemented."""
+    """Decode kernel dispatch. text and image/bmp are real decoders;
+    formats needing native media libraries (JPEG/PNG via
+    ``PIL.Image.open``, audio via ``soundfile.read``, video via ``av``)
+    are explicitly unimplemented — none of those libraries ships in
+    this container."""
     if mime_type == "text/plain":
         return {
             "byte_len": len(content),
             "content_md5": hashlib.md5(content).hexdigest(),
             "modality": "text",
         }
+    if mime_type == "image/bmp":
+        decode_bmp(content)  # validates magic/header/stride
+        return {
+            "byte_len": len(content),
+            "content_md5": hashlib.md5(content).hexdigest(),
+            "modality": "image",
+        }
     raise NotImplementedError(
         f"decode for {mime_type!r} requires the real media libraries "
         "(PIL/soundfile/av) — not available in this environment"
     )
+
+
+# ------------------------------------------------------------ BMP codec
+#
+# A complete 24-bit uncompressed BMP (BITMAPINFOHEADER) implementation:
+# 14-byte file header, 40-byte DIB header, bottom-up pixel rows padded
+# to a 4-byte stride. Pure Python by design — it proves the binary
+# column path on real image bytes without native dependencies.
+
+_BMP_HEADER_LEN = 14 + 40
+
+
+def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
+    """Pack raw BGR pixel bytes (len == 3*width*height, row-major) into
+    a well-formed 24-bit BMP file."""
+    row_bytes = width * 3
+    if len(pixels) != row_bytes * height:
+        raise ValueError("pixels must be exactly 3*width*height bytes")
+    pad = (-row_bytes) % 4
+    rows = b"".join(
+        pixels[r * row_bytes : (r + 1) * row_bytes] + b"\x00" * pad
+        for r in range(height)
+    )
+    header = struct.pack(
+        "<2sIHHI", b"BM", _BMP_HEADER_LEN + len(rows), 0, 0, _BMP_HEADER_LEN
+    )
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(rows), 2835, 2835, 0, 0
+    )
+    return header + dib + rows
+
+
+def decode_bmp(content: bytes) -> dict:
+    """Parse a 24-bit BMP: validate magic + header, walk the padded
+    rows, and return width/height/bpp plus the pixel-byte sum (a
+    deterministic whole-image statistic — the mean-brightness analog)."""
+    if content[:2] != b"BM":
+        raise ValueError("not a BMP: missing 'BM' magic")
+    pixel_offset = struct.unpack_from("<I", content, 10)[0]
+    _dib_size, width, height, _planes, bpp = struct.unpack_from("<IiiHH", content, 14)
+    if bpp != 24:
+        raise NotImplementedError(f"only 24-bit BMP supported, got bpp={bpp}")
+    row_bytes = width * 3
+    stride = (row_bytes + 3) // 4 * 4
+    n_rows = abs(height)
+    total = 0
+    for r in range(n_rows):
+        row = content[pixel_offset + r * stride : pixel_offset + r * stride + row_bytes]
+        if len(row) != row_bytes:
+            raise ValueError(f"truncated pixel row {r}")
+        total += sum(row)
+    return {"width": width, "height": n_rows, "bpp": bpp, "pixel_sum": total}
+
+
+def text_to_bmp_column(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesize a real BMP image column deterministically from text:
+    dimensions derive from the char length, pixel bytes cycle the md5
+    digest of the content. Every byte downstream is a genuine BMP file
+    (magic, DIB header, row padding), so the decode kernel exercises
+    actual image parsing — and the construction is reproducible in ANSI
+    SQL, keeping the oracle exact."""
+
+    @F.pandas_udf(T.BinaryType())
+    def make_bmp(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            w = 4 + len(t) % 13
+            h = 3 + len(t) % 7
+            n = 3 * w * h
+            digest = hashlib.md5(t.encode("utf-8")).digest()
+            pixels = (digest * (n // 16 + 1))[:n]
+            out.append(encode_bmp(w, h, pixels))
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        make_bmp(F.col(text_col)).alias("content"),
+        F.lit("image/bmp").alias("mime_type"),
+    )
+
+
+BMP_FEATURE_SCHEMA = (
+    "doc_id long, width int, height int, bpp int, pixel_sum long"
+)
+
+
+def extract_bmp_features(assets: DataFrame) -> DataFrame:
+    """Arrow-batched BMP feature extraction (image metadata + pixel-sum
+    statistic) — same mapInPandas shape as ``extract_features`` but over
+    real image bytes."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_bmp(bytes(c)) for c in pdf["content"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+            yield out[["doc_id", "width", "height", "bpp", "pixel_sum"]]
+
+    return assets.mapInPandas(kernel, schema=BMP_FEATURE_SCHEMA)
 
 
 def extract_features(assets: DataFrame) -> DataFrame:

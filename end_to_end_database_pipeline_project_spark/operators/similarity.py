@@ -105,20 +105,39 @@ def ivf_topk(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF-style ANN: search only within the query's own cluster.
+    """IVF-style ANN: search within the query's top-``nprobe`` clusters.
 
-    Approximate (recall < 1 when true neighbors fall across the cluster
-    boundary) but the scan per query drops from |corpus| to
-    |corpus|/n_clusters. nprobe>1 = relax the cluster equality to the
-    top-n clusters of the query."""
+    Approximate (recall < 1 when true neighbors fall across a cluster
+    boundary); the per-query scan cost is nprobe·|corpus|/n_clusters.
+    ``nprobe`` is the standard recall/cost dial: each extra probed
+    cluster recovers the neighbors that sorted just across the Voronoi
+    boundary.  Each corpus vector lives in exactly one cluster and the
+    probed clusters are distinct, so no (query, neighbor) pair is scored
+    twice — no dedup pass needed.  nprobe=1 reduces to searching the
+    query's own cluster (the query ranks its own centroid first)."""
     assigned = assign_clusters(corpus, centroids, id_col, vec_col)
-    q = assigned.join(
-        queries.select(F.col(id_col).alias("vec_id")), "vec_id", "left_semi"
-    ).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_vec"),
-        F.col("cluster_id").alias("q_cluster"),
+    cent = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
+    )
+    qv = corpus.join(
+        queries.select(F.col(id_col).alias(id_col)), id_col, "left_semi"
+    ).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("cent_cos"), F.asc("centroid_id")
+    )
+    q = (
+        qv.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "q_vec",
+            "centroid_id",
+            cosine(F.col("q_vec"), F.col("cent_vec")).alias("cent_cos"),
+        )
+        .withColumn("rn", F.row_number().over(probe_w))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", "q_vec", F.col("centroid_id").alias("q_cluster"))
     )
     scored = (
         assigned.join(

@@ -23,7 +23,12 @@ from ..pipeline.medallion import (
 )
 from ..session import ship_package
 from ..sources.catalog import load_table
-from ..streaming.pipeline import run_hourly_stream_available_now, run_stream_to_table, stream_events
+from ..streaming.pipeline import (
+    run_hourly_stream_available_now,
+    run_stream_to_table,
+    stream_events,
+    stream_stream_interval_join,
+)
 from ..streaming.stateful import (
     session_window_agg,
     sliding_window_agg,
@@ -58,6 +63,30 @@ def streaming_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("min_value", _R).alias("min_value"),
         "observation_count",
     )
+
+
+@query(
+    "stream_stream_join",
+    oracle="""SELECT a.user_id, a.event_id AS purchase_id, b.event_id AS click_id,
+       CAST(a.ts AS TIMESTAMP) AS purchase_ts,
+       CAST(b.ts AS TIMESTAMP) AS click_ts
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'purchase' AND b.event_type = 'click'
+ AND b.ts BETWEEN a.ts - INTERVAL 30 MINUTE AND a.ts""",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5: stream-stream interval join (purchase↔click attribution
+    within 30 minutes), watermarks on BOTH sides bounding the join
+    state, run to completion over the static fixture — batch
+    equivalence against the plain SQL interval join is the oracle.
+    Cross-micro-batch state buffering is proven separately in
+    tests/test_stream_stream_join.py."""
+    left = stream_events(spark, sf_dir)
+    right = stream_events(spark, sf_dir)
+    joined = stream_stream_interval_join(left, right, interval="30 minutes")
+    return run_stream_to_table(joined, "append", "stream_join")
 
 
 @query(

@@ -139,3 +139,58 @@ def run_hourly_stream_available_now(spark: SparkSession, sf_dir: str) -> DataFra
     return run_stream_to_table(
         hourly_windowed_agg(stream_events(spark, sf_dir)), "complete", "stream_hourly"
     )
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    interval: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner interval join: purchases matched to the same
+    user's clicks in the preceding ``interval``.
+
+    Both sides carry watermarks, which is what lets Spark BOUND the join
+    state: a buffered click can be dropped once the watermark passes
+    click_ts + interval (no purchase arriving later can match it), so
+    steady-state memory is O(events within watermark), not O(stream).
+    Inner-join matches emit as soon as both sides arrive — append mode
+    needs no window close.
+
+    ``left``/``right`` are streaming event frames (event_id, ts,
+    user_id, event_type, ...); attribution = each purchase joined to
+    every click of the same user within [purchase_ts - interval,
+    purchase_ts]."""
+    p = (
+        left.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    c = (
+        right.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    joined = p.join(
+        c,
+        F.expr(
+            "p_user = c_user AND "
+            f"click_ts BETWEEN purchase_ts - interval {interval} "
+            "AND purchase_ts"
+        ),
+    )
+    return joined.select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        "purchase_ts",
+        "click_ts",
+    )

@@ -53,3 +53,24 @@ def test_ivf_and_srp_recall_against_exact(spark):
     assert r_srp >= 0.2, f"SRP-LSH recall collapsed: {r_srp}"
     # and every query must at least get SOME candidates back
     assert set(exact) == set(ivf) == set(srp)
+
+
+def test_ivf_multiprobe_recall_is_monotone(spark):
+    """nprobe is the recall dial: each extra probed cluster may only add
+    scanned corpus, so recall@k must be non-decreasing in nprobe (and
+    printed so the measured lift is visible in the test log)."""
+    emb = _emb(spark)
+    queries = emb.where(F.col("vec_id") < 10)
+    centroids = emb.where(F.col("vec_id") < 8)
+    exact = _topk_sets(SIM.brute_force_topk(emb, queries, k=3))
+
+    recalls = {}
+    for nprobe in (1, 2, 4):
+        approx = _topk_sets(
+            SIM.ivf_topk(emb, centroids, queries, k=3, nprobe=nprobe)
+        )
+        recalls[nprobe] = _recall(approx, exact)
+    print(f"IVF recall@3 by nprobe: {recalls}")
+    assert recalls[1] <= recalls[2] <= recalls[4], recalls
+    # with half the clusters probed, most true neighbors must be found
+    assert recalls[4] >= 0.5, recalls

@@ -1,0 +1,61 @@
+"""Pure-Python BMP codec: the real binary modality behind
+multimodal_bmp_decode (no Spark needed — the Spark plumbing is covered
+by the oracle-parity gate)."""
+
+import struct
+
+import pytest
+
+from end_to_end_database_pipeline_project_spark.operators.multimodal import (
+    decode_bmp,
+    decode_stub,
+    encode_bmp,
+)
+
+
+def test_roundtrip_unpadded_width():
+    # width 4 -> row_bytes 12, stride 12 (no padding)
+    pixels = bytes(range(4 * 3 * 2))
+    bmp = encode_bmp(4, 2, pixels)
+    out = decode_bmp(bmp)
+    assert out == {
+        "width": 4,
+        "height": 2,
+        "bpp": 24,
+        "pixel_sum": sum(pixels),
+    }
+
+
+def test_roundtrip_padded_width():
+    # width 5 -> row_bytes 15, stride 16: padding must NOT enter the sum
+    pixels = bytes([255] * (5 * 3 * 3))
+    bmp = encode_bmp(5, 3, pixels)
+    out = decode_bmp(bmp)
+    assert out["pixel_sum"] == 255 * 5 * 3 * 3
+    # stride really is 16: file is header + 3 rows of 16
+    assert len(bmp) == 54 + 3 * 16
+
+
+def test_header_fields_are_spec_conformant():
+    bmp = encode_bmp(3, 1, bytes(9))
+    assert bmp[:2] == b"BM"
+    assert struct.unpack_from("<I", bmp, 2)[0] == len(bmp)  # file size
+    assert struct.unpack_from("<I", bmp, 10)[0] == 54  # pixel offset
+    assert struct.unpack_from("<I", bmp, 14)[0] == 40  # DIB header size
+
+
+def test_rejects_non_bmp_and_truncation():
+    with pytest.raises(ValueError, match="magic"):
+        decode_bmp(b"PNG....")
+    bmp = encode_bmp(4, 2, bytes(24))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp(bmp[:-5])
+
+
+def test_decode_stub_dispatches_bmp():
+    bmp = encode_bmp(4, 1, bytes(12))
+    feats = decode_stub(bmp, "image/bmp")
+    assert feats["modality"] == "image"
+    assert feats["byte_len"] == len(bmp)
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"\xff\xd8\xff", "image/jpeg")
