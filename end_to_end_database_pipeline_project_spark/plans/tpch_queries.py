@@ -2,11 +2,11 @@
 generalization targets; Q1/Q3/Q4/Q5/Q10/Q14 live in relational_queries).
 
 The fixture schema is TPC-H-lite — no partsupp table and no
-commitdate/receiptdate/phone/container columns — so Q2/Q11/Q12/Q15/Q16/
+commitdate/receiptdate/phone/container columns — so Q2/Q11/Q12/Q16/
 Q20/Q21 are out of schema scope and the rest are adapted to the columns
-that exist, preserving each query's *shape* (the join topology, the
-subquery class, the aggregation pattern), which is what exercises the
-planner. Scale discipline matches the rest of the repo: selective
+that exist (Q15 projects name only — supplier has no address/phone),
+preserving each query's *shape* (the join topology, the subquery class,
+the aggregation pattern), which is what exercises the planner. Scale discipline matches the rest of the repo: selective
 predicates pushed to scans, dimensions broadcast, fact-fact joins
 merge-joined on their shuffle key, facts never broadcast.
 """
@@ -438,5 +438,51 @@ def dormant_high_balance_customers(spark: SparkSession, sf_dir: str) -> DataFram
             F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
             .cast("double")
             .alias("totacctbal"),
+        )
+    )
+
+
+@query(
+    "top_supplier_revenue",
+    oracle=f"""WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum({DEC_REV_SQL}) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(round(r.total_revenue, 2) AS DOUBLE) AS total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)""",
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the view-then-argmax pattern — per-supplier
+    revenue over a 3-month shipdate window, then the supplier(s) whose
+    revenue equals the maximum. The revenue 'view' is computed once
+    and reused for both the argmax scalar and the final join (decimal
+    exact, so the equality cannot miss on float noise); the scalar max
+    rides a one-row broadcast crossJoin, never a driver round-trip,
+    and the supplier dimension is broadcast onto the aggregated (tiny)
+    revenue side."""
+    li, supp = _t(spark, sf_dir, "lineitem", "supplier")
+    revenue = (
+        li.where(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1997-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(dec_rev()).alias("dec_total"))
+        .localCheckpoint()  # the 'view': feeds the argmax and the join
+    )
+    mx = revenue.agg(F.max("dec_total").alias("mx"))
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .where(F.col("dec_total") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("dec_total", 2).cast("double").alias("total_revenue"),
         )
     )

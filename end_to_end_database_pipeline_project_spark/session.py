@@ -96,6 +96,16 @@ def fan_out(df, min_partitions: int | None = None):
     only ever moves small inputs."""
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # prefer the metadata-only file count over df.rdd.getNumPartitions():
+    # the .rdd probe converts the plan to RDD lineage on every call
+    # (driver-side analysis cost, no job), while inputFiles() reads the
+    # already-resolved scan relation. File count lower-bounds split
+    # count, so the only error mode is an unneeded repartition of a
+    # few-files source — exactly the small-input case the shuffle is
+    # cheap for. Non-scan frames (no input files) fall back to the probe.
+    n_splits = len(df.inputFiles())
+    if n_splits == 0:
+        n_splits = df.rdd.getNumPartitions()
+    if n_splits < target:
         return df.repartition(target)
     return df
