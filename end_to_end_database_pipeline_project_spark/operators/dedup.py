@@ -305,6 +305,67 @@ def minhash_lsh_dedup(
     return est.where(F.col("est_jaccard") >= est_threshold)
 
 
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph by iterative
+    min-label propagation: every node starts labeled with its own id;
+    each round, a node adopts the minimum label among itself and its
+    neighbors; fixpoint = components labeled by their minimum member.
+
+    This is THE missing primitive between pair emission and actual
+    dedup: LSH/Jaccard emit *pairs*, but "keep one copy" needs the
+    transitive closure (A~B, B~C => drop two of three even though A,C
+    never paired). Near-dup graphs are dense clique-ish clusters, so
+    the iteration count is the cluster diameter — almost always <= 3 —
+    and each round is one shuffle (edge join) + one aggregate, all
+    hash-partitioned on node id. Labels are localCheckpoint'd per round
+    to truncate the growing lineage (the classic iterative-algorithm
+    discipline; a persisted table at 100 TB), and the loop exits early
+    on the first round with zero label changes — the convergence probe
+    is a count() on the changed set, O(1) result per round.
+
+    Returns (doc_id, component_id); singleton nodes keep their own id.
+    """
+    sym = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    sym = sym.localCheckpoint()  # reused every round; stop re-deriving pairs
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("comp")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new = (
+            labels.alias("l")
+            .join(nbr.alias("n"), F.col("l.node") == F.col("n.src"), "left")
+            .select(
+                F.col("l.node").alias("node"),
+                F.least(
+                    F.col("l.comp"), F.coalesce(F.col("n.nbr_comp"), F.col("l.comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("a")
+            .join(labels.alias("b"), F.col("a.node") == F.col("b.node"))
+            .where(F.col("a.comp") != F.col("b.comp"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("comp").alias("component_id"))
+
+
 def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
     """16-bit SimHash fingerprint per document.
 

@@ -167,6 +167,84 @@ def jaccard_on_lsh_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.select("doc_a", "doc_b", F.round("jaccard", _R).alias("jaccard"))
 
 
+_LSH_SURV_CTE = f"""{_MINHASH_CTE},
+surv AS (
+  SELECT doc_a, doc_b
+  FROM cands
+  JOIN sigs sa ON sa.doc_id = doc_a
+  JOIN sigs sb ON sb.doc_id = doc_b AND sb.seed = sa.seed
+  GROUP BY doc_a, doc_b
+  HAVING avg(CASE WHEN sa.sig = sb.sig THEN 1.0 ELSE 0.0 END) >= 0.5
+)"""
+
+_COMPONENTS_CTE = f"""{_LSH_SURV_CTE},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM surv
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM surv
+),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+),
+comp AS (
+  SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS component_id
+  FROM reach GROUP BY 1
+)"""
+
+
+@query(
+    "neardup_components",
+    oracle=f"""WITH RECURSIVE {_COMPONENTS_CTE}
+SELECT doc_id, component_id FROM comp""",
+)
+def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: connected components (iterative
+    min-label propagation, one shuffle per round, early-exit at
+    fixpoint) over the MinHash+LSH survivor pair graph. Pairs alone
+    can't dedup — A~B, B~C must collapse to one representative even
+    though A,C never paired — so this is the step that turns pair
+    emission into actual corpus dedup. The oracle reproduces the
+    closure with a recursive CTE over the identical edge set."""
+    docs = load_table(spark, sf_dir, "documents")
+    survivors = DD.minhash_lsh_dedup(docs, est_threshold=0.5)
+    return DD.connected_components(docs, survivors)
+
+
+@query(
+    "neardup_dedup_retention",
+    oracle=f"""WITH RECURSIVE {_COMPONENTS_CTE}
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN c.component_id = d.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       round(sum(CASE WHEN c.component_id = d.doc_id THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS retention
+FROM documents d JOIN comp c ON c.doc_id = d.doc_id
+GROUP BY 1""",
+)
+def neardup_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup decision applied: keep one representative per near-dup
+    component (the minimum doc_id), report per-source retention — the
+    per-mixture-source survival statistics a curation run publishes.
+    One extra broadcast-joinable aggregate on top of
+    `neardup_components`."""
+    docs = load_table(spark, sf_dir, "documents")
+    survivors = DD.minhash_lsh_dedup(docs, est_threshold=0.5)
+    comp = DD.connected_components(docs, survivors)
+    kept = F.when(F.col("component_id") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        docs.join(comp, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept).cast("long").alias("n_kept"),
+            F.round(F.sum(kept) / F.count(F.lit(1)), _R).alias("retention"),
+        )
+    )
+
+
 _SIMHASH_CTE = f"""{_SHINGLE_CTE},
 hs AS (SELECT doc_id, md5(shingle) AS h FROM sh),
 bits AS (

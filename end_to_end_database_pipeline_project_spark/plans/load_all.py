@@ -80,6 +80,8 @@ _DRIVER_FIRST = [
     # near-dup / dedup beyond the two already-green ones
     "minhash_lsh_pairs",
     "jaccard_on_lsh_survivors",
+    "neardup_components",
+    "neardup_dedup_retention",
     "simhash_fingerprints",
     # text analysis
     "doc_text_stats",
@@ -115,11 +117,11 @@ _DRIVER_FIRST = [
     "medallion_serving",
     "asof_last_purchase",
     "gold_partition_refresh",
-    # sources / sinks
+    # sources / sinks (orc variant follows the window; csv+json+ddl cover
+    # the family)
     "json_source_stations",
     "csv_roundtrip_pricing",
     "sql_ddl_pipeline",
-    "orc_roundtrip_orders",
     # scale operators
     "salted_event_stats",
     "salted_nation_join",
@@ -137,7 +139,6 @@ _DRIVER_FIRST = [
     "volume_shipping",
     "market_share",
     "product_profit_by_nation",
-    "customer_order_distribution",
 ]
 
 
