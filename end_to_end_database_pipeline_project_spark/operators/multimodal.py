@@ -70,6 +70,13 @@ def decode_stub(content: bytes, mime_type: str) -> dict:
             "content_md5": hashlib.md5(content).hexdigest(),
             "modality": "image",
         }
+    if mime_type == "audio/wav":
+        decode_wav(content)  # validates RIFF chunks
+        return {
+            "byte_len": len(content),
+            "content_md5": hashlib.md5(content).hexdigest(),
+            "modality": "audio",
+        }
     raise NotImplementedError(
         f"decode for {mime_type!r} requires the real media libraries "
         "(PIL/soundfile/av) — not available in this environment"
@@ -155,6 +162,105 @@ def text_to_bmp_column(
         make_bmp(F.col(text_col)).alias("content"),
         F.lit("image/bmp").alias("mime_type"),
     )
+
+
+# ------------------------------------------------------------ WAV codec
+#
+# A complete PCM16 mono WAV (RIFF) implementation — the audio twin of
+# the BMP codec: RIFF/WAVE header, fmt chunk, data chunk, little-endian
+# signed 16-bit samples. Pure Python, chunk-walking decode (tolerates
+# extra chunks between fmt and data, as real encoders emit).
+
+
+def encode_wav(sample_rate: int, samples: bytes) -> bytes:
+    """Pack raw little-endian PCM16 mono sample bytes into a WAV file."""
+    if len(samples) % 2:
+        raise ValueError("PCM16 samples must be an even number of bytes")
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(samples)) + samples
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(content: bytes) -> dict:
+    """Parse a PCM16 mono WAV by walking RIFF chunks: validate magic,
+    read the fmt chunk, then sum |sample| over the data chunk — the
+    whole-clip energy statistic (loudness analog)."""
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a WAV: missing RIFF/WAVE magic")
+    pos, sample_rate, bits, energy, n_samples = 12, None, None, 0, 0
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        clen = struct.unpack_from("<I", content, pos + 4)[0]
+        data = content[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            _fmt, channels, sample_rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", data, 0
+            )
+            if _fmt != 1 or channels != 1 or bits != 16:
+                raise NotImplementedError("only PCM16 mono supported")
+        elif cid == b"data":
+            if sample_rate is None:
+                raise ValueError("data chunk before fmt chunk")
+            if len(data) != clen:
+                raise ValueError("truncated data chunk")
+            n_samples = clen // 2
+            for i in range(n_samples):
+                (v,) = struct.unpack_from("<h", data, 2 * i)
+                energy += abs(v)
+        pos += 8 + clen + (clen % 2)  # RIFF chunks pad to even
+    return {
+        "sample_rate": sample_rate,
+        "n_samples": n_samples,
+        "abs_amplitude_sum": energy,
+    }
+
+
+def text_to_wav_column(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesize a real WAV audio column deterministically from text:
+    sample count and rate derive from the char length, PCM16 samples
+    cycle the md5 digest bytes. Genuine RIFF bytes downstream, and the
+    construction is reproducible in ANSI SQL for the oracle."""
+
+    @F.pandas_udf(T.BinaryType())
+    def make_wav(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            n = 64 + len(t) % 57
+            rate = 8000 + 1000 * (len(t) % 5)
+            digest = hashlib.md5(t.encode("utf-8")).digest()
+            samples = (digest * (2 * n // 16 + 1))[: 2 * n]
+            out.append(encode_wav(rate, samples))
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        make_wav(F.col(text_col)).alias("content"),
+        F.lit("audio/wav").alias("mime_type"),
+    )
+
+
+WAV_FEATURE_SCHEMA = (
+    "doc_id long, sample_rate int, n_samples int, abs_amplitude_sum long"
+)
+
+
+def extract_wav_features(assets: DataFrame) -> DataFrame:
+    """Arrow-batched WAV feature extraction (format metadata + energy),
+    same mapInPandas shape as the BMP path but over audio bytes."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_wav(bytes(c)) for c in pdf["content"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+            yield out[
+                ["doc_id", "sample_rate", "n_samples", "abs_amplitude_sum"]
+            ]
+
+    return assets.mapInPandas(kernel, schema=WAV_FEATURE_SCHEMA)
 
 
 BMP_FEATURE_SCHEMA = (

@@ -675,6 +675,59 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_wav_decode",
+    oracle="""WITH params AS (
+  SELECT doc_id,
+         64 + length(text) % 57 AS n,
+         8000 + 1000 * (length(text) % 5) AS rate,
+         md5(text) AS hex
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, j,
+         16 * (strpos('0123456789abcdef',
+                      substr(hex, CAST(4 * j + 1 AS INT), 1)) - 1)
+           + (strpos('0123456789abcdef',
+                     substr(hex, CAST(4 * j + 2 AS INT), 1)) - 1) AS lo,
+         16 * (strpos('0123456789abcdef',
+                      substr(hex, CAST(4 * j + 3 AS INT), 1)) - 1)
+           + (strpos('0123456789abcdef',
+                     substr(hex, CAST(4 * j + 4 AS INT), 1)) - 1) AS hi
+  FROM params CROSS JOIN (SELECT unnest(range(8)) AS j) jj
+),
+vals AS (
+  SELECT doc_id, j,
+         abs(CASE WHEN lo + 256 * hi >= 32768 THEN lo + 256 * hi - 65536
+                  ELSE lo + 256 * hi END) AS av
+  FROM pairs
+),
+full8 AS (SELECT doc_id, sum(av) AS s8 FROM vals GROUP BY 1),
+part AS (
+  SELECT p.doc_id, coalesce(sum(v.av), 0) AS ps
+  FROM params p LEFT JOIN vals v ON v.doc_id = p.doc_id AND v.j < p.n % 8
+  GROUP BY 1
+)
+SELECT p.doc_id, CAST(p.rate AS INT) AS sample_rate,
+       CAST(p.n AS INT) AS n_samples,
+       CAST((p.n // 8) * f.s8 + pr.ps AS BIGINT) AS abs_amplitude_sum
+FROM params p
+JOIN full8 f ON f.doc_id = p.doc_id
+JOIN part pr ON pr.doc_id = p.doc_id""",
+)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio modality: each document rendered as a genuine PCM16
+    mono WAV (pure-Python RIFF codec), decoded back by a chunk-walking
+    mapInPandas kernel emitting format metadata + whole-clip |sample|
+    energy. The 16-byte digest cycles through 8 distinct PCM16 samples,
+    so the oracle reproduces the energy as full-cycle x 8-sample sum
+    plus the partial remainder — the same closed-form trick as the BMP
+    pixel sum."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = MM.text_to_wav_column(docs)
+    return MM.extract_wav_features(assets)
+
+
+@query(
     "multimodal_frame_sample",
     oracle="""WITH f AS (
   SELECT doc_id, text,

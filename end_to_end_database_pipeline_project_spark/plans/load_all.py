@@ -104,9 +104,10 @@ _DRIVER_FIRST = [
     "stratified_sample",
     "curated_corpus_report",
     "sequence_packing_report",
-    # multimodal binary columns
+    # multimodal binary columns (two REAL codecs: image + audio)
     "multimodal_features",
     "multimodal_bmp_decode",
+    "multimodal_wav_decode",
     # structured streaming (batch-equivalence forms)
     "streaming_hourly_window",
     "streaming_sliding_window",
@@ -138,7 +139,6 @@ _DRIVER_FIRST = [
     "forecast_revenue_change",
     "volume_shipping",
     "market_share",
-    "product_profit_by_nation",
 ]
 
 

@@ -442,6 +442,33 @@ def user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "customer_balance_deciles",
+    oracle="""SELECT c_custkey, CAST(c_nationkey AS INT) AS nationkey,
+       CAST(ntile(10) OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal, c_custkey) AS INT) AS decile,
+       round(percent_rank() OVER (PARTITION BY c_nationkey
+                                  ORDER BY c_acctbal, c_custkey), 6)
+         AS pct_rank
+FROM customer""",
+)
+def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank windows: ntile(10) + percent_rank per nation
+    cohort — the §2.5 window shapes not covered by rank/lag/frames.
+    Partitioned by nation deliberately: a GLOBAL ntile is a single-
+    reducer sort (the no-global-window rule); per-cohort ranking keeps
+    every partition independent, and the order key includes c_custkey
+    so ties can't straddle a decile boundary nondeterministically."""
+    (cust,) = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        F.col("c_nationkey").cast("int").alias("nationkey"),
+        F.ntile(10).over(w).cast("int").alias("decile"),
+        F.round(F.percent_rank().over(w), _R).alias("pct_rank"),
+    )
+
+
 # ----------------------------------------------------- sorts / limits / topk
 
 

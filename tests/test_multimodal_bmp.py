@@ -59,3 +59,46 @@ def test_decode_stub_dispatches_bmp():
     assert feats["byte_len"] == len(bmp)
     with pytest.raises(NotImplementedError):
         decode_stub(b"\xff\xd8\xff", "image/jpeg")
+
+
+# ------------------------------------------------------------ WAV codec
+
+from end_to_end_database_pipeline_project_spark.operators.multimodal import (  # noqa: E402
+    decode_wav,
+    encode_wav,
+)
+
+
+def test_wav_roundtrip():
+    # samples: +1, -1, +32767, -32768 -> energy 65537
+    samples = struct.pack("<4h", 1, -1, 32767, -32768)
+    wav = encode_wav(16000, samples)
+    assert decode_wav(wav) == {
+        "sample_rate": 16000,
+        "n_samples": 4,
+        "abs_amplitude_sum": 1 + 1 + 32767 + 32768,
+    }
+
+
+def test_wav_tolerates_extra_chunks():
+    # a LIST chunk with odd length between fmt and data: the chunk walk
+    # must skip it (honoring RIFF even-padding) and still find data
+    samples = struct.pack("<2h", 5, -7)
+    wav = encode_wav(8000, samples)
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # padded
+    patched = wav[:fmt_end] + extra + wav[fmt_end:]
+    patched = b"RIFF" + struct.pack("<I", len(patched) - 8) + patched[8:]
+    assert decode_wav(patched)["abs_amplitude_sum"] == 12
+
+
+def test_wav_rejects_bad_magic_and_odd_samples():
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"OggS....")
+    with pytest.raises(ValueError, match="even"):
+        encode_wav(8000, b"\x01\x02\x03")
+
+
+def test_decode_stub_dispatches_wav():
+    wav = encode_wav(8000, struct.pack("<h", 42))
+    assert decode_stub(wav, "audio/wav")["modality"] == "audio"
