@@ -112,6 +112,38 @@ def bronze_to_silver(bronze: DataFrame, quarantine: bool = False) -> DataFrame:
     return out.where(F.col("timestamp").isNotNull())
 
 
+def latest_wins_upsert(
+    base: DataFrame,
+    delta: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+) -> DataFrame:
+    """MERGE-shape maintenance: apply a delta batch onto a snapshot with
+    latest-version-wins semantics — matched keys take the newer row
+    (delta preferred on version ties, the re-delivery convention),
+    unmatched delta rows insert, unmatched base rows persist.
+
+    Implemented as union + per-key argmax rather than a full outer
+    join: one shuffle on the key, and each key group is tiny (one row
+    per side), so the window never concentrates data. At 100 TB the
+    companion optimization is partition scoping — restrict ``base`` to
+    the partitions the delta touches and rewrite only those (see
+    ``refresh_gold_daily_months``); the merge itself stays this
+    one-shuffle shape."""
+    pref = F.lit(0)
+    b = base.withColumn("_pref", pref)
+    d = delta.withColumn("_pref", F.lit(1))
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.desc(version_col), F.desc("_pref")
+    )
+    return (
+        b.unionByName(d)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_pref")
+    )
+
+
 def write_silver(silver: DataFrame, out_dir: str) -> None:
     """Silver at rest: date-partitioned, clustered within partitions —
     parquet min/max stats give the same pruning the MergeTree ORDER BY

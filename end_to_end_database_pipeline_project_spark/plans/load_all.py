@@ -108,9 +108,9 @@ _DRIVER_FIRST = [
     "multimodal_features",
     "multimodal_bmp_decode",
     "multimodal_wav_decode",
-    # structured streaming (batch-equivalence forms)
+    # structured streaming (batch-equivalence forms; sliding window
+    # follows the checked window — tumbling covers the mechanism)
     "streaming_hourly_window",
-    "streaming_sliding_window",
     "streaming_session_window",
     "stateful_user_totals",
     "stream_stream_join",
@@ -118,6 +118,7 @@ _DRIVER_FIRST = [
     "medallion_serving",
     "asof_last_purchase",
     "gold_partition_refresh",
+    "observation_upsert",
     # sources / sinks (orc variant follows the window; csv+json+ddl cover
     # the family)
     "json_source_stations",

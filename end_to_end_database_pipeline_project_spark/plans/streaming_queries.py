@@ -16,6 +16,7 @@ from ..pipeline.medallion import (
     build_bronze,
     bronze_to_silver,
     gold_tables,
+    latest_wins_upsert,
     read_gold_daily,
     refresh_gold_daily_months,
     serving_view,
@@ -63,6 +64,42 @@ def streaming_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("min_value", _R).alias("min_value"),
         "observation_count",
     )
+
+
+@query(
+    "observation_upsert",
+    oracle="""WITH delta AS (
+  SELECT event_id, CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR AS ts,
+         value * 2 AS value
+  FROM events WHERE event_id % 100 = 0
+),
+unioned AS (
+  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, value, 0 AS pref FROM events
+  UNION ALL
+  SELECT event_id, ts, value, 1 AS pref FROM delta
+)
+SELECT event_id, ts, round(value, 6) AS value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_id
+                               ORDER BY ts DESC, pref DESC) AS rn
+  FROM unioned
+) WHERE rn = 1""",
+)
+def observation_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13/S14 generalized to MERGE semantics: a corrected re-delivery
+    batch (every 100th observation, newer timestamp, doubled value)
+    upserted onto the snapshot with latest-version-wins — matched keys
+    take the newer row, everything else persists. One shuffle on the
+    key (union + per-key argmax), no full outer join; at scale the
+    merge is partition-scoped like gold_partition_refresh."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    delta = ev.where(F.col("event_id") % 100 == 0).select(
+        "event_id",
+        (F.col("ts") + F.expr("interval 1 hour")).alias("ts"),
+        (F.col("value") * 2).alias("value"),
+    )
+    merged = latest_wins_upsert(ev, delta, ["event_id"], "ts")
+    return merged.select("event_id", "ts", F.round("value", _R).alias("value"))
 
 
 @query(
