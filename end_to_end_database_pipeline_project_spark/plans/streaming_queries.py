@@ -67,6 +67,41 @@ def streaming_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_static_enrich",
+    oracle="""SELECT CAST(c.c_nationkey AS INT) AS nationkey,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(CAST(e.value AS DECIMAL(25,12))) AS DOUBLE)
+             / count(*), 6) AS avg_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.value IS NOT NULL
+GROUP BY 1""",
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the streaming event feed enriched against a
+    static broadcast dimension (user -> nation), then aggregated per
+    nation. The static side needs no watermark and no state — Spark
+    re-plans it per micro-batch with the broadcast reused — which is
+    why dimension enrichment in a stream costs the same as in batch.
+    Batch equivalence against the plain join is the oracle."""
+    ev = stream_events(spark, sf_dir).where(F.col("value").isNotNull())
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_nationkey").cast("int").alias("nationkey")
+    )
+    joined = ev.join(F.broadcast(cust), ev["user_id"] == cust["c_custkey"])
+    agg = joined.groupBy("nationkey").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.sum(F.col("value").cast("decimal(25,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_value"),
+    )
+    out = run_stream_to_table(agg, "complete", "stream_enrich")
+    return out.select(
+        "nationkey", "n_events", F.round("avg_value", _R).alias("avg_value")
+    )
+
+
+@query(
     "observation_upsert",
     oracle="""WITH delta AS (
   SELECT event_id, CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR AS ts,
