@@ -1,15 +1,24 @@
-"""Fleet-wide scan audit: flag unpruned parquet scans in every query.
+"""Fleet-wide plan audit: flag unpruned scans and unbounded join
+strategies in every query.
 
-For each registered query, walk the executed plan's `Scan parquet`
-nodes and compare the ReadSchema column count against the source
-table's width. A scan reading every column of a wide table means
-column pruning failed (or the query genuinely needs all columns — the
-report says which query/table so a human can judge). At 100 TB an
-unpruned lineitem scan is the single most expensive plan bug, and it
-is invisible in small-fixture wall-clock.
+Two checks per registered query's executed plan:
+
+1. **Scan pruning** — `Scan parquet` nodes whose ReadSchema column
+   count equals the source table's width mean column pruning failed
+   (or the query genuinely needs all columns — the report says which
+   query/table so a human can judge). At 100 TB an unpruned lineitem
+   scan is the single most expensive plan bug, and it is invisible in
+   small-fixture wall-clock.
+2. **Join strategy** — `CartesianProduct` and non-tiny
+   `BroadcastNestedLoopJoin` nodes are O(|L|·|R|) row-compare joins;
+   at scale every intentional use in this repo is a one-row broadcast
+   stat ride (scalar aggregates, centroid fans), which Spark plans as
+   BroadcastNestedLoopJoin over a single-row build side. The audit
+   flags any BNLJ/cartesian whose plan context doesn't show the
+   one-row-aggregate shape, catching accidental theta joins.
 
 Usage: python tools/scan_audit.py [query ...]
-Prints one line per wide-unpruned scan; exits 0 always (report tool).
+Prints one line per finding; exits 0 always (report tool).
 """
 
 from __future__ import annotations
@@ -35,6 +44,17 @@ SCAN_RE = re.compile(
     r"FileScan parquet \[(?P<cols>[^\]]*)\][^\n]*?Location: [^\n]*?/(?P<table>\w+)\.parquet",
 )
 
+# Queries whose BroadcastNestedLoopJoin is intentional and BOUNDED —
+# the broadcast side is a handful of rows by construction, so the
+# nested loop is O(|corpus| * tiny). Each entry names the bound.
+BNLJ_ALLOWED = {
+    "knn_topk": "broadcast side = 10 query vectors (self-exclusion theta)",
+    "ivf_topk": "broadcast sides = 8 centroids + 10 probed queries",
+    "ivf_multiprobe_topk": "broadcast sides = 8 centroids + 10 probed queries",
+    "ivf_kmeans_topk": "broadcast sides = 8 fitted centroids + 10 queries",
+    "price_band_join": "documented small-side theta demo; binned_price_band_join is the scale path",
+}
+
 
 def audit(spark, name: str) -> list[str]:
     try:
@@ -50,6 +70,17 @@ def audit(spark, name: str) -> list[str]:
         ncols = len([c for c in m.group("cols").split(",") if c.strip()])
         if ncols >= width:
             out.append(f"{name}: scan of {table} reads all {ncols} columns")
+    if "CartesianProduct" in plan:
+        out.append(f"{name}: CartesianProduct in plan")
+    # BNLJ is acceptable only as a one-row broadcast stat ride: the
+    # build side must be an aggregate that collapses to a single row
+    # (HashAggregate with an empty grouping key feeding the broadcast)
+    n_bnlj = plan.count("BroadcastNestedLoopJoin")
+    if n_bnlj and "keys=[]" not in plan and name not in BNLJ_ALLOWED:
+        out.append(
+            f"{name}: {n_bnlj} BroadcastNestedLoopJoin without a "
+            "scalar-aggregate build side or whitelist entry"
+        )
     return out
 
 
