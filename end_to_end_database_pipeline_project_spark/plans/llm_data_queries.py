@@ -417,6 +417,120 @@ def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pii_scrubbed_docs",
+    oracle=r"""WITH seeded AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 555-123-4567 via https://ex.org/d'
+              || CAST(doc_id AS VARCHAR) AS raw
+  FROM documents
+),
+scrub AS (
+  SELECT doc_id, raw,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(raw,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+             'https?://[^ ]+', '<URL>', 'g'),
+           '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean
+  FROM seeded
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(raw,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(raw, 'https?://[^ ]+')) AS INT) AS n_urls,
+       CAST(len(regexp_extract_all(clean, '<(EMAIL|URL|PHONE)>')) AS INT)
+         AS n_redactions,
+       md5(clean) AS scrubbed_md5
+FROM scrub""",
+)
+def pii_scrubbed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass every training-data pipeline
+    runs before anything else: emails, URLs and phone-shaped numbers
+    masked with typed placeholders, redaction counts emitted for the
+    curation report. Pure native regexp_replace/regexp_count (zero
+    Python; patterns restricted to the dialect shared by Java regex and
+    RE2 so the oracle is exact). The fixture text carries no PII, so a
+    deterministic contact line derived from doc_id is appended first —
+    the scrub then provably removes what was provably there."""
+    docs = load_table(spark, sf_dir, "documents")
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    url = r"https?://[^ ]+"
+    phone = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-123-4567 via https://ex.org/d"),
+        F.col("doc_id").cast("string"),
+    )
+    seeded = docs.select("doc_id", raw.alias("raw"))
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw"), email, "<EMAIL>"), url, "<URL>"
+        ),
+        phone,
+        "<PHONE>",
+    )
+    scrub = seeded.withColumn("clean", clean)
+    return scrub.select(
+        "doc_id",
+        F.regexp_count("raw", F.lit(email)).cast("int").alias("n_emails"),
+        F.regexp_count("raw", F.lit(url)).cast("int").alias("n_urls"),
+        F.regexp_count("clean", F.lit("<(EMAIL|URL|PHONE)>"))
+        .cast("int")
+        .alias("n_redactions"),
+        F.md5(F.col("clean")).alias("scrubbed_md5"),
+    )
+
+
+@query(
+    "doc_word_entropy",
+    oracle=r"""WITH words AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+  FROM documents
+),
+freqs AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2),
+totals AS (
+  SELECT doc_id, sum(c) AS n, count(*) AS n_distinct FROM freqs GROUP BY 1
+)
+SELECT f.doc_id,
+       round(-sum((c * 1.0 / n) * log2(c * 1.0 / n)), 6) AS word_entropy,
+       round(t.n_distinct * 1.0 / t.n, 6) AS distinct_ratio
+FROM freqs f JOIN totals t ON t.doc_id = f.doc_id
+GROUP BY f.doc_id, t.n_distinct, t.n""",
+)
+def doc_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-distribution entropy per document + distinct-word ratio —
+    the cheap perplexity proxy: near-zero entropy flags degenerate
+    repetition (a stronger signal than the repeated-n-gram fraction for
+    short loops), low distinct ratio flags keyword stuffing. One
+    explode + two aggregates, all map-side combinable."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+    )
+    freqs = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    totals = freqs.groupBy("doc_id").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_distinct")
+    )
+    p = F.col("c") / F.col("n")
+    return (
+        freqs.join(totals, "doc_id")
+        .groupBy("doc_id", "n_distinct", "n")
+        .agg(F.round(-F.sum(p * F.log2(p)), _R).alias("word_entropy"))
+        .select(
+            "doc_id",
+            "word_entropy",
+            F.round(F.col("n_distinct") / F.col("n"), _R).alias("distinct_ratio"),
+        )
+    )
+
+
+@query(
     "doc_fingerprints",
     oracle=r"""SELECT doc_id,
        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint

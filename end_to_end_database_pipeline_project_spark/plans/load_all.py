@@ -83,12 +83,13 @@ _DRIVER_FIRST = [
     "neardup_components",
     "neardup_dedup_retention",
     "simhash_fingerprints",
-    # text analysis
+    # text analysis (repetition-score twin follows the window — entropy
+    # and boilerplate cover the hygiene family)
     "doc_text_stats",
     "doc_quality_scores",
     "doc_language_id",
     "token_frequencies",
-    "doc_repetition_scores",
+    "pii_scrubbed_docs",
     "boilerplate_lines",
     # ANN / similarity
     "knn_topk",
