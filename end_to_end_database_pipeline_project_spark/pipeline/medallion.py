@@ -144,6 +144,45 @@ def latest_wins_upsert(
     )
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Small-files compaction — the maintenance op every streaming/
+    backfill landing zone needs: micro-batches and per-day fetch loops
+    leave thousands of KB-sized files, and at 100 TB the scan's task
+    count (and the namenode's metadata load) is driven by file count,
+    not byte count.
+
+    Sizes the output file count from the actual on-disk bytes
+    (ceil(bytes/target)), rewrites via repartition — a full shuffle,
+    which is what makes the output files uniformly sized rather than
+    inheriting input skew — optionally re-sorting within files so
+    parquet min/max stats stay selective, then atomically replaces the
+    directory. Returns the output file count.
+
+    At cluster scale this runs per-partition-directory (compact only
+    partitions whose file count exceeds a threshold), exactly like the
+    partition-scoped gold refresh."""
+    import shutil
+
+    src_files = [
+        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+    ]
+    total = sum(os.path.getsize(f) for f in src_files)
+    n_out = max(1, -(-total // target_bytes))
+    df = spark.read.parquet(path).repartition(n_out)
+    if sort_cols:
+        df = df.sortWithinPartitions(*sort_cols)
+    tmp = path.rstrip("/") + ".compact.tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.replace(tmp, path)
+    return len([f for f in os.listdir(path) if f.endswith(".parquet")])
+
+
 def write_silver(silver: DataFrame, out_dir: str) -> None:
     """Silver at rest: date-partitioned, clustered within partitions —
     parquet min/max stats give the same pruning the MergeTree ORDER BY
