@@ -1142,6 +1142,49 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quality_weighted_sample",
+    oracle="""WITH s AS (
+  SELECT doc_id, source,
+         (16 * (strpos('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+            + (strpos('0123456789abcdef',
+                      substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1))
+           / 256.0 AS u,
+         least(n_chars, 500) / 500.0 AS p
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN u < p THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(avg(p), 6) AS avg_keep_prob
+FROM s GROUP BY 1""",
+)
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous weighted sampling — the curriculum knob: each doc is
+    kept with probability proportional to a quality weight (here
+    length-capped substantiveness, p = min(n_chars,500)/500), decided
+    by comparing the weight against the doc's own content-hash fraction
+    u = first-two-md5-hex/256. Deterministic like `stratified_sample`
+    (same sample every engine/rerun/cluster-size — auditable lineage,
+    no rand()), but with a per-document continuous rate instead of
+    per-stratum buckets. Shuffle-free until the per-source report."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("int")
+        / F.lit(256.0)
+    )
+    p = F.least(F.col("n_chars"), F.lit(500)) / F.lit(500.0)
+    s = docs.select("source", u.alias("u"), p.alias("p"))
+    return s.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("u") < F.col("p"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.round(F.avg("p"), _R).alias("avg_keep_prob"),
+    )
+
+
+@query(
     "stratified_sample",
     oracle="""WITH s AS (
   SELECT doc_id, lang, source,
