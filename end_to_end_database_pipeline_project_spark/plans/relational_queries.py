@@ -469,6 +469,81 @@ def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "lineitem_profile",
+    oracle="""WITH stats AS (
+  SELECT
+    count(*) AS n,
+    CAST(count(l_quantity) AS BIGINT) AS q_nonnull,
+    round(min(l_quantity), 6) AS q_min, round(max(l_quantity), 6) AS q_max,
+    round(avg(l_quantity), 6) AS q_avg, round(stddev(l_quantity), 6) AS q_std,
+    CAST(count(l_extendedprice) AS BIGINT) AS p_nonnull,
+    round(min(l_extendedprice), 6) AS p_min,
+    round(max(l_extendedprice), 6) AS p_max,
+    round(avg(l_extendedprice), 6) AS p_avg,
+    round(stddev(l_extendedprice), 6) AS p_std,
+    CAST(count(l_discount) AS BIGINT) AS d_nonnull,
+    round(min(l_discount), 6) AS d_min, round(max(l_discount), 6) AS d_max,
+    round(avg(l_discount), 6) AS d_avg, round(stddev(l_discount), 6) AS d_std
+  FROM lineitem
+)
+SELECT 'l_quantity' AS col, CAST(n AS BIGINT) AS n_rows, q_nonnull AS n_nonnull,
+       q_min AS min_val, q_max AS max_val, q_avg AS avg_val, q_std AS std_val
+FROM stats
+UNION ALL
+SELECT 'l_extendedprice', CAST(n AS BIGINT), p_nonnull, p_min, p_max, p_avg, p_std
+FROM stats
+UNION ALL
+SELECT 'l_discount', CAST(n AS BIGINT), d_nonnull, d_min, d_max, d_avg, d_std
+FROM stats""",
+)
+def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling — the data-quality gate every load runs: row
+    count, non-null count, min/max/mean/stddev per numeric column, in
+    ONE scan. All stats ride a single aggregate over the fact table
+    (map-side partial, one exchange, one row out), then unpivot to the
+    per-column report shape — never one pass per column."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    aggs = []
+    for c, tag in [
+        ("l_quantity", "q"),
+        ("l_extendedprice", "p"),
+        ("l_discount", "d"),
+    ]:
+        aggs += [
+            F.count(c).alias(f"{tag}_nonnull"),
+            F.round(F.min(c), _R).alias(f"{tag}_min"),
+            F.round(F.max(c), _R).alias(f"{tag}_max"),
+            F.round(F.avg(c), _R).alias(f"{tag}_avg"),
+            F.round(F.stddev(c), _R).alias(f"{tag}_std"),
+        ]
+    # materialize the one-row stats before the unpivot fan-out: the
+    # three union branches would otherwise each re-run the scan+agg
+    # (verified: 3 FileScans without this, 0 with)
+    stats = li.agg(F.count(F.lit(1)).alias("n"), *aggs).localCheckpoint()
+    rows = [
+        ("l_quantity", "q"),
+        ("l_extendedprice", "p"),
+        ("l_discount", "d"),
+    ]
+    parts = [
+        stats.select(
+            F.lit(col).alias("col"),
+            F.col("n").alias("n_rows"),
+            F.col(f"{t}_nonnull").alias("n_nonnull"),
+            F.col(f"{t}_min").cast("double").alias("min_val"),
+            F.col(f"{t}_max").cast("double").alias("max_val"),
+            F.col(f"{t}_avg").alias("avg_val"),
+            F.col(f"{t}_std").alias("std_val"),
+        )
+        for col, t in rows
+    ]
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return out
+
+
 # ----------------------------------------------------- sorts / limits / topk
 
 
