@@ -470,6 +470,58 @@ def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "approx_quantile_bounded",
+    oracle="""SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 6) AS exact_median,
+       TRUE AS rank_within_bounds
+FROM lineitem GROUP BY 1""",
+)
+def approx_quantile_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (t-digest-style sketch) made hard-checkable,
+    the same pattern as the bounded HLL check: the sketch guarantees a
+    RANK error (returned value sits within accuracy=1/100 rank
+    fraction of the target quantile), so the query computes the approx
+    median, re-ranks it exactly against the column, and asserts the
+    rank fraction lands in [0.5 - eps, 0.5 + eps] as a boolean the
+    oracle pins to TRUE. Sketch drift breaks the value hash. The exact
+    median rides along oracle-matched. At 100 TB the sketch is the
+    only viable path (constant memory, mergeable); this query is the
+    certificate it stays within tolerance."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    eps = 1.0 / 100
+    approx = li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_quantity, 0.5, 100)").alias("approx_med"),
+        F.expr("percentile(l_quantity, 0.5)").alias("exact_med"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    ranked = (
+        li.select("l_returnflag", "l_quantity")
+        .join(F.broadcast(approx), "l_returnflag")
+        .groupBy("l_returnflag", "approx_med", "exact_med", "n")
+        .agg(
+            F.sum(
+                F.when(F.col("l_quantity") < F.col("approx_med"), 1).otherwise(0)
+            ).alias("rank_lo"),
+            F.sum(
+                F.when(F.col("l_quantity") <= F.col("approx_med"), 1).otherwise(0)
+            ).alias("rank_hi"),
+        )
+    )
+    # the returned element occupies the tie interval [rank_lo, rank_hi]
+    # among sorted values; the guarantee holds iff that interval
+    # intersects the tolerance band around the target rank (a one-sided
+    # count(<=v) check false-fails when the median value is heavily
+    # tied, as integer-valued quantity is)
+    lo_ok = F.col("rank_lo") / F.col("n") <= 0.5 + eps
+    hi_ok = F.col("rank_hi") / F.col("n") >= 0.5 - eps
+    return ranked.select(
+        "l_returnflag",
+        F.round("exact_med", _R).alias("exact_median"),
+        (lo_ok & hi_ok).alias("rank_within_bounds"),
+    )
+
+
+@query(
     "lineitem_profile",
     oracle="""WITH stats AS (
   SELECT
