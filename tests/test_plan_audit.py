@@ -132,3 +132,38 @@ def test_partitioned_silver_read_prunes_partitions(spark, tmp_path):
     filtered = spark.read.parquet(out).where(F.col("obs_date") == F.lit(day))
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(obs_date" in plan, plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_gold(spark, tmp_path):
+    """DPP: joining a month-partitioned fact against a filtered dim must
+    inject a runtime partition filter (dynamicpruning subquery) into the
+    fact scan, so only the dim-selected partitions are read — the
+    runtime twin of the static partition-pruning test. At 100 TB this is
+    what makes star-join queries over partitioned gold read days, not
+    history."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_database_pipeline_project_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF, "events")
+    gold = str(tmp_path / "gold")
+    (
+        ev.withColumn("obs_month", F.date_format("ts", "yyyy-MM"))
+        .write.mode("overwrite")
+        .partitionBy("obs_month")
+        .parquet(gold)
+    )
+    months = [r["obs_month"] for r in spark.read.parquet(gold).select("obs_month").distinct().collect()]
+    assert len(months) >= 1
+    # the dim must be a FILE source: a LocalRelation dim folds its
+    # filter at plan time and no *dynamic* pruning is needed
+    dim_path = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [(m, f"label_{m}") for m in months], "obs_month string, label string"
+    ).write.mode("overwrite").parquet(dim_path)
+    dim = spark.read.parquet(dim_path).where(F.col("label") == f"label_{months[0]}")
+
+    fact = spark.read.parquet(gold)
+    joined = fact.join(dim, "obs_month").groupBy("label").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), "DPP filter missing from fact scan"
