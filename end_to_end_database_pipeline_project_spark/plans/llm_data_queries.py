@@ -618,6 +618,46 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_dedup_components",
+    oracle="""WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.42
+),
+edges AS (
+  SELECT va AS src, vb AS dst FROM pairs
+  UNION ALL
+  SELECT vb AS src, va AS dst FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+)
+SELECT node AS vec_id, CAST(min(lbl) AS BIGINT) AS component_id
+FROM reach GROUP BY 1""",
+)
+def embedding_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup end-to-end: cosine near-dup pairs in embedding
+    space (GEMM kernel) fed into the same connected-components operator
+    as the lexical path — paraphrase clusters collapse to one
+    representative even when only chains of pairwise similarity connect
+    them. Locally the pair stage is the exact full-GEMM (the corpus
+    fits one slab); at 100 TB the pair generator swaps to the IVF/LSH
+    bucketed form and the components operator is unchanged — the graph
+    step never sees vectors, only the (a, b) edge list."""
+    emb = _emb(spark, sf_dir)
+    left_pdf = emb.select("vec_id", "embedding").toPandas()
+    pairs = SIM.near_dup_pairs_pandas(emb, left_pdf, threshold=0.42).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    nodes = emb.select(F.col("vec_id").alias("doc_id"))
+    comp = DD.connected_components(nodes, pairs)
+    return comp.select(F.col("doc_id").alias("vec_id"), "component_id")
+
+
+@query(
     "ivf_topk",
     oracle="""WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
