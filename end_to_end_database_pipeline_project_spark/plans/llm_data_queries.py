@@ -531,6 +531,63 @@ def doc_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "vocab_oov_rates",
+    oracle=r"""WITH words AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+  FROM documents
+),
+vocab AS (SELECT w FROM words GROUP BY w HAVING count(*) >= 50),
+per_doc AS (
+  SELECT d.doc_id, count(*) AS n_tokens,
+         sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM words d LEFT JOIN vocab v ON d.w = v.w
+  GROUP BY 1
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_oov AS BIGINT) AS n_oov,
+       round(n_oov * 1.0 / n_tokens, 6) AS oov_rate
+FROM per_doc""",
+)
+def vocab_oov_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction + coverage: build the corpus vocabulary
+    by frequency cutoff (the fixed-vocab tokenizer-training step), then
+    score every document's out-of-vocabulary token rate — the signal
+    that flags domain-mismatched or garbled docs before training. The
+    vocab is a corpus-wide aggregate joined back broadcast (small by
+    the cutoff's construction); token fan-out is map-side combined
+    before both aggregates."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where(F.col("freq") >= 50)
+        .select("w")
+    )
+    joined = words.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "w", "left"
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), _R).alias("oov_rate"),
+        )
+    )
+
+
+@query(
     "doc_fingerprints",
     oracle=r"""SELECT doc_id,
        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
