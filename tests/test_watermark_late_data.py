@@ -74,3 +74,59 @@ def test_late_rows_dropped_on_time_windows_emit(spark, tmp_path):
     assert got, "closed on-time windows must emit in append mode"
     assert all(v == 3 for v in got.values()), got
     assert set(got) <= set(range(10, 21))
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: the state-BOUNDED dedup — unlike
+    plain dropDuplicates (whose key state lives forever), re-deliveries
+    are suppressed only while the key is within the watermark, and the
+    state is then evicted. Two micro-batches: batch 2 re-delivers a
+    batch-1 event inside the watermark (must be dropped) along with a
+    fresh event (must survive)."""
+    import time
+    import uuid
+    import datetime as dt
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    t0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+
+    def ev(eid, minutes):
+        return (eid, t0 + dt.timedelta(minutes=minutes), 1, "click", 1.0, "{}")
+
+    src = str(tmp_path / "landing")
+    batch1 = [ev(1, 0), ev(2, 5)]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    # re-delivery of event 2 (same key, later arrival) + a new event 3
+    batch2 = [ev(2, 5), ev(3, 10)]
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "part-*")
+        .parquet(src)
+    )
+    deduped = stream.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    name = f"ddww_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+        n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    finally:
+        if q.isActive:
+            q.stop()
+    assert n_batches >= 2
+    got = sorted(r["event_id"] for r in spark.table(name).collect())
+    assert got == [1, 2, 3], f"re-delivered event must be dropped once: {got}"
