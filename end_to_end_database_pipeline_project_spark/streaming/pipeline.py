@@ -52,6 +52,15 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # stateful streaming disables AQE, so the static shuffle width is
+    # used as-is: on an externally-created session that's the 200
+    # default — 200 state-store instances for fixtures that fill 32.
+    # Pin to the engine's parallelism unless the session owner already
+    # chose a non-default value.
+    if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+        )
     probed = (
         spark.read.option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
