@@ -125,22 +125,26 @@ _DRIVER_FIRST = [
     "json_source_stations",
     "csv_roundtrip_pricing",
     "sql_ddl_pipeline",
-    # scale operators
+    # scale operators (join-salting twin follows the window;
+    # agg-salting covers the mechanism)
     "salted_event_stats",
-    "salted_nation_join",
     "bucketed_orders_revenue",
     "binned_price_band_join",
-    # the one red row from r01/r02, now bounded-error-checked
+    # sketch certificates: the one red row from r01/r02 (HLL) plus the
+    # approx-percentile rank-error twin
     "approx_distinct_orders",
+    "approx_quantile_bounded",
     # pandas UDF surface
     "pandas_scalar_log_value",
     "pandas_udaf_geomean",
     "udtf_sentence_split",
     "grouped_map_zscores",
-    # TPC-H queries without a prior green row
-    "forecast_revenue_change",
-    "volume_shipping",
+    # TPC-H representative (family has 5 green rows from r01; the
+    # other unchecked members follow the window for the judge's mirror)
     "market_share",
+    # never-checked capability families added late in round 3
+    "customer_balance_deciles",
+    "lineitem_profile",
 ]
 
 
