@@ -470,6 +470,110 @@ def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "session_funnel",
+    oracle="""WITH firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS viewed,
+       CAST(sum(CASE WHEN first_view IS NOT NULL AND first_click > first_view
+                THEN 1 ELSE 0 END) AS BIGINT) AS clicked_after_view,
+       CAST(sum(CASE WHEN first_view IS NOT NULL AND first_click > first_view
+                      AND first_purchase > first_click
+                THEN 1 ELSE 0 END) AS BIGINT) AS purchased_after_click,
+       round(sum(CASE WHEN first_view IS NOT NULL AND first_click > first_view
+                       AND first_purchase > first_click
+                 THEN 1 ELSE 0 END) * 1.0
+             / nullif(sum(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END),
+                      0), 6) AS view_to_purchase_rate
+FROM firsts""",
+)
+def session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis — ordered-step conversion (view -> click ->
+    purchase): a user converts a step only if the step's first event
+    strictly follows the previous step's first event. One conditional-
+    min aggregate per user (single shuffle, map-side combinable), then
+    a one-row funnel report — the sequential-pattern query every
+    event-analytics engine ships, absent from the batch-aggregate
+    families covered so far."""
+    ev = load_table(spark, sf_dir, "events")
+    first_of = lambda t: F.min(  # noqa: E731
+        F.when(F.col("event_type") == t, F.col("ts"))
+    )
+    firsts = ev.groupBy("user_id").agg(
+        first_of("view").alias("first_view"),
+        first_of("click").alias("first_click"),
+        first_of("purchase").alias("first_purchase"),
+    )
+    viewed = F.col("first_view").isNotNull()
+    clicked = viewed & (F.col("first_click") > F.col("first_view"))
+    purchased = clicked & (F.col("first_purchase") > F.col("first_click"))
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        one(viewed).alias("viewed"),
+        one(clicked).alias("clicked_after_view"),
+        one(purchased).alias("purchased_after_click"),
+        F.round(
+            one(purchased) / F.nullif(one(viewed), F.lit(0)), _R
+        ).alias("view_to_purchase_rate"),
+    )
+
+
+@query(
+    "retention_cohorts",
+    oracle="""WITH cohort AS (
+  SELECT user_id, date_trunc('week', min(CAST(ts AS TIMESTAMP))) AS cohort_week
+  FROM events GROUP BY 1
+),
+activity AS (
+  SELECT DISTINCT e.user_id,
+         CAST(datediff('week', c.cohort_week,
+                       date_trunc('week', CAST(e.ts AS TIMESTAMP))) AS INT)
+           AS week_offset,
+         c.cohort_week
+  FROM events e JOIN cohort c ON c.user_id = e.user_id
+)
+SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week, week_offset,
+       CAST(count(*) AS BIGINT) AS active_users
+FROM activity GROUP BY 1, 2""",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention — the activity matrix (first-seen week x weeks-
+    since) behind every retention dashboard. The per-user cohort week
+    is one aggregate; the activity join is user-keyed (reusing the same
+    hash partitioning Catalyst gives both sides), and the matrix is a
+    distinct + count. Week arithmetic pinned to date_trunc so both
+    engines bucket identically."""
+    ev = load_table(spark, sf_dir, "events")
+    cohort = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(cohort, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("active_users")
+    )
+
+
+@query(
     "approx_quantile_bounded",
     oracle="""SELECT l_returnflag,
        round(quantile_cont(l_quantity, 0.5), 6) AS exact_median,
