@@ -102,3 +102,45 @@ def test_wav_rejects_bad_magic_and_odd_samples():
 def test_decode_stub_dispatches_wav():
     wav = encode_wav(8000, struct.pack("<h", 42))
     assert decode_stub(wav, "audio/wav")["modality"] == "audio"
+
+
+# ---------------------------------------------- property-based round-trips
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=25),
+    data=st.data(),
+)
+def test_bmp_roundtrip_property(w, h, data):
+    pixels = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255), min_size=3 * w * h, max_size=3 * w * h
+            )
+        )
+    )
+    out = decode_bmp(encode_bmp(w, h, pixels))
+    assert (out["width"], out["height"], out["pixel_sum"]) == (
+        w,
+        h,
+        sum(pixels),
+    )
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    rate=st.integers(min_value=1, max_value=192000),
+    samples=st.lists(st.integers(-32768, 32767), min_size=0, max_size=300),
+)
+def test_wav_roundtrip_property(rate, samples):
+    raw = b"".join(struct.pack("<h", s) for s in samples)
+    out = decode_wav(encode_wav(rate, raw))
+    assert out == {
+        "sample_rate": rate,
+        "n_samples": len(samples),
+        "abs_amplitude_sum": sum(abs(s) for s in samples),
+    }
