@@ -470,6 +470,43 @@ def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scd2_value_intervals",
+    oracle="""WITH changes AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         lead(CAST(ts AS TIMESTAMP)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM events WHERE event_type = 'signup'
+)
+SELECT user_id, ts AS valid_from, valid_to,
+       round(value, 6) AS value,
+       valid_to IS NULL AS is_current
+FROM changes""",
+)
+def scd2_value_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 build: a change log becomes validity intervals —
+    each change opens a version at its timestamp and the next change
+    for the same key closes it (open-ended = current row). One lead()
+    per key partition, no self-join; the interval table is what the
+    as-of join then probes. The standard dimension-history shape the
+    reference's truncate-and-reload world can't express."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = ev.where(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        F.round("value", _R).alias("value"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    return changes.select(
+        "user_id",
+        "valid_from",
+        "valid_to",
+        "value",
+        F.col("valid_to").isNull().alias("is_current"),
+    )
+
+
+@query(
     "session_funnel",
     oracle="""WITH firsts AS (
   SELECT user_id,
