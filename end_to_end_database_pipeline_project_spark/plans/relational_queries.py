@@ -470,6 +470,71 @@ def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "hourly_gap_fill",
+    oracle="""WITH hourly AS (
+  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+         avg(value) AS v
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+spans AS (
+  SELECT user_id, min(h) AS mn, max(h) AS mx FROM hourly GROUP BY 1
+),
+spine AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+  FROM spans
+),
+joined AS (
+  SELECT s.user_id, s.h, hr.v FROM spine s
+  LEFT JOIN hourly hr ON hr.user_id = s.user_id AND hr.h = s.h
+)
+SELECT user_id, CAST(h AS TIMESTAMP) AS obs_hour,
+       round(last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value_filled,
+       v IS NULL AS was_gap
+FROM joined""",
+)
+def hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling: per-key hour spine generation
+    (sequence + explode — no driver loop) left-joined to the sparse
+    hourly aggregate, gaps forward-filled (LOCF) with a per-key
+    ignore-nulls window. Partitioned by key throughout — the spine, the
+    join and the fill window all hash on user_id, so no global ordering
+    exists anywhere (the no-global-window rule); at 100 TB long spans
+    additionally split by month with boundary carry-in, like the
+    prefix-sum operator."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.avg("value").alias("v"))
+    )
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("interval 1 hour"))
+            ).alias("h"),
+        )
+    )
+    joined = spine.join(hourly, ["user_id", "h"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        F.col("h").alias("obs_hour"),
+        F.round(F.last("v", ignorenulls=True).over(w), _R).alias("value_filled"),
+        F.col("v").isNull().alias("was_gap"),
+    )
+
+
+@query(
     "scd2_value_intervals",
     oracle="""WITH changes AS (
   SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
