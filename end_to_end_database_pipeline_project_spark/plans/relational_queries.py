@@ -470,6 +470,34 @@ def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fuzzy_nation_match",
+    oracle="""SELECT a.n_name AS name_a, b.n_name AS name_b,
+       CAST(levenshtein(a.n_name, b.n_name) AS INT) AS edit_distance
+FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+WHERE levenshtein(a.n_name, b.n_name) <= 3""",
+)
+def fuzzy_nation_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy key matching by edit distance — the entity-resolution
+    primitive for misspelled dimension values. Dim-sized self-join
+    (broadcast, 25x25) with levenshtein <= 3; at fact scale the
+    blocking step (first-letter / length band / phonetic bucket) bounds
+    the candidate pairs exactly like LSH does for documents."""
+    (nation,) = _t(spark, sf_dir, "nation")
+    a = nation.select(
+        F.col("n_nationkey").alias("key_a"), F.col("n_name").alias("name_a")
+    )
+    b = nation.select(
+        F.col("n_nationkey").alias("key_b"), F.col("n_name").alias("name_b")
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(F.broadcast(b), F.col("key_a") < F.col("key_b"))
+        .where(dist <= 3)
+        .select("name_a", "name_b", dist.cast("int").alias("edit_distance"))
+    )
+
+
+@query(
     "hourly_gap_fill",
     oracle="""WITH hourly AS (
   SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,

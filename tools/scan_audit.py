@@ -53,6 +53,7 @@ BNLJ_ALLOWED = {
     "ivf_multiprobe_topk": "broadcast sides = 8 centroids + 10 probed queries",
     "ivf_kmeans_topk": "broadcast sides = 8 fitted centroids + 10 queries",
     "price_band_join": "documented small-side theta demo; binned_price_band_join is the scale path",
+    "fuzzy_nation_match": "dim x dim (25x25) edit-distance self-join; blocking bounds it at scale",
 }
 
 
