@@ -134,6 +134,7 @@ def jaccard_on_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     max_doc_freq: int | None = None,
+    containment: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard for an explicit candidate-pair list — the
     verification stage that makes the inverted-index join scale-safe.
@@ -146,7 +147,12 @@ def jaccard_on_pairs(
     set.  With LSH upstream (`minhash_lsh_dedup`) the candidate set is
     bounded per doc, so the whole fused pipeline is shuffle-bounded at
     100 TB.  Pairs with zero surviving common shingles keep a row
-    (jaccard 0) via the left join."""
+    (jaccard 0) via the left join.
+
+    ``containment=True`` emits the asymmetric measures |A∩B|/|A| and
+    |A∩B|/|B| instead of Jaccard — the quote/subset detector (full
+    containment of a short doc in a long one scores ~1.0 where Jaccard
+    is diluted by the long side's union)."""
     pairs = pairs.select("doc_a", "doc_b").localCheckpoint()
     wanted = (
         pairs.select(F.col("doc_a").alias(id_col))
@@ -167,15 +173,22 @@ def jaccard_on_pairs(
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     c = F.coalesce(F.col("c"), F.lit(0))
-    return (
+    joined = (
         pairs.join(common, ["doc_a", "doc_b"], "left")
         .join(sa, "doc_a")
         .join(sb, "doc_b")
-        .select(
+    )
+    if containment:
+        return joined.select(
             "doc_a",
             "doc_b",
-            (c / (F.col("na") + F.col("nb") - c)).alias("jaccard"),
+            (c / F.col("na")).alias("containment_a_in_b"),
+            (c / F.col("nb")).alias("containment_b_in_a"),
         )
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        (c / (F.col("na") + F.col("nb") - c)).alias("jaccard"),
     )
 
 

@@ -1062,6 +1062,91 @@ def corpus_mix_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "temperature_mix_rates",
+    oracle="""WITH counts AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY 1
+),
+scaled AS (
+  SELECT source, n, pow(n, 0.5) AS w,
+         sum(n) OVER () AS total_n, sum(pow(n, 0.5)) OVER () AS total_w
+  FROM counts
+)
+SELECT source, CAST(n AS BIGINT) AS n_docs,
+       round(n * 1.0 / total_n, 6) AS natural_share,
+       round(w / total_w, 6) AS temperature_share,
+       round((w / total_w) * total_n / n, 6) AS sampling_rate
+FROM scaled""",
+)
+def temperature_mix_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights (alpha=0.5): the standard
+    multi-source rebalancing rule — source share goes from n_s/N to
+    n_s^alpha / sum(n^alpha), upweighting small sources without
+    discarding large ones. Emits each source's natural share, the
+    temperature share, and the per-doc sampling RATE that realizes it
+    (feedable straight into the hash-threshold sampler,
+    `quality_weighted_sample` style). All window aggregates ride the
+    20-row per-source table — nothing touches the corpus twice."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    w_all = Window.partitionBy()
+    w = F.pow(F.col("n"), 0.5)
+    total_n = F.sum("n").over(w_all)
+    total_w = F.sum(w).over(w_all)
+    return counts.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.round(F.col("n") / total_n, _R).alias("natural_share"),
+        F.round(w / total_w, _R).alias("temperature_share"),
+        F.round((w / total_w) * total_n / F.col("n"), _R).alias("sampling_rate"),
+    )
+
+
+@query(
+    "ngram_containment_pairs",
+    oracle=f"""WITH {_LSH_SURV_CTE},
+shc AS (
+  SELECT * FROM sh WHERE shingle NOT IN (
+    SELECT shingle FROM sh GROUP BY 1 HAVING count(*) > 32)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
+common AS (
+  SELECT s.doc_a, s.doc_b, count(*) AS c
+  FROM surv s
+  JOIN shc a ON a.doc_id = s.doc_a
+  JOIN shc b ON b.doc_id = s.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT s.doc_a, s.doc_b,
+       round(coalesce(c, 0) * 1.0 / sa.n, 6) AS containment_a_in_b,
+       round(coalesce(c, 0) * 1.0 / sb.n, 6) AS containment_b_in_a
+FROM surv s
+LEFT JOIN common co ON co.doc_a = s.doc_a AND co.doc_b = s.doc_b
+JOIN sizes sa ON sa.doc_id = s.doc_a
+JOIN sizes sb ON sb.doc_id = s.doc_b""",
+)
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment on LSH survivors: |A∩B|/|A| and
+    |A∩B|/|B| — the quote/subset detector Jaccard misses (a paragraph
+    fully quoted inside a long doc has high containment but low
+    Jaccard, because the union is dominated by the long side). Same
+    fused shape as `jaccard_on_lsh_survivors`: candidate pairs from
+    LSH, shingling restricted to survivor docs, stop-shingle cap."""
+    docs = load_table(spark, sf_dir, "documents")
+    survivors = DD.minhash_lsh_dedup(docs, est_threshold=0.5)
+    pairs = DD.jaccard_on_pairs(
+        docs, survivors, max_doc_freq=_STOP_SHINGLE_CAP, containment=True
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.round("containment_a_in_b", _R).alias("containment_a_in_b"),
+        F.round("containment_b_in_a", _R).alias("containment_b_in_a"),
+    )
+
+
 _SHINGLE5_CTE = r"""
 w5 AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents
