@@ -1647,3 +1647,61 @@ def sequence_packing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_straddling"
         ),
     )
+
+
+# ------------------------------------------------- exact substring dedup
+
+
+@query(
+    "duplicate_span_stats",
+    oracle=r"""WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents
+),
+sp AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(ws) - 4, 1) + 1),
+           i -> array_to_string(list_slice(ws, i, i + 4), ' ')))) AS span
+  FROM w
+),
+df AS (SELECT span, CAST(count(*) AS BIGINT) AS df FROM sp GROUP BY 1)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_spans,
+       round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS dup_fraction
+FROM sp JOIN df USING (span)
+GROUP BY doc_id""",
+)
+def duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level duplication audit (the Lee et al. 2021
+    "Deduplicating Training Data" ExactSubstr signal, at word-span
+    granularity): for every document, what fraction of its 5-word spans
+    occurs verbatim in at least one other document?
+
+    Unlike document-level MinHash (which misses a copied paragraph
+    inside an otherwise-unique page), span-level document frequency
+    localizes verbatim reuse.  The plan is two shuffles — span
+    document-frequency aggregate, then a span-keyed join back — and
+    never materializes pairs, so cost is O(total spans + duplicated
+    spans), not O(pairs): at 100 TB this is the affordable exact
+    complement to `jaccard_on_lsh_survivors`.  Spans are distinct per
+    doc (set semantics), so the df aggregate's count(*) IS the doc
+    frequency."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = docs.select(
+        "doc_id",
+        F.explode(TX.shingles(F.col("text"), k=5)).alias("span"),
+    )
+    # hot-span safe: the df table aggregates before the join; no
+    # pair materialization anywhere
+    df_counts = spans.groupBy("span").agg(F.count(F.lit(1)).alias("df"))
+    joined = spans.join(df_counts, "span")
+    dup = F.when(F.col("df") >= 2, 1).otherwise(0)
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(dup).cast("long").alias("n_dup_spans"),
+        F.round(F.sum(dup) / F.count(F.lit(1)), _R).alias("dup_fraction"),
+    )

@@ -57,6 +57,13 @@ try:
 except ImportError:
     pass
 
+try:
+    from . import modern_queries  # noqa: F401
+
+    _PACKS.append("modern_queries")
+except ImportError:
+    pass
+
 
 # --- driver-gate ordering ---------------------------------------------
 #
