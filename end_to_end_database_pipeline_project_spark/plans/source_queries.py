@@ -198,3 +198,52 @@ def orc_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+@query(
+    "http_api_source_scan",
+    oracle="""SELECT 'B' || CAST(user_id % 10 AS VARCHAR) AS station,
+       CAST(count(*) AS BIGINT) AS n_obs,
+       round(avg(value), 6) AS avg_value,
+       min(ts) AS first_obs, max(ts) AS last_obs
+FROM events GROUP BY 1""",
+)
+def http_api_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1-S2 as a first-class connector: the reference's HTTP
+    observation fetcher (nws_api_fetcher_v2.py:21-119) rebuilt as a
+    Spark Python DataSource — `spark.read.format("weather_api")` over a
+    live localhost ND-JSON API serving the events fixture.
+
+    The fetch plan is (station x 7-day-window) input partitions, so the
+    rate-limited GETs run inside executor tasks (50 concurrent windows
+    here; thousands on a cluster) instead of the reference's single
+    client loop. The aggregate proves the full path: socket -> JSON
+    decode -> typed rows -> shuffle -> per-station stats match DuckDB
+    reading the same parquet directly."""
+    import os
+
+    from ..sources.api_source import register, serve_events_api
+
+    ev = load_table(spark, sf_dir, "events")  # also pins UTC + ships pkg
+    path = os.path.join(sf_dir, "events.parquet")
+    base_url, _server = serve_events_api(path, n_buckets=10)
+    register(spark)
+    lo, hi = ev.agg(
+        F.min(F.to_date("ts")), F.max(F.to_date("ts"))
+    ).first()  # O(1) row to size the backfill window, as the reference does
+    api = (
+        spark.read.format("weather_api")
+        .option("base_url", base_url)
+        .option("stations", ",".join(f"B{i}" for i in range(10)))
+        .option("start", lo.isoformat())
+        .option("end", hi.isoformat())
+        .option("chunk_days", "7")
+        .option("rate_limit_s", "0.002")
+        .load()
+    )
+    return api.groupBy("station").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.round(F.avg("value"), _R).alias("avg_value"),
+        F.min("obs_ts").alias("first_obs"),
+        F.max("obs_ts").alias("last_obs"),
+    )
