@@ -101,7 +101,6 @@ _DRIVER_FIRST = [
     # ANN / similarity
     "knn_topk",
     "embedding_near_dup_pairs",
-    "ivf_topk",
     "ivf_multiprobe_topk",
     "srp_lsh_topk",
     "bm25_retrieval",
@@ -112,14 +111,13 @@ _DRIVER_FIRST = [
     "stratified_sample",
     "curated_corpus_report",
     "sequence_packing_report",
-    # multimodal binary columns (two REAL codecs: image + audio)
+    # multimodal binary columns (wav-codec twin follows the window —
+    # the bmp codec covers real-binary decode)
     "multimodal_features",
     "multimodal_bmp_decode",
-    "multimodal_wav_decode",
-    # structured streaming (batch-equivalence forms; sliding window
-    # follows the checked window — tumbling covers the mechanism)
+    # structured streaming (batch-equivalence forms; sliding/session
+    # windows follow the checked window — tumbling covers the mechanism)
     "streaming_hourly_window",
-    "streaming_session_window",
     "stateful_user_totals",
     "stream_stream_join",
     "medallion_silver",
@@ -127,9 +125,8 @@ _DRIVER_FIRST = [
     "asof_last_purchase",
     "gold_partition_refresh",
     "observation_upsert",
-    # sources / sinks (orc variant follows the window; csv+json+ddl cover
-    # the family)
-    "json_source_stations",
+    # sources / sinks (orc + geojson variants follow the window;
+    # http-connector + csv + ddl cover the family)
     "csv_roundtrip_pricing",
     "sql_ddl_pipeline",
     # scale operators (join-salting twin follows the window;
@@ -137,10 +134,9 @@ _DRIVER_FIRST = [
     "salted_event_stats",
     "bucketed_orders_revenue",
     "binned_price_band_join",
-    # sketch certificates: the one red row from r01/r02 (HLL) plus the
-    # approx-percentile rank-error twin
+    # sketch certificate: the one red row from r01/r02 (HLL); the
+    # approx-percentile twin follows the window
     "approx_distinct_orders",
-    "approx_quantile_bounded",
     # pandas UDF surface
     "pandas_scalar_log_value",
     "pandas_udaf_geomean",
@@ -152,6 +148,13 @@ _DRIVER_FIRST = [
     # never-checked capability families added late in round 3
     "customer_balance_deciles",
     "lineitem_profile",
+    # round-3 families: connector, VARIANT, recursive CTE, mergeable
+    # sketches (exact bitmap path), substring-level dedup
+    "http_api_source_scan",
+    "variant_event_props",
+    "monthly_order_spine",
+    "bitmap_distinct_users",
+    "duplicate_span_stats",
 ]
 
 
