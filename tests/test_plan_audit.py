@@ -167,3 +167,45 @@ def test_dynamic_partition_pruning_on_partitioned_gold(spark, tmp_path):
     joined = fact.join(dim, "obs_month").groupBy("label").count()
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), "DPP filter missing from fact scan"
+
+
+# ------------------------------------------------- round-3 additions
+
+
+def test_span_dedup_scans_pruned_with_partial_agg(spark):
+    plan = _plan(spark, "duplicate_span_stats")
+    # the df-count side reads text only; the per-doc side doc_id+text
+    assert "ReadSchema: struct<text:string>" in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+    # map-side combine on the span document-frequency aggregate
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_variant_scan_reads_props_only(spark):
+    plan = _plan(spark, "variant_event_props")
+    assert "ReadSchema: struct<props:string>" in plan
+    assert "parseJson" in plan  # VARIANT path, not per-row from_json
+
+
+def test_heavy_hitters_sketch_is_mergeable_partial(spark):
+    # the approx_top_k sketch must be a partial aggregate merged across
+    # partitions — that's the whole 100 TB point of the operator
+    plan = _plan(spark, "heavy_hitter_users")
+    assert "partial_approx_top_k" in plan
+    assert "merge_approx_top_k" in plan
+
+
+def test_month_spine_recurses_in_plan_with_pruned_scan(spark):
+    plan = _plan(spark, "monthly_order_spine")
+    assert "UnionLoop" in plan  # recursion executes in-plan, no driver loop
+    assert "ReadSchema: struct<o_totalprice:double,o_orderdate:timestamp>" in plan
+
+
+def test_bitmap_rollup_scans_facts_once(spark):
+    # both grains must read the checkpointed day-grain bitmap state;
+    # a second FileScan of events would break the merge-from-sketches claim
+    plan = _plan(spark, "bitmap_distinct_users")
+    assert "FileScan" not in plan
+    assert plan.count("Scan ExistingRDD") == 2
+    assert "bitmap_or_agg" in plan
