@@ -1683,25 +1683,39 @@ def duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Unlike document-level MinHash (which misses a copied paragraph
     inside an otherwise-unique page), span-level document frequency
-    localizes verbatim reuse.  The plan is two shuffles — span
-    document-frequency aggregate, then a span-keyed join back — and
-    never materializes pairs, so cost is O(total spans + duplicated
-    spans), not O(pairs): at 100 TB this is the affordable exact
-    complement to `jaccard_on_lsh_survivors`.  Spans are distinct per
-    doc (set semantics), so the df aggregate's count(*) IS the doc
-    frequency."""
-    docs = load_table(spark, sf_dir, "documents")
-    spans = docs.select(
-        "doc_id",
-        F.explode(TX.shingles(F.col("text"), k=5)).alias("span"),
+    localizes verbatim reuse.  The formulation exploits that a span
+    with df==1 has exactly ONE owning document: per-doc UNIQUE-span
+    counts fall out of the span hash-aggregate itself (count + min
+    owner, map-side combinable — the shuffle carries one row per
+    distinct span per mapper, not one per occurrence), and
+    ``n_dup = n_spans - n_unique``.  The shingle explode — the
+    dominant cost, not the shuffle — runs ONCE and is checkpointed
+    (at scale: the persisted span table), feeding both the per-doc
+    totals and the df aggregate.  This beats both the df-table
+    join-back (re-shuffles every span occurrence) and a count-over-
+    span window (sorts every span string).  No pair materialization
+    anywhere — O(total spans), the affordable exact complement to
+    `jaccard_on_lsh_survivors`.  Spans are distinct per doc (set
+    semantics), so the aggregate count IS the doc frequency."""
+    from ..session import fan_out
+
+    # locally `documents` is one parquet split; the shingle expression
+    # is the dominant cost, so spread it across cores (no-op at scale)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    arr = TX.shingles(F.col("text"), k=5)
+    spans = docs.select("doc_id", F.explode(arr).alias("span")).localCheckpoint()
+    totals = spans.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    uniq_per_doc = (
+        spans.groupBy("span")
+        .agg(F.count(F.lit(1)).alias("df"), F.min("doc_id").alias("doc_id"))
+        .filter(F.col("df") == 1)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_uniq"))
     )
-    # hot-span safe: the df table aggregates before the join; no
-    # pair materialization anywhere
-    df_counts = spans.groupBy("span").agg(F.count(F.lit(1)).alias("df"))
-    joined = spans.join(df_counts, "span")
-    dup = F.when(F.col("df") >= 2, 1).otherwise(0)
-    return joined.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_spans"),
-        F.sum(dup).cast("long").alias("n_dup_spans"),
-        F.round(F.sum(dup) / F.count(F.lit(1)), _R).alias("dup_fraction"),
+    n_dup = F.col("n_spans") - F.coalesce(F.col("n_uniq"), F.lit(0))
+    return totals.join(uniq_per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_spans",
+        n_dup.alias("n_dup_spans"),
+        F.round(n_dup / F.col("n_spans"), _R).alias("dup_fraction"),
     )

@@ -172,12 +172,13 @@ def test_dynamic_partition_pruning_on_partitioned_gold(spark, tmp_path):
 # ------------------------------------------------- round-3 additions
 
 
-def test_span_dedup_scans_pruned_with_partial_agg(spark):
+def test_span_dedup_materializes_spans_once_with_partial_agg(spark):
+    # the shingle explode (the dominant cost) runs once into a
+    # checkpointed span table; BOTH aggregates read that state, and the
+    # span document-frequency aggregate combines map-side
     plan = _plan(spark, "duplicate_span_stats")
-    # the df-count side reads text only; the per-doc side doc_id+text
-    assert "ReadSchema: struct<text:string>" in plan
-    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
-    # map-side combine on the span document-frequency aggregate
+    assert plan.count("Scan ExistingRDD") == 2
+    assert "FileScan" not in plan  # no re-explode of the documents scan
     assert "partial_count" in plan
     assert "CartesianProduct" not in plan
 
