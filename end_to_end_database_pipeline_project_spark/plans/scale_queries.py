@@ -157,3 +157,42 @@ def binned_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("part_count"),
         F.round(F.avg("p_retailprice"), 6).alias("avg_price"),
     )
+
+
+@query(
+    "zorder_events_roundtrip",
+    oracle="""SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 6) AS total_value,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS nd_users
+FROM events WHERE value IS NOT NULL GROUP BY 1""",
+)
+def zorder_events_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) re-clustering as a maintenance op: rewrite
+    events clustered on the interleaved (user_id, value) key, then
+    aggregate the clustered copy.
+
+    A linear MergeTree-style ORDER BY (the reference's only layout
+    dimension, clickhouse_etl.py DDL) skips on one column; the Morton
+    layout gives every output file a tight min-max box in BOTH
+    dimensions — tests/test_zorder_layout.py measures ~7/8 of files
+    skippable for either single-dimension predicate from real parquet
+    footer stats. The oracle checks the rewrite is content-preserving
+    (same rows, nothing dropped or duplicated by the range shuffle)."""
+    from ..operators.layout import cluster_by_zorder
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    out = tempfile.mkdtemp(prefix="zorder_") + "/events"
+    cluster_by_zorder(
+        ev.select("user_id", "value", "event_type"),
+        "user_id",
+        "value",
+        out,
+        n_files=16,
+    )
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), _R).alias("total_value"),
+        F.count_distinct("user_id").alias("nd_users"),
+    )
