@@ -190,3 +190,73 @@ def grouped_map_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .applyInPandas(zscore, schema="event_id long, event_type string, z double")
     )
+
+
+@query(
+    "sql_udf_weather_display",
+    oracle="""SELECT round((value - 32) * 5 / 9, 6) AS celsius,
+       CASE WHEN value >= 80 THEN 'hot'
+            WHEN value >= 50 THEN 'mild' ELSE 'cold' END AS band
+FROM events WHERE value IS NOT NULL AND event_type = 'view'""",
+)
+def sql_udf_weather_display(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar UDFs (Spark 4 ``CREATE FUNCTION ... RETURN``):
+    the reference's display-conversion helpers (dashboard.py F-to-C and
+    banding) packaged as catalog functions.
+
+    This is the UDF form with NO scale tax: the body is inlined by
+    Catalyst into the calling plan (fully codegen'd, no Python worker,
+    no serialization boundary), so shared business logic gets a named,
+    reusable definition while executing exactly like the hand-written
+    expression. The right default for every UDF that is expressible in
+    SQL; the pandas forms above are for logic that isn't."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_v")
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION f_to_c(f DOUBLE)
+           RETURNS DOUBLE RETURN round((f - 32) * 5 / 9, 6)"""
+    )
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION temp_band(f DOUBLE)
+           RETURNS STRING RETURN
+             CASE WHEN f >= 80 THEN 'hot'
+                  WHEN f >= 50 THEN 'mild' ELSE 'cold' END"""
+    )
+    return spark.sql(
+        """SELECT f_to_c(value) AS celsius, temp_band(value) AS band
+           FROM events_v WHERE value IS NOT NULL AND event_type = 'view'"""
+    )
+
+
+@query(
+    "collated_event_types",
+    oracle="""WITH mixed AS (
+  SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+              ELSE event_type END AS et
+  FROM events
+)
+SELECT lower(et) AS event_type_ci, CAST(count(*) AS BIGINT) AS n
+FROM mixed GROUP BY 1""",
+)
+def collated_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 ``COLLATE UTF8_LCASE``): group
+    a deterministically mixed-case column case-insensitively WITHOUT
+    normalizing it first.
+
+    At 100 TB the difference matters: a collated comparison works on
+    the original bytes in codegen (and keeps parquet min/max usable for
+    the original column), where a ``lower()`` normalization is an extra
+    per-row projection that breaks pushdown against the source column.
+    The output projects the lowercased key only to keep the oracle
+    deterministic (the collated group's representative value is
+    engine-chosen)."""
+    ev = load_table(spark, sf_dir, "events")
+    mixed = ev.select(
+        F.when(
+            F.col("event_id") % 2 == 0, F.upper("event_type")
+        ).otherwise(F.col("event_type")).alias("et")
+    )
+    return (
+        mixed.groupBy(F.expr("collate(et, 'UTF8_LCASE')").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lower("k").alias("event_type_ci"), "n")
+    )
