@@ -1,0 +1,476 @@
+"""Round-3 curation operators: incremental ingest dedup, n-gram LM
+scoring, TF-IDF retrieval, RAG chunking, per-source quotas, BPE merge
+statistics, snapshot diffing, and contrastive negative mining.
+
+These extend the LLM-data surface (``llm_data_queries``) with the
+operations a *continuously ingesting* 100 TB training-data pipeline
+needs: each batch must dedup against the standing corpus sublinearly
+(bloom prefilter), documents are scored by corpus-trained language
+statistics (bigram LM), retrieval-indexed (TF-IDF complements BM25),
+chunked for RAG windows, capped per source/domain, and diffed between
+corpus snapshots. All oracle-checked on the ``documents`` /
+``embeddings`` fixtures per the registry conventions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine
+from ..operators import bloom as BLOOM
+from ..session import fan_out
+from ..sources.catalog import load_table
+from .registry import query
+
+_R = 6
+
+# whitespace tokenization shared with the BM25/shingle oracles
+_TOKS_CTE = r"""toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents
+)"""
+
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    )
+
+
+# ------------------------------------------------- incremental ingest dedup
+
+
+@query(
+    "bloom_incremental_dedup",
+    oracle="""WITH incoming AS (
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text || ' updated edition' AS text
+  FROM documents WHERE doc_id % 7 = 0
+)
+SELECT i.doc_id, md5(i.text) AS content_hash
+FROM incoming i
+WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE md5(d.text) = md5(i.text))""",
+)
+def bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental batch-vs-corpus dedup through a Bloom prefilter
+    (``operators/bloom.py``): an incoming batch (re-delivered docs +
+    genuinely updated editions) is checked against the standing corpus.
+    Filter-negative rows pass with zero join work; only maybe-dups reach
+    the exact anti-join, so at 100 TB the per-batch cost is bounded by
+    the batch, not the corpus (the bloom words table is built once per
+    corpus epoch and broadcast — ≤16 K rows regardless of corpus size).
+    The result is EXACT (bloom false positives are re-verified), which
+    is what makes this oracle-checkable against a plain NOT EXISTS.
+    Generalizes the reference's per-batch DELETE+INSERT re-delivery
+    handling (postgres_dwh.py:175-210) to sublinear ingest."""
+    docs = load_table(spark, sf_dir, "documents")
+    redelivered = docs.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    updated = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat("text", F.lit(" updated edition")).alias("text"),
+    )
+    batch = (
+        redelivered.unionByName(updated)
+        .select("doc_id", F.md5("text").alias("content_hash"))
+    )
+    corpus_keys = docs.select(F.md5("text").alias("content_hash"))
+    return BLOOM.incremental_dedup(corpus_keys, batch, "content_hash", "doc_id")
+
+
+# ------------------------------------------------------ n-gram LM scoring
+
+
+@query(
+    "bigram_lm_scores",
+    oracle=r"""WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws)), i -> [ws[i], ws[i+1]])) AS b
+  FROM w WHERE len(ws) >= 2
+),
+bge AS (SELECT doc_id, b[1] AS w1, b[2] AS w2 FROM bg),
+bc AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c2 FROM bge GROUP BY 1, 2),
+uc AS (SELECT w1, CAST(count(*) AS DOUBLE) AS c1 FROM bge GROUP BY 1),
+v AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS vsize
+      FROM (SELECT unnest(ws) AS t FROM w))
+SELECT bge.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(-ln((bc.c2 + 1) / (uc.c1 + v.vsize))), 6) AS avg_nll
+FROM bge
+JOIN bc ON bge.w1 = bc.w1 AND bge.w2 = bc.w2
+JOIN uc ON bge.w1 = uc.w1
+CROSS JOIN v
+GROUP BY 1""",
+)
+def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KenLM-style corpus-LM document scoring, the classic perplexity
+    filter of training-data curation (CCNet/RefinedWeb lineage): train
+    an add-1-smoothed bigram model on the corpus itself, score each doc
+    by its average negative log-likelihood. High-avg_nll docs are the
+    out-of-distribution/garbled tail a perplexity threshold removes.
+
+    Plan shape: bigrams are built in array-land (``transform`` over the
+    token array — no positional self-join), exploded ONCE into a
+    checkpointed table that feeds both count models and the scorer; the
+    vocabulary size rides as a one-row broadcast. Two count shuffles +
+    one scoring join — all keyed on n-gram text, the same partitioning a
+    1000-executor run would want."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    w = fan_out(docs).select("doc_id", ws.alias("ws"))
+    bge = (
+        w.where(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+        .localCheckpoint()
+    )
+    bc = bge.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("double").alias("c2"))
+    uc = bge.groupBy("w1").agg(F.count(F.lit(1)).cast("double").alias("c1"))
+    vsize = (
+        w.select(F.explode("ws").alias("t"))
+        .agg(F.countDistinct("t").cast("double").alias("vsize"))
+    )
+    nll = -F.log((F.col("c2") + 1) / (F.col("c1") + F.col("vsize")))
+    return (
+        bge.join(bc, ["w1", "w2"])
+        .join(uc, ["w1"])
+        .crossJoin(F.broadcast(vsize))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.avg(nll), _R).alias("avg_nll"),
+        )
+    )
+
+
+# ------------------------------------------------------- TF-IDF retrieval
+
+
+@query(
+    "tfidf_cosine_topk",
+    oracle=f"""WITH {_TOKS_CTE},
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+wts AS (
+  SELECT doc_id, term, tf.tf * ln(n.n_docs / df.df) AS wt
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+norms AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nrm FROM wts GROUP BY 1),
+q AS (SELECT doc_id AS query_id, term, wt AS qwt FROM wts WHERE doc_id < 5),
+dots AS (
+  SELECT q.query_id, w.doc_id, sum(q.qwt * w.wt) AS dp
+  FROM q JOIN wts w USING (term) WHERE w.doc_id <> q.query_id GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.query_id, d.doc_id, round(d.dp / (qn.nrm * dn.nrm), 6) AS cosine
+  FROM dots d
+  JOIN norms qn ON qn.doc_id = d.query_id
+  JOIN norms dn ON dn.doc_id = d.doc_id
+  WHERE qn.nrm > 0 AND dn.nrm > 0
+)
+SELECT query_id, doc_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, doc_id) AS BIGINT) AS rank
+FROM scored QUALIFY rank <= 5""",
+)
+def tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine retrieval: top-5 most similar corpus docs
+    for each of the first 5 docs-as-queries. Complements BM25 with the
+    normalized-vector scorer (the feature space of classic quality/
+    topic classifiers). Sparse algebra as joins: the dot product is a
+    join on term (only shared terms meet — never a dense |Q|x|D|
+    product), norms are one groupBy, ranking partitions by query.
+    Ranking on the ROUNDED score (then doc_id) keeps the top-k cut
+    identical across engines regardless of float summation order."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(fan_out(docs))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    wts = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "term", (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("wt"))
+        .localCheckpoint()
+    )
+    norms = wts.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm"))
+    q = wts.where(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), "term", F.col("wt").alias("qwt")
+    )
+    dots = (
+        wts.join(F.broadcast(q), "term")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("qwt") * F.col("wt")).alias("dp"))
+    )
+    qn = norms.select(F.col("doc_id").alias("query_id"), F.col("nrm").alias("qnrm"))
+    scored = (
+        dots.join(F.broadcast(qn), "query_id")
+        .join(norms, "doc_id")
+        .where((F.col("qnrm") > 0) & (F.col("nrm") > 0))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(F.col("dp") / (F.col("qnrm") * F.col("nrm")), _R).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+    )
+
+
+# ----------------------------------------------------------- RAG chunking
+
+
+@query(
+    "doc_chunks_overlap",
+    oracle=r"""WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents
+),
+starts AS (
+  SELECT doc_id, ws, unnest(range(1, greatest(len(ws), 1) + 1, 40)) AS s FROM w
+)
+SELECT doc_id,
+       CAST((s - 1) // 40 + 1 AS BIGINT) AS chunk_id,
+       CAST(s AS BIGINT) AS chunk_start,
+       CAST(len(list_slice(ws, s, s + 49)) AS BIGINT) AS n_words,
+       array_to_string(list_slice(ws, s, s + 49), ' ') AS chunk_text
+FROM starts""",
+)
+def doc_chunks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-prep chunking: fixed 50-word windows with stride 40 (10-word
+    overlap so retrieval never loses a boundary-straddling fact). Pure
+    array algebra — chunk starts via ``sequence``, windows via
+    ``slice`` — one narrow row-multiplying explode, no shuffle at all:
+    chunking is embarrassingly parallel and the plan keeps it that way
+    (scan → project → explode, pipelined in one stage)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    return (
+        fan_out(docs)
+        .select("doc_id", ws.alias("ws"))
+        .select(
+            "doc_id",
+            "ws",
+            F.explode(F.expr("sequence(1, greatest(size(ws), 1), 40)")).alias("s"),
+        )
+        .select(
+            "doc_id",
+            (((F.col("s") - 1) / 40).cast("long") + 1).alias("chunk_id"),
+            F.col("s").cast("long").alias("chunk_start"),
+            F.expr("size(slice(ws, s, 50))").cast("long").alias("n_words"),
+            F.expr("array_join(slice(ws, s, 50), ' ')").alias("chunk_text"),
+        )
+    )
+
+
+# ------------------------------------------------------ per-source quotas
+
+
+@query(
+    "source_quota_cap",
+    oracle="""SELECT doc_id, source, CAST(rk AS BIGINT) AS quota_rank
+FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || text), doc_id) AS rk
+  FROM documents)
+WHERE rk <= 15""",
+)
+def source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source/domain quota capping (the Common-Crawl-style guard
+    against one domain dominating the mix): keep at most 15 docs per
+    source, selected by a content-stable hash order — deterministic and
+    retry-safe, no ``rand()``, re-runs pick the same survivors. One
+    hash-partitioned window on source; at 100 TB a skewed mega-source
+    still bounds its output at the cap, and the window can be replaced
+    by the salted two-phase top-k in ``operators/scale.py`` if a single
+    source exceeds a partition."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.col("text"))), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("quota_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("quota_rank") <= 15)
+        .select("doc_id", "source", "quota_rank")
+    )
+
+
+# --------------------------------------------------- BPE merge statistics
+
+
+@query(
+    "bpe_pair_stats",
+    oracle=f"""WITH {_TOKS_CTE},
+wc AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
+pairs AS (
+  SELECT unnest(list_transform(range(1, length(term)), i -> substr(term, i, 2))) AS pair,
+         c
+  FROM wc WHERE length(term) >= 2
+)
+SELECT pair, CAST(sum(c) AS BIGINT) AS pair_count
+FROM pairs GROUP BY 1
+ORDER BY pair_count DESC, pair LIMIT 20""",
+)
+def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The counting kernel of BPE tokenizer training: frequency of every
+    adjacent symbol pair, token-frequency weighted — the argmax pair is
+    the first merge rule. The pair scan runs over the DISTINCT-word
+    table (|vocab| rows), not the corpus: per-word pair lists are
+    weighted by word frequency, which is exactly how production BPE
+    trainers avoid rescanning the corpus per merge iteration. Top-20 by
+    (count, pair) — a deterministic TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = _tokens(fan_out(docs)).groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    pairs = wc.where(F.length("term") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(term) - 1), i -> substring(term, i, 2))")
+        ).alias("pair"),
+        "c",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").cast("long").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+# -------------------------------------------------- corpus snapshot diff
+
+
+_SNAPSHOT_B_CTE = """b AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0 AND doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id, text || ' rev2' AS text FROM documents
+  WHERE doc_id % 7 = 0 AND doc_id % 11 <> 0
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 13 = 0
+)"""
+
+
+@query(
+    "corpus_snapshot_diff",
+    oracle=f"""WITH {_SNAPSHOT_B_CTE},
+j AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         CASE WHEN a.doc_id IS NULL THEN 'added'
+              WHEN b.doc_id IS NULL THEN 'removed'
+              WHEN a.text = b.text THEN 'unchanged'
+              ELSE 'changed' END AS change_type
+  FROM documents a FULL JOIN b ON a.doc_id = b.doc_id
+)
+SELECT change_type, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(max(doc_id) AS BIGINT) AS max_doc_id
+FROM j GROUP BY 1""",
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot corpus diff (added / removed / changed /
+    unchanged) — the audit report between two crawl epochs, and the
+    input to incremental re-embedding (only 'added'+'changed' need new
+    vectors). One co-partitioned full outer join on doc_id; content
+    equality compared in-join (at scale: compare md5s from footer-stat
+    pruned scans instead of full text columns)."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = (
+        docs.where((F.col("doc_id") % 11 != 0) & (F.col("doc_id") % 7 != 0))
+        .select("doc_id", "text")
+        .unionByName(
+            docs.where((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 11 != 0)).select(
+                "doc_id", F.concat("text", F.lit(" rev2")).alias("text")
+            )
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 10000).alias("doc_id"), "text"
+            )
+        )
+    )
+    a = docs.select(F.col("doc_id").alias("a_id"), F.col("text").alias("a_text"))
+    bb = b.select(F.col("doc_id").alias("b_id"), F.col("text").alias("b_text"))
+    j = a.join(bb, a["a_id"] == bb["b_id"], "full").select(
+        F.coalesce("a_id", "b_id").alias("doc_id"),
+        F.when(F.col("a_id").isNull(), "added")
+        .when(F.col("b_id").isNull(), "removed")
+        .when(F.col("a_text") == F.col("b_text"), "unchanged")
+        .otherwise("changed")
+        .alias("change_type"),
+    )
+    return j.groupBy("change_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
+        F.max("doc_id").cast("long").alias("max_doc_id"),
+    )
+
+
+# -------------------------------------------- contrastive negative mining
+
+
+@query(
+    "hard_negative_mining",
+    oracle="""WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label AS q_label
+  FROM embeddings WHERE vec_id < 3
+),
+scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])) AS cos
+  FROM embeddings e JOIN q ON e.label <> q.q_label
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+FROM scored QUALIFY rank <= 5""",
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard-negative mining: for each anchor
+    vector, the top-5 most-similar vectors with a DIFFERENT label —
+    maximally confusing negatives, the highest-value rows in a
+    contrastive batch. Same broadcast-queries/one-corpus-pass shape as
+    ``knn_topk`` with the label inequality fused into the join
+    condition, so wrong-label filtering happens before any scoring."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("q_label"),
+    )
+    scored = (
+        fan_out(emb)
+        .join(F.broadcast(q), F.col("label") != F.col("q_label"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("q_vec"), F.col("embedding")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", F.round("cos", _R).alias("cosine"), "rank")
+    )

@@ -64,6 +64,13 @@ try:
 except ImportError:
     pass
 
+try:
+    from . import curation_queries  # noqa: F401
+
+    _PACKS.append("curation_queries")
+except ImportError:
+    pass
+
 
 # --- driver-gate ordering ---------------------------------------------
 #

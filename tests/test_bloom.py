@@ -1,0 +1,63 @@
+"""Bloom-prefiltered incremental dedup (operators/bloom.py).
+
+The oracle-parity of the end result is covered by the registered
+`bloom_incremental_dedup` query; these tests pin the *mechanism*: no
+false negatives ever, a false-positive rate in the expected regime, and
+the prefilter actually shrinking the exact-join's probe side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from end_to_end_database_pipeline_project_spark.operators import bloom as BLOOM
+
+
+def _keys(spark, prefix: str, n: int):
+    return spark.range(n).select(
+        F.col("id").alias("kid"), F.concat(F.lit(prefix), F.col("id")).alias("key")
+    )
+
+
+def test_no_false_negatives(spark):
+    corpus = _keys(spark, "k", 2000)
+    bloom = BLOOM.build_bloom(corpus, "key")
+    tagged = BLOOM.probe_bloom(corpus, bloom, "key", "kid")
+    # every corpus key must probe positive
+    assert tagged.where(~F.col("maybe_dup")).count() == 0
+
+
+def test_false_positive_rate_in_regime(spark):
+    corpus = _keys(spark, "k", 2000)
+    fresh = _keys(spark, "other", 2000)  # disjoint key space
+    bloom = BLOOM.build_bloom(corpus, "key")
+    tagged = BLOOM.probe_bloom(fresh, bloom, "key", "kid")
+    fp = tagged.where(F.col("maybe_dup")).count()
+    # with m=2^20 bits, k=5, n=2000: fpp ~ (1 - e^(-5*2000/2^20))^5 ≈ 8e-11.
+    # allow generous slack — the assertion is "not a broken filter", i.e.
+    # far below the 50% a degenerate single-bit filter would show.
+    assert fp <= 20, f"false positive count {fp} far above geometry prediction"
+
+
+def test_incremental_dedup_exact(spark):
+    corpus = _keys(spark, "k", 1000)
+    # batch: 300 re-deliveries + 100 new keys
+    redeliv = corpus.where(F.col("kid") < 300).select(
+        (F.col("kid") + 5000).alias("kid"), "key"
+    )
+    new = _keys(spark, "new", 100).select((F.col("kid") + 9000).alias("kid"), "key")
+    batch = redeliv.unionByName(new)
+    out = BLOOM.incremental_dedup(corpus, batch, "key", "kid")
+    rows = {r.key for r in out.collect()}
+    assert rows == {f"new{i}" for i in range(100)}
+
+
+def test_prefilter_shrinks_exact_join_side(spark):
+    """The scale contract: only maybe-dups reach the anti-join. With a
+    disjoint batch, the maybe-side should be ~empty (only FPs)."""
+    corpus = _keys(spark, "k", 2000)
+    batch = _keys(spark, "b", 2000)
+    bloom = BLOOM.build_bloom(corpus, "key")
+    tagged = BLOOM.probe_bloom(batch, bloom, "key", "kid")
+    n_maybe = tagged.where(F.col("maybe_dup")).count()
+    assert n_maybe <= 20  # join probe side collapsed from 2000 to ~0
