@@ -210,3 +210,55 @@ def test_bitmap_rollup_scans_facts_once(spark):
     assert "FileScan" not in plan
     assert plan.count("Scan ExistingRDD") == 2
     assert "bitmap_or_agg" in plan
+
+
+def test_chunking_is_shuffle_free(spark):
+    # chunking is embarrassingly parallel: scan -> project -> explode in
+    # one pipelined stage; the only exchange is the fan_out round-robin
+    plan = _plan(spark, "doc_chunks_overlap")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Generate explode" in plan
+
+
+def test_bpe_pairs_aggregate_over_vocab_with_topk(spark):
+    plan = _plan(spark, "bpe_pair_stats")
+    # top-20 is a TakeOrderedAndProject, never a global sort
+    assert "TakeOrderedAndProject" in plan
+    # pair counts map-side combined before the exchange
+    assert "partial_sum" in plan
+    # the pair explode runs over the distinct-word aggregate (term,c),
+    # not over raw corpus tokens
+    assert "Generate explode(transform" in plan
+
+
+def test_quota_cap_pushes_rank_limit_below_shuffle(spark):
+    # Spark's WindowGroupLimit must prune each map partition to the top
+    # 15 per source BEFORE the exchange — at 100 TB this is the
+    # difference between shuffling the corpus and shuffling ~the output
+    plan = _plan(spark, "source_quota_cap")
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_bloom_words_table_is_broadcast(spark):
+    plan = _plan(spark, "bloom_incremental_dedup")
+    # the probe joins the batch against a BROADCAST bloom words table
+    assert "BroadcastHashJoin" in plan
+    # and the exact re-verification is an anti-join, not a full join
+    assert "LeftAnti" in plan
+
+
+def test_tfidf_broadcasts_query_vectors(spark):
+    plan = _plan(spark, "tfidf_cosine_topk")
+    # the 5 query docs' sparse vectors ride broadcast; the corpus-side
+    # weights table is never broadcast
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bigram_lm_single_explode_with_partial_counts(spark):
+    plan = _plan(spark, "bigram_lm_scores")
+    # the bigram table is checkpointed once and feeds both count models
+    # and the scorer — no second explode of the corpus
+    assert plan.count("Generate explode") <= 1
+    assert "partial_count" in plan
+    # vocabulary size rides as a one-row broadcast
+    assert "BroadcastNestedLoopJoin" in plan
