@@ -474,3 +474,89 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", F.round("cos", _R).alias("cosine"), "rank")
     )
+
+
+# ------------------------------------------------------------- pagerank
+
+
+def _pr_iter_cte(prev: str, out: str) -> str:
+    return f"""{out} AS (
+  SELECT nd.node,
+         0.15 / (SELECT n_nodes FROM n) +
+         0.85 * coalesce(sum(r.rank / o.outdeg), 0) AS rank
+  FROM nodes nd
+  LEFT JOIN edges e ON e.dst = nd.node
+  LEFT JOIN {prev} r ON r.node = e.src
+  LEFT JOIN od o ON o.src = e.src
+  GROUP BY 1
+)"""
+
+
+_PAGERANK_ORACLE = (
+    """WITH e0 AS (
+  SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT 'c' || CAST(ck AS VARCHAR) AS src, 's' || CAST(sk AS VARCHAR) AS dst FROM e0
+  UNION ALL
+  SELECT 's' || CAST(sk AS VARCHAR), 'c' || CAST(ck AS VARCHAR) FROM e0
+),
+nodes AS (
+  SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node FROM customer
+  UNION ALL
+  SELECT 's' || CAST(s_suppkey AS VARCHAR) AS node FROM supplier
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_nodes FROM nodes),
+od AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM edges GROUP BY 1),
+r0 AS (SELECT node, 1.0 / (SELECT n_nodes FROM n) AS rank FROM nodes),
+"""
+    + ",\n".join(_pr_iter_cte(f"r{i}", f"r{i + 1}") for i in range(3))
+    + """
+SELECT node AS node_id, round(rank * (SELECT n_nodes FROM n), 6) AS rank_scaled
+FROM r3"""
+)
+
+
+@query("pagerank_customer_supplier", oracle=_PAGERANK_ORACLE)
+def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the bipartite customer<->supplier interaction graph
+    (an edge per distinct trading pair, both directions), 3 power
+    iterations, damping 0.85 — the influence/centrality scorer of
+    web-graph curation (rank-based quality weighting of crawl sources),
+    exercised here on relational fixtures. ``operators/graph.py``: the
+    edge+outdegree table is checkpointed once; each round is one join +
+    one aggregate hash-partitioned on node id; the rank vector is
+    checkpointed per round (lineage truncation, the iterative-algorithm
+    discipline shared with connected components). Output is every
+    node's rank scaled by N (ranks sum to ~1, so scaled ranks are O(1)
+    and survive the 6-decimal round)."""
+    from ..operators import graph as GR
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    e0 = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    cnode = F.concat(F.lit("c"), F.col("ck").cast("string"))
+    snode = F.concat(F.lit("s"), F.col("sk").cast("string"))
+    edges = e0.select(cnode.alias("src"), snode.alias("dst")).unionByName(
+        e0.select(snode.alias("src"), cnode.alias("dst"))
+    )
+    nodes = customer.select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node")
+    ).unionByName(
+        supplier.select(
+            F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node")
+        )
+    )
+    ranks = GR.pagerank(nodes, edges, iters=3, damping=0.85)
+    n = nodes.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
+    return ranks.crossJoin(F.broadcast(n)).select(
+        F.col("node").alias("node_id"),
+        F.round(F.col("rank") * F.col("n_nodes"), _R).alias("rank_scaled"),
+    )
