@@ -95,7 +95,6 @@ _DRIVER_FIRST = [
     "minhash_lsh_pairs",
     "jaccard_on_lsh_survivors",
     "neardup_components",
-    "neardup_dedup_retention",
     "simhash_fingerprints",
     # text analysis (repetition-score twin follows the window — entropy
     # and boilerplate cover the hygiene family)
@@ -104,18 +103,15 @@ _DRIVER_FIRST = [
     "doc_language_id",
     "token_frequencies",
     "pii_scrubbed_docs",
-    "boilerplate_lines",
     # ANN / similarity
     "knn_topk",
     "embedding_near_dup_pairs",
     "ivf_multiprobe_topk",
-    "srp_lsh_topk",
     "bm25_retrieval",
     # curation pipeline
     "deterministic_split",
     "corpus_mix_by_source",
     "decontamination_flags",
-    "stratified_sample",
     "curated_corpus_report",
     "sequence_packing_report",
     # multimodal binary columns (wav-codec twin follows the window —
@@ -127,7 +123,6 @@ _DRIVER_FIRST = [
     "streaming_hourly_window",
     "stateful_user_totals",
     "stream_stream_join",
-    "medallion_silver",
     "medallion_serving",
     "asof_last_purchase",
     "gold_partition_refresh",
@@ -140,14 +135,12 @@ _DRIVER_FIRST = [
     # agg-salting covers the mechanism)
     "salted_event_stats",
     "bucketed_orders_revenue",
-    "binned_price_band_join",
     # sketch certificate: the one red row from r01/r02 (HLL); the
     # approx-percentile twin follows the window
     "approx_distinct_orders",
     # pandas UDF surface
     "pandas_scalar_log_value",
     "pandas_udaf_geomean",
-    "udtf_sentence_split",
     "grouped_map_zscores",
     # TPC-H representative (family has 5 green rows from r01; the
     # other unchecked members follow the window for the judge's mirror)
@@ -158,6 +151,16 @@ _DRIVER_FIRST = [
     # round-3 families: connector, VARIANT, recursive CTE, mergeable
     # sketches (exact bitmap path), substring-level dedup
     "http_api_source_scan",
+    # round-3 curation wave: each a new capability family (twins of
+    # already-windowed mechanisms — chunking, hard negatives — follow
+    # the window for the judge's mirror)
+    "bloom_incremental_dedup",
+    "bigram_lm_scores",
+    "tfidf_cosine_topk",
+    "pagerank_customer_supplier",
+    "source_quota_cap",
+    "corpus_snapshot_diff",
+    "bpe_pair_stats",
     "variant_event_props",
     "monthly_order_spine",
     "bitmap_distinct_users",
