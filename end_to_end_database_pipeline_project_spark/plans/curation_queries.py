@@ -560,3 +560,150 @@ def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("node_id"),
         F.round(F.col("rank") * F.col("n_nodes"), _R).alias("rank_scaled"),
     )
+
+
+# -------------------------------------------- embedding-space diagnostics
+
+
+@query(
+    "embedding_cluster_cohesion",
+    oracle="""WITH ex AS (
+  SELECT vec_id, label, unnest(CAST(embedding AS DOUBLE[])) AS val,
+         unnest(range(1, len(embedding) + 1)) AS pos
+  FROM embeddings
+),
+cent AS (SELECT label AS clabel, pos, avg(val) AS c FROM ex GROUP BY 1, 2),
+cnorm AS (SELECT clabel, sqrt(sum(c * c)) AS cnrm FROM cent GROUP BY 1),
+vnorm AS (SELECT vec_id, sqrt(sum(val * val)) AS vnrm FROM ex GROUP BY 1),
+dots AS (
+  SELECT ex.vec_id, ex.label, cent.clabel, sum(ex.val * cent.c) AS dp
+  FROM ex JOIN cent ON ex.pos = cent.pos GROUP BY 1, 2, 3
+),
+cosv AS (
+  SELECT d.vec_id, d.label, d.clabel, d.dp / (v.vnrm * c.cnrm) AS cos
+  FROM dots d JOIN cnorm c USING (clabel) JOIN vnorm v USING (vec_id)
+),
+intra AS (SELECT vec_id, label, cos AS intra_cos FROM cosv WHERE label = clabel),
+other AS (SELECT vec_id, max(cos) AS nearest_other FROM cosv WHERE label <> clabel GROUP BY 1)
+SELECT i.label, CAST(count(*) AS BIGINT) AS n_vecs,
+       round(avg(intra_cos), 6) AS avg_intra_cos,
+       round(avg(nearest_other), 6) AS avg_nearest_other,
+       round(avg(intra_cos - nearest_other), 6) AS avg_margin
+FROM intra i JOIN other o USING (vec_id) GROUP BY 1""",
+)
+def embedding_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-cohesion report over the embedding space (silhouette-style
+    diagnostics for semantic-dedup / topic-bucketing quality): per label,
+    the average cosine of members to their own centroid, to the nearest
+    FOREIGN centroid, and the separation margin. A collapsing margin is
+    the operational signal that two topic clusters have merged and
+    cluster-based sampling weights are stale.
+
+    All vector math runs in the EXPLODED representation — (vec, pos,
+    val) rows — so centroids are a plain groupBy(label, pos) mean and
+    vector-centroid dot products a broadcast join on pos + partial-sum
+    groupBy: no vectors are ever rebuilt, no per-row Python, and the
+    shape holds for billions of vectors (centroid table = labels x dims
+    rows, always broadcastable)."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    ex = (
+        fan_out(emb)
+        .select("vec_id", "label", F.posexplode("embedding").alias("pos", "val"))
+        .localCheckpoint()
+    )
+    cent = ex.groupBy(F.col("label").alias("clabel"), F.col("pos")).agg(
+        F.avg("val").alias("c")
+    )
+    cnorm = cent.groupBy("clabel").agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cnrm"))
+    vnorm = ex.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("vnrm"))
+    dots = (
+        ex.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(F.sum(F.col("val") * F.col("c")).alias("dp"))
+    )
+    cosv = (
+        dots.join(F.broadcast(cnorm), "clabel")
+        .join(vnorm, "vec_id")
+        .select("vec_id", "label", "clabel", (F.col("dp") / (F.col("vnrm") * F.col("cnrm"))).alias("cos"))
+    )
+    intra = cosv.where(F.col("label") == F.col("clabel")).select(
+        "vec_id", "label", F.col("cos").alias("intra_cos")
+    )
+    other = (
+        cosv.where(F.col("label") != F.col("clabel"))
+        .groupBy("vec_id")
+        .agg(F.max("cos").alias("nearest_other"))
+    )
+    return (
+        intra.join(other, "vec_id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.round(F.avg("intra_cos"), _R).alias("avg_intra_cos"),
+            F.round(F.avg("nearest_other"), _R).alias("avg_nearest_other"),
+            F.round(F.avg(F.col("intra_cos") - F.col("nearest_other")), _R).alias("avg_margin"),
+        )
+    )
+
+
+# ------------------------------------------------- MLM masking augmentation
+
+
+_MASK_COND_DUCK = (
+    "(16 * (strpos('0123456789abcdef', substr(md5("
+    "CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR) || ':' || ws[i]"
+    "), 1, 1)) - 1)"
+    " + (strpos('0123456789abcdef', substr(md5("
+    "CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR) || ':' || ws[i]"
+    "), 2, 1)) - 1)) < 38"
+)
+
+_MASK_COND_SPARK = (
+    "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':', CAST(i AS STRING),"
+    " ':', element_at(ws, i))), 1, 2), 16, 10) AS INT) < 38"
+)
+
+
+@query(
+    "mlm_masked_corpus",
+    oracle=rf"""WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents
+),
+m AS (
+  SELECT doc_id, ws,
+         list_transform(range(1, len(ws) + 1),
+                        i -> CASE WHEN {_MASK_COND_DUCK} THEN '[MASK]' ELSE ws[i] END) AS mt
+  FROM w
+)
+SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(mt, x -> x = '[MASK]')) AS BIGINT) AS n_masked,
+       array_to_string(mt, ' ') AS masked_text
+FROM m""",
+)
+def mlm_masked_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MLM-style masking augmentation: ~15% of tokens
+    (hash threshold 38/256) replaced by [MASK], keyed on
+    (doc_id, position, token) so re-runs and both engines mask the
+    SAME tokens — the retry-safe, shuffle-free augmentation discipline
+    (no rand(), same reasoning as the deterministic split). Pure
+    array algebra per row: one ``transform`` builds the masked token
+    array in place, no explode, no shuffle — scan → project, one
+    pipelined stage at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    m = fan_out(docs).select("doc_id", ws.alias("ws")).select(
+        "doc_id",
+        "ws",
+        F.expr(
+            "transform(sequence(1, size(ws)),"
+            f" i -> CASE WHEN {_MASK_COND_SPARK} THEN '[MASK]' ELSE element_at(ws, i) END)"
+        ).alias("mt"),
+    )
+    return m.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_tokens"),
+        F.expr("size(filter(mt, x -> x = '[MASK]'))").cast("long").alias("n_masked"),
+        F.array_join("mt", " ").alias("masked_text"),
+    )
