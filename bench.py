@@ -50,6 +50,11 @@ HEADLINE = [
     # round 3: exact substring dedup + mergeable-sketch rollups
     "duplicate_span_stats",
     "bitmap_distinct_users",
+    # round 3 curation wave: sublinear ingest dedup, corpus-LM scoring,
+    # iterative graph centrality
+    "bloom_incremental_dedup",
+    "bigram_lm_scores",
+    "pagerank_customer_supplier",
 ]
 
 

@@ -707,3 +707,51 @@ def mlm_masked_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("size(filter(mt, x -> x = '[MASK]'))").cast("long").alias("n_masked"),
         F.array_join("mt", " ").alias("masked_text"),
     )
+
+
+# ------------------------------------------- incremental view maintenance
+
+
+@query(
+    "incremental_rollup_merge",
+    oracle="""SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS obs_date,
+       CAST(count(value) AS BIGINT) AS n_obs,
+       round(sum(value) / count(value), 6) AS avg_value
+FROM events WHERE value IS NOT NULL
+GROUP BY 1""",
+)
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance for the mean family:
+    the daily rollup is stored as MERGEABLE partials (sum, count) — an
+    average can't be merged, its partials can — and a late-arriving
+    delta (the last 5 days) is folded in by re-aggregating partials,
+    never rescanning history. The ORACLE is the full recompute over all
+    events: the check is precisely "merged partials == recompute", the
+    correctness contract of incremental maintenance. Completes the
+    store-partial/re-merge family next to the HLL and bitmap sketches
+    (distinct counts) with the exact sum/count path.
+
+    The cutoff is data-derived (max date - 5 days) and rides the plan
+    as a one-row broadcast — no driver round-trip, retry-safe."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(F.col("ts").cast("date").alias("obs_date"), "value")
+    )
+    cut = ev.agg(F.date_sub(F.max("obs_date"), 5).alias("cutoff"))
+    ev_c = ev.crossJoin(F.broadcast(cut))
+    partials = lambda df: df.groupBy("obs_date").agg(  # noqa: E731
+        F.sum("value").alias("s"), F.count("value").alias("c")
+    )
+    state = partials(ev_c.where(F.col("obs_date") < F.col("cutoff")))
+    delta = partials(ev_c.where(F.col("obs_date") >= F.col("cutoff")))
+    return (
+        state.unionByName(delta)
+        .groupBy("obs_date")
+        .agg(F.sum("s").alias("s"), F.sum("c").cast("long").alias("n_obs"))
+        .select(
+            "obs_date",
+            "n_obs",
+            F.round(F.col("s") / F.col("n_obs"), _R).alias("avg_value"),
+        )
+    )
