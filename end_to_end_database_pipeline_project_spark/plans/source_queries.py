@@ -247,3 +247,51 @@ def http_api_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("obs_ts").alias("first_obs"),
         F.max("obs_ts").alias("last_obs"),
     )
+
+
+@query(
+    "kv_cache_sink_roundtrip",
+    oracle="""SELECT 'daily_' || strftime(CAST(CAST(ts AS TIMESTAMP) AS DATE), '%Y-%m-%d')
+         AS key,
+       CAST(1700003600 AS BIGINT) AS expires_at,
+       CAST(count(value) AS BIGINT) AS n_obs,
+       round(avg(value), 6) AS avg_value
+FROM events WHERE value IS NOT NULL
+GROUP BY 1""",
+)
+def kv_cache_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15 cache sink as a REAL custom connector: the daily serving
+    aggregate written through the ``kv_cache`` Python DataSource writer
+    (``sources/kv_sink.py`` — executor-side task files, driver-side
+    manifest commit, TTL from an injectable clock), then read back via
+    the manifest (the only committed view) and oracle-checked. The
+    reference's redis_cache.py set-with-ttl refresh, upgraded with the
+    two-phase commit protocol a distributed cache writer needs."""
+    from ..sources import kv_sink
+
+    kv_sink.register(spark)
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    serving = ev.groupBy(F.col("ts").cast("date").alias("obs_date")).agg(
+        F.count("value").cast("long").alias("n_obs"),
+        F.round(F.avg("value"), _R).alias("avg_value"),
+    ).select(
+        F.concat(F.lit("daily_"), F.date_format("obs_date", "yyyy-MM-dd")).alias(
+            "cache_key"
+        ),
+        "n_obs",
+        "avg_value",
+    )
+    store = tempfile.mkdtemp(prefix="kv_cache_")
+    (
+        serving.write.format("kv_cache")
+        .option("path", store)
+        .option("key", "cache_key")
+        .option("ttl_seconds", 3600)
+        .option("now_epoch", 1700000000)
+        .mode("append")
+        .save()
+    )
+    back = spark.read.schema(
+        "key string, expires_at long, n_obs long, avg_value double"
+    ).json(kv_sink.committed_files(store))
+    return back.select("key", "expires_at", "n_obs", "avg_value")
