@@ -196,3 +196,110 @@ def zorder_events_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), _R).alias("total_value"),
         F.count_distinct("user_id").alias("nd_users"),
     )
+
+
+# ------------------------------------------------------ spatial grid join
+
+
+def _hex4_duck(expr: str) -> str:
+    """DuckDB int value of the first 4 hex digits of md5(expr)."""
+    digit = "(strpos('0123456789abcdef', substr(md5({e}), {i}, 1)) - 1)"
+    terms = " + ".join(
+        f"{16 ** (4 - i)} * {digit.format(e=expr, i=i)}" if i < 4 else digit.format(e=expr, i=i)
+        for i in range(1, 5)
+    )
+    return f"({terms})"
+
+
+_STATION_GEO_CTE = f"""st AS (
+  SELECT sid,
+         ({_hex4_duck("'lat' || sid")} % 1200) / 10.0 - 60.0 AS lat,
+         ({_hex4_duck("'lon' || sid")} % 3600) / 10.0 - 180.0 AS lon
+  FROM (SELECT DISTINCT 'S' || CAST(user_id AS VARCHAR) AS sid FROM events)
+)"""
+
+_HAVERSINE_DUCK = """2 * 6371.0088 * asin(sqrt(
+  pow(sin(radians(b.lat - a.lat) / 2), 2)
+  + cos(radians(a.lat)) * cos(radians(b.lat))
+    * pow(sin(radians(b.lon - a.lon) / 2), 2)))"""
+
+
+@query(
+    "stations_within_500km",
+    oracle=f"""WITH {_STATION_GEO_CTE}
+SELECT a.sid AS sid_a, b.sid AS sid_b,
+       round({_HAVERSINE_DUCK}, 6) AS dist_km
+FROM st a JOIN st b ON a.sid < b.sid
+WHERE {_HAVERSINE_DUCK} <= 500""",
+)
+def stations_within_500km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial distance self-join via GRID BUCKETING: station pairs
+    within 500 km by haversine. The oracle is the naive all-pairs
+    filter; the Spark plan never goes quadratic — each station lands in
+    a 10-degree grid cell, the left side fans out to its 9-cell
+    neighborhood (dateline-wrapped longitude cells), candidates meet by
+    equi-join on cell, and exact haversine verifies. Cell size is
+    chosen so the neighborhood provably covers the radius (10 deg of
+    longitude at the extreme |lat| = 60 is 556 km > 500), making the
+    bucketed join EXACTLY equal to all-pairs — same
+    candidates-then-verify discipline as the LSH and binned-band
+    joins, applied to geodesic space. Coordinates are synthesized
+    deterministically from the station id hash (the fixture universe
+    has no coordinate columns; the reference's stations carry lat/lon
+    via the GeoJSON geometry, nws_api_fetcher_v2.py:54-64)."""
+    ev = load_table(spark, sf_dir, "events")
+    hex4 = lambda e: F.conv(F.substring(F.md5(e), 1, 4), 16, 10).cast("int")  # noqa: E731
+    st = (
+        ev.select(F.concat(F.lit("S"), F.col("user_id").cast("string")).alias("sid"))
+        .distinct()
+        .select(
+            "sid",
+            ((hex4(F.concat(F.lit("lat"), F.col("sid"))) % 1200) / 10.0 - 60.0).alias("lat"),
+            ((hex4(F.concat(F.lit("lon"), F.col("sid"))) % 3600) / 10.0 - 180.0).alias("lon"),
+        )
+        .withColumn("cell_lat", F.floor(F.col("lat") / 10).cast("int"))
+        .withColumn(
+            "cell_lon",
+            (F.floor(F.col("lon") / 10).cast("int") + 36) % 36,
+        )
+        .localCheckpoint()
+    )
+    # left side fans out to its 3x3 neighborhood; right side keeps its
+    # single home cell — each qualifying pair meets exactly once
+    neigh = st.select(
+        F.col("sid").alias("sid_a"),
+        F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(-1, 1), dla -> "
+                "transform(sequence(-1, 1), dlo -> "
+                "struct(cell_lat + dla AS cl, pmod(cell_lon + dlo, 36) AS co))))"
+            )
+        ).alias("nc"),
+    ).select("sid_a", "lat_a", "lon_a", F.col("nc.cl").alias("cell_lat"), F.col("nc.co").alias("cell_lon"))
+    b = st.select(
+        F.col("sid").alias("sid_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        "cell_lat",
+        "cell_lon",
+    )
+    dist = (
+        F.lit(2 * 6371.0088)
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(F.radians(F.col("lat_b") - F.col("lat_a")) / 2), 2)
+                + F.cos(F.radians("lat_a"))
+                * F.cos(F.radians("lat_b"))
+                * F.pow(F.sin(F.radians(F.col("lon_b") - F.col("lon_a")) / 2), 2)
+            )
+        )
+    )
+    return (
+        neigh.join(b, ["cell_lat", "cell_lon"])
+        .where(F.col("sid_a") < F.col("sid_b"))
+        .withColumn("dist_km", dist)
+        .where(F.col("dist_km") <= 500)
+        .select("sid_a", "sid_b", F.round("dist_km", _R).alias("dist_km"))
+    )

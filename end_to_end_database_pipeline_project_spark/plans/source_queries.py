@@ -295,3 +295,46 @@ def kv_cache_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key string, expires_at long, n_obs long, avg_value double"
     ).json(kv_sink.committed_files(store))
     return back.select("key", "expires_at", "n_obs", "avg_value")
+
+
+@query(
+    "parquet_schema_evolution",
+    oracle="""WITH u AS (
+  SELECT event_id, value, CAST(NULL AS INTEGER) AS quality
+  FROM events WHERE event_id % 2 = 0
+  UNION ALL
+  SELECT event_id, value, CAST(event_id % 5 AS INTEGER) AS quality
+  FROM events WHERE event_id % 2 = 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(quality) AS BIGINT) AS n_with_quality,
+       round(avg(quality), 6) AS avg_quality,
+       round(avg(value), 6) AS avg_value
+FROM u""",
+)
+def parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across landed batches: an early batch lacks the
+    ``quality`` column a later ingest added (the reference's API
+    payloads gained/lost optional fields over time —
+    nws_api_fetcher_v2.py's tolerant extraction). Both generations are
+    read in ONE scan with ``mergeSchema``: missing columns surface as
+    nulls, aggregates skip them natively. At 100 TB mergeSchema's
+    footer union is driven off _metadata or the catalog schema — the
+    per-file union here is the semantics being pinned."""
+    tmp = tempfile.mkdtemp(prefix="evolve_")
+    ev = load_table(spark, sf_dir, "events")
+    ev.where(F.col("event_id") % 2 == 0).select("event_id", "value").write.parquet(
+        f"{tmp}/batch=1"
+    )
+    ev.where(F.col("event_id") % 2 == 1).select(
+        "event_id", "value", (F.col("event_id") % 5).cast("int").alias("quality")
+    ).write.parquet(f"{tmp}/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{tmp}/batch=1", f"{tmp}/batch=2"
+    )
+    return merged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count("quality").cast("long").alias("n_with_quality"),
+        F.round(F.avg("quality"), _R).alias("avg_quality"),
+        F.round(F.avg("value"), _R).alias("avg_value"),
+    )
