@@ -197,3 +197,56 @@ def distributed_prefix_sum(
         .withColumn(out_col, F.col("__local") + F.col("__offset"))
         .drop("__pid", "__local", "__offset")
     )
+
+
+def skyline_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """2-D skyline (Pareto frontier, maximize both): points not
+    dominated by any other point that is >= in both dimensions and > in
+    one.
+
+    The classic sort-sweep — order by (x DESC, y DESC), keep a point
+    iff its y exceeds the running max of everything before it — is a
+    one-pass O(n log n) algorithm, but a naive Spark translation is a
+    global no-partition window (single reducer). This runs the sweep
+    with the same two-pass discipline as ``distributed_prefix_sum``:
+    range-partition on the sort key, local running max per partition,
+    partition-level maxima prefix-maxed over the FEW subtotal rows and
+    broadcast back. Identical to the naive sweep, wall-clock bounded by
+    the largest partition.
+
+    ``x_col``/``y_col`` must be numeric (doubles); duplicate points are
+    collapsed first (a point never dominates its twin).
+    """
+    from pyspark.sql import Window
+
+    neg_inf = F.lit(float("-inf"))
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    pts = df.select(x_col, y_col).distinct()
+    ranged = pts.repartitionByRange(n, F.desc(x_col), F.desc(y_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    submax = ranged.groupBy("__pid").agg(F.max(y_col).alias("__pmax"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = submax.withColumn("__premax", F.max("__pmax").over(w_off)).select(
+        "__pid", "__premax"
+    )
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(F.desc(x_col), F.desc(y_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.greatest(
+        F.coalesce(F.max(y_col).over(w_local), neg_inf),
+        F.coalesce(F.col("__premax"), neg_inf),
+    )
+    return (
+        ranged.join(F.broadcast(offsets), "__pid")
+        .withColumn("__prev", prev)
+        .where(F.col(y_col) > F.col("__prev"))
+        .drop("__pid", "__premax", "__prev")
+    )

@@ -303,3 +303,42 @@ def stations_within_500km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("dist_km") <= 500)
         .select("sid_a", "sid_b", F.round("dist_km", _R).alias("dist_km"))
     )
+
+
+@query(
+    "order_value_frontier",
+    oracle="""WITH pts AS (
+  SELECT DISTINCT o_totalprice AS price, CAST(o_orderdate AS TIMESTAMP) AS od
+  FROM orders
+),
+s AS (
+  SELECT price, od,
+         max(od) OVER (ORDER BY price DESC, od DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM pts
+)
+SELECT price, CAST(od AS DATE) AS frontier_date
+FROM s WHERE prev_max IS NULL OR od > prev_max""",
+)
+def order_value_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier of orders trading off value against
+    recency: the orders no other order beats on BOTH total price and
+    date. `operators/scale.skyline_2d` runs the sort-sweep with a
+    distributed prefix max (range partition -> local running max ->
+    broadcast partition maxima) — never the naive translation's
+    single-reducer global window. The oracle IS that naive
+    one-window sweep, so the check proves the distributed sweep exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    pts = orders.select(
+        F.col("o_totalprice").alias("price"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("double")
+        .alias("epoch_day"),
+    )
+    sky = SC.skyline_2d(pts, "price", "epoch_day")
+    return sky.select(
+        "price",
+        F.date_add(F.lit("1970-01-01").cast("date"), F.col("epoch_day").cast("int")).alias(
+            "frontier_date"
+        ),
+    )
