@@ -755,3 +755,85 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("s") / F.col("n_obs"), _R).alias("avg_value"),
         )
     )
+
+
+# ------------------------------------------------------ collocation mining
+
+
+@query(
+    "collocation_pmi_top",
+    oracle=r"""WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents
+),
+toks AS (SELECT unnest(ws) AS t FROM w),
+uc AS (SELECT t, CAST(count(*) AS DOUBLE) AS c1 FROM toks GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS t_toks FROM toks),
+bge AS (
+  SELECT b[1] AS w1, b[2] AS w2
+  FROM (SELECT unnest(list_transform(range(1, len(ws)), i -> [ws[i], ws[i+1]])) AS b
+        FROM w WHERE len(ws) >= 2)
+),
+bc AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c2 FROM bge GROUP BY 1, 2),
+btot AS (SELECT CAST(count(*) AS DOUBLE) AS t_bg FROM bge),
+pmi AS (
+  SELECT bc.w1, bc.w2, CAST(bc.c2 AS BIGINT) AS pair_count,
+         round(ln((bc.c2 / btot.t_bg)
+                  / ((a.c1 / tot.t_toks) * (b.c1 / tot.t_toks))), 6) AS pmi
+  FROM bc
+  JOIN uc a ON a.t = bc.w1
+  JOIN uc b ON b.t = bc.w2
+  CROSS JOIN tot CROSS JOIN btot
+  WHERE bc.c2 >= 5
+)
+SELECT w1, w2, pair_count, pmi
+FROM pmi ORDER BY pmi DESC, w1, w2 LIMIT 20""",
+)
+def collocation_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation/phrase mining by pointwise mutual information (the
+    word2vec-phrases / tokenizer-vocab signal: adjacent pairs that
+    co-occur far above chance, min support 5). Reuses the bigram-LM
+    table shapes: unigram and bigram counts are two shuffles keyed on
+    n-gram text; the two corpus totals ride as one-row broadcasts; the
+    top-20 is a TakeOrderedAndProject on the ROUNDED score (stable
+    across engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    w = fan_out(docs).select("doc_id", ws.alias("ws"))
+    toks = w.select(F.explode("ws").alias("t")).localCheckpoint()
+    uc = toks.groupBy("t").agg(F.count(F.lit(1)).cast("double").alias("c1"))
+    tot = toks.agg(F.count(F.lit(1)).cast("double").alias("t_toks"))
+    bge = (
+        w.where(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .localCheckpoint()
+    )
+    bc = bge.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("double").alias("c2"))
+    btot = bge.agg(F.count(F.lit(1)).cast("double").alias("t_bg"))
+    pmi = (
+        bc.where(F.col("c2") >= 5)
+        .join(uc.select(F.col("t").alias("w1"), F.col("c1").alias("c1a")), "w1")
+        .join(uc.select(F.col("t").alias("w2"), F.col("c1").alias("c1b")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c2").cast("long").alias("pair_count"),
+            F.round(
+                F.log(
+                    (F.col("c2") / F.col("t_bg"))
+                    / ((F.col("c1a") / F.col("t_toks")) * (F.col("c1b") / F.col("t_toks")))
+                ),
+                _R,
+            ).alias("pmi"),
+        )
+    )
+    return pmi.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(20)

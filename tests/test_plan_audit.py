@@ -262,3 +262,28 @@ def test_bigram_lm_single_explode_with_partial_counts(spark):
     assert "partial_count" in plan
     # vocabulary size rides as a one-row broadcast
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_spatial_join_meets_on_grid_cells(spark):
+    plan = _plan(spark, "stations_within_500km")
+    # candidates meet by equi-join on (cell_lat, cell_lon) — the
+    # haversine is a join-condition filter, never a cross product
+    assert "BroadcastHashJoin [cell_lat" in plan
+    assert "CrossJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_skyline_sweep_has_no_global_window(spark):
+    plan = _plan(spark, "order_value_frontier")
+    # the running max must be partitioned by the physical partition id
+    # (two-pass prefix max) — a no-PARTITION-BY window is one reducer
+    assert "windowspecdefinition(__pid" in plan
+    import re
+    assert not re.search(r"windowspecdefinition\((?:price|epoch_day)", plan), (
+        "global (no-partition) window leaked into the skyline sweep"
+    )
+
+
+def test_pmi_topk_is_take_ordered(spark):
+    plan = _plan(spark, "collocation_pmi_top")
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
