@@ -338,3 +338,65 @@ def parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("quality"), _R).alias("avg_quality"),
         F.round(F.avg("value"), _R).alias("avg_value"),
     )
+
+
+@query(
+    "versioned_time_travel",
+    oracle="""SELECT CAST(sum(CASE WHEN o_orderkey % 13 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_common,
+       CAST(sum(CASE WHEN o_orderkey % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_deleted,
+       round(CAST(sum(CASE WHEN o_orderkey % 13 <> 0 AND o_orderstatus = 'O'
+                           THEN 10.0 ELSE 0 END) AS DOUBLE), 2) AS price_delta
+FROM orders""",
+)
+def versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-versioned table with time travel (``sources/versioned.py``):
+    v1 = the base orders snapshot; v2 = a refresh that bumps open-order
+    prices and drops a slice of keys. Both versions are then read BACK
+    through the manifest (v2 via the latest pointer) and diffed — the
+    audit query an analyst runs to explain a metric shift between data
+    versions, and the pinning a reproducible training run needs. The
+    manifest-swap commit means a crashed refresh can never leave a
+    half-loaded table visible — the atomicity the reference's
+    TRUNCATE+INSERT refresh (clickhouse_etl.py:238-296) lacks."""
+    from ..sources import versioned as V
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    store = tempfile.mkdtemp(prefix="versioned_")
+    V.write_version(base, store)
+    refreshed = base.where(F.col("o_orderkey") % 13 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderstatus") == "O", F.col("o_totalprice") + 10.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    V.write_version(refreshed, store)
+    v1 = V.read_version(spark, store, 1).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("p1"),
+    )
+    v2 = V.read_version(spark, store).select(  # latest == v2
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("p2"),
+    )
+    j = v1.join(v2, "k", "full")
+    return j.agg(
+        F.sum(F.when(F.col("p2").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_common"),
+        F.sum(F.when(F.col("p2").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_deleted"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("p2").isNotNull(),
+                    F.col("p2").cast("decimal(18,2)") - F.col("p1").cast("decimal(18,2)"),
+                ).otherwise(F.lit(0).cast("decimal(18,2)"))
+            ).cast("double"),
+            2,
+        ).alias("price_delta"),
+    )
