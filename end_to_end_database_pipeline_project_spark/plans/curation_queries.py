@@ -837,3 +837,47 @@ def collocation_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pmi.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(20)
+
+
+# ------------------------------------------------------- novelty scoring
+
+
+@query(
+    "doc_novelty_scores",
+    oracle=rf"""WITH {{SHINGLE}}
+, first_seen AS (
+  SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1
+)
+SELECT sh.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       round(avg(CASE WHEN f.first_doc = sh.doc_id THEN 1.0 ELSE 0.0 END), 6)
+         AS novelty
+FROM sh JOIN first_seen f ON sh.shingle = f.shingle
+GROUP BY 1""".replace("{SHINGLE}", "w AS (\n  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents\n),\nsh AS (\n  SELECT doc_id,\n         unnest(list_distinct(list_transform(\n           range(1, greatest(len(ws) - 2, 1) + 1),\n           i -> array_to_string(list_slice(ws, i, i + 2), ' ')))) AS shingle\n  FROM w\n)"),
+)
+def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty against everything ingested BEFORE it
+    (doc_id as ingest order): the fraction of a doc's distinct 3-gram
+    shingles whose first corpus occurrence is the doc itself. The
+    crawl-scheduling / dedup-research signal — a feed whose novelty
+    curve collapses is re-crawling known content. One shingle explode
+    feeds both the first-occurrence aggregate (min(doc_id) per shingle
+    — a plain re-aggregatable min, incrementally maintainable across
+    ingest batches) and the per-doc scorer; both shuffles key on
+    shingle/doc exactly as a 1000-executor run wants."""
+    from ..operators.dedup import shingle_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_index(fan_out(docs)).localCheckpoint()
+    first_seen = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first_seen, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.round(
+                F.avg(F.when(F.col("first_doc") == F.col("doc_id"), 1.0).otherwise(0.0)),
+                _R,
+            ).alias("novelty"),
+        )
+    )

@@ -54,6 +54,7 @@ BNLJ_ALLOWED = {
     "ivf_kmeans_topk": "broadcast sides = 8 fitted centroids + 10 queries",
     "price_band_join": "documented small-side theta demo; binned_price_band_join is the scale path",
     "fuzzy_nation_match": "dim x dim (25x25) edit-distance self-join; blocking bounds it at scale",
+    "hard_negative_mining": "broadcast side = 3 anchor vectors (label-inequality theta)",
 }
 
 
