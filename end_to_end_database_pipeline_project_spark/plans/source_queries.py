@@ -400,3 +400,52 @@ def versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("price_delta"),
     )
+
+
+@query(
+    "gdpr_erasure_report",
+    oracle="""WITH forget AS (SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0)
+SELECT 'events' AS table_name,
+       CAST((SELECT count(*) FROM events e JOIN forget f ON e.user_id = f.user_id)
+            AS BIGINT) AS purged_rows,
+       CAST((SELECT count(*) FROM events e
+             WHERE NOT EXISTS (SELECT 1 FROM forget f WHERE f.user_id = e.user_id))
+            AS BIGINT) AS retained_rows
+UNION ALL
+SELECT 'customer',
+       CAST((SELECT count(*) FROM customer c JOIN forget f ON c.c_custkey = f.user_id)
+            AS BIGINT),
+       CAST((SELECT count(*) FROM customer c
+             WHERE NOT EXISTS (SELECT 1 FROM forget f WHERE f.user_id = c.c_custkey))
+            AS BIGINT)""",
+)
+def gdpr_erasure_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten erasure across the lake: a forget-list of
+    subject ids is applied to every table carrying the subject key, and
+    the audit report returns purged/retained counts per table (the
+    compliance evidence record). The rewrite itself is the broadcast
+    ANTI-join (forget lists are small against 100 TB facts) — composed
+    with the partition-scoped rewrite of `gold_partition_refresh` and
+    `compact_parquet`'s atomic swap, erasure touches only files that
+    contain a forgotten subject, O(delta) not O(lake). Here both the
+    purge and its complement are computed so the oracle checks the
+    partition of every row into exactly one side."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    forget = ev.where(F.col("user_id") % 97 == 0).select("user_id").distinct()
+    fb = F.broadcast(forget)
+
+    def split_counts(df: DataFrame, key: str, label: str) -> DataFrame:
+        purged = df.join(fb, df[key] == fb["user_id"], "left_semi")
+        retained = df.join(fb, df[key] == fb["user_id"], "left_anti")
+        return (
+            purged.agg(F.count(F.lit(1)).cast("long").alias("purged_rows"))
+            .crossJoin(
+                retained.agg(F.count(F.lit(1)).cast("long").alias("retained_rows"))
+            )
+            .select(F.lit(label).alias("table_name"), "purged_rows", "retained_rows")
+        )
+
+    return split_counts(ev, "user_id", "events").unionByName(
+        split_counts(cust, "c_custkey", "customer")
+    )
