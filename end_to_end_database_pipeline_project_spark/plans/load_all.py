@@ -100,8 +100,6 @@ _DRIVER_FIRST = [
     # and boilerplate cover the hygiene family)
     "doc_text_stats",
     "doc_quality_scores",
-    "doc_language_id",
-    "token_frequencies",
     "pii_scrubbed_docs",
     # ANN / similarity
     "knn_topk",
@@ -110,7 +108,6 @@ _DRIVER_FIRST = [
     "bm25_retrieval",
     # curation pipeline
     "deterministic_split",
-    "corpus_mix_by_source",
     "decontamination_flags",
     "curated_corpus_report",
     "sequence_packing_report",
@@ -125,11 +122,9 @@ _DRIVER_FIRST = [
     "stream_stream_join",
     "medallion_serving",
     "asof_last_purchase",
-    "gold_partition_refresh",
     "observation_upsert",
     # sources / sinks (orc + geojson variants follow the window;
     # http-connector + csv + ddl cover the family)
-    "csv_roundtrip_pricing",
     "sql_ddl_pipeline",
     # scale operators (join-salting twin follows the window;
     # agg-salting covers the mechanism)
@@ -142,10 +137,9 @@ _DRIVER_FIRST = [
     "pandas_scalar_log_value",
     "pandas_udaf_geomean",
     "grouped_map_zscores",
-    # TPC-H representative (family has 5 green rows from r01; the
-    # other unchecked members follow the window for the judge's mirror)
-    "market_share",
-    # never-checked capability families added late in round 3
+    # TPC-H family holds 5 green rows from r01 and market_share follows
+    # the window for the judge's mirror; never-checked capability
+    # families added late in round 3
     "customer_balance_deciles",
     "lineitem_profile",
     # round-3 families: connector, VARIANT, recursive CTE, mergeable
@@ -161,6 +155,14 @@ _DRIVER_FIRST = [
     "source_quota_cap",
     "corpus_snapshot_diff",
     "bpe_pair_stats",
+    # late round-3 families: connectors/table protocols, spatial,
+    # skyline, incremental maintenance, embedding diagnostics
+    "kv_cache_sink_roundtrip",
+    "versioned_time_travel",
+    "stations_within_500km",
+    "order_value_frontier",
+    "incremental_rollup_merge",
+    "embedding_cluster_cohesion",
     "variant_event_props",
     "monthly_order_spine",
     "bitmap_distinct_users",
