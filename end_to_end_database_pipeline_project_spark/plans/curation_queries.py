@@ -881,3 +881,64 @@ def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+# ------------------------------------------- in-plan classifier inference
+
+
+@query(
+    "quality_classifier_scores",
+    oracle=r"""WITH feat AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) AS n_words,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS digit_ratio,
+         CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+           / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1)
+           AS stop_ratio
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         -1.5 + 0.004 * n_chars + 0.02 * n_words + 6.0 * stop_ratio
+              - 8.0 * digit_ratio AS z
+  FROM feat
+)
+SELECT doc_id, round(1 / (1 + exp(-z)), 6) AS p_keep,
+       CAST(1 / (1 + exp(-z)) >= 0.5 AS BOOLEAN) AS keep
+FROM scored""",
+)
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering as PURE in-plan inference (the
+    operator-fusion idea of 'ML Inference Pipeline Execution Using Pure
+    SQL', ICDE 2025 — see PAPERS.md): a logistic quality classifier
+    (fixed public-style weights over length/stopword/digit features)
+    evaluated entirely in Catalyst expressions. No model server, no
+    Python, no shuffle — scan -> project in one codegen'd stage, which
+    is how a learned filter actually runs over 100 TB. Swapping fitted
+    weights in is a literal change; the plan is identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    wsx = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_chars = F.length("text").cast("double")
+    n_words = F.size(wsx).cast("double")
+    digit_ratio = F.length(F.regexp_replace("text", "[^0-9]", "")).cast(
+        "double"
+    ) / F.greatest(F.length("text"), F.lit(1))
+    stop_ratio = F.size(
+        F.filter(wsx, lambda w: w.isin("the", "a", "of", "and", "to"))
+    ).cast("double") / F.greatest(F.size(wsx), F.lit(1))
+    z = (
+        F.lit(-1.5)
+        + 0.004 * n_chars
+        + 0.02 * n_words
+        + 6.0 * stop_ratio
+        - 8.0 * digit_ratio
+    )
+    p = F.lit(1) / (F.lit(1) + F.exp(-z))
+    return docs.select(
+        "doc_id",
+        F.round(p, _R).alias("p_keep"),
+        (p >= 0.5).alias("keep"),
+    )

@@ -152,3 +152,26 @@ def test_distributed_prefix_sum_equals_global_window(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "windowspecdefinition(__pid" in plan, plan
+
+
+def test_skyline_matches_brute_force(spark):
+    """Distributed sweep == O(n^2) domination definition on a seeded
+    point cloud with deliberate ties in both dimensions."""
+    import itertools
+
+    from end_to_end_database_pipeline_project_spark.operators.scale import skyline_2d
+
+    rows = [
+        (float((i * 37) % 101), float((i * 53) % 97)) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "x double, y double")
+    got = {(r.x, r.y) for r in skyline_2d(df, "x", "y").collect()}
+    pts = set(rows)
+    expect = {
+        (x, y)
+        for (x, y) in pts
+        if not any(
+            (a >= x and b >= y and (a > x or b > y)) for (a, b) in pts
+        )
+    }
+    assert got == expect
