@@ -55,6 +55,7 @@ BNLJ_ALLOWED = {
     "price_band_join": "documented small-side theta demo; binned_price_band_join is the scale path",
     "fuzzy_nation_match": "dim x dim (25x25) edit-distance self-join; blocking bounds it at scale",
     "hard_negative_mining": "broadcast side = 3 anchor vectors (label-inequality theta)",
+    "rolling_distinct_users_7d": "days x id-buckets densify grid (bounded state: #days * id_space/2^15)",
 }
 
 
