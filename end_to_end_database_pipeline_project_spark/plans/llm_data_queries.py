@@ -1719,3 +1719,71 @@ def duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_dup.alias("n_dup_spans"),
         F.round(n_dup / F.col("n_spans"), _R).alias("dup_fraction"),
     )
+
+
+@query(
+    "lsh_quality_certificate",
+    oracle=f"""WITH {_MINHASH_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.6
+),
+hit AS (
+  SELECT t.doc_a FROM truth t
+  JOIN cands c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+)
+SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+       CAST((SELECT count(*) FROM cands) AS BIGINT) AS n_candidates,
+       CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
+       round((SELECT count(*) FROM hit) * 1.0
+             / nullif((SELECT count(*) FROM truth), 0), 6) AS recall,
+       round((SELECT count(*) FROM hit) * 1.0
+             / nullif((SELECT count(*) FROM cands), 0), 6) AS precision""",
+)
+def lsh_quality_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH tuning certificate: precision and recall of the banded
+    MinHash candidate set against exact-Jaccard (>= 0.6) ground truth,
+    measured IN-QUERY. This is the number that justifies replacing the
+    quadratic exact join with LSH at 100 TB — recall tells you what the
+    4x4 banding misses, precision what the exact-verify stage pays.
+    Same certificate discipline as the HLL / approx-percentile bounded-
+    error rows: an approximation is only shippable with its measured
+    accuracy riding next to it. (At full scale the truth side runs on a
+    small stratified sample rather than the whole corpus; the fixture
+    corpus IS the sample here.)"""
+    from ..session import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    truth = DD.ngram_jaccard_pairs(fan_out(docs), threshold=0.6).select(
+        "doc_a", "doc_b"
+    )
+    cands = DD.lsh_candidate_pairs(DD.minhash_signatures(fan_out(docs)))
+    truth = truth.localCheckpoint()
+    cands = cands.localCheckpoint()
+    hit = truth.join(cands, ["doc_a", "doc_b"])
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    nc = cands.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    nh = hit.agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    return (
+        nt.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hit",
+            F.round(
+                F.col("n_hit") / F.nullif(F.col("n_truth"), F.lit(0)), _R
+            ).alias("recall"),
+            F.round(
+                F.col("n_hit") / F.nullif(F.col("n_candidates"), F.lit(0)), _R
+            ).alias("precision"),
+        )
+    )
