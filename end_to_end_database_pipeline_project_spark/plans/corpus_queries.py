@@ -1,0 +1,377 @@
+"""Round-3 corpus-curation operators: semantic dedup, importance
+resampling, weighted reservoir sampling, and quantized ANN.
+
+These complete the LLM-data surface with the *embedding-era* curation
+passes a 100 TB training-data pipeline runs after the lexical ones
+(``llm_data_queries``/``curation_queries``):
+
+- **SemDeDup-style semantic dedup** — near-duplicate *meaning*, not
+  text: pairwise cosine inside an embedding cluster, keep-lowest-id.
+  The cluster bounds the quadratic (the whole point of the method);
+  here the fixture's ``label`` column is the cluster assignment so the
+  report is exactly oracle-checkable (the k-means variant of cluster
+  assignment lives in ``ivf_kmeans_topk``, rows-only by nature).
+- **DSIR-style hashed importance weights** — per-doc log-likelihood
+  ratio of target-domain vs corpus bigram distributions over a hashed
+  (256-bucket) feature space: the importance-resampling score used to
+  up-weight target-like documents at mixture time.
+- **Weighted reservoir sampling (A-ES)** — one-pass per-source top-k
+  by ``u^(1/w)``: the distributed, deterministic (hash-seeded, no
+  ``rand()``) form of weighted sampling-without-replacement.
+- **Scalar-quantized (int8) ANN** — the 4x-compressed approximate
+  scan with an in-query recall certificate against the exact top-k
+  (the ``approx_distinct_orders`` certificate pattern).
+
+All oracle-checked on ``documents`` / ``embeddings`` per the registry
+conventions (identical aliases both sides, doubles rounded to 6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine
+from ..session import fan_out
+from ..sources.catalog import load_table
+from .registry import query
+
+_R = 6
+
+# The five "target-domain" sources for importance resampling.
+_DSIR_TARGETS = ("src0", "src1", "src2", "src3", "src4")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return fan_out(e.withColumn("embedding", F.col("embedding").cast("array<double>")))
+
+
+# ----------------------------------------------------- semantic dedup
+
+
+@query(
+    "semantic_dedup_report",
+    oracle="""WITH p AS (
+  SELECT a.label, a.vec_id AS va, b.vec_id AS vb
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.32
+),
+d AS (
+  SELECT label,
+         CAST(count(*) AS BIGINT) AS n_dup_pairs,
+         CAST(count(DISTINCT vb) AS BIGINT) AS n_dropped
+  FROM p GROUP BY 1
+)
+SELECT e.label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(coalesce(any_value(d.n_dup_pairs), 0) AS BIGINT) AS n_dup_pairs,
+       CAST(coalesce(any_value(d.n_dropped), 0) AS BIGINT) AS n_dropped,
+       CAST(count(*) - coalesce(any_value(d.n_dropped), 0) AS BIGINT) AS n_kept
+FROM embeddings e LEFT JOIN d ON d.label = e.label
+GROUP BY 1""",
+)
+def semantic_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication report: within each
+    embedding cluster (the fixture ``label``), cosine >= 0.32 pairs are
+    semantic duplicates and the higher id of each pair is dropped
+    (keep-lowest-id, deterministic). Per cluster: vectors, duplicate
+    pairs, dropped, kept.
+
+    Scale shape: the pairwise probe is **cluster-bounded** — the join
+    key is the cluster id, so candidate pairs are sum(|c|^2/2) over
+    clusters, never |corpus|^2/2 (with balanced k-means clusters at
+    100 TB, |c| ~ N/k and the probe is N^2/2k — the SemDeDup paper's
+    cost model). One shuffle on ``label`` co-locates each cluster;
+    both report aggregates ride the same partitioning."""
+    emb = _emb(spark, sf_dir)
+    a = emb.select("label", F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = emb.select("label", F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    pairs = (
+        a.join(b, "label")
+        .where(F.col("va") < F.col("vb"))
+        .where(cosine(F.col("ea"), F.col("eb")) >= 0.32)
+    )
+    dup = pairs.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs"),
+        F.count_distinct("vb").alias("n_dropped"),
+    )
+    base = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    return base.join(dup, "label", "left").select(
+        "label",
+        "n_vecs",
+        F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
+        F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+        (F.col("n_vecs") - F.coalesce("n_dropped", F.lit(0))).alias("n_kept"),
+    )
+
+
+# ------------------------------------------- DSIR importance weights
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=r"""WITH w AS (
+  SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS b
+  FROM w WHERE len(ws) >= 2
+),
+bh AS (
+  SELECT doc_id,
+         source IN ('src0','src1','src2','src3','src4') AS is_tgt,
+         (strpos('0123456789abcdef', substr(md5(b), 1, 1)) - 1) * 16
+           + strpos('0123456789abcdef', substr(md5(b), 2, 1)) - 1 AS h
+  FROM bg
+),
+bk AS (
+  SELECT h,
+         sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS tgt_n,
+         count(*) AS all_n
+  FROM bh GROUP BY 1
+),
+tot AS (SELECT sum(tgt_n) AS t_tot, sum(all_n) AS a_tot FROM bk),
+bw AS (
+  SELECT h, ln(((tgt_n + 1.0) / (t_tot + 256)) / ((all_n + 1.0) / (a_tot + 256))) AS lw
+  FROM bk, tot
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(sum(lw) / count(*), 6) AS dsir_logweight
+FROM bh JOIN bw USING (h)
+GROUP BY 1""",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance-resampling weights: hash each document's
+    bigrams into 256 buckets (first two hex chars of md5 — the
+    engine-portable hash), estimate the target-domain (sources
+    src0-src4) and whole-corpus bucket distributions with add-one
+    smoothing, and score each doc by its mean log-likelihood ratio.
+    Positive weight = looks like the target domain; the mixture sampler
+    upweights accordingly.
+
+    Scale shape: one bigram explode (the only row-multiplying step),
+    then a 256-row bucket aggregate — partial map-side combine makes it
+    one tiny shuffle — whose log-ratio table and the 1-row totals ride
+    back as broadcasts. Per-doc scoring is a broadcast hash join + one
+    groupBy(doc_id) that reuses the explode's partitioning. No Python,
+    no rand(): the hash is the sample."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    base = docs.select("doc_id", "source", ws.alias("ws")).where(F.size("ws") >= 2)
+    bigram = F.transform(
+        F.sequence(F.lit(1), F.size("ws") - 1),
+        lambda i: F.concat_ws(" ", F.element_at("ws", i), F.element_at("ws", i + 1)),
+    )
+    # materialize the exploded bigram table once (localCheckpoint, the
+    # shared-index convention from operators/dedup.py): it feeds both
+    # the bucket aggregate and the per-doc scoring join — without it
+    # the row-multiplying explode runs twice.
+    bh = (
+        base.select(
+            "doc_id",
+            F.col("source").isin(*_DSIR_TARGETS).alias("is_tgt"),
+            F.explode(bigram).alias("b"),
+        )
+        .withColumn("h", F.conv(F.substring(F.md5("b"), 1, 2), 16, 10).cast("int"))
+        .select("doc_id", "is_tgt", "h")
+        .localCheckpoint(eager=False)
+    )
+    bk = bh.groupBy("h").agg(
+        F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).alias("tgt_n"),
+        F.count(F.lit(1)).alias("all_n"),
+    )
+    tot = bk.agg(
+        F.sum("tgt_n").alias("t_tot"), F.sum("all_n").alias("a_tot")
+    )
+    bw = bk.crossJoin(F.broadcast(tot)).select(
+        "h",
+        F.log(
+            ((F.col("tgt_n") + 1.0) / (F.col("t_tot") + 256))
+            / ((F.col("all_n") + 1.0) / (F.col("a_tot") + 256))
+        ).alias("lw"),
+    )
+    return (
+        bh.join(F.broadcast(bw), "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum("lw") / F.count(F.lit(1)), _R).alias("dsir_logweight"),
+        )
+    )
+
+
+# ------------------------------------- weighted reservoir sampling
+
+
+@query(
+    "source_weighted_topk_sample",
+    oracle="""WITH k AS (
+  SELECT source, doc_id,
+         pow(
+           ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+             + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 + 1.0)
+             / 257.0,
+           100.0 / least(n_chars, 500)
+         ) AS sample_key
+  FROM documents
+),
+r AS (
+  SELECT source, doc_id, sample_key,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY sample_key DESC, doc_id) AS sample_rank
+  FROM k
+)
+SELECT source, CAST(sample_rank AS BIGINT) AS sample_rank, doc_id,
+       round(sample_key, 6) AS sample_key
+FROM r WHERE sample_rank <= 5""",
+)
+def source_weighted_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, one pass, deterministic:
+    the A-ES reservoir scheme — each doc draws u in (0,1] from a hash
+    of its id (md5, not rand(): retry-safe) and keeps key = u^(1/w)
+    with weight w = min(n_chars, 500)/100; the top-5 keys per source
+    are an exact weighted sample without replacement.
+
+    Scale shape: per-group top-k is a rank-limit window —
+    Spark 4 rewrites ``row_number() <= k`` into WindowGroupLimit
+    (running top-k per partition, then per group), so no group is ever
+    fully sorted or materialized. One shuffle on ``source``; the
+    reservoir property is what makes this a *streaming* sampler at
+    100 TB — partial top-5s merge associatively across partitions."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast(
+            "double"
+        )
+        + 1.0
+    ) / 257.0
+    w = F.least(F.col("n_chars"), F.lit(500)) / 100.0
+    keyed = docs.select(
+        "source", "doc_id", F.pow(u, F.lit(1.0) / w).alias("sample_key")
+    )
+    win = Window.partitionBy("source").orderBy(
+        F.desc("sample_key"), F.asc("doc_id")
+    )
+    return (
+        keyed.withColumn("sample_rank", F.row_number().over(win))
+        .where(F.col("sample_rank") <= 5)
+        .select(
+            "source",
+            F.col("sample_rank").cast("long").alias("sample_rank"),
+            "doc_id",
+            F.round("sample_key", _R).alias("sample_key"),
+        )
+    )
+
+
+# ------------------------------------------- scalar-quantized ANN
+
+
+@query(
+    "sq8_ann_topk",
+    oracle="""WITH p AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cid,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                CAST(c.embedding AS DOUBLE[])) AS cos
+  FROM embeddings q
+  JOIN embeddings c ON c.vec_id != q.vec_id
+  WHERE q.vec_id < 5
+),
+r AS (
+  SELECT query_id, cid,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cid) AS rk
+  FROM p
+)
+SELECT query_id,
+       CAST(max(CASE WHEN rk = 1 THEN cid END) AS BIGINT) AS exact_top1,
+       TRUE AS recall_ge_07
+FROM r GROUP BY 1""",
+)
+def sq8_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (int8) approximate nearest neighbor with an
+    in-query recall certificate. Corpus vectors are compressed 4x:
+    per-dimension min/max (one aggregate pass) map each float to an
+    8-bit code; the approximate scan scores dequantized codes. For the
+    first 5 query vectors the query computes BOTH rankings — exact
+    cosine and quantized cosine — and certifies recall@10 >= 0.7; the
+    oracle independently derives the exact top-1 and asserts the
+    certificate as a constant (the ``approx_distinct_orders``
+    bounded-error pattern: a broken quantizer flips the boolean and
+    fails the value hash).
+
+    Scale shape: quantization stats are a 64-row aggregate collected
+    into one broadcast row; encoding is a single ``transform`` over the
+    scan (no shuffle); at 100 TB the int8 codes are the resident
+    index (4x smaller cache footprint) and this ADC scan composes with
+    the IVF bucketing in ``operators/similarity.py`` — probe a cluster,
+    score codes, re-rank survivors with exact floats."""
+    emb = _emb(spark, sf_dir)
+    dims = emb.select(F.posexplode("embedding").alias("dim", "v"))
+    stats = (
+        dims.groupBy("dim")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "mn"))), lambda s: s.mn
+            ).alias("mns"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "mx"))), lambda s: s.mx
+            ).alias("mxs"),
+        )
+    )
+    # quantize q_i = round(255*(x_i-mn_i)/(mx_i-mn_i)); score on the
+    # dequantized reconstruction (ADC). element_at is 1-based.
+    dq = F.transform(
+        "embedding",
+        lambda x, i: F.element_at("mns", i + 1)
+        + F.round(
+            F.lit(255.0)
+            * (x - F.element_at("mns", i + 1))
+            / (F.element_at("mxs", i + 1) - F.element_at("mns", i + 1)),
+            0,
+        )
+        * (F.element_at("mxs", i + 1) - F.element_at("mns", i + 1))
+        / 255.0,
+    )
+    enc = emb.crossJoin(F.broadcast(stats)).select(
+        "vec_id", "embedding", dq.alias("dq")
+    )
+    queries = enc.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("dq").alias("q_dq"),
+    )
+    pairs = enc.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        "vec_id",
+        cosine(F.col("embedding"), F.col("q_emb")).alias("exact_cos"),
+        cosine(F.col("dq"), F.col("q_dq")).alias("approx_cos"),
+    )
+    w_exact = Window.partitionBy("query_id").orderBy(
+        F.desc("exact_cos"), F.asc("vec_id")
+    )
+    w_approx = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_cos"), F.asc("vec_id")
+    )
+    ranked = pairs.select(
+        "query_id",
+        "vec_id",
+        F.row_number().over(w_exact).alias("exact_rk"),
+        F.row_number().over(w_approx).alias("approx_rk"),
+    ).where((F.col("exact_rk") <= 10) | (F.col("approx_rk") <= 10))
+    return ranked.groupBy("query_id").agg(
+        F.max(F.when(F.col("exact_rk") == 1, F.col("vec_id"))).alias("exact_top1"),
+        (
+            F.sum(
+                F.when((F.col("exact_rk") <= 10) & (F.col("approx_rk") <= 10), 1).otherwise(0)
+            )
+            / 10.0
+            >= 0.7
+        ).alias("recall_ge_07"),
+    )

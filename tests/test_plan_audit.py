@@ -287,3 +287,78 @@ def test_pmi_topk_is_take_ordered(spark):
     plan = _plan(spark, "collocation_pmi_top")
     assert "TakeOrderedAndProject" in plan
     assert "partial_count" in plan
+
+
+def test_quality_suite_is_one_pass_plus_anti_joins(spark):
+    # deequ shape: every single-table constraint folds into ONE
+    # aggregate over orders (one FileScan feeding a partial_ HashAggregate
+    # with all the metrics), FK checks are LeftAnti joins
+    plan = _plan(spark, "data_quality_report")
+    assert plan.count("LeftAnti") == 2
+    assert "partial_count(1), partial_count(o_orderkey" in plan, (
+        "constraint metrics must fold into one aggregate pass:\n" + plan
+    )
+
+
+def test_weighted_sample_uses_window_group_limit(spark):
+    # per-source top-5 must plan the running rank-limit (partial before
+    # the shuffle, final after) — never a full per-group sort
+    plan = _plan(spark, "source_weighted_topk_sample")
+    assert plan.count("WindowGroupLimit") == 2, plan
+    assert "Partial" in plan and "Final" in plan
+
+
+def test_dsir_explodes_bigrams_once(spark):
+    # the row-multiplying explode materializes once (localCheckpoint)
+    # and feeds both the bucket aggregate and the scoring join; the
+    # 256-row log-ratio table rides back as a broadcast
+    plan = _plan(spark, "dsir_importance_weights")
+    assert plan.count("Generate explode") <= 1, plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan
+
+
+def test_semantic_dedup_joins_on_cluster_key(spark):
+    # the pairwise probe must be keyed by the cluster id — a hash join
+    # (broadcast locally / shuffle at scale) on label, never a
+    # cartesian over the corpus
+    plan = _plan(spark, "semantic_dedup_report")
+    assert "Join" in plan
+    assert "label" in plan
+    assert "CartesianProduct" not in plan and "Cross" not in plan, plan
+
+
+def test_mad_runs_median_on_daily_aggregate_only(spark):
+    # the only full-data pass is the (type, day) partial aggregate;
+    # medians run on the tiny daily table and ride back as broadcasts
+    plan = _plan(spark, "mad_outlier_days")
+    assert "partial_avg" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_ewma_windows_share_one_sort(spark):
+    # both running sums and the row_number ride the same
+    # (event_type, obs_date) sort order — one Sort under the two
+    # Window operators, no re-sort between them; exactly the daily-agg
+    # exchange plus the per-type window exchange
+    plan = _plan(spark, "ewma_daily_value")
+    assert plan.count("+- Sort") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_triangle_join_broadcasts_collapsed_edges(spark):
+    # triangle enumeration self-joins run on the collapsed nation-pair
+    # edge list (broadcast), and the heavy distinct reuses a hash
+    # partitioning rather than a cartesian
+    plan = _plan(spark, "trading_triangles")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sq8_quantizes_in_plan_without_python(spark):
+    # quantization stats ride a 1-row broadcast; encode + ADC scoring
+    # are transform()/aggregate() expressions — no BatchEvalPython /
+    # ArrowEvalPython anywhere in the plan
+    plan = _plan(spark, "sq8_ann_topk")
+    assert "EvalPython" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
