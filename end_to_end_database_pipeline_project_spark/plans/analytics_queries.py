@@ -409,3 +409,92 @@ def trading_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
+
+
+# --------------------------------------- MV aggregate query rewrite
+
+
+@query(
+    "mv_rewrite_report",
+    oracle="""WITH base AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, value FROM events
+)
+SELECT 'day' AS grain, event_type, CAST(d AS VARCHAR) AS period,
+       round(avg(value), 6) AS avg_value,
+       CAST(count(value) AS BIGINT) AS n_events,
+       'mv_daily' AS mv_used
+FROM base GROUP BY 2, 3
+UNION ALL
+SELECT 'month', event_type, CAST(date_trunc('month', d) AS VARCHAR),
+       round(avg(value), 6), CAST(count(value) AS BIGINT), 'mv_monthly'
+FROM base GROUP BY 2, 3
+UNION ALL
+SELECT 'quarter', event_type, CAST(date_trunc('quarter', d) AS VARCHAR),
+       round(avg(value), 6), CAST(count(value) AS BIGINT), 'mv_monthly'
+FROM base GROUP BY 2, 3""",
+)
+def mv_rewrite_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automatic aggregate rewrite onto materialized views
+    (``operators/mv.py``): three requested grains — day, month,
+    quarter — each answered from the COARSEST registered summary whose
+    mergeable (sum, count) partials still cover it, never from the
+    base table. The month and quarter grains both fold the monthly MV
+    (quarter via the date->month->quarter derivation lattice); the
+    day grain needs the daily MV. The ``mv_used`` column exposes the
+    chooser's decision and the oracle recomputes every answer from the
+    base table — asserting both the rewrite's correctness (partial
+    associativity) and the expected MV choice as data.
+
+    Scale shape: each answer is O(|MV|) — a few thousand summary rows
+    folded with one tiny aggregate — while the oracle's recompute is a
+    full fact scan; that asymmetry IS the feature at 100 TB."""
+    from ..operators import mv as MV
+
+    def build_daily(sp, sd):
+        ev = load_table(sp, sd, "events")
+        return ev.groupBy(
+            "event_type", F.to_date("ts").alias("obs_date")
+        ).agg(F.sum("value").alias("sum_v"), F.count("value").alias("cnt_v"))
+
+    def build_monthly(sp, sd):
+        # built by folding the daily partials — the MV hierarchy is
+        # itself incrementally maintainable (never rescans the base)
+        return (
+            build_daily(sp, sd)
+            .groupBy(
+                "event_type",
+                F.date_trunc("month", "obs_date").cast("date").alias("obs_month"),
+            )
+            .agg(F.sum("sum_v").alias("sum_v"), F.sum("cnt_v").alias("cnt_v"))
+        )
+
+    measures = {"value": ("sum_v", "cnt_v")}
+    mvs = [
+        MV.MaterializedView("mv_daily", ("event_type", "obs_date"), build_daily,
+                            measures, approx_rows=150),
+        MV.MaterializedView("mv_monthly", ("event_type", "obs_month"), build_monthly,
+                            measures, approx_rows=5),
+    ]
+
+    outs = []
+    for grain, dims in [
+        ("day", ("event_type", "obs_date")),
+        ("month", ("event_type", "obs_month")),
+        ("quarter", ("event_type", "obs_quarter")),
+    ]:
+        ans, used = MV.answer_from_mv(spark, sf_dir, dims, "value", mvs)
+        period = dims[1]
+        outs.append(
+            ans.select(
+                F.lit(grain).alias("grain"),
+                "event_type",
+                F.col(period).cast("string").alias("period"),
+                F.round("avg_value", _R).alias("avg_value"),
+                F.col("n_events").cast("long").alias("n_events"),
+                F.lit(used).alias("mv_used"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
