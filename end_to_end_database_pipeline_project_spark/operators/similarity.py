@@ -346,3 +346,62 @@ def srp_lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rank")
     )
+
+
+def cluster_dedup_stats(
+    emb: DataFrame,
+    threshold: float,
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster semantic-dedup statistics (the SemDeDup report),
+    matrix-kernel form: one ``applyInPandas`` per cluster, pairwise
+    cosine as blocked GEMM, keep-lowest-id drop policy. Returns
+    (cluster, n_vecs, n_dup_pairs, n_dropped).
+
+    Replaces the per-pair higher-order-function cosine self-join — a
+    K=16 stress run showed the expression form going quadratic-slow
+    (146 s at 32k vectors / 10 clusters) while one BLAS call per
+    1024-row block does the same 51M dot products in seconds. Memory is
+    bounded by block x |cluster| scores, not |cluster|^2. At 100 TB the
+    cluster key already bounds candidate pairs (N^2/k); a single
+    oversized cluster is the skew case — shard its rows into slabs and
+    join slabs on the cluster key, exactly the sharded form of
+    ``near_dup_pairs_pandas``."""
+    import numpy as np
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        n = len(pdf)
+        cluster = pdf[cluster_col].iloc[0]
+        mat = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        n_pairs = 0
+        dropped = np.zeros(n, dtype=bool)
+        block = 1024
+        for lo in range(0, n, block):
+            hi = min(lo + block, n)
+            sims = mat[lo:hi] @ mat.T  # (hi-lo) x n
+            # upper triangle only: global row index < column index
+            rows, cols = np.nonzero(sims >= threshold)
+            keep = (rows + lo) < cols
+            n_pairs += int(keep.sum())
+            dropped[cols[keep]] = True
+        return pd.DataFrame(
+            {
+                cluster_col: [cluster],
+                "n_vecs": [n],
+                "n_dup_pairs": [n_pairs],
+                "n_dropped": [int(dropped.sum())],
+            }
+        )
+
+    out_schema = (
+        f"{cluster_col} long, n_vecs long, n_dup_pairs long, n_dropped long"
+    )
+    return (
+        emb.select(cluster_col, id_col, vec_col)
+        .groupBy(cluster_col)
+        .applyInPandas(stats, schema=out_schema)
+    )

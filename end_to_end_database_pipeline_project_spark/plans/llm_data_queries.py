@@ -1787,3 +1787,50 @@ def lsh_quality_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("precision"),
         )
     )
+
+
+@query(
+    "ivf_kmeans_certificate",
+    oracle="""SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       TRUE AS mean_recall_ge_020
+FROM embeddings WHERE vec_id < 10""",
+)
+def ivf_kmeans_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality certificate for the k-means IVF path (`ivf_kmeans_topk`
+    stays rows-only — centroid placement is engine-specific — but its
+    RECALL is checkable): mean recall@3 of the kmeans-IVF nprobe=1
+    search vs the exact cosine top-3, asserted >= 0.2 in-query (the
+    `approx_distinct_orders`/`sq8_ann_topk` certificate pattern;
+    measured ~0.37 at both gate SFs, the bound leaves margin for the
+    fit's partitioning sensitivity). A broken fit or probe collapses
+    recall and flips the boolean against the oracle's constant TRUE."""
+    from pyspark.sql import Window
+
+    from ..functions import vector as VEC
+
+    approx = ivf_kmeans_topk(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("vid")
+    )
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id", "vec_id", VEC.cosine(F.col("embedding"), F.col("qv")).alias("c")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("vec_id"))
+    exact = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("query_id", F.col("vec_id").alias("vid"))
+    )
+    hits = exact.join(approx, ["query_id", "vid"]).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    nq = q.agg(F.count(F.lit(1)).alias("n_queries"))
+    return nq.crossJoin(hits).select(
+        "n_queries",
+        (F.col("n_hits") / (3.0 * F.col("n_queries")) >= 0.2).alias(
+            "mean_recall_ge_020"
+        ),
+    )

@@ -155,6 +155,7 @@ def stream_stream_interval_join(
     right: DataFrame,
     interval: str = "30 minutes",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream inner interval join: purchases matched to the same
     user's clicks in the preceding ``interval``.
@@ -164,7 +165,9 @@ def stream_stream_interval_join(
     click_ts + interval (no purchase arriving later can match it), so
     steady-state memory is O(events within watermark), not O(stream).
     Inner-join matches emit as soon as both sides arrive — append mode
-    needs no window close.
+    needs no window close. ``how="leftOuter"`` additionally emits each
+    unmatched purchase null-padded once the watermark proves no match
+    can still arrive (the state-eviction point).
 
     ``left``/``right`` are streaming event frames (event_id, ts,
     user_id, event_type, ...); attribution = each purchase joined to
@@ -188,6 +191,10 @@ def stream_stream_interval_join(
         )
         .withWatermark("click_ts", watermark)
     )
+    # leftOuter adds the unmatched-purchase rows: Spark holds them in
+    # state and emits the null-padded row only once BOTH watermarks
+    # guarantee no future click can match (purchase_ts + interval <
+    # watermark) — so outer results are late by design, never wrong.
     joined = p.join(
         c,
         F.expr(
@@ -195,6 +202,7 @@ def stream_stream_interval_join(
             f"click_ts BETWEEN purchase_ts - interval {interval} "
             "AND purchase_ts"
         ),
+        how,
     )
     return joined.select(
         F.col("p_user").alias("user_id"),

@@ -318,14 +318,15 @@ def test_dsir_explodes_bigrams_once(spark):
     assert "partial_sum" in plan
 
 
-def test_semantic_dedup_joins_on_cluster_key(spark):
-    # the pairwise probe must be keyed by the cluster id — a hash join
-    # (broadcast locally / shuffle at scale) on label, never a
-    # cartesian over the corpus
+def test_semantic_dedup_is_one_grouped_gemm_per_cluster(spark):
+    # the pairwise probe is one shuffle on the cluster key feeding a
+    # grouped Arrow kernel (blocked GEMM per cluster) — no per-pair
+    # join, no cartesian; the K=16 stress showed the HOF self-join form
+    # at 146 s vs ~2 s for this plan
     plan = _plan(spark, "semantic_dedup_report")
-    assert "Join" in plan
-    assert "label" in plan
-    assert "CartesianProduct" not in plan and "Cross" not in plan, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert plan.count("Exchange hashpartitioning(label") == 1, plan
+    assert "CartesianProduct" not in plan and "Join" not in plan, plan
 
 
 def test_mad_runs_median_on_daily_aggregate_only(spark):

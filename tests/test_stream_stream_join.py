@@ -83,3 +83,69 @@ def test_join_matches_across_micro_batches(spark, tmp_path):
     }
     # every match pairs a batch-1 click with a batch-2 purchase
     assert got == {(100, 10, 1), (100, 10, 2), (200, 11, 3)}
+
+
+def test_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
+    """leftOuter: the unmatched purchase (user 500) must eventually emit
+    null-padded — but only once the watermark proves no click can still
+    match. A third, much-later batch advances the watermark past every
+    purchase's interval; the null-padded rows appear and every inner
+    match is preserved."""
+    clicks, purchases = _rows()
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    src = str(tmp_path / "landing")
+    spark.createDataFrame(clicks, schema).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(purchases, schema).coalesce(1).write.mode("append").parquet(
+        src
+    )
+    time.sleep(1.1)
+    # watermark advancer: an event far in the future on both sides
+    adv = [
+        (90, T0 + dt.timedelta(hours=12), 900, "click", 1.0, "{}"),
+        (91, T0 + dt.timedelta(hours=12), 900, "purchase", 1.0, "{}"),
+    ]
+    spark.createDataFrame(adv, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "part-*")
+        .parquet(src)
+    )
+    joined = stream_stream_interval_join(
+        stream, stream, interval="30 minutes", watermark="1 hour", how="leftOuter"
+    )
+    name = f"ssjo_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        if q.isActive:
+            q.stop()
+
+    rows = spark.table(name).collect()
+    inner = {
+        (r["user_id"], r["purchase_id"], r["click_id"])
+        for r in rows
+        if r["click_id"] is not None
+    }
+    outer = {
+        (r["user_id"], r["purchase_id"]) for r in rows if r["click_id"] is None
+    }
+    assert {(100, 10, 1), (100, 10, 2), (200, 11, 3)} <= inner
+    # purchase 12 (user 500, no clicks) must emit null-padded once the
+    # advancer batch pushes the watermark past its join window; the
+    # advancer's own purchase 91 stays in state (watermark never passes
+    # it) and must NOT emit
+    assert (500, 12) in outer
+    assert all(pid != 91 for _, pid in outer)
