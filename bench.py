@@ -55,6 +55,11 @@ HEADLINE = [
     "bloom_incremental_dedup",
     "bigram_lm_scores",
     "pagerank_customer_supplier",
+    # round 3 wave 2: governance + embedding-era curation
+    "data_quality_report",
+    "semantic_dedup_report",
+    "dsir_importance_weights",
+    "sq8_ann_topk",
 ]
 
 
