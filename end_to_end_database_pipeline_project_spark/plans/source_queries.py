@@ -449,3 +449,45 @@ def gdpr_erasure_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_counts(ev, "user_id", "events").unionByName(
         split_counts(cust, "c_custkey", "customer")
     )
+
+
+@query(
+    "xml_roundtrip_nations",
+    oracle="""SELECT n.n_name, r.r_name AS region_name,
+       CAST(count(c.c_custkey) AS BIGINT) AS n_customers
+FROM nation n
+JOIN region r ON r.r_regionkey = n.n_regionkey
+LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+GROUP BY 1, 2""",
+)
+def xml_roundtrip_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + source round-trip (Spark 4's native XML data source —
+    the first release where XML needs no external package): the nation
+    dimension written as <nations><nation>...</nation></nations>, read
+    back with an explicit rowTag, then joined/aggregated against
+    parquet-backed region+customer; the oracle computes the same from
+    parquet alone, proving the XML path is lossless.
+
+    XML is a row-exploded text format — no column pruning, no predicate
+    pushdown, row-level parse cost — so at 100 TB it belongs at the
+    EDGE of the pipeline only (the landing-zone interchange format B2B
+    feeds actually deliver), converted to parquet in bronze on first
+    touch, exactly like the reference's raw-JSON landing files."""
+    tmp = tempfile.mkdtemp(prefix="xml_src_")
+    nation = load_table(spark, sf_dir, "nation")
+    (
+        nation.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "nations")
+        .option("rowTag", "nation")
+        .save(tmp)
+    )
+    back = spark.read.format("xml").option("rowTag", "nation").load(tmp)
+    region = load_table(spark, sf_dir, "region")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        back.join(F.broadcast(region), back["n_regionkey"] == region["r_regionkey"])
+        .join(customer, customer["c_nationkey"] == back["n_nationkey"], "left")
+        .groupBy("n_name", F.col("r_name").alias("region_name"))
+        .agg(F.count("c_custkey").alias("n_customers"))
+    )
