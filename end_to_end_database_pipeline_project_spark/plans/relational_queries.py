@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions import scalar
 from ..sources.catalog import load_table, load_tables
@@ -71,7 +72,11 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # differently through the double path
     dec2 = lambda c: F.round(F.sum(c), 2).cast("double")
     return (
-        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        li.where(
+            # type object, not "timestamp": immune to a session-level
+            # spark.sql.timestampType=TIMESTAMP_NTZ remapping the keyword
+            F.col("l_shipdate") <= F.lit("1998-09-02").cast(T.TimestampType())
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), _R).alias("sum_qty"),

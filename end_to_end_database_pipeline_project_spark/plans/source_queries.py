@@ -491,3 +491,52 @@ def xml_roundtrip_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name", F.col("r_name").alias("region_name"))
         .agg(F.count("c_custkey").alias("n_customers"))
     )
+
+
+@query(
+    "masked_customer_export",
+    oracle="""SELECT c_custkey,
+       'CUST_' || substr(md5(c_name), 1, 12) AS name_token,
+       CASE WHEN length(c_name) >= 3
+            THEN repeat('*', length(c_name) - 3) || substr(c_name, length(c_name) - 2, 3)
+            ELSE repeat('*', length(c_name)) END AS name_masked,
+       CAST(floor(c_acctbal / 1000) * 1000 AS DOUBLE) AS acctbal_bucket,
+       c_mktsegment
+FROM customer""",
+)
+def masked_customer_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic data masking for a governed export (the untrusted-
+    consumer view of the serving layer): identifying names become a
+    stable pseudonymous token (md5-derived — joinable across exports,
+    not reversible) plus a redacted display form, account balances are
+    floor-coarsened to $1000 buckets (floor, not round: round's half-way
+    tie rule differs between engines) (k-anonymity-style generalization), and
+    only non-identifying attributes pass through untouched.
+
+    Scale shape: pure projection — one codegen'd stage over the scan,
+    no shuffle, no Python; masking at 100 TB costs exactly the scan.
+    The policy belongs in the engine (a governed view), not the
+    consumer: paired with `gdpr_erasure_report` (deletion) and
+    `pii_scrubbed_docs` (free-text scrubbing) it completes the
+    governance triad of masking / erasure / scrubbing."""
+    customer = load_table(spark, sf_dir, "customer")
+    name_len = F.length("c_name")
+    return customer.select(
+        "c_custkey",
+        F.concat(F.lit("CUST_"), F.substring(F.md5("c_name"), 1, 12)).alias(
+            "name_token"
+        ),
+        F.when(
+            name_len >= 3,
+            F.concat(
+                F.repeat(F.lit("*"), name_len - 3),
+                F.substring(F.col("c_name"), -3, 3),
+            ),
+        )
+        .otherwise(F.repeat(F.lit("*"), name_len))
+        .alias("name_masked"),
+        (F.floor(F.col("c_acctbal") / 1000) * 1000)
+        .cast("double")
+        .alias("acctbal_bucket"),
+        "c_mktsegment",
+    )

@@ -69,8 +69,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         elif isinstance(field.dataType, T.TimestampNTZType):
             # belt-and-suspenders for sessions where inferTimestampNTZ was
             # resolved before our conf set: NTZ→instant is exact under the
-            # pinned UTC session timezone.
-            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
+            # pinned UTC session timezone. Cast with the TYPE OBJECT, not
+            # the string "timestamp": the string resolves through
+            # spark.sql.timestampType, which a TIMESTAMP_NTZ-defaulted
+            # session would turn into a no-op NTZ→NTZ cast.
+            df = df.withColumn(field.name, F.col(field.name).cast(T.TimestampType()))
     return df
 
 

@@ -77,7 +77,8 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     if isinstance(probed, T.LongType):  # TIMESTAMP(NANOS) as raw int64
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif not isinstance(probed, T.TimestampType):
-        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        # type object, not the string "timestamp" — see catalog.load_table
+        raw = raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return raw
 
 
