@@ -72,3 +72,32 @@ def read_version(
             raise ValueError(f"version {version} not committed at {path}")
         entry = match[0]
     return spark.read.parquet(os.path.join(path, entry["dir"]))
+
+
+def expire_versions(path: str, retain_last: int = 2) -> list[int]:
+    """Vacuum: expire all but the newest ``retain_last`` snapshots.
+
+    Crash-safe in the same direction as the writer: the manifest swap
+    happens FIRST (expired versions become unaddressable atomically),
+    data directories are deleted after. A crash between the two leaves
+    orphan ``v=N`` dirs that no reader can resolve — invisible, and
+    reclaimed by the next vacuum pass (the same contract as
+    Delta/Iceberg VACUUM after retention). Returns the expired version
+    numbers."""
+    import shutil
+
+    vs = versions(path)
+    if len(vs) <= retain_last:
+        return []
+    drop, keep = vs[:-retain_last], vs[-retain_last:]
+    tmp = _manifest_path(path) + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump({"versions": keep}, f, sort_keys=True)
+    os.replace(tmp, _manifest_path(path))
+    # reclaim storage for every dir the manifest no longer references —
+    # including orphans from earlier crashes
+    live = {v["dir"] for v in keep}
+    for d in os.listdir(path):
+        if d.startswith("v=") and d not in live:
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    return [v["version"] for v in drop]

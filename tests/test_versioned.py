@@ -47,3 +47,35 @@ def test_uncommitted_snapshot_dirs_are_invisible(spark, tmp_path):
         assert False, "uncommitted version must not be readable"
     except ValueError:
         pass
+
+
+def test_vacuum_expires_old_versions_and_orphans(spark, tmp_path):
+    from end_to_end_database_pipeline_project_spark.sources.versioned import (
+        expire_versions,
+        read_version,
+        versions,
+        write_version,
+    )
+
+    path = str(tmp_path / "vt")
+    for i in range(4):
+        df = spark.range(10 * (i + 1)).withColumnRenamed("id", "x")
+        write_version(df, path)
+    # a crashed writer's uncommitted dir: invisible, must be reclaimed
+    import os
+
+    os.makedirs(os.path.join(path, "v=99"))
+
+    expired = expire_versions(path, retain_last=2)
+    assert expired == [1, 2]
+    left = [v["version"] for v in versions(path)]
+    assert left == [3, 4]
+    # latest still readable, expired gone from disk and manifest
+    assert read_version(spark, path).count() == 40
+    assert read_version(spark, path, 3).count() == 30
+    dirs = {d for d in os.listdir(path) if d.startswith("v=")}
+    assert dirs == {"v=3", "v=4"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_version(spark, path, 1)
