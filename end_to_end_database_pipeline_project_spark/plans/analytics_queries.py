@@ -498,3 +498,69 @@ def mv_rewrite_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# ----------------------------------- forecast baseline + evaluation
+
+
+@query(
+    "climatology_forecast_eval",
+    oracle="""WITH ev AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, hour(ts) AS h, value
+  FROM events WHERE value IS NOT NULL
+),
+split AS (SELECT CAST(max(d) - INTERVAL 6 DAY AS DATE) AS test_start FROM ev),
+clim AS (
+  SELECT event_type, h, avg(value) AS pred
+  FROM ev, split WHERE d < test_start GROUP BY 1, 2
+),
+test AS (SELECT ev.* FROM ev, split WHERE d >= test_start)
+SELECT t.event_type,
+       CAST(count(*) AS BIGINT) AS n_test,
+       round(avg(abs(t.value - c.pred)), 6) AS mae,
+       round(sqrt(avg((t.value - c.pred) * (t.value - c.pred))), 6) AS rmse,
+       round(avg(t.value - c.pred), 6) AS bias
+FROM test t JOIN clim c ON c.event_type = t.event_type AND c.h = t.h
+GROUP BY 1""",
+)
+def climatology_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine forecast baseline + backtest: the climatology model
+    (per-type hour-of-day mean over the train window) scored on the
+    final 7 days with MAE / RMSE / bias — the evaluation loop the
+    reference's forecast endpoint (S2) consumes from the NWS API but
+    never verifies. Any fancier model must beat this table.
+
+    Scale shape: the split date is a 1-row broadcast (relative to
+    max(date) — no fixture-specific constants), the climatology is a
+    (type x 24)-row aggregate broadcast back onto the test scan; the
+    whole backtest is two passes over the fact with map-side partials
+    and zero full-table shuffles."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.to_date("ts").alias("d"),
+            F.hour("ts").alias("h"),
+            "value",
+        )
+    )
+    split = ev.agg(F.date_sub(F.max("d"), 6).alias("test_start"))
+    evs = ev.crossJoin(F.broadcast(split))
+    clim = (
+        evs.where(F.col("d") < F.col("test_start"))
+        .groupBy("event_type", "h")
+        .agg(F.avg("value").alias("pred"))
+    )
+    test = evs.where(F.col("d") >= F.col("test_start"))
+    err = F.col("value") - F.col("pred")
+    return (
+        test.join(F.broadcast(clim), ["event_type", "h"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.round(F.avg(F.abs(err)), _R).alias("mae"),
+            F.round(F.sqrt(F.avg(err * err)), _R).alias("rmse"),
+            F.round(F.avg(err), _R).alias("bias"),
+        )
+    )

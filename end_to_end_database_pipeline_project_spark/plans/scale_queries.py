@@ -12,7 +12,7 @@ from __future__ import annotations
 import tempfile
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import scale as SC
@@ -341,4 +341,111 @@ def order_value_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_add(F.lit("1970-01-01").cast("date"), F.col("epoch_day").cast("int")).alias(
             "frontier_date"
         ),
+    )
+
+
+_HAVERSINE_PS = """2 * 6371.0088 * asin(sqrt(
+  pow(sin(radians(s.lat - p.plat) / 2), 2)
+  + cos(radians(p.plat)) * cos(radians(s.lat))
+    * pow(sin(radians(s.lon - p.plon) / 2), 2)))"""
+
+
+@query(
+    "idw_station_interpolation",
+    oracle=f"""WITH {_STATION_GEO_CTE},
+sv AS (
+  SELECT st.sid, st.lat, st.lon, avg(e.value) AS v
+  FROM st JOIN events e ON 'S' || CAST(e.user_id AS VARCHAR) = st.sid
+  WHERE e.value IS NOT NULL
+  GROUP BY 1, 2, 3
+),
+probes AS (
+  SELECT CAST(i AS BIGINT) AS probe_id,
+         CAST(-57 + (i * 97) % 115 AS DOUBLE) AS plat,
+         CAST(-177 + (i * 211) % 355 AS DOUBLE) AS plon
+  FROM range(20) t(i)
+),
+d AS (
+  SELECT p.probe_id, p.plat, p.plon, s.v,
+         {_HAVERSINE_PS} AS dist_km,
+         row_number() OVER (PARTITION BY p.probe_id
+                            ORDER BY {_HAVERSINE_PS}, s.sid) AS rk
+  FROM probes p CROSS JOIN sv s
+)
+SELECT probe_id, plat, plon,
+       CAST(count(*) AS BIGINT) AS n_stations,
+       round(sum(v / (dist_km * dist_km + 1.0))
+             / sum(1.0 / (dist_km * dist_km + 1.0)), 6) AS idw_value,
+       round(min(dist_km), 6) AS nearest_km
+FROM d WHERE rk <= 5
+GROUP BY 1, 2, 3""",
+)
+def idw_station_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-distance-weighted spatial interpolation — the weather
+    product the reference's station observations feed but never
+    compute: the estimated field value at arbitrary probe points from
+    the k=5 nearest stations, weighted 1/(d^2+1).
+
+    Scale shape: the probe set is bounded (a forecast grid, not a
+    fact table), so probes ride as ONE broadcast against a single
+    station-means aggregate — cost is |probes| x |stations| map-side
+    work with a rank-limit per probe, no shuffle of the fact beyond
+    the per-station mean. For probe grids too large to broadcast, the
+    same query flips to the grid-cell bucketing of
+    `stations_within_500km` (probes and stations meet on cells)."""
+    ev = load_table(spark, sf_dir, "events")
+    hex4 = lambda e: F.conv(F.substring(F.md5(e), 1, 4), 16, 10).cast("int")  # noqa: E731
+    st = (
+        ev.select(F.concat(F.lit("S"), F.col("user_id").cast("string")).alias("sid"))
+        .distinct()
+        .select(
+            "sid",
+            ((hex4(F.concat(F.lit("lat"), F.col("sid"))) % 1200) / 10.0 - 60.0).alias(
+                "lat"
+            ),
+            ((hex4(F.concat(F.lit("lon"), F.col("sid"))) % 3600) / 10.0 - 180.0).alias(
+                "lon"
+            ),
+        )
+    )
+    sv = (
+        ev.where(F.col("value").isNotNull())
+        .select(
+            F.concat(F.lit("S"), F.col("user_id").cast("string")).alias("sid"),
+            "value",
+        )
+        .groupBy("sid")
+        .agg(F.avg("value").alias("v"))
+        .join(st, "sid")
+    )
+    probes = spark.range(20).select(
+        F.col("id").alias("probe_id"),
+        (F.lit(-57) + (F.col("id") * 97) % 115).cast("double").alias("plat"),
+        (F.lit(-177) + (F.col("id") * 211) % 355).cast("double").alias("plon"),
+    )
+    dist = (
+        F.lit(2 * 6371.0088)
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(F.radians(F.col("lat") - F.col("plat")) / 2), 2)
+                + F.cos(F.radians("plat"))
+                * F.cos(F.radians("lat"))
+                * F.pow(F.sin(F.radians(F.col("lon") - F.col("plon")) / 2), 2)
+            )
+        )
+    )
+    scored = sv.crossJoin(F.broadcast(probes)).select(
+        "probe_id", "plat", "plon", "v", "sid", dist.alias("dist_km")
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.asc("dist_km"), F.asc("sid"))
+    wgt = 1.0 / (F.col("dist_km") * F.col("dist_km") + 1.0)
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .groupBy("probe_id", "plat", "plon")
+        .agg(
+            F.count(F.lit(1)).alias("n_stations"),
+            F.round(F.sum(F.col("v") * wgt) / F.sum(wgt), _R).alias("idw_value"),
+            F.round(F.min("dist_km"), _R).alias("nearest_km"),
+        )
     )
