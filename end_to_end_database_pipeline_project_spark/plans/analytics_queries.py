@@ -722,3 +722,266 @@ def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_orders") / F.col("n_total"), _R).alias("pct"),
         )
     )
+
+
+# --------------------------------------------- k-core decomposition
+
+
+@query(
+    "trading_kcore",
+    oracle="""WITH e0 AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+         's' || CAST(l_suppkey AS VARCHAR) AS b
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+ed AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+n0 AS (SELECT a AS node FROM ed GROUP BY 1 HAVING count(*) >= 5),
+e1 AS (SELECT ed.a, ed.b FROM ed
+       JOIN n0 x ON x.node = ed.a JOIN n0 y ON y.node = ed.b),
+n1 AS (SELECT a AS node FROM e1 GROUP BY 1 HAVING count(*) >= 5),
+e2 AS (SELECT e1.a, e1.b FROM e1
+       JOIN n1 x ON x.node = e1.a JOIN n1 y ON y.node = e1.b),
+n2 AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS degree
+       FROM e2 GROUP BY 1 HAVING count(*) >= 5)
+SELECT substr(node, 1, 1) AS node_kind,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(degree) AS BIGINT) AS total_degree,
+       CAST(min(degree) AS BIGINT) AS min_degree
+FROM n2 GROUP BY 1""",
+)
+def trading_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=5, three peel rounds) of the bipartite
+    customer-supplier trading graph: iteratively drop nodes with fewer
+    than k distinct trading partners, keeping only the densely
+    embedded core — the graph-quality filter crawl pipelines apply to
+    separate hub domains from drive-by links.
+
+    Scale shape: each peel round is one degree aggregate + one
+    semi-join of the edge list against surviving nodes — shuffles
+    keyed on node id, edge list checkpointed per round (the iterative
+    lineage-truncation discipline of `operators/graph.py`). Rounds are
+    BOUNDED (3 here; production iterates to fixpoint with the same
+    per-round plan), and each round strictly shrinks the edge list, so
+    cost is monotone decreasing — the peel is at worst
+    O(rounds x |E|)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    e0 = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=False)
+    k = 5
+    for _ in range(2):
+        alive = (
+            edges.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") >= k)
+            .select(F.col("a").alias("node"))
+        )
+        edges = (
+            edges.join(alive.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(
+                alive.select(F.col("node").alias("b")), "b", "left_semi"
+            )
+            .localCheckpoint(eager=False)
+        )
+    final = (
+        edges.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .where(F.col("degree") >= k)
+    )
+    return final.groupBy(F.substring("a", 1, 1).alias("node_kind")).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("degree").cast("long").alias("total_degree"),
+        F.min("degree").cast("long").alias("min_degree"),
+    )
+
+
+# --------------------------------------- seasonal-adjusted anomalies
+
+
+@query(
+    "climatology_anomaly_hours",
+    oracle="""WITH ev AS (
+  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS oh,
+         hour(ts) AS h, value
+  FROM events WHERE value IS NOT NULL
+),
+hourly AS (SELECT event_type, oh, h, avg(value) AS v
+           FROM ev GROUP BY 1, 2, 3),
+clim AS (SELECT event_type, h, avg(v) AS mu, stddev_samp(v) AS sigma
+         FROM hourly GROUP BY 1, 2)
+SELECT hr.event_type,
+       CAST(count(*) AS BIGINT) AS n_hours,
+       CAST(sum(CASE WHEN abs(hr.v - c.mu) > 3 * c.sigma THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_anomalous,
+       round(max(abs(hr.v - c.mu) / c.sigma), 6) AS max_abs_z
+FROM hourly hr JOIN clim c ON c.event_type = hr.event_type AND c.h = hr.h
+GROUP BY 1""",
+)
+def climatology_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-adjusted anomaly detection: hourly averages scored
+    against their OWN hour-of-day climatology (mean/sigma per
+    (type, hour-of-day)) — removing the diurnal cycle before
+    thresholding, so a normal 3pm peak isn't flagged just for beating
+    the 3am baseline (the flaw of the raw 3-sigma scan).
+
+    Scale shape: one (type, hour) partial aggregate over the fact;
+    the climatology is a (type x 24)-row broadcast joined back onto
+    the hourly table, never the raw fact."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    hourly = ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("oh"),
+        F.hour("ts").alias("h"),
+    ).agg(F.avg("value").alias("v"))
+    clim = hourly.groupBy("event_type", "h").agg(
+        F.avg("v").alias("mu"), F.stddev_samp("v").alias("sigma")
+    )
+    z = F.abs(F.col("v") - F.col("mu")) / F.col("sigma")
+    return (
+        hourly.join(F.broadcast(clim), ["event_type", "h"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum(F.when(z > 3, 1).otherwise(0)).cast("long").alias("n_anomalous"),
+            F.round(F.max(z), _R).alias("max_abs_z"),
+        )
+    )
+
+
+# ------------------------------------------------- RFM segmentation
+
+
+@query(
+    "customer_rfm_segments",
+    oracle="""WITH rfm AS (
+  SELECT o_custkey,
+         max(o_orderdate) AS last_order,
+         count(*) AS frequency,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+  FROM orders GROUP BY 1
+),
+scored AS (
+  SELECT o_custkey,
+         ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS r,
+         ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+         ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m
+  FROM rfm
+)
+SELECT CASE WHEN r = 1 AND f = 1 AND m = 1 THEN 'champion'
+            WHEN r = 1 AND f >= 3 THEN 'new'
+            WHEN r >= 3 AND f <= 2 THEN 'at_risk'
+            WHEN r >= 3 THEN 'hibernating'
+            ELSE 'regular' END AS segment,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM scored GROUP BY 1""",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — recency/frequency/monetary quartiles mapped
+    to lifecycle segments (champion / new / at-risk / hibernating /
+    regular), the canonical customer-analytics rollup.
+
+    Scale shape: one aggregate to customer grain, then three ntile
+    windows. The quartile windows are GLOBAL by definition (a quartile
+    is a global rank) — at extreme scale the exact ntile swaps for
+    approx_percentile cut points (the bounded-error route this engine
+    already certifies in `approx_quantile_bounded`); explicit
+    (key, custkey) tie-breaks keep boundary assignment
+    engine-portable. Decimal money keeps quartile edges exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    rfm = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+    )
+    r = F.ntile(4).over(Window.orderBy(F.desc("last_order"), F.asc("o_custkey")))
+    f = F.ntile(4).over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
+    m = F.ntile(4).over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey")))
+    scored = rfm.select("o_custkey", r.alias("r"), f.alias("f"), m.alias("m"))
+    seg = (
+        F.when((F.col("r") == 1) & (F.col("f") == 1) & (F.col("m") == 1), "champion")
+        .when((F.col("r") == 1) & (F.col("f") >= 3), "new")
+        .when((F.col("r") >= 3) & (F.col("f") <= 2), "at_risk")
+        .when(F.col("r") >= 3, "hibernating")
+        .otherwise("regular")
+    )
+    return scored.groupBy(seg.alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+# --------------------------------------------- Pareto / ABC classes
+
+
+@query(
+    "supplier_pareto_abc",
+    oracle="""WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS revenue
+  FROM lineitem GROUP BY 1
+),
+ranked AS (
+  SELECT l_suppkey, revenue,
+         sum(revenue) OVER (ORDER BY revenue DESC, l_suppkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_rev,
+         sum(revenue) OVER () AS tot_rev
+  FROM rev
+)
+SELECT CASE WHEN cum_rev / tot_rev <= 0.5 THEN 'A'
+            WHEN cum_rev / tot_rev <= 0.8 THEN 'B'
+            ELSE 'C' END AS abc_class,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(round(sum(revenue), 2) AS DOUBLE) AS class_revenue,
+       round(CAST(sum(revenue) / max(tot_rev) AS DOUBLE), 6) AS revenue_share
+FROM ranked GROUP BY 1""",
+)
+def supplier_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC classification: suppliers bucketed by cumulative
+    revenue share (A = first 50% of revenue, B = to 80%, C = tail) —
+    the 80/20 concentration analysis behind vendor consolidation and
+    hot-key detection alike.
+
+    Scale shape: the revenue rollup is the only fact pass; the
+    cumulative share needs a GLOBAL ordered prefix sum over the
+    supplier aggregate — small here, and at extreme scale the exact
+    same two-pass distributed prefix sum as `operators/scale.py`
+    (per-range-partition subtotals -> broadcast offsets), never a
+    single-reducer window over raw facts. Decimal money end-to-end:
+    cumulative boundaries are exact, so class assignment can't flap
+    on summation order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    from .registry import dec_rev
+
+    rev = li.groupBy("l_suppkey").agg(F.sum(dec_rev()).alias("revenue"))
+    w_cum = (
+        Window.orderBy(F.desc("revenue"), F.asc("l_suppkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    ranked = rev.select(
+        "l_suppkey",
+        "revenue",
+        F.sum("revenue").over(w_cum).alias("cum_rev"),
+        F.sum("revenue").over(w_all).alias("tot_rev"),
+    )
+    share = F.col("cum_rev") / F.col("tot_rev")
+    cls = (
+        F.when(share <= 0.5, "A").when(share <= 0.8, "B").otherwise("C")
+    )
+    return ranked.groupBy(cls.alias("abc_class")).agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.round(F.sum("revenue"), 2).cast("double").alias("class_revenue"),
+        F.round((F.sum("revenue") / F.max("tot_rev")).cast("double"), _R).alias(
+            "revenue_share"
+        ),
+    )
