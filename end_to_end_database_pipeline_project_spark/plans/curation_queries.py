@@ -942,3 +942,62 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p, _R).alias("p_keep"),
         (p >= 0.5).alias("keep"),
     )
+
+
+@query(
+    "doc_keyword_extraction",
+    oracle=f"""WITH {_TOKS_CTE},
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+wt AS (
+  SELECT doc_id, term, tf.tf * ln((n.n_docs + 1) / (df.df + 1)) AS wt
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+r AS (
+  SELECT doc_id, term, wt,
+         row_number() OVER (PARTITION BY doc_id ORDER BY wt DESC, term) AS rk
+  FROM wt
+)
+SELECT doc_id, CAST(rk AS BIGINT) AS kw_rank, term AS keyword,
+       round(wt, 6) AS tfidf
+FROM r WHERE rk <= 5""",
+)
+def doc_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: the top-5 terms by smoothed
+    TF-IDF — the per-doc summarization/tagging primitive (search
+    facets, topic labels, weak supervision features), where
+    `tfidf_cosine_topk` is cross-doc retrieval over the same weights.
+
+    Scale shape: one tokenize explode feeds term frequencies; document
+    frequency is a vocabulary-sized aggregate whose smoothed-IDF table
+    broadcasts back; per-doc top-5 is a rank-limit window on doc_id
+    (WindowGroupLimit — running top-k, no full per-doc sort). Add-1
+    smoothing keeps hapax terms finite and the (term, doc_id)
+    tie-break keeps rank boundaries engine-portable."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    tf = (
+        _tokens(docs)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    idf = df.crossJoin(F.broadcast(n)).select(
+        "term", F.log((F.col("n_docs") + 1) / (F.col("df") + 1)).alias("idf")
+    )
+    wt = tf.join(F.broadcast(idf), "term").select(
+        "doc_id", "term", (F.col("tf") * F.col("idf")).alias("wt")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("wt"), F.asc("term"))
+    return (
+        wt.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select(
+            "doc_id",
+            F.col("rk").cast("long").alias("kw_rank"),
+            F.col("term").alias("keyword"),
+            F.round("wt", _R).alias("tfidf"),
+        )
+    )
