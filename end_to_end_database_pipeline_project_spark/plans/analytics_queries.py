@@ -985,3 +985,130 @@ def supplier_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_share"
         ),
     )
+
+
+# --------------------------------------- label propagation communities
+
+
+def _lpa_round(prev: str, out: str) -> str:
+    return f"""cand_{out} AS (
+  SELECT e.dst AS node, l.lab, count(*) AS c
+  FROM ed e JOIN {prev} l ON l.node = e.src GROUP BY 1, 2
+),
+best_{out} AS (
+  SELECT node, lab,
+         row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rk
+  FROM cand_{out}
+),
+{out} AS (
+  SELECT p.node, coalesce(b.lab, p.lab) AS lab
+  FROM {prev} p
+  LEFT JOIN (SELECT node, lab FROM best_{out} WHERE rk = 1) b
+    ON b.node = p.node
+)"""
+
+
+_LPA_ORACLE = (
+    """WITH e0 AS (
+  SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+cw AS (
+  SELECT least(c.c_nationkey, s.s_nationkey) AS a,
+         greatest(c.c_nationkey, s.s_nationkey) AS b, count(*) AS w
+  FROM e0 JOIN customer c ON ck = c_custkey JOIN supplier s ON sk = s_suppkey
+  WHERE c.c_nationkey != s.s_nationkey GROUP BY 1, 2
+),
+thr AS (SELECT quantile_cont(w, 0.75) AS q FROM cw),
+cn AS (SELECT a, b FROM cw, thr WHERE w >= q),
+ed AS (SELECT a AS src, b AS dst FROM cn UNION ALL SELECT b, a FROM cn),
+l0 AS (SELECT n_nationkey AS node, n_nationkey AS lab FROM nation),
+"""
+    + ",\n".join(_lpa_round(f"l{i}", f"l{i + 1}") for i in range(3))
+    + """
+SELECT l3.lab AS community_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       string_agg(n.n_name, ',' ORDER BY n.n_name) AS members
+FROM l3 JOIN nation n ON n.n_nationkey = l3.node
+GROUP BY 1"""
+)
+
+
+@query("trading_communities", oracle=_LPA_ORACLE)
+def trading_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (3 rounds)
+    over the strong-trade nation graph (edges at or above the 75th
+    percentile of pair volume — a relative threshold, scale-free like
+    `trading_triangles`' median cut). Each round every node adopts its
+    neighbors' most frequent label (ties to the smallest label —
+    fully deterministic, so the recurrence unrolls into the oracle).
+
+    Scale shape: one fact join builds weighted nation-pair edges; each
+    LPA round is one join + one (node, label) count + one rank-limit —
+    all hash-partitioned on node id, label table checkpointed per
+    round (the `operators/graph.py` iteration discipline). Rounds are
+    bounded; per-round cost is O(|E|)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    e0 = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    cw = (
+        e0.join(customer, F.col("ck") == F.col("c_custkey"))
+        .join(F.broadcast(supplier), F.col("sk") == F.col("s_suppkey"))
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.least("c_nationkey", "s_nationkey").alias("a"),
+            F.greatest("c_nationkey", "s_nationkey").alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    thr = cw.agg(F.percentile("w", 0.75).alias("q"))
+    cn = (
+        cw.crossJoin(F.broadcast(thr))
+        .where(F.col("w") >= F.col("q"))
+        .select("a", "b")
+    )
+    ed = cn.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        cn.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).localCheckpoint(eager=False)
+    labels = nation.select(
+        F.col("n_nationkey").alias("node"), F.col("n_nationkey").alias("lab")
+    )
+    for _ in range(3):
+        cand = (
+            ed.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lab"))
+        best = (
+            cand.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("node", F.col("lab").alias("new_lab"))
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select(
+                "node", F.coalesce("new_lab", "lab").alias("lab")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        labels.join(
+            F.broadcast(nation), labels["node"] == nation["n_nationkey"]
+        )
+        .groupBy(F.col("lab").alias("community_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "members"
+            ),
+        )
+    )
