@@ -260,3 +260,72 @@ def collated_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.lower("k").alias("event_type_ci"), "n")
     )
+
+
+@query(
+    "udtf_dynamic_stats",
+    oracle="""SELECT event_type,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value,
+       round(avg(value), 6) AS avg_value
+FROM events WHERE value IS NOT NULL GROUP BY 1""",
+)
+def udtf_dynamic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4 ``analyze()``): the output
+    schema is not declared statically but computed at PLAN TIME from a
+    constant argument — here a requested-statistics list
+    ('min,max,avg') that becomes one typed column per stat. This is
+    the table-function form behind dynamic pivots / configurable
+    profilers, impossible with a fixed ``returnType``.
+
+    The UDTF itself runs on the 5-row pre-aggregated per-type table
+    (sum/count/min/max partials computed by native Catalyst
+    aggregation first) — per-row Python touches five rows, never the
+    fact, per the engine's UDF-off-the-hot-path policy."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import DoubleType, StringType, StructType
+    from pyspark.sql.udtf import AnalyzeResult
+
+    class DynamicStats:
+        @staticmethod
+        def analyze(row, stats):
+            schema = StructType().add("event_type", StringType())
+            for s in stats.value.split(","):
+                schema = schema.add(f"{s}_value", DoubleType())
+            return AnalyzeResult(schema=schema)
+
+        def __init__(self):
+            self._stats = None
+
+        def eval(self, row, stats: str):
+            chosen = stats.split(",")
+            out = [row["et"]]
+            for s in chosen:
+                if s == "min":
+                    out.append(row["mn"])
+                elif s == "max":
+                    out.append(row["mx"])
+                elif s == "avg":
+                    out.append(row["sm"] / row["cnt"])
+            yield tuple(out)
+
+    DynamicStatsUDTF = udtf(DynamicStats)
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    partials = ev.groupBy(F.col("event_type").alias("et")).agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.sum("value").alias("sm"),
+        F.count("value").alias("cnt"),
+    )
+    out = partials.lateralJoin(
+        DynamicStatsUDTF(
+            F.struct("et", "mn", "mx", "sm", "cnt").outer(),
+            F.lit("min,max,avg"),
+        )
+    )
+    return out.select(
+        "event_type",  # emitted by the UDTF per its analyzed schema
+        F.round("min_value", _R).alias("min_value"),
+        F.round("max_value", _R).alias("max_value"),
+        F.round("avg_value", _R).alias("avg_value"),
+    )
