@@ -1834,3 +1834,171 @@ def ivf_kmeans_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_recall_ge_020"
         ),
     )
+
+
+@query(
+    "full_curation_run",
+    oracle=f"""WITH RECURSIVE {_COMPONENTS_CTE},
+{_SHINGLE5_CTE},
+exact AS (
+  SELECT * FROM (
+    SELECT d.*, row_number() OVER (
+      PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+      ORDER BY doc_id) AS rn
+    FROM documents d) WHERE rn = 1
+),
+near AS (
+  SELECT * FROM (
+    SELECT e.*, row_number() OVER (
+      PARTITION BY c.component_id ORDER BY e.doc_id) AS rn2
+    FROM exact e JOIN comp c ON c.doc_id = e.doc_id) WHERE rn2 = 1
+),
+qual AS (
+  SELECT * FROM near
+  WHERE round(
+    (CASE WHEN length(text) >= 100 AND length(text) <= 20000 THEN 1.0
+          WHEN length(text) > 0 THEN 0.5 ELSE 0.0 END) * 0.4
+    + (1.0 - least(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
+                   / length(text) * 5, 1.0)) * 0.3
+    + least(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+            w -> list_contains(['the','a','and','of','to','in','is','it'], w))) * 1.0
+            / len(string_split_regex(lower(trim(text)), '\\s+')) * 4, 1.0) * 0.3,
+    6) >= 0.5
+),
+bench AS (SELECT DISTINCT shingle FROM sh5 WHERE doc_id < 20),
+decon AS (
+  SELECT q.* FROM qual q
+  WHERE q.doc_id >= 20 AND NOT EXISTS (
+    SELECT 1 FROM sh5 s JOIN bench b ON s.shingle = b.shingle
+    WHERE s.doc_id = q.doc_id)
+),
+quota AS (
+  SELECT * FROM (
+    SELECT d.*, row_number() OVER (
+      PARTITION BY source
+      ORDER BY md5(CAST(doc_id AS VARCHAR) || text), doc_id) AS rk
+    FROM decon d) WHERE rk <= 15
+),
+sp AS (
+  SELECT *, CASE WHEN strpos('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1 < 13
+                 THEN 'g_train'
+                 WHEN strpos('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1 = 13
+                 THEN 'h_val' ELSE 'i_test' END AS split
+  FROM quota
+)
+SELECT 'a_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents
+UNION ALL SELECT 'b_exact_dedup', CAST(count(*) AS BIGINT),
+       CAST(sum(n_chars) AS BIGINT) FROM exact
+UNION ALL SELECT 'c_near_dedup', CAST(count(*) AS BIGINT),
+       CAST(sum(n_chars) AS BIGINT) FROM near
+UNION ALL SELECT 'd_quality', CAST(count(*) AS BIGINT),
+       CAST(sum(n_chars) AS BIGINT) FROM qual
+UNION ALL SELECT 'e_decontaminated', CAST(count(*) AS BIGINT),
+       CAST(sum(n_chars) AS BIGINT) FROM decon
+UNION ALL SELECT 'f_quota_capped', CAST(count(*) AS BIGINT),
+       CAST(sum(n_chars) AS BIGINT) FROM quota
+UNION ALL SELECT split, CAST(count(*) AS BIGINT),
+       CAST(sum(n_chars) AS BIGINT) FROM sp GROUP BY 1""",
+)
+def full_curation_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE curation funnel as one engine run, with a per-stage
+    audit ledger: raw -> exact dedup (normalized-hash representative)
+    -> near-dup collapse (MinHash-LSH pairs -> connected components,
+    one survivor per cluster) -> quality gate -> benchmark
+    decontamination (5-gram holdout overlap + the holdout itself) ->
+    per-source quota -> deterministic split. Every stage's surviving
+    doc and char counts are emitted, which is the report a 100 TB
+    curation run publishes for data governance (what was dropped, at
+    which gate, and how the final mix splits).
+
+    Scale shape: each stage reuses the operator already certified
+    standalone (`curated_corpus_report`, `neardup_components`,
+    `decontamination_flags`, `source_quota_cap`,
+    `deterministic_split`); intermediates are localCheckpoint'd so the
+    funnel's six audit branches read materialized stages instead of
+    re-running the chain, and every stage is itself one-or-two
+    exchanges. The ledger unions are metadata-sized."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    w_exact = Window.partitionBy(fp).orderBy("doc_id")
+    exact = (
+        docs.withColumn("rn", F.row_number().over(w_exact))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .localCheckpoint(eager=False)
+    )
+    surv = DD.minhash_lsh_dedup(docs, est_threshold=0.5)
+    comp = DD.connected_components(docs, surv)
+    w_near = Window.partitionBy("component_id").orderBy("doc_id")
+    near = (
+        exact.join(comp, "doc_id")
+        .withColumn("rn2", F.row_number().over(w_near))
+        .where(F.col("rn2") == 1)
+        .drop("rn2", "component_id")
+        .localCheckpoint(eager=False)
+    )
+    qual = near.where(TX.quality_score(F.col("text")) >= 0.5)
+    sh = DD.shingle_index(docs, k=5)
+    bench = sh.where(F.col("doc_id") < 20).select("shingle").distinct()
+    contaminated = (
+        sh.where(F.col("doc_id") >= 20)
+        .join(F.broadcast(bench), "shingle")
+        .select("doc_id")
+        .distinct()
+    )
+    decon = (
+        qual.where(F.col("doc_id") >= 20)
+        .join(contaminated, "doc_id", "left_anti")
+        .localCheckpoint(eager=False)
+    )
+    w_quota = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.col("text"))),
+        F.col("doc_id"),
+    )
+    quota = (
+        decon.withColumn("rk", F.row_number().over(w_quota))
+        .where(F.col("rk") <= 15)
+        .drop("rk")
+        .localCheckpoint(eager=False)
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 32, 1), 16, 10
+    ).cast("int")
+    split = (
+        F.when(bucket < 13, "g_train")
+        .when(bucket == 13, "h_val")
+        .otherwise("i_test")
+    )
+
+    def ledger(df, stage):
+        return df.agg(
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        ).select("stage", "n_docs", "total_chars")
+
+    stages = [
+        ledger(docs, "a_raw"),
+        ledger(exact, "b_exact_dedup"),
+        ledger(near, "c_near_dedup"),
+        ledger(qual, "d_quality"),
+        ledger(decon, "e_decontaminated"),
+        ledger(quota, "f_quota_capped"),
+    ]
+    splits = (
+        quota.select(split.alias("stage"), "n_chars")
+        .groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+    out = stages[0]
+    for s in stages[1:]:
+        out = out.unionByName(s)
+    return out.unionByName(splits)
