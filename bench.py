@@ -47,6 +47,7 @@ HEADLINE = [
     "embedding_near_dup_pairs",
     "bm25_retrieval",
     "curated_corpus_report",
+    "full_curation_run",
     # round 3: exact substring dedup + mergeable-sketch rollups
     "duplicate_span_stats",
     "bitmap_distinct_users",

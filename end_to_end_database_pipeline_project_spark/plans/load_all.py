@@ -123,7 +123,7 @@ _DRIVER_FIRST = [
     # curation pipeline
     "deterministic_split",
     "decontamination_flags",
-    "curated_corpus_report",
+    "full_curation_run",
     "sequence_packing_report",
     # multimodal binary columns (wav-codec twin follows the window —
     # the bmp codec covers real-binary decode)
