@@ -218,24 +218,16 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def lsh_buckets(
     sigs: DataFrame, bands: int = LSH_BANDS, seeds: int = MINHASH_SEEDS
 ) -> DataFrame:
-    """LSH banding: hash each band of rows_per_band signature components
-    to a bucket; pairs sharing any bucket are candidates.
-
-    Bucket construction: md5 of the '|'-joined sigs in seed order —
-    a pure projection over the wide signature row (no groupBy), fanned
-    to ``bands`` rows per doc only for the (band, bucket) self-join.
-    Each bucket of f docs emits f·(f-1)/2 pairs, but LSH bounds f to
-    true-ish near-dups."""
-    if seeds % bands:
-        raise ValueError(
-            f"seeds ({seeds}) must divide evenly into bands ({bands}) — "
-            "trailing signature components would silently never bucket"
-        )
+    """Band-bucket projection of a wide signature table: ``bands`` rows
+    per doc, bucket = md5 of the '|'-joined signature components of the
+    band. Pure projection + bounded explode — shared by the self-join
+    candidate generator below and the batch-vs-corpus incremental probe
+    (`plans.llm_data_queries.incremental_neardup_batch`)."""
     rows_per_band = seeds // bands
-    buckets = sigs.select(
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -256,7 +248,28 @@ def lsh_candidate_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = LSH_BANDS, seeds: int = MINHASH_SEEDS
+) -> DataFrame:
+    """LSH banding: hash each band of rows_per_band signature components
+    to a bucket; pairs sharing any bucket are candidates.
+
+    Bucket construction: md5 of the '|'-joined sigs in seed order —
+    a pure projection over the wide signature row (no groupBy), fanned
+    to ``bands`` rows per doc only for the (band, bucket) self-join.
+    Each bucket of f docs emits f·(f-1)/2 pairs, but LSH bounds f to
+    true-ish near-dups."""
+    if seeds % bands:
+        raise ValueError(
+            f"seeds ({seeds}) must divide evenly into bands ({bands}) — "
+            "trailing signature components would silently never bucket"
+        )
+    buckets = lsh_buckets(sigs, bands, seeds)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (

@@ -2002,3 +2002,139 @@ def full_curation_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in stages[1:]:
         out = out.unionByName(s)
     return out.unionByName(splits)
+
+
+@query(
+    "incremental_neardup_batch",
+    oracle=r"""WITH inc AS (
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text || ' updated edition' AS text
+  FROM documents WHERE doc_id % 7 = 0
+),
+uni AS (
+  SELECT doc_id, text, FALSE AS is_new FROM documents
+  UNION ALL SELECT doc_id, text, TRUE FROM inc
+),
+w AS (
+  SELECT doc_id, is_new, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM uni
+),
+sh AS (
+  SELECT doc_id, is_new,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(ws) - 2, 1) + 1),
+           i -> array_to_string(list_slice(ws, i, i + 2), ' ')))) AS shingle
+  FROM w
+),
+seeded AS (
+  SELECT doc_id, is_new, seed,
+         md5(CAST(seed AS VARCHAR) || '|' || shingle) AS h
+  FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
+),
+sigs AS (SELECT doc_id, is_new, seed, min(h) AS sig
+         FROM seeded GROUP BY 1, 2, 3),
+banded AS (
+  SELECT doc_id, is_new, seed // 4 AS band,
+         md5(string_agg(sig, '|' ORDER BY seed)) AS bucket
+  FROM sigs GROUP BY 1, 2, 3
+),
+cands AS (
+  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+  FROM banded n JOIN banded o
+    ON n.band = o.band AND n.bucket = o.bucket
+   AND n.is_new AND NOT o.is_new
+),
+est AS (
+  SELECT c.new_id, c.old_id,
+         avg(CASE WHEN sn.sig = so.sig THEN 1.0 ELSE 0.0 END) AS est_j
+  FROM cands c
+  JOIN sigs sn ON sn.doc_id = c.new_id AND sn.is_new
+  JOIN sigs so ON so.doc_id = c.old_id AND NOT so.is_new AND so.seed = sn.seed
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT new_id, old_id, est_j,
+         row_number() OVER (PARTITION BY new_id
+                            ORDER BY est_j DESC, old_id) AS rk,
+         count(*) OVER (PARTITION BY new_id) AS n_candidates
+  FROM est
+)
+SELECT i.doc_id,
+       CAST(coalesce(b.n_candidates, 0) AS BIGINT) AS n_candidates,
+       b.old_id AS best_match,
+       round(b.est_j, 6) AS best_est_jaccard,
+       coalesce(b.est_j >= 0.5, FALSE) AS is_near_dup
+FROM inc i LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
+  ON b.new_id = i.doc_id""",
+)
+def incremental_neardup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup maintenance — the LSH analog of
+    `bloom_incremental_dedup`'s exact path: an incoming batch
+    (re-delivered docs + lightly-edited "updated editions") is probed
+    against the STANDING corpus signature index. Re-deliveries score
+    est-Jaccard 1.0; edited editions score ~0.9 — the near-misses the
+    exact hash path structurally cannot catch. Per batch doc: candidate
+    count, best-matching corpus doc and whether it crosses the 0.5
+    near-dup threshold.
+
+    Scale shape: the standing signatures/buckets are computed ONCE and
+    at 100 TB live as maintained tables (here localCheckpoint stands in
+    — same discipline as `bloom_incremental_dedup`'s filter); per batch
+    the work is batch-sized signature building + a bucket equi-join
+    whose right side is the bucket TABLE (not the corpus), so cost is
+    O(|batch| + collisions), never O(|corpus|). The asymmetric
+    new-vs-old join replaces the self-join of the full-corpus pass."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    inc = (
+        docs.where(F.col("doc_id") % 3 == 0)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        .unionByName(
+            docs.where(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" updated edition")).alias("text"),
+            )
+        )
+    )
+    corpus_sigs = DD.minhash_signatures(docs).localCheckpoint(eager=False)
+    batch_sigs = DD.minhash_signatures(inc).localCheckpoint(eager=False)
+    old_b = DD.lsh_buckets(corpus_sigs).select(
+        F.col("doc_id").alias("old_id"), "band", "bucket"
+    )
+    new_b = DD.lsh_buckets(batch_sigs).select(
+        F.col("doc_id").alias("new_id"), "band", "bucket"
+    )
+    cands = (
+        new_b.join(old_b, ["band", "bucket"])
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    agree = sum(
+        F.when(
+            F.col(f"n.s{i}") == F.col(f"o.s{i}"), F.lit(1.0)
+        ).otherwise(F.lit(0.0))
+        for i in range(16)
+    ) / F.lit(16.0)
+    est = (
+        cands.join(batch_sigs.alias("n"), F.col("new_id") == F.col("n.doc_id"))
+        .join(corpus_sigs.alias("o"), F.col("old_id") == F.col("o.doc_id"))
+        .select("new_id", "old_id", agree.alias("est_j"))
+    )
+    w_best = Window.partitionBy("new_id").orderBy(F.desc("est_j"), F.asc("old_id"))
+    w_cnt = Window.partitionBy("new_id")
+    best = (
+        est.withColumn("rk", F.row_number().over(w_best))
+        .withColumn("n_candidates", F.count(F.lit(1)).over(w_cnt))
+        .where(F.col("rk") == 1)
+    )
+    return inc.select("doc_id").join(
+        best, inc["doc_id"] == best["new_id"], "left"
+    ).select(
+        inc["doc_id"],
+        F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
+        F.col("old_id").alias("best_match"),
+        F.round("est_j", _R).alias("best_est_jaccard"),
+        F.coalesce(F.col("est_j") >= 0.5, F.lit(False)).alias("is_near_dup"),
+    )
