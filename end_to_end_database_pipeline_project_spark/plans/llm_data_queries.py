@@ -2138,3 +2138,126 @@ def incremental_neardup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("est_j", _R).alias("best_est_jaccard"),
         F.coalesce(F.col("est_j") >= 0.5, F.lit(False)).alias("is_near_dup"),
     )
+
+
+@query(
+    "duplicate_span_removal",
+    oracle=r"""WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents
+),
+sp AS (
+  SELECT doc_id, u.pos AS pos, u.span AS span FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, greatest(len(ws) - 4, 1) + 1),
+             i -> {'pos': i,
+                   'span': array_to_string(list_slice(ws, i, i + 4), ' ')}))
+             AS u
+    FROM w)
+),
+own AS (
+  SELECT span, count(DISTINCT doc_id) AS ddf, min(doc_id) AS owner
+  FROM sp GROUP BY 1
+),
+cov AS (
+  SELECT DISTINCT s.doc_id, unnest(range(s.pos, s.pos + 5)) AS tpos
+  FROM sp s JOIN own o USING (span)
+  WHERE o.ddf >= 2 AND s.doc_id != o.owner
+),
+toks AS (
+  SELECT doc_id, u.p AS p, u.t AS t FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(ws) + 1),
+                                 i -> {'p': i, 't': ws[i]})) AS u
+    FROM w)
+),
+kept AS (
+  SELECT t.doc_id, t.p, t.t
+  FROM toks t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.tpos = t.p
+  WHERE c.doc_id IS NULL
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(t, ' ' ORDER BY p) AS new_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY 1
+),
+sizes AS (SELECT doc_id, len(ws) AS n_tokens FROM w)
+SELECT s.doc_id,
+       CAST(s.n_tokens AS BIGINT) AS n_tokens_before,
+       CAST(s.n_tokens - coalesce(r.n_kept, 0) AS BIGINT) AS n_tokens_removed,
+       md5(coalesce(r.new_text, '')) AS new_text_hash
+FROM sizes s LEFT JOIN rebuilt r USING (doc_id)""",
+)
+def duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup APPLIED, not just audited: every verbatim
+    5-word span occurring in >= 2 documents is CUT from all but its
+    owner (min doc_id keeps one occurrence — the Lee et al. 2021
+    keep-one policy), and the documents are REBUILT from the surviving
+    tokens. Output is the rebuild certificate per doc: token counts
+    before/removed plus the md5 of the reconstructed text — the hash
+    pins the entire reconstruction (order, spacing, boundary spans)
+    against the oracle's independent rebuild.
+
+    Scale shape: positions ride the span explode (no second tokenize),
+    duplicated-span ownership is one hash aggregate on the span key,
+    covered token positions are a bounded re-explode (5x the flagged
+    spans), and the rebuild is an anti-join on (doc, pos) plus one
+    per-doc sort-and-join aggregate. Everything is keyed on doc or
+    span — no pairwise stage anywhere, the property that makes
+    span-level dedup viable where doc-level pairing is not."""
+    from ..session import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = fan_out(
+        docs.select(
+            "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("ws")
+        )
+    ).localCheckpoint(eager=False)
+    span_expr = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("ws") - 4, F.lit(1))),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.concat_ws(" ", F.slice("ws", i, 5)).alias("span"),
+        ),
+    )
+    spans = base.select("doc_id", F.explode(span_expr).alias("u")).select(
+        "doc_id", F.col("u.pos").alias("pos"), F.col("u.span").alias("span")
+    )
+    own = spans.groupBy("span").agg(
+        F.count_distinct("doc_id").alias("ddf"), F.min("doc_id").alias("owner")
+    )
+    cov = (
+        spans.join(own, "span")
+        .where((F.col("ddf") >= 2) & (F.col("doc_id") != F.col("owner")))
+        .select(
+            "doc_id", F.explode(F.sequence("pos", F.col("pos") + 4)).alias("tpos")
+        )
+        .distinct()
+    )
+    toks = base.select(
+        "doc_id", F.posexplode("ws").alias("p0", "t")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "t")
+    kept = toks.join(
+        cov,
+        (toks["doc_id"] == cov["doc_id"]) & (toks["p"] == cov["tpos"]),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "t"))), lambda s: s.t
+            ),
+            " ",
+        ).alias("new_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    sizes = base.select("doc_id", F.size("ws").cast("long").alias("n_tokens"))
+    return sizes.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tokens").alias("n_tokens_before"),
+        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_tokens_removed"),
+        F.md5(F.coalesce("new_text", F.lit(""))).alias("new_text_hash"),
+    )
