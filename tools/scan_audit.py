@@ -56,6 +56,16 @@ BNLJ_ALLOWED = {
     "fuzzy_nation_match": "dim x dim (25x25) edit-distance self-join; blocking bounds it at scale",
     "hard_negative_mining": "broadcast side = 3 anchor vectors (label-inequality theta)",
     "rolling_distinct_users_7d": "days x id-buckets densify grid (bounded state: #days * id_space/2^15)",
+    "idw_station_interpolation": "broadcast side = 20 probe grid points (forecast grid, bounded by construction)",
+}
+
+
+# Queries allowed to carry row-at-a-time Python, each on a BOUNDED
+# input by construction (the registered demo exists to document the
+# ~100x cost of this path, not to use it on a fact table).
+PYTHON_ROW_ALLOWED = {
+    "udtf_sentence_split": "UDTF cost demo; posexplode owns production",
+    "udtf_dynamic_stats": "polymorphic UDTF on the 5-row per-type partials",
 }
 
 
@@ -84,6 +94,12 @@ def audit(spark, name: str) -> list[str]:
             f"{name}: {n_bnlj} BroadcastNestedLoopJoin without a "
             "scalar-aggregate build side or whitelist entry"
         )
+    # row-at-a-time Python (BatchEvalPython) is never acceptable in the
+    # hot path; the UDTF demos exist to document the cost and run on
+    # bounded inputs. Arrow-batched forms (ArrowEvalPython / InPandas /
+    # PythonUDTF on pre-aggregated rows) are the sanctioned slow path.
+    if "BatchEvalPython" in plan and name not in PYTHON_ROW_ALLOWED:
+        out.append(f"{name}: row-at-a-time BatchEvalPython in plan")
     return out
 
 
