@@ -371,3 +371,68 @@ def sq8_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= 0.7
         ).alias("recall_ge_07"),
     )
+
+
+# ----------------------------------------- source-overlap governance
+
+
+@query(
+    "source_overlap_matrix",
+    oracle="""WITH h AS (
+  SELECT DISTINCT source, md5(text) AS ch FROM documents
+),
+sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM h GROUP BY 1),
+common AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM h a JOIN h b ON a.ch = b.ch AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT c.source_a, c.source_b, c.n_shared,
+       round(c.n_shared * 1.0 / (sa.n + sb.n - c.n_shared), 6)
+         AS content_jaccard
+FROM common c
+JOIN sz sa ON sa.source = c.source_a
+JOIN sz sb ON sb.source = c.source_b""",
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level duplication governance: for every source pair that
+    shares verbatim content, the shared-document count and content
+    Jaccard — the "which feeds mirror each other" view that decides
+    whether a new crawl source adds anything (license audits and
+    mixture design both start here).
+
+    Scale shape: docs collapse to DISTINCT (source, content-hash) rows
+    first — the join runs on the hash key over the collapsed table, so
+    a source-pair's cost is its shared-hash count, never |source_a| x
+    |source_b|; per-source sizes ride back as a broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = (
+        docs.select("source", F.md5("text").alias("ch"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sz = h.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = h.select(F.col("source").alias("source_a"), "ch")
+    b = h.select(F.col("source").alias("source_b"), "ch")
+    common = (
+        a.join(b, "ch")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sz.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    return (
+        common.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.round(
+                F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared")),
+                _R,
+            ).alias("content_jaccard"),
+        )
+    )
