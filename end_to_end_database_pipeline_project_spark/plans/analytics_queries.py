@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
-from .registry import query
+from .registry import dec_rev, query
 
 _R = 6
 
@@ -1111,4 +1111,45 @@ def trading_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "members"
             ),
         )
+    )
+
+
+# ------------------------------------------- calendar seasonality
+
+
+@query(
+    "shipments_by_weekday",
+    oracle="""SELECT CAST(isodow(l_shipdate) AS BIGINT) AS iso_weekday,
+       CAST(count(*) AS BIGINT) AS n_lineitems,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
+         AS revenue,
+       round(count(*) * 7.0 / (SELECT count(*) FROM lineitem), 6)
+         AS load_factor
+FROM lineitem GROUP BY 1""",
+)
+def shipments_by_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar seasonality: shipment volume, revenue and relative load
+    factor (share x 7 — 1.0 = a perfectly flat week) by ISO weekday.
+    The day-numbering trap is the point of the exercise: Spark's
+    ``dayofweek`` is 1=Sunday while DuckDB's ``dayofweek`` is 0=Sunday
+    — both sides use the ISO convention (``weekday()+1`` == ``isodow``,
+    1=Monday..7=Sunday) so the engines agree by construction instead
+    of by locale luck."""
+    li = load_table(spark, sf_dir, "lineitem")
+    total = li.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        li.crossJoin(F.broadcast(total))
+        .groupBy(
+            (F.weekday("l_shipdate") + 1).cast("long").alias("iso_weekday"),
+            "n_total",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.round(F.sum(dec_rev()), 2).cast("double").alias("revenue"),
+            F.round(
+                F.count(F.lit(1)) * 7.0 / F.first("n_total"), _R
+            ).alias("load_factor"),
+        )
+        .drop("n_total")
     )

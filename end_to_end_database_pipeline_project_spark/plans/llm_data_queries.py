@@ -2261,3 +2261,40 @@ def duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_tokens_removed"),
         F.md5(F.coalesce("new_text", F.lit(""))).alias("new_text_hash"),
     )
+
+
+@query(
+    "neardup_cluster_size_histogram",
+    oracle=f"""WITH RECURSIVE {_COMPONENTS_CTE},
+sizes AS (
+  SELECT component_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM comp GROUP BY 1
+)
+SELECT cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(cluster_size) AS BIGINT) AS n_docs,
+       CAST(sum(cluster_size - 1) AS BIGINT) AS n_removable
+FROM sizes GROUP BY 1""",
+)
+def neardup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size distribution — the governance view of a
+    dedup run BEFORE applying it: how many singletons, pairs and
+    mega-clusters exist, how many docs each bucket holds, and the
+    removable count (size-1 per cluster) that upper-bounds what dedup
+    can save. A heavy tail here is how template spam and mirror farms
+    announce themselves.
+
+    Scale shape: one aggregate over the components table (itself the
+    bounded LSH->CC pipeline), then a histogram over cluster sizes —
+    both metadata-sized relative to the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    surv = DD.minhash_lsh_dedup(docs, est_threshold=0.5)
+    comp = DD.connected_components(docs, surv)
+    sizes = comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("cluster_size").cast("long").alias("n_docs"),
+        F.sum(F.col("cluster_size") - 1).cast("long").alias("n_removable"),
+    )
