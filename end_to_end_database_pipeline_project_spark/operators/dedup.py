@@ -226,6 +226,11 @@ def lsh_buckets(
     band. Pure projection + bounded explode — shared by the self-join
     candidate generator below and the batch-vs-corpus incremental probe
     (`plans.llm_data_queries.incremental_neardup_batch`)."""
+    if seeds % bands:
+        raise ValueError(
+            f"seeds ({seeds}) must divide evenly into bands ({bands}) — "
+            "trailing signature components would silently never bucket"
+        )
     rows_per_band = seeds // bands
     return sigs.select(
         "doc_id",
@@ -264,11 +269,6 @@ def lsh_candidate_pairs(
     to ``bands`` rows per doc only for the (band, bucket) self-join.
     Each bucket of f docs emits f·(f-1)/2 pairs, but LSH bounds f to
     true-ish near-dups."""
-    if seeds % bands:
-        raise ValueError(
-            f"seeds ({seeds}) must divide evenly into bands ({bands}) — "
-            "trailing signature components would silently never bucket"
-        )
     buckets = lsh_buckets(sigs, bands, seeds)
     a = buckets.alias("a")
     b = buckets.alias("b")

@@ -61,11 +61,11 @@ def _derivable(dim: str, available: set[str]) -> bool:
     return step is not None and _derivable(step[0], available)
 
 
-def _derive(dim: str, df: DataFrame, available: set[str]) -> Column:
+def _derive(dim: str, available: set[str]) -> Column:
     if dim in available:
         return F.col(dim)
     parent, fn = DERIVATIONS[dim]
-    return fn(_derive(parent, df, available))
+    return fn(_derive(parent, available))
 
 
 def choose_mv(request_dims: tuple[str, ...], mvs: list[MaterializedView]) -> MaterializedView:
@@ -92,7 +92,7 @@ def answer_from_mv(
     part = mv.build(spark, sf_dir)
     avail = set(mv.dims)
     sum_c, cnt_c = mv.measures[measure]
-    dims = [_derive(d, part, avail).alias(d) for d in request_dims]
+    dims = [_derive(d, avail).alias(d) for d in request_dims]
     out = (
         part.select(*dims, F.col(sum_c).alias("_s"), F.col(cnt_c).alias("_c"))
         .groupBy(*request_dims)

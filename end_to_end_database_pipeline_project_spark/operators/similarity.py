@@ -397,8 +397,12 @@ def cluster_dedup_stats(
             }
         )
 
+    # mirror the input's cluster dtype (fixture label is int32): the
+    # oracle convention pins integer widths, and a silently-widened
+    # grouping column fails a dtype-comparing gate on identical values
+    cluster_t = emb.schema[cluster_col].dataType.simpleString()
     out_schema = (
-        f"{cluster_col} long, n_vecs long, n_dup_pairs long, n_dropped long"
+        f"{cluster_col} {cluster_t}, n_vecs long, n_dup_pairs long, n_dropped long"
     )
     return (
         emb.select(cluster_col, id_col, vec_col)

@@ -248,9 +248,12 @@ def ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum_s (1-a)^(t-s) factors the (1-a)^t out of both prefix sums —
     turning it into two ASSOCIATIVE running sums of
     (1-a)^(-s) * x_s, i.e. plain window frames that Spark executes
-    with per-key streaming state. (The (1-a)^(-s) weights grow ~3e4 at
-    s=29; the horizon must be bounded — here 30 days — or re-based
-    per window, exactly the trade the closed form makes.)"""
+    with per-key streaming state. The trade the closed form makes: the
+    (1-a)^(-s) weights grow geometrically (~3e4 at s=29 on this
+    30-day fixture) and overflow double near s~2400, so an unbounded
+    history needs per-window re-basing (restart s at each horizon and
+    carry the previous window's tail as the seed term) — this query
+    inherits its bound from the fixture's 30-day span."""
     ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("obs_date")
@@ -278,6 +281,32 @@ def ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("daily_avg", _R).alias("daily_avg"),
             F.round(F.col("num") / F.col("den"), _R).alias("ewma"),
         )
+    )
+
+
+def _nation_pair_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted undirected nation-pair trading edges (a < b, w = count
+    of distinct customer-supplier pairs trading across the two
+    nations) — shared by the triangle and community queries, which
+    differ only in the sparsification threshold they apply on ``w``."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    e0 = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    return (
+        e0.join(customer, F.col("ck") == F.col("c_custkey"))
+        .join(F.broadcast(supplier), F.col("sk") == F.col("s_suppkey"))
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.least("c_nationkey", "s_nationkey").alias("a"),
+            F.greatest("c_nationkey", "s_nationkey").alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
     )
 
 
@@ -340,27 +369,8 @@ def trading_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge list (broadcast — country-scale graphs are tiny; for
     billion-edge graphs the same ordered join shuffles on the edge
     key, the standard MR triangle algorithm)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    customer = load_table(spark, sf_dir, "customer")
-    supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
-
-    e0 = (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
-        .distinct()
-    )
-    cw = (
-        e0.join(customer, F.col("ck") == F.col("c_custkey"))
-        .join(F.broadcast(supplier), F.col("sk") == F.col("s_suppkey"))
-        .where(F.col("c_nationkey") != F.col("s_nationkey"))
-        .groupBy(
-            F.least("c_nationkey", "s_nationkey").alias("a"),
-            F.greatest("c_nationkey", "s_nationkey").alias("b"),
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
+    cw = _nation_pair_edges(spark, sf_dir)
     med_w = cw.agg(F.median("w").alias("med_w"))
     cn = (
         cw.crossJoin(F.broadcast(med_w))
@@ -1048,27 +1058,8 @@ def trading_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     all hash-partitioned on node id, label table checkpointed per
     round (the `operators/graph.py` iteration discipline). Rounds are
     bounded; per-round cost is O(|E|)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    customer = load_table(spark, sf_dir, "customer")
-    supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
-
-    e0 = (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
-        .distinct()
-    )
-    cw = (
-        e0.join(customer, F.col("ck") == F.col("c_custkey"))
-        .join(F.broadcast(supplier), F.col("sk") == F.col("s_suppkey"))
-        .where(F.col("c_nationkey") != F.col("s_nationkey"))
-        .groupBy(
-            F.least("c_nationkey", "s_nationkey").alias("a"),
-            F.greatest("c_nationkey", "s_nationkey").alias("b"),
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
+    cw = _nation_pair_edges(spark, sf_dir)
     thr = cw.agg(F.percentile("w", 0.75).alias("q"))
     cn = (
         cw.crossJoin(F.broadcast(thr))

@@ -79,13 +79,19 @@ def expire_versions(path: str, retain_last: int = 2) -> list[int]:
 
     Crash-safe in the same direction as the writer: the manifest swap
     happens FIRST (expired versions become unaddressable atomically),
-    data directories are deleted after. A crash between the two leaves
-    orphan ``v=N`` dirs that no reader can resolve — invisible, and
-    reclaimed by the next vacuum pass (the same contract as
-    Delta/Iceberg VACUUM after retention). Returns the expired version
-    numbers."""
+    data directories are deleted after. Only directories numbered
+    BELOW the oldest retained version are reclaimed — an in-flight
+    ``write_version`` always writes a HIGHER number than any committed
+    entry, so a concurrent vacuum can never delete a snapshot that is
+    about to be published (old crash orphans below the watermark are
+    still reclaimed). Returns the expired version numbers."""
     import shutil
 
+    if retain_last < 1:
+        raise ValueError(
+            f"retain_last must be >= 1 (got {retain_last}): a table must "
+            "keep at least its current snapshot"
+        )
     vs = versions(path)
     if len(vs) <= retain_last:
         return []
@@ -94,10 +100,18 @@ def expire_versions(path: str, retain_last: int = 2) -> list[int]:
     with open(tmp, "w", encoding="utf-8") as f:
         json.dump({"versions": keep}, f, sort_keys=True)
     os.replace(tmp, _manifest_path(path))
-    # reclaim storage for every dir the manifest no longer references —
-    # including orphans from earlier crashes
+    # reclaim every dir strictly below the retention watermark that the
+    # manifest no longer references (dropped entries + crash orphans);
+    # dirs at/above the watermark may belong to an in-flight writer
+    min_keep = keep[0]["version"]
     live = {v["dir"] for v in keep}
     for d in os.listdir(path):
-        if d.startswith("v=") and d not in live:
+        if not (d.startswith("v=") and d not in live):
+            continue
+        try:
+            n = int(d.split("=", 1)[1])
+        except ValueError:
+            continue
+        if n < min_keep:
             shutil.rmtree(os.path.join(path, d), ignore_errors=True)
     return [v["version"] for v in drop]

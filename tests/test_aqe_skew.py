@@ -34,9 +34,13 @@ def test_aqe_splits_skewed_join_partition(spark):
         spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 
-        # 99% of left rows share key 0; right is uniform
+        # 99% of left rows share key 0; the 1% sample spreads over keys
+        # 0-49 ((id/100) % 50 — NOT id % 50, which is always 0 when
+        # id % 100 == 0)
         left = spark.range(0, 200_000).select(
-            F.when(F.col("id") % 100 == 0, F.col("id") % 50).otherwise(0).alias("k"),
+            F.when(F.col("id") % 100 == 0, (F.col("id") / 100).cast("long") % 50)
+            .otherwise(0)
+            .alias("k"),
             F.concat(F.lit("padpadpadpadpadpad-"), F.col("id")).alias("payload"),
         )
         right = spark.range(0, 50).select(

@@ -61,9 +61,13 @@ def test_vacuum_expires_old_versions_and_orphans(spark, tmp_path):
     for i in range(4):
         df = spark.range(10 * (i + 1)).withColumnRenamed("id", "x")
         write_version(df, path)
-    # a crashed writer's uncommitted dir: invisible, must be reclaimed
+    # two uncommitted dirs: an old crash orphan BELOW the retention
+    # watermark (must be reclaimed) and a higher-numbered dir that
+    # could be an in-flight writer (must be left alone — write_version
+    # always numbers above every committed entry)
     import os
 
+    os.makedirs(os.path.join(path, "v=0"))
     os.makedirs(os.path.join(path, "v=99"))
 
     expired = expire_versions(path, retain_last=2)
@@ -74,7 +78,9 @@ def test_vacuum_expires_old_versions_and_orphans(spark, tmp_path):
     assert read_version(spark, path).count() == 40
     assert read_version(spark, path, 3).count() == 30
     dirs = {d for d in os.listdir(path) if d.startswith("v=")}
-    assert dirs == {"v=3", "v=4"}
+    assert dirs == {"v=3", "v=4", "v=99"}, (
+        "below-watermark dirs reclaimed, in-flight-candidate dirs kept"
+    )
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
