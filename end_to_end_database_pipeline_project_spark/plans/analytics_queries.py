@@ -1144,3 +1144,128 @@ def shipments_by_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("n_total")
     )
+
+
+# --------------------------------------------- Benford digit screen
+
+
+@query(
+    "benford_first_digit",
+    oracle="""WITH d AS (
+  SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                     1, 1) AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice > 0
+)
+SELECT digit,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(count(*) * 1.0 / (SELECT count(*) FROM d), 6) AS observed_freq,
+       round(log10(1.0 + 1.0 / digit), 6) AS benford_freq
+FROM d GROUP BY 1""",
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen over order values — the
+    forensic data-quality test for fabricated or truncated monetary
+    data (organic amounts follow log10(1+1/d); fabricated ones
+    don't). Observed vs expected frequency per leading digit.
+
+    The digit is extracted from the DECIMAL's string form, not via
+    log10 arithmetic: floor(log10(x)) sits on an exact power-of-ten
+    knife edge where two engines' last-ulp transcendentals could
+    disagree, while decimal formatting is exact and identical. One
+    scan + a 9-row aggregate; the total rides as a broadcast."""
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+    ).cast("long")
+    d = orders.select(digit.alias("digit"))
+    tot = d.agg(F.count(F.lit(1)).alias("n_tot"))
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .groupBy("digit", "n_tot")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "digit",
+            "n_orders",
+            F.round(F.col("n_orders") / F.col("n_tot"), _R).alias("observed_freq"),
+            F.round(F.log10(1.0 + 1.0 / F.col("digit")), _R).alias("benford_freq"),
+        )
+    )
+
+
+# ------------------------------------------- rolling correlation
+
+
+@query(
+    "rolling_value_volume_corr",
+    oracle="""WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS obs_date,
+         avg(value) AS daily_avg, count(*) AS n_events
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, obs_date,
+         count(*) OVER f AS n,
+         sum(daily_avg) OVER f AS sx,
+         sum(CAST(n_events AS DOUBLE)) OVER f AS sy,
+         sum(daily_avg * daily_avg) OVER f AS sxx,
+         sum(CAST(n_events AS DOUBLE) * n_events) OVER f AS syy,
+         sum(daily_avg * n_events) OVER f AS sxy
+  FROM daily
+  WINDOW f AS (PARTITION BY event_type ORDER BY obs_date
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, obs_date,
+       round(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+                  THEN (n * sxy - sx * sy)
+                       / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+             END, 6) AS corr_7d
+FROM w""",
+)
+def rolling_value_volume_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day correlation between level (daily average value)
+    and volume (daily event count) per type — the co-movement monitor
+    that flags when a metric's level starts tracking its own traffic
+    (instrumentation bias) instead of the underlying signal.
+
+    Demonstrates an ALGEBRAIC aggregate in a sliding frame, written
+    out as its five running sums (count/sum/sum-of-squares/cross) and
+    combined outside the window: the expansion is what makes the
+    statistic distributable, it sidesteps ANSI-mode corr() raising on
+    zero-variance frames (the first row of every key), and both
+    engines compute the identical expression — NULL exactly when a
+    frame has no variance. The only full-data pass is the daily
+    pre-aggregate."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("obs_date")
+    ).agg(
+        F.avg("value").alias("daily_avg"), F.count(F.lit(1)).alias("n_events")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("obs_date")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    x = F.col("daily_avg")
+    y = F.col("n_events").cast("double")
+    sums = daily.select(
+        "event_type",
+        "obs_date",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(x).over(w).alias("sx"),
+        F.sum(y).over(w).alias("sy"),
+        F.sum(x * x).over(w).alias("sxx"),
+        F.sum(y * y).over(w).alias("syy"),
+        F.sum(x * y).over(w).alias("sxy"),
+    )
+    var_term = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * (
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    corr = F.when(
+        var_term > 0,
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / F.sqrt(var_term),
+    )
+    return sums.select(
+        "event_type", "obs_date", F.round(corr, _R).alias("corr_7d")
+    )
