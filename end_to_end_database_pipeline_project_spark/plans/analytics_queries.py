@@ -1269,3 +1269,66 @@ def rolling_value_volume_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select(
         "event_type", "obs_date", F.round(corr, _R).alias("corr_7d")
     )
+
+
+# --------------------------------------------- cross-table reconciliation
+
+
+@query(
+    "order_total_reconciliation",
+    oracle="""WITH li AS (
+  SELECT l_orderkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS line_total
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT o.o_orderkey,
+         abs(CAST(o.o_totalprice AS DECIMAL(18,2))
+             - coalesce(li.line_total, 0)) AS adiff
+  FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN adiff <= 0.01 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_reconciled,
+       round(median(CAST(adiff AS DOUBLE)), 6) AS median_abs_diff,
+       round(CAST(max(adiff) AS DOUBLE), 6) AS max_abs_diff
+FROM j""",
+)
+def order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation — the header-vs-detail consistency
+    audit every financial ETL runs: each order's stated total against
+    the sum of its line items, with the reconciled count (|diff| <= 1
+    cent) and the diff distribution. On synthetic fixtures the columns
+    are independently generated, so the report QUANTIFIES the expected
+    divergence rather than asserting zero — which is exactly what the
+    audit is for on real data too (fees, rounding and partial shipments
+    all land here first).
+
+    Scale shape: the detail side pre-aggregates to order grain (reusing
+    the merge-join shuffle key), one left join header-to-detail,
+    decimal-exact diffs so the cent threshold cannot flap, and the
+    median runs over the per-order diff aggregate, never raw lines
+    (cast to DOUBLE first: DuckDB's median returns an ELEMENT for
+    decimal inputs but interpolates for doubles — Spark always
+    interpolates, so the float form is the portable one)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    line = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("line_total")
+    )
+    j = orders.join(line, orders["o_orderkey"] == line["l_orderkey"], "left").select(
+        F.abs(
+            F.col("o_totalprice").cast("decimal(18,2)")
+            - F.coalesce(
+                F.col("line_total"), F.lit(0).cast("decimal(18,2)")
+            )
+        ).alias("adiff")
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("adiff") <= 0.01, 1).otherwise(0))
+        .cast("long")
+        .alias("n_reconciled"),
+        F.round(F.median(F.col("adiff").cast("double")), _R).alias("median_abs_diff"),
+        F.round(F.max("adiff").cast("double"), _R).alias("max_abs_diff"),
+    )

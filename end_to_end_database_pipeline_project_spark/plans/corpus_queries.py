@@ -164,10 +164,13 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.size("ws") - 1),
         lambda i: F.concat_ws(" ", F.element_at("ws", i), F.element_at("ws", i + 1)),
     )
-    # materialize the exploded bigram table once (localCheckpoint, the
-    # shared-index convention from operators/dedup.py): it feeds both
-    # the bucket aggregate and the per-doc scoring join — without it
-    # the row-multiplying explode runs twice.
+    # the exploded bigram table feeds both the bucket aggregate and the
+    # per-doc scoring join, and is deliberately RECOMPUTED for each (the
+    # codegen'd explode is cheap): materializing it with localCheckpoint
+    # measured 44.2 s vs 6.9 s recomputed at K=64 stress (110M rows —
+    # per-row java object materialization and GC dwarf the second
+    # explode). At 100 TB the shared form is a PERSISTED PARQUET feature
+    # table, never an executor-memory checkpoint of token-grain rows.
     bh = (
         base.select(
             "doc_id",
@@ -176,20 +179,20 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("h", F.conv(F.substring(F.md5("b"), 1, 2), 16, 10).cast("int"))
         .select("doc_id", "is_tgt", "h")
-        .localCheckpoint(eager=False)
     )
     bk = bh.groupBy("h").agg(
         F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).alias("tgt_n"),
         F.count(F.lit(1)).alias("all_n"),
     )
-    tot = bk.agg(
-        F.sum("tgt_n").alias("t_tot"), F.sum("all_n").alias("a_tot")
-    )
-    bw = bk.crossJoin(F.broadcast(tot)).select(
+    # corpus totals as a window over the 256-row bucket table (NOT a
+    # separate aggregate, which would re-run the bigram explode a third
+    # time): the unpartitioned frame is fine at 256 rows forever.
+    w_all = Window.partitionBy()
+    bw = bk.select(
         "h",
         F.log(
-            ((F.col("tgt_n") + 1.0) / (F.col("t_tot") + 256))
-            / ((F.col("all_n") + 1.0) / (F.col("a_tot") + 256))
+            ((F.col("tgt_n") + 1.0) / (F.sum("tgt_n").over(w_all) + 256))
+            / ((F.col("all_n") + 1.0) / (F.sum("all_n").over(w_all) + 256))
         ).alias("lw"),
     )
     return (
