@@ -62,3 +62,40 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def bfs_hops(seeds: DataFrame, edges: DataFrame, max_hops: int) -> DataFrame:
+    """Multi-source BFS: minimum hop distance from any seed node.
+
+    ``seeds``: one column ``node``; ``edges``: directed ``(src, dst)``
+    (feed both directions for an undirected graph). Returns
+    ``(node, hop)`` for every node within ``max_hops`` of a seed
+    (hop 0 = the seeds themselves), where ``hop`` is the SHORTEST
+    distance — guaranteed level-by-level, no min-aggregate needed.
+
+    The frontier discipline is what distinguishes BFS from the dense
+    fixed-iteration loops above: each round joins only the NEWEST layer
+    against the edge table (|frontier| x avg-degree work, not
+    |visited|), dedups the expansion, and anti-joins the visited set so
+    a node is labeled exactly once at its first (= minimum) depth.
+    Depth is fixed (``max_hops``), keeping the loop free of driver-side
+    count() actions — the standard trade for deterministic plans; an
+    early-exit variant would add one cheap `isEmpty` probe per round.
+    Both running frames are ``localCheckpoint``'d per round (persisted
+    tables at 100 TB) to truncate the growing lineage.
+    """
+    edges = edges.localCheckpoint(eager=False)
+    visited = seeds.select("node", F.lit(0).alias("hop")).localCheckpoint(eager=False)
+    frontier = visited.select("node")
+    for h in range(1, max_hops + 1):
+        expansion = (
+            edges.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(h).alias("hop"))
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.unionByName(expansion).localCheckpoint(eager=False)
+        frontier = expansion.select("node")
+    return visited

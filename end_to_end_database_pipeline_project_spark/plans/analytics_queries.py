@@ -1332,3 +1332,219 @@ def order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.median(F.col("adiff").cast("double")), _R).alias("median_abs_diff"),
         F.round(F.max("adiff").cast("double"), _R).alias("max_abs_diff"),
     )
+
+
+# --------------------------------------------- in-plan OLS regression
+
+
+@query(
+    "ols_daily_trend",
+    oracle="""WITH daily AS (
+  SELECT event_type,
+         CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+         avg(value) AS y
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       round(regr_slope(y, datediff('day', DATE '2024-01-01', d)), 6)
+         AS slope,
+       round(regr_intercept(y, datediff('day', DATE '2024-01-01', d)), 6)
+         AS intercept,
+       round(regr_r2(y, datediff('day', DATE '2024-01-01', d)), 6) AS r2,
+       CAST(count(*) AS BIGINT) AS n_days
+FROM daily GROUP BY 1""",
+)
+def ols_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-plan least-squares trend fitting — slope / intercept / R^2 of
+    the daily mean value per event type, the drift detector behind
+    "is this metric trending?" panels (the reference eyeballs this from
+    its dashboard charts; here it is a query). The oracle uses DuckDB's
+    regr_* aggregates — a genuinely independent streaming-covariance
+    implementation — against this side's sufficient-statistics form.
+
+    Scale shape: OLS over n points needs only the five sufficient sums
+    (n, Sx, Sy, Sxy, Sxx [, Syy for R^2]) — all algebraic aggregates
+    with map-side partial merge, so the fit is ONE aggregation pass
+    regardless of data size, never an iterative solver. The x values
+    are centered (days since the corpus epoch, not epoch days) so the
+    closed-form normal equations stay far from catastrophic
+    cancellation at double precision."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.avg("value").alias("y"))
+    x = F.datediff("d", F.lit("2024-01-01").cast("date")).cast("double")
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(x * F.col("y")).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = cov / vx
+    return s.select(
+        "event_type",
+        F.round(slope, _R).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), _R).alias(
+            "intercept"
+        ),
+        F.round(cov * cov / (vx * vy), _R).alias("r2"),
+        F.col("n").cast("long").alias("n_days"),
+    )
+
+
+# --------------------------------------------- independence testing
+
+
+@query(
+    "event_weekday_chi2",
+    oracle="""WITH obs AS (
+  SELECT event_type AS t, dayofweek(CAST(ts AS TIMESTAMP)) AS d,
+         CAST(count(*) AS DOUBLE) AS o
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT t, d, o,
+         sum(o) OVER (PARTITION BY t) AS rt,
+         sum(o) OVER (PARTITION BY d) AS ct,
+         sum(o) OVER () AS n
+  FROM obs
+)
+SELECT round(sum((o - rt * ct / n) * (o - rt * ct / n) / (rt * ct / n)), 6)
+         AS chi2,
+       CAST((count(DISTINCT t) - 1) * (count(DISTINCT d) - 1) AS BIGINT)
+         AS dof,
+       round(sqrt(sum((o - rt * ct / n) * (o - rt * ct / n) / (rt * ct / n))
+                  / (any_value(n)
+                     * least(count(DISTINCT t) - 1,
+                             count(DISTINCT d) - 1))), 6) AS cramers_v,
+       CAST(any_value(n) AS BIGINT) AS n_events
+FROM m""",
+)
+def event_weekday_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence (event type x day-of-week) with
+    Cramer's V effect size — the categorical-drift screen a curation
+    pipeline runs to ask "did the traffic mix change by weekday?"
+    before trusting a time-sliced sample. Day-of-week numbering differs
+    between engines (Spark 1=Sun, DuckDB 0=Sun) but chi-square is
+    invariant to category labels — both sides partition rows into the
+    same 7 groups, which is all the statistic sees.
+
+    Scale shape: the contingency table is one hash aggregate over the
+    facts (R x C <= dozens of rows forever); margins ride as window
+    sums over that tiny table and the statistic is a second one-row
+    aggregate — the raw events are touched exactly once."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        F.col("event_type").alias("t"), F.dayofweek("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("double").alias("o"))
+    m = obs.select(
+        "t",
+        "d",
+        "o",
+        F.sum("o").over(Window.partitionBy("t")).alias("rt"),
+        F.sum("o").over(Window.partitionBy("d")).alias("ct"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    e = F.col("rt") * F.col("ct") / F.col("n")
+    dev = (F.col("o") - e) * (F.col("o") - e) / e
+    chi2 = F.sum(dev)
+    r1 = F.count_distinct(F.col("t")) - 1
+    c1 = F.count_distinct(F.col("d")) - 1
+    return m.agg(
+        F.round(chi2, _R).alias("chi2"),
+        (r1 * c1).cast("long").alias("dof"),
+        F.round(
+            F.sqrt(chi2 / (F.any_value("n") * F.least(r1, c1))), _R
+        ).alias("cramers_v"),
+        F.any_value("n").cast("long").alias("n_events"),
+    )
+
+
+# --------------------------------------------- frontier BFS reachability
+
+
+@query(
+    "supplier_reach_hops",
+    oracle="""WITH e0 AS (
+  SELECT o_custkey AS ck, l_suppkey AS sk
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2 HAVING count(*) >= 3
+),
+seed AS (
+  SELECT c_custkey AS ck FROM customer
+  JOIN nation ON c_nationkey = n_nationkey WHERE n_name = 'NATION_7'
+),
+h1 AS (SELECT DISTINCT sk FROM e0 JOIN seed USING (ck)),
+h2 AS (SELECT DISTINCT ck FROM e0 JOIN h1 USING (sk)
+       WHERE ck NOT IN (SELECT ck FROM seed)),
+h3 AS (SELECT DISTINCT sk FROM e0 JOIN h2 USING (ck)
+       WHERE sk NOT IN (SELECT sk FROM h1))
+SELECT 0 AS hop, 'customer' AS node_type,
+       CAST((SELECT count(*) FROM seed) AS BIGINT) AS n_nodes
+UNION ALL SELECT 1, 'supplier', CAST((SELECT count(*) FROM h1) AS BIGINT)
+UNION ALL SELECT 2, 'customer', CAST((SELECT count(*) FROM h2) AS BIGINT)
+UNION ALL SELECT 3, 'supplier', CAST((SELECT count(*) FROM h3) AS BIGINT)""",
+)
+def supplier_reach_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS reachability (`operators/graph.bfs_hops`) over
+    the repeat-trade graph: starting from every customer of one nation,
+    how many counterparties are 1, 2, 3 hops away through customer-
+    supplier relationships with >= 3 line items (the threshold keeps
+    "relationship" meaning repeat business, and the graph sparse)?
+    Supply-chain blast-radius analysis — and the frontier-expansion
+    iteration pattern (per-round work bounded by the NEW layer, min-
+    distance by construction) that pagerank's dense fixed loop and
+    label propagation's converge-all loop don't exercise. The oracle
+    unrolls the same three levels as chained anti-joined CTEs.
+
+    Scale shape: edge build reuses the fact-join shuffle and aggregates
+    to the relationship grain; each round is |frontier| x avg-degree
+    join work, a distinct, and a visited anti-join — all key-hashed,
+    no driver-side data. Node ids are type-prefixed so the bipartite
+    sides share one node space."""
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    from ..operators.graph import bfs_hops
+
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= 3)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
+        )
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    seeds = (
+        customer.join(
+            F.broadcast(nation.where(F.col("n_name") == "NATION_7")),
+            customer["c_nationkey"] == nation["n_nationkey"],
+        )
+        .select(F.concat(F.lit("c:"), F.col("c_custkey")).alias("node"))
+    )
+    visited = bfs_hops(seeds, edges, max_hops=3)
+    counts = visited.groupBy("hop").agg(F.count(F.lit(1)).alias("n"))
+    # static hop spine (bipartite: even hops are customers, odd are
+    # suppliers) so levels the frontier never reached report 0 instead
+    # of vanishing from the result — matching the oracle's count-over-
+    # empty-set semantics at every SF.
+    spine = spark.createDataFrame(
+        [(0, "customer"), (1, "supplier"), (2, "customer"), (3, "supplier")],
+        "hop INT, node_type STRING",
+    )
+    return spine.join(F.broadcast(counts), "hop", "left").select(
+        "hop",
+        "node_type",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_nodes"),
+    )

@@ -364,3 +364,42 @@ def test_sq8_quantizes_in_plan_without_python(spark):
     plan = _plan(spark, "sq8_ann_topk")
     assert "EvalPython" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_ols_is_one_pass_sufficient_stats(spark):
+    # the fit is two hash aggregates (daily grain, then the five
+    # sufficient sums) over ONE scan of events — no window, no
+    # iterative solver, no second pass for R^2
+    plan = _plan(spark, "ols_daily_trend")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "partial_" in plan
+    assert "Window" not in plan, "OLS must not need a window:\n" + plan
+
+
+def test_chi2_touches_facts_once(spark):
+    # raw events feed exactly one aggregate; margins and the statistic
+    # run over the R x C contingency table (dozens of rows)
+    plan = _plan(spark, "event_weekday_chi2")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "partial_" in plan
+
+
+def test_bfs_min_hop_semantics(spark):
+    # final-frame plan audit is blinded by the per-round checkpoints
+    # (Scan ExistingRDD), so pin the operator's SEMANTICS instead:
+    # multi-source min-distance on a hand-built graph with a shortcut
+    # edge — a node reachable in 1 hop via one seed and 3 via another
+    # must label 1, and an unreachable node must not appear.
+    from pyspark.sql import functions as F
+
+    from end_to_end_database_pipeline_project_spark.operators.graph import (
+        bfs_hops,
+    )
+
+    seeds = spark.createDataFrame([("a",), ("b",)], "node STRING")
+    und = [("a", "x"), ("x", "y"), ("y", "z"), ("b", "z"), ("q", "r")]
+    edges = spark.createDataFrame(
+        und + [(d, s) for s, d in und], "src STRING, dst STRING"
+    )
+    got = {r["node"]: r["hop"] for r in bfs_hops(seeds, edges, 3).collect()}
+    assert got == {"a": 0, "b": 0, "x": 1, "z": 1, "y": 2}, got
