@@ -10,7 +10,7 @@ reproduce them bit-for-bit in ANSI SQL — engine-portable by design.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
@@ -1281,6 +1281,18 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     final top-k (TakeOrderedAndProject). The per-doc score sums 3
     term contributions of magnitude ~1-10, where double noise is 1e-16
     — 10 orders under the 6-decimal round."""
+    scored = _bm25_scored(spark, sf_dir)
+    return (
+        scored.select("doc_id", F.round("score", _R).alias("bm25"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score) BM25 table shared by the sparse retrieval query
+    and the hybrid RRF fusion — see ``bm25_retrieval`` for the plan
+    shape."""
     from ..session import fan_out
 
     TERMS = ["data", "model", "learning"]
@@ -1309,17 +1321,12 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     contrib = idf * (F.col("tf") * (K1 + 1)) / (
         F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))
     )
-    scored = (
+    return (
         tf.join(F.broadcast(df), "term")
         .join(doclen, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(F.sum(contrib).alias("score"))
-    )
-    return (
-        scored.select("doc_id", F.round("score", _R).alias("bm25"))
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(10)
     )
 
 
@@ -2298,3 +2305,106 @@ def neardup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFram
         F.sum("cluster_size").cast("long").alias("n_docs"),
         F.sum(F.col("cluster_size") - 1).cast("long").alias("n_removable"),
     )
+
+
+@query(
+    "hybrid_rrf_retrieval",
+    oracle=r"""WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents
+),
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT CAST(sum(dl) AS DOUBLE) / count(*) FROM doclen) AS avgdl
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks
+  WHERE term IN ('data', 'model', 'learning') GROUP BY 1, 2
+),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum(
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * doclen.dl / stats.avgdl))
+         ) AS score
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN doclen ON doclen.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY 1
+),
+sparse AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS r_sparse
+  FROM scored ORDER BY score DESC, doc_id LIMIT 20
+),
+qv AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0
+),
+dense0 AS (
+  SELECT e.vec_id AS doc_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv.v) AS cos
+  FROM embeddings e CROSS JOIN qv
+),
+dense AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS r_dense
+  FROM dense0 ORDER BY cos DESC, doc_id LIMIT 20
+)
+SELECT coalesce(s.doc_id, d.doc_id) AS doc_id,
+       round(coalesce(1.0 / (60 + s.r_sparse), 0)
+             + coalesce(1.0 / (60 + d.r_dense), 0), 6) AS rrf,
+       CAST(coalesce(s.r_sparse, -1) AS BIGINT) AS r_sparse,
+       CAST(coalesce(d.r_dense, -1) AS BIGINT) AS r_dense
+FROM sparse s FULL JOIN dense d ON s.doc_id = d.doc_id
+ORDER BY rrf DESC, doc_id LIMIT 10""",
+)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (k=60): the sparse
+    BM25 candidate list and the dense embedding-cosine candidate list
+    (query = vector 0), each top-20, fused by summing 1/(60+rank) over
+    the candidate union — the standard way modern RAG/dedup stacks
+    combine lexical and semantic evidence without score calibration.
+    Ranks are integers, so both engines compute bit-identical fusion
+    scores — no float-flap risk despite the division.
+
+    Scale shape: each side ends in its own TakeOrderedAndProject top-20
+    (partial top-k before one exchange); rank assignment and the full
+    outer fusion join then run on 20-row frames — the unpartitioned
+    windows are bounded by the candidate count forever, never by the
+    corpus. Absent ranks surface as -1 (not NULL) so the fused report
+    keeps a stable non-nullable schema."""
+    from ..functions.vector import cosine as vcos
+
+    scored = _bm25_scored(spark, sf_dir)
+    w_s = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    sparse = (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id", F.row_number().over(w_s).alias("r_sparse"))
+    )
+    emb = _emb(spark, sf_dir)
+    qv = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    dense0 = emb.crossJoin(F.broadcast(qv)).select(
+        F.col("vec_id").alias("doc_id"),
+        vcos(F.col("embedding"), F.col("qv")).alias("cos"),
+    )
+    w_d = Window.orderBy(F.desc("cos"), F.asc("doc_id"))
+    dense = (
+        dense0.orderBy(F.desc("cos"), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id", F.row_number().over(w_d).alias("r_dense"))
+    )
+    fused = sparse.join(dense, "doc_id", "full").select(
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (60 + F.col("r_sparse")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("r_dense")), F.lit(0.0)),
+            _R,
+        ).alias("rrf"),
+        F.coalesce("r_sparse", F.lit(-1)).cast("long").alias("r_sparse"),
+        F.coalesce("r_dense", F.lit(-1)).cast("long").alias("r_dense"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(10)

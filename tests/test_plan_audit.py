@@ -403,3 +403,12 @@ def test_bfs_min_hop_semantics(spark):
     )
     got = {r["node"]: r["hop"] for r in bfs_hops(seeds, edges, 3).collect()}
     assert got == {"a": 0, "b": 0, "x": 1, "z": 1, "y": 2}, got
+
+
+def test_hybrid_rrf_sides_are_topk_bounded(spark):
+    # each retrieval side must end in its own partial top-k
+    # (TakeOrderedAndProject) BEFORE rank assignment and fusion — the
+    # unpartitioned rank windows then run on 20-row frames, bounded by
+    # the candidate count, never the corpus
+    plan = _plan(spark, "hybrid_rrf_retrieval")
+    assert plan.count("TakeOrderedAndProject") >= 2, plan
