@@ -1001,3 +1001,163 @@ def doc_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("wt", _R).alias("tfidf"),
         )
     )
+
+
+# -------------------------------------------------- iterative BPE training
+
+
+def _bpe_round_sql(r: int) -> str:
+    """One unrolled BPE training round for the DuckDB oracle: pair
+    counts -> argmax -> greedy non-overlapping merge. The merge uses
+    the window formulation (runs of consecutive matches, every other
+    position active) — provably equal to the Spark side's left-to-right
+    fold, but an entirely independent implementation."""
+    return f"""
+pairs{r} AS (
+  SELECT toks[CAST(i+1 AS INT)] AS p1, toks[CAST(i+2 AS INT)] AS p2,
+         CAST(sum(w) AS BIGINT) AS weight
+  FROM (SELECT toks, w, unnest(range(len(toks)-1)) AS i FROM seq{r})
+  GROUP BY 1, 2
+),
+top{r} AS (SELECT p1, p2, weight FROM pairs{r}
+           ORDER BY weight DESC, p1, p2 LIMIT 1),
+tok{r} AS (
+  SELECT word, w, CAST(i AS INT) AS pos, toks[CAST(i+1 AS INT)] AS tok
+  FROM (SELECT word, toks, w, unnest(range(len(toks))) AS i FROM seq{r})
+),
+m{r} AS (
+  SELECT word, w, pos, tok,
+         coalesce(tok = (SELECT p1 FROM top{r})
+                  AND lead(tok) OVER (PARTITION BY word ORDER BY pos)
+                      = (SELECT p2 FROM top{r}), FALSE) AS hit
+  FROM tok{r}
+),
+runs{r} AS (
+  SELECT *, CASE WHEN hit THEN pos - row_number()
+                               OVER (PARTITION BY word, hit ORDER BY pos)
+            END AS grp
+  FROM m{r}
+),
+act{r} AS (
+  SELECT *, hit AND ((pos - min(pos) OVER (PARTITION BY word, grp)) % 2 = 0)
+              AS active
+  FROM runs{r}
+),
+new{r} AS (
+  SELECT word, w, pos,
+         CASE WHEN active THEN tok || (SELECT p2 FROM top{r}) ELSE tok END
+           AS tok2,
+         coalesce(lag(active) OVER (PARTITION BY word ORDER BY pos), FALSE)
+           AS dropped
+  FROM act{r}
+),
+seq{r+1} AS (
+  SELECT word, w, list(tok2 ORDER BY pos) AS toks
+  FROM new{r} WHERE NOT dropped GROUP BY word, w
+)"""
+
+
+_BPE_TRAIN_ORACLE = (
+    r"""WITH seq1 AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS w,
+         list_transform(range(length(word)),
+                        i -> substr(word, CAST(i+1 AS INT), 1)) AS toks
+  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        FROM documents)
+  WHERE regexp_matches(word, '^[a-z]+$') AND length(word) BETWEEN 2 AND 12
+  GROUP BY 1
+),"""
+    + ",".join(_bpe_round_sql(r) for r in range(1, 5))
+    + """
+SELECT * FROM (
+SELECT 1 AS merge_round, p1 AS lhs, p2 AS rhs, p1 || p2 AS merged, weight
+FROM top1
+UNION ALL SELECT 2, p1, p2, p1 || p2, weight FROM top2
+UNION ALL SELECT 3, p1, p2, p1 || p2, weight FROM top3
+UNION ALL SELECT 4, p1, p2, p1 || p2, weight FROM top4
+) ORDER BY merge_round"""
+)
+
+
+@query("bpe_train_merges", oracle=_BPE_TRAIN_ORACLE)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE tokenizer training — four full merge rounds, not
+    just the first-pair statistics (`bpe_pair_stats`): each round
+    counts adjacent symbol pairs weighted by word frequency, picks the
+    global argmax pair, and rewrites every symbol sequence with the
+    greedy non-overlapping merge, exactly as production BPE trainers
+    do. Verified against the oracle's window-based reformulation of
+    the greedy merge (runs of consecutive matches, alternate positions
+    active) — two independent implementations of the same recurrence.
+
+    Scale shape: training operates on the DISTINCT-word-frequency
+    table (Zipf-bounded — millions of rows when the corpus is 100 TB),
+    never the corpus itself; the corpus is scanned exactly once to
+    build it. Each round is one pair-count aggregate plus a per-row
+    fold to apply the merge — no shuffle for the rewrite, since the
+    sequence table is word-grain. The argmax pair stays IN-PLAN
+    (TakeOrderedAndProject limit-1 broadcast into the fold via
+    crossJoin) — zero driver round-trips; only the round counter lives
+    on the driver. Per-round ``localCheckpoint`` truncates the growing
+    lineage (a persisted vocab table in production)."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        fan_out(docs)
+        .select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"))
+        .where(F.col("word").rlike("^[a-z]+$") & F.length("word").between(2, 12))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    seq = vocab.select("word", "w", F.split("word", "").alias("toks"))
+    out = None
+    for r in range(1, 5):
+        pairs = (
+            seq.where(F.size("toks") >= 2)
+            .select(
+                "w",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(toks)-2),"
+                        " i -> struct(toks[i] AS p1, toks[i+1] AS p2))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.p1", "p.p2")
+            .agg(F.sum("w").cast("long").alias("weight"))
+        )
+        top = (
+            pairs.orderBy(F.desc("weight"), F.asc("p1"), F.asc("p2"))
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        row = top.select(
+            F.lit(r).alias("merge_round"),
+            F.col("p1").alias("lhs"),
+            F.col("p2").alias("rhs"),
+            F.concat("p1", "p2").alias("merged"),
+            "weight",
+        )
+        out = row if out is None else out.unionByName(row)
+        merged = F.concat(F.col("p1"), F.col("p2"))
+        fold = F.aggregate(
+            F.slice("toks", 2, F.size("toks") - 1),
+            F.slice("toks", 1, 1),
+            lambda acc, cur: F.when(
+                (F.element_at(acc, -1) == F.col("p1")) & (cur == F.col("p2")),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
+                ),
+            ).otherwise(F.concat(acc, F.array(cur))),
+        )
+        seq = (
+            seq.crossJoin(F.broadcast(top))
+            .select(
+                "word",
+                "w",
+                F.when(F.size("toks") < 2, F.col("toks"))
+                .otherwise(fold)
+                .alias("toks"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return out.orderBy("merge_round")
