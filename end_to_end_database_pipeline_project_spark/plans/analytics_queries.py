@@ -1548,3 +1548,89 @@ def supplier_reach_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node_type",
         F.coalesce("n", F.lit(0)).cast("long").alias("n_nodes"),
     )
+
+
+# --------------------------------------------- mix-shift decomposition
+
+
+@query(
+    "mix_shift_decomposition",
+    oracle="""WITH j AS (
+  SELECT c_mktsegment AS segment,
+         CASE WHEN o_orderdate < DATE '1998-01-01' THEN 'a' ELSE 'b' END
+           AS period,
+         CAST(o_totalprice AS DOUBLE) AS v
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+g AS (
+  SELECT segment,
+         CAST(sum(CASE WHEN period = 'a' THEN 1 ELSE 0 END) AS DOUBLE) AS na,
+         CAST(sum(CASE WHEN period = 'b' THEN 1 ELSE 0 END) AS DOUBLE) AS nb,
+         sum(CASE WHEN period = 'a' THEN v ELSE 0 END) AS sa,
+         sum(CASE WHEN period = 'b' THEN v ELSE 0 END) AS sb
+  FROM j GROUP BY 1
+),
+t AS (
+  SELECT segment, na, nb, sa / na AS avg_a, sb / nb AS avg_b,
+         na / sum(na) OVER () AS share_a,
+         nb / sum(nb) OVER () AS share_b
+  FROM g
+)
+SELECT segment,
+       round(share_a, 6) AS share_a, round(share_b, 6) AS share_b,
+       round(avg_a, 6) AS avg_a, round(avg_b, 6) AS avg_b,
+       round(share_a * (avg_b - avg_a), 6) AS rate_effect,
+       round((share_b - share_a) * avg_b, 6) AS mix_effect
+FROM t""",
+)
+def mix_shift_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mix-vs-rate decomposition (Oaxaca/Kitagawa shape) of the change
+    in average order value between two periods, by customer segment:
+    rate effect = share_a * (avg_b - avg_a) — the metric moved within
+    the segment; mix effect = (share_b - share_a) * avg_b — the
+    segment's weight in the portfolio moved. The two effects sum
+    exactly to the overall delta, which is what makes this the honest
+    answer to "did the metric drop, or did the mix shift?" — the
+    drill-down every metrics review needs and naive per-segment deltas
+    cannot give.
+
+    Scale shape: one fact-fact join (orders x customer, key-hashed
+    merge join at scale) feeding ONE conditional aggregate to segment
+    grain; shares ride as window sums over the handful of segment rows.
+    Both periods are computed in the same pass — no second scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    j = orders.join(
+        customer, orders["o_custkey"] == customer["c_custkey"]
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        (F.col("o_orderdate") < F.lit("1998-01-01").cast("date")).alias("in_a"),
+        F.col("o_totalprice").cast("double").alias("v"),
+    )
+    g = j.groupBy("segment").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("double").alias("na"),
+        F.sum(F.when(~F.col("in_a"), 1).otherwise(0)).cast("double").alias("nb"),
+        F.sum(F.when(F.col("in_a"), F.col("v")).otherwise(0)).alias("sa"),
+        F.sum(F.when(~F.col("in_a"), F.col("v")).otherwise(0)).alias("sb"),
+    )
+    w = Window.partitionBy()
+    t = g.select(
+        "segment",
+        (F.col("sa") / F.col("na")).alias("avg_a"),
+        (F.col("sb") / F.col("nb")).alias("avg_b"),
+        (F.col("na") / F.sum("na").over(w)).alias("share_a"),
+        (F.col("nb") / F.sum("nb").over(w)).alias("share_b"),
+    )
+    return t.select(
+        "segment",
+        F.round("share_a", _R).alias("share_a"),
+        F.round("share_b", _R).alias("share_b"),
+        F.round("avg_a", _R).alias("avg_a"),
+        F.round("avg_b", _R).alias("avg_b"),
+        F.round(F.col("share_a") * (F.col("avg_b") - F.col("avg_a")), _R).alias(
+            "rate_effect"
+        ),
+        F.round(
+            (F.col("share_b") - F.col("share_a")) * F.col("avg_b"), _R
+        ).alias("mix_effect"),
+    )

@@ -439,3 +439,73 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("content_jaccard"),
         )
     )
+
+
+# ----------------------------------------- cross-source quantile norm
+
+
+@query(
+    "quantile_normalized_scores",
+    oracle="""WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         ntile(10) OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+           AS bucket
+  FROM documents
+),
+src_bucket AS (
+  SELECT source, bucket, avg(n_chars) AS src_mean
+  FROM ranked GROUP BY 1, 2
+),
+ref AS (SELECT bucket, avg(src_mean) AS ref_mean FROM src_bucket GROUP BY 1)
+SELECT bucket, round(ref_mean, 6) AS ref_mean,
+       round(max(abs(src_mean - ref_mean)), 6) AS max_source_dev,
+       CAST(count(*) AS BIGINT) AS n_sources
+FROM src_bucket JOIN ref USING (bucket)
+GROUP BY bucket, ref_mean""",
+)
+def quantile_normalized_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization across sources (the microarray-classic
+    calibration, applied to corpus curation): per-source score
+    distributions are mapped onto a common reference curve — the
+    cross-source mean of each decile's mean — so one global quality
+    threshold means the same thing for every feed. A raw threshold on
+    heterogeneous sources silently over-prunes the verbose feeds and
+    under-prunes the terse ones; the per-decile reference curve plus
+    each source's max deviation from it is the calibration report that
+    says how badly, and supplies the mapping that fixes it.
+
+    Scale shape: the rank pass is a per-source window (each source
+    sorts independently under one shuffle by source key — at extreme
+    per-source cardinality the same decile assignment comes from
+    approx_percentile boundaries instead, trading exactness for a
+    sort-free pass); everything after operates on |sources| x 10 rows.
+    Deterministic tie-break (n_chars, doc_id) pins ntile assignment
+    bit-for-bit across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    ranked = docs.select(
+        "source",
+        "n_chars",
+        F.ntile(10)
+        .over(Window.partitionBy("source").orderBy("n_chars", "doc_id"))
+        .alias("bucket"),
+    )
+    src_bucket = ranked.groupBy("source", "bucket").agg(
+        F.avg("n_chars").alias("src_mean")
+    )
+    ref = src_bucket.groupBy("bucket").agg(F.avg("src_mean").alias("ref_mean"))
+    return (
+        src_bucket.join(F.broadcast(ref), "bucket")
+        .groupBy("bucket", "ref_mean")
+        .agg(
+            F.round(F.max(F.abs(F.col("src_mean") - F.col("ref_mean"))), _R).alias(
+                "max_source_dev"
+            ),
+            F.count(F.lit(1)).alias("n_sources"),
+        )
+        .select(
+            "bucket",
+            F.round("ref_mean", _R).alias("ref_mean"),
+            "max_source_dev",
+            "n_sources",
+        )
+    )
