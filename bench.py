@@ -61,6 +61,12 @@ HEADLINE = [
     "semantic_dedup_report",
     "dsir_importance_weights",
     "sq8_ann_topk",
+    # round 3 wave 3: iterative training loops, hybrid retrieval,
+    # frontier traversal, statistical forensics
+    "bpe_train_merges",
+    "hybrid_rrf_retrieval",
+    "supplier_reach_hops",
+    "mix_shift_decomposition",
 ]
 
 
