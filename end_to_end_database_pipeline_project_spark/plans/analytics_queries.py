@@ -1634,3 +1634,153 @@ def mix_shift_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("share_b") - F.col("share_a")) * F.col("avg_b"), _R
         ).alias("mix_effect"),
     )
+
+
+# --------------------------------------------- survival analysis (KM)
+
+
+@query(
+    "conversion_survival",
+    oracle="""WITH u AS (
+  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t0,
+         min(CASE WHEN event_type = 'purchase'
+                  THEN CAST(ts AS TIMESTAMP) END) AS tp
+  FROM events GROUP BY 1
+),
+horizon AS (SELECT max(CAST(ts AS TIMESTAMP)) AS tmax FROM events),
+dur AS (
+  SELECT CASE WHEN tp IS NOT NULL THEN datediff('day', t0, tp)
+              ELSE datediff('day', t0, tmax) END AS t,
+         (tp IS NOT NULL) AS converted
+  FROM u CROSS JOIN horizon
+),
+g AS (
+  SELECT t, CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS total
+  FROM dur GROUP BY 1
+),
+r AS (
+  SELECT t, d,
+         sum(total) OVER () - coalesce(sum(total) OVER (
+           ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n,
+         CASE WHEN d < sum(total) OVER () - coalesce(sum(total) OVER (
+                ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              THEN ln(1 - CAST(d AS DOUBLE) / (sum(total) OVER ()
+                   - coalesce(sum(total) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)))
+              ELSE CAST('-infinity' AS DOUBLE) END AS logterm
+  FROM g
+)
+SELECT t AS t_days, CAST(n AS BIGINT) AS n_at_risk, d AS n_converted,
+       round(exp(sum(logterm) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+         AS survival
+FROM r WHERE d > 0 ORDER BY t""",
+)
+def conversion_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-conversion: survival curve of "user has not
+    yet purchased" by days since first activity, with users who never
+    purchase right-censored at the corpus horizon — the censoring-aware
+    answer to "how long until users convert?" that a naive average of
+    observed conversion times gets wrong (it silently drops the users
+    who never converted). The product-limit estimator is computed as
+    exp(cumsum(ln(1 - d/n))) — the associative-prefix factorization of
+    a running product, same discipline as the EWMA query; the d = n
+    exhaustion step maps to -infinity and survival 0 in both engines.
+
+    Scale shape: one aggregate to user grain (the only corpus-sized
+    shuffle), the horizon rides as a one-row broadcast, and the KM
+    table itself is |distinct durations| rows — the unpartitioned
+    cumulative windows run on dozens of rows forever."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("tp"),
+    )
+    horizon = ev.agg(F.max("ts").alias("tmax"))
+    dur = u.crossJoin(F.broadcast(horizon)).select(
+        F.when(
+            F.col("tp").isNotNull(), F.datediff(F.to_date("tp"), F.to_date("t0"))
+        )
+        .otherwise(F.datediff(F.to_date("tmax"), F.to_date("t0")))
+        .alias("t"),
+        F.col("tp").isNotNull().alias("converted"),
+    )
+    g = dur.groupBy("t").agg(
+        F.sum(F.when(F.col("converted"), 1).otherwise(0)).cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("total"),
+    )
+    w_all = Window.partitionBy()
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    n = F.sum("total").over(w_all) - F.coalesce(
+        F.sum("total").over(w_prev), F.lit(0)
+    )
+    logterm = F.when(
+        F.col("d") < n, F.log(1 - F.col("d").cast("double") / n)
+    ).otherwise(F.lit(float("-inf")))
+    r = g.select("t", "d", n.alias("n"), logterm.alias("logterm"))
+    return (
+        r.select(
+            F.col("t").alias("t_days"),
+            F.col("n").cast("long").alias("n_at_risk"),
+            F.col("d").alias("n_converted"),
+            F.round(F.exp(F.sum("logterm").over(Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0))), _R).alias("survival"),
+            "d",
+        )
+        .where(F.col("d") > 0)
+        .drop("d")
+        .orderBy("t_days")
+    )
+
+
+# --------------------------------------------- Markov transition matrix
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""WITH seq AS (
+  SELECT user_id, event_type AS cur,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id)
+           AS nxt
+  FROM events
+),
+c AS (
+  SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+)
+SELECT cur, nxt, n,
+       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY cur), 6) AS p
+FROM c""",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: P(next event type | current event type) — the behavioral
+    fingerprint behind "what do users do after an error?" and the
+    input to next-step prediction and anomaly scoring (a session whose
+    transitions are improbable under the matrix is an outlier). The
+    deterministic (ts, event_id) ordering pins lead() across engines.
+
+    Scale shape: ONE shuffle by user (the lead window), then the
+    transition aggregate collapses to |types|^2 rows, over which the
+    row-normalizing window sums are free. The per-user window never
+    sees another user's rows — no skew beyond the busiest single
+    user."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    c = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return c.select(
+        "cur",
+        "nxt",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(Window.partitionBy("cur")),
+            _R,
+        ).alias("p"),
+    )
