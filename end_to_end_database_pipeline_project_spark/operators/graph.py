@@ -85,7 +85,14 @@ def bfs_hops(seeds: DataFrame, edges: DataFrame, max_hops: int) -> DataFrame:
     tables at 100 TB) to truncate the growing lineage.
     """
     edges = edges.localCheckpoint(eager=False)
-    visited = seeds.select("node", F.lit(0).alias("hop")).localCheckpoint(eager=False)
+    # dedup defensively: a seed list built from a fanning-out join would
+    # otherwise carry duplicate hop-0 rows through every round
+    visited = (
+        seeds.select("node")
+        .distinct()
+        .select("node", F.lit(0).alias("hop"))
+        .localCheckpoint(eager=False)
+    )
     frontier = visited.select("node")
     for h in range(1, max_hops + 1):
         expansion = (

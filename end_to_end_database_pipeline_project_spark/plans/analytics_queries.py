@@ -1392,7 +1392,11 @@ def ols_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), _R).alias(
             "intercept"
         ),
-        F.round(cov * cov / (vx * vy), _R).alias("r2"),
+        # regr_r2 semantics: a constant dependent variable (vy = 0) is a
+        # perfect fit (1.0), not 0/0 — matches DuckDB's streaming impl
+        F.round(
+            F.when(vy == 0, F.lit(1.0)).otherwise(cov * cov / (vx * vy)), _R
+        ).alias("r2"),
         F.col("n").cast("long").alias("n_days"),
     )
 
@@ -1726,11 +1730,9 @@ def conversion_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t").alias("t_days"),
             F.col("n").cast("long").alias("n_at_risk"),
             F.col("d").alias("n_converted"),
-            F.round(F.exp(F.sum("logterm").over(Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0))), _R).alias("survival"),
-            "d",
+            F.round(F.exp(F.sum("logterm").over(w_cum)), _R).alias("survival"),
         )
-        .where(F.col("d") > 0)
-        .drop("d")
+        .where(F.col("n_converted") > 0)
         .orderBy("t_days")
     )
 

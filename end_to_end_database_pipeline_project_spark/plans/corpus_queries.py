@@ -167,9 +167,10 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the exploded bigram table feeds both the bucket aggregate and the
     # per-doc scoring join, and is deliberately RECOMPUTED for each (the
     # codegen'd explode is cheap): materializing it with localCheckpoint
-    # measured 44.2 s vs 6.9 s recomputed at K=64 stress (110M rows —
-    # per-row java object materialization and GC dwarf the second
-    # explode). At 100 TB the shared form is a PERSISTED PARQUET feature
+    # measured 44.2 s at K=64 stress vs 4.3 s for this shipped form
+    # (recomputed explode + window totals; 110M rows — per-row java
+    # object materialization and GC dwarf the second explode).
+    # At 100 TB the shared form is a PERSISTED PARQUET feature
     # table, never an executor-memory checkpoint of token-grain rows.
     bh = (
         base.select(

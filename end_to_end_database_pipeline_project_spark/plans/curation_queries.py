@@ -1108,7 +1108,13 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    seq = vocab.select("word", "w", F.split("word", "").alias("toks"))
+    # checkpoint the initial symbol-sequence table: round 1's pair
+    # aggregate and fold both consume it, and without the checkpoint
+    # each compiles its own lineage back through the corpus tokenize —
+    # scanning the corpus twice instead of once.
+    seq = vocab.select(
+        "word", "w", F.split("word", "").alias("toks")
+    ).localCheckpoint(eager=False)
     out = None
     for r in range(1, 5):
         pairs = (
