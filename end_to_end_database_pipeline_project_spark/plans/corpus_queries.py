@@ -490,8 +490,15 @@ def quantile_normalized_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("source").orderBy("n_chars", "doc_id"))
         .alias("bucket"),
     )
-    src_bucket = ranked.groupBy("source", "bucket").agg(
-        F.avg("n_chars").alias("src_mean")
+    # materialize the |sources| x 10 bucket table: it feeds both the
+    # reference-curve aggregate and the deviation join, and without the
+    # checkpoint each consumer re-runs the corpus-sized rank window.
+    # (The inverse of the DSIR rule: HERE the shared subplan is tiny
+    # and the recompute is the expensive part — materialize it.)
+    src_bucket = (
+        ranked.groupBy("source", "bucket")
+        .agg(F.avg("n_chars").alias("src_mean"))
+        .localCheckpoint(eager=False)
     )
     ref = src_bucket.groupBy("bucket").agg(F.avg("src_mean").alias("ref_mean"))
     return (

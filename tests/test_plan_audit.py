@@ -410,3 +410,32 @@ def test_hybrid_rrf_sides_are_topk_bounded(spark):
     # the candidate count, never the corpus
     plan = _plan(spark, "hybrid_rrf_retrieval")
     assert plan.count("TakeOrderedAndProject") >= 2, plan
+
+
+def test_quantile_norm_window_is_source_partitioned(spark):
+    # the rank pass must partition by source (independent per-source
+    # sorts under one shuffle), and the scan reads only the three
+    # referenced columns
+    plan = _plan(spark, "quantile_normalized_scores")
+    # the corpus-sized ntile rank pass is materialized ONCE behind the
+    # checkpointed bucket table; both consumers (reference aggregate,
+    # deviation join) read that shared state — so the final plan shows
+    # two ExistingRDD reads and NO re-planned rank window
+    assert plan.count("Scan ExistingRDD") == 2, plan
+    assert "ntile" not in plan, plan
+
+
+def test_transition_matrix_has_partial_agg(spark):
+    # the transition aggregate map-side combines before its exchange;
+    # the per-user lead window is the only fact-sized shuffle
+    plan = _plan(spark, "event_transition_matrix")
+    assert "partial_count" in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_mix_shift_single_pass_conditional_agg(spark):
+    # both periods computed in one conditional aggregate — no second
+    # scan of orders, no union of per-period subplans
+    plan = _plan(spark, "mix_shift_decomposition")
+    assert plan.count("Scan parquet") == 2, plan  # orders + customer
+    assert "partial_sum" in plan, plan
