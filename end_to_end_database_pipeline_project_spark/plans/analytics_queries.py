@@ -1786,3 +1786,92 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             _R,
         ).alias("p"),
     )
+
+
+# --------------------------------------------- A/B two-proportion test
+
+
+@query(
+    "ab_conversion_ztest",
+    oracle="""WITH u AS (
+  SELECT user_id,
+         (strpos('0123456789abcdef',
+                 substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+           AS in_a,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1, 2
+),
+g AS (
+  SELECT CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS DOUBLE) AS na,
+         CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS DOUBLE) AS nb,
+         CAST(sum(CASE WHEN in_a THEN conv ELSE 0 END) AS DOUBLE) AS ca,
+         CAST(sum(CASE WHEN NOT in_a THEN conv ELSE 0 END) AS DOUBLE) AS cb
+  FROM u
+),
+se AS (
+  SELECT *, sqrt(((ca + cb) / (na + nb)) * (1 - (ca + cb) / (na + nb))
+                 * (1 / na + 1 / nb)) AS s
+  FROM g
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round(ca / na, 6) AS conv_rate_a,
+       round(cb / nb, 6) AS conv_rate_b,
+       round(cb / nb - ca / na, 6) AS lift,
+       round(CASE WHEN s > 0 THEN (cb / nb - ca / na) / s ELSE 0 END, 6)
+         AS z_score,
+       CASE WHEN s > 0 THEN abs((cb / nb - ca / na) / s) > 1.959964
+            ELSE FALSE END AS significant
+FROM se""",
+)
+def ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on user conversion between two variants —
+    the read-out of every A/B experimentation platform. Variant
+    assignment is the repo's deterministic no-rand() discipline: md5
+    parity of the user id (retry-safe, engine-portable), conversion is
+    "user has >= 1 purchase", and the pooled-variance z statistic plus
+    the alpha = 0.05 verdict are computed in-plan. On the synthetic
+    fixture the split is null by construction, so the expected verdict
+    is NOT significant — which is itself the regression check (a
+    hash-split that ever turns 'significant' on uniform data signals a
+    broken splitter or a p-hacked threshold).
+
+    Scale shape: one aggregate to user grain (the only corpus-sized
+    shuffle — assignment is a hash expression, not a join against an
+    assignment table), then a single-row scalar reduction; the test
+    statistic itself is O(1) arithmetic on four sums."""
+    ev = load_table(spark, sf_dir, "events")
+    in_a = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 1), 16, 10)
+        .cast("int") % 2 == 0
+    )
+    u = ev.groupBy("user_id", in_a.alias("in_a")).agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "conv"
+        )
+    )
+    g = u.agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("double").alias("na"),
+        F.sum(F.when(~F.col("in_a"), 1).otherwise(0)).cast("double").alias("nb"),
+        F.sum(F.when(F.col("in_a"), F.col("conv")).otherwise(0))
+        .cast("double")
+        .alias("ca"),
+        F.sum(F.when(~F.col("in_a"), F.col("conv")).otherwise(0))
+        .cast("double")
+        .alias("cb"),
+    )
+    pa, pb = F.col("ca") / F.col("na"), F.col("cb") / F.col("nb")
+    pool = (F.col("ca") + F.col("cb")) / (F.col("na") + F.col("nb"))
+    se = F.sqrt(pool * (1 - pool) * (1 / F.col("na") + 1 / F.col("nb")))
+    # degenerate pooled variance (0% or 100% conversion overall) carries
+    # no information: define z = 0 / not-significant rather than letting
+    # ANSI mode throw on the zero divisor
+    z = F.when(se > 0, (pb - pa) / se).otherwise(F.lit(0.0))
+    return g.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(pa, _R).alias("conv_rate_a"),
+        F.round(pb, _R).alias("conv_rate_b"),
+        F.round(pb - pa, _R).alias("lift"),
+        F.round(z, _R).alias("z_score"),
+        (F.abs(z) > 1.959964).alias("significant"),
+    )
