@@ -1698,11 +1698,15 @@ def conversion_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     table itself is |distinct durations| rows — the unpartitioned
     cumulative windows run on dozens of rows forever."""
     ev = load_table(spark, sf_dir, "events")
+    # the horizon (global max ts) is derived from the user-grain
+    # aggregate's per-user max — the corpus is scanned ONCE, and the
+    # user table feeds both the durations and the one-row horizon
     u = ev.groupBy("user_id").agg(
         F.min("ts").alias("t0"),
         F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("tp"),
-    )
-    horizon = ev.agg(F.max("ts").alias("tmax"))
+        F.max("ts").alias("tl"),
+    ).localCheckpoint(eager=False)
+    horizon = u.agg(F.max("tl").alias("tmax"))
     dur = u.crossJoin(F.broadcast(horizon)).select(
         F.when(
             F.col("tp").isNotNull(), F.datediff(F.to_date("tp"), F.to_date("t0"))

@@ -439,3 +439,20 @@ def test_mix_shift_single_pass_conditional_agg(spark):
     plan = _plan(spark, "mix_shift_decomposition")
     assert plan.count("Scan parquet") == 2, plan  # orders + customer
     assert "partial_sum" in plan, plan
+
+
+def test_survival_scans_events_once(spark):
+    # the horizon derives from the checkpointed user-grain aggregate
+    # (per-user max ts -> one-row max), so the corpus is scanned once
+    # and both consumers read the shared user table
+    plan = _plan(spark, "conversion_survival")
+    assert "FileScan" not in plan and plan.count("Scan ExistingRDD") == 2, plan
+
+
+def test_ab_ztest_single_pass(spark):
+    # assignment is a hash EXPRESSION (no join against an assignment
+    # table): one scan, one user-grain aggregate with map-side combine,
+    # one scalar reduction
+    plan = _plan(spark, "ab_conversion_ztest")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "partial_" in plan and "Join" not in plan, plan
