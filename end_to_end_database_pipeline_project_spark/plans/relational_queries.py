@@ -1269,3 +1269,149 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_revenue_pct")
         )
     )
+
+
+@query(
+    "hourly_linear_interpolation",
+    oracle="""WITH hourly AS (
+  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+         avg(value) AS v
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+spans AS (
+  SELECT user_id, min(h) AS mn, max(h) AS mx FROM hourly GROUP BY 1
+),
+spine AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+  FROM spans
+),
+joined AS (
+  SELECT s.user_id, s.h, hr.v FROM spine s
+  LEFT JOIN hourly hr ON hr.user_id = s.user_id AND hr.h = s.h
+),
+b AS (
+  SELECT user_id, h, v,
+         last_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+         first_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY h
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY h
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+  FROM joined
+),
+f AS (
+  SELECT user_id, v IS NULL AS was_gap,
+         CASE
+           WHEN v IS NOT NULL THEN v
+           WHEN pv IS NULL THEN nv
+           WHEN nv IS NULL THEN pv
+           ELSE pv + (nv - pv) * (epoch(h) - epoch(ph))
+                               / (epoch(nh) - epoch(ph))
+         END AS vi,
+         CASE WHEN pv IS NOT NULL THEN pv ELSE nv END AS locf
+  FROM b
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_hours,
+       CAST(sum(CASE WHEN was_gap THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+       round(avg(vi), 6) AS avg_interp,
+       round(avg(abs(vi - locf)), 6) AS avg_abs_delta_vs_locf
+FROM f GROUP BY 1""",
+)
+def hourly_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling by linear interpolation — the physically-meaningful
+    twin of `hourly_gap_fill`'s LOCF: each missing hour is filled from
+    the BRACKETING observations weighted by time distance, so a sensor
+    ramping 10 -> 20 across a gap reads the ramp, not a flat 10. Edge
+    gaps fall back to the one-sided nearest value. The mechanism is the
+    bidirectional ignore-nulls window pair — forward last_value and
+    backward first_value for both the value and its timestamp — with
+    the ratio only evaluated inside the both-sides-known branch (CASE
+    short-circuits the zero-width denominator of non-gap rows).
+
+    The registered report aggregates to user grain (hours, gaps, mean
+    filled value, mean |linear - LOCF|): per-cell interpolants are
+    small-denominator rationals of 2-dp inputs that land EXACTLY on
+    6th-decimal rounding ties, where the engines' tie policies differ —
+    the aggregate sums hundreds of cells and is tie-immune, while exact
+    per-cell values (12/14/16/18 across a 10->20 ramp) are pinned by
+    tests/test_plan_audit.py::test_linear_interp_exact_values.
+
+    Scale shape: identical to the LOCF query — spine, join and all four
+    windows hash on user_id, no global ordering anywhere; forward and
+    backward frames share one sort."""
+    b = _interp_table(load_table(spark, sf_dir, "events"))
+    vi = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (F.unix_timestamp("h") - F.unix_timestamp("ph")).cast("double")
+            / (F.unix_timestamp("nh") - F.unix_timestamp("ph")).cast("double")
+        )
+    )
+    locf = F.when(F.col("pv").isNotNull(), F.col("pv")).otherwise(F.col("nv"))
+    f = b.select(
+        "user_id",
+        F.col("v").isNull().alias("was_gap"),
+        vi.alias("vi"),
+        locf.alias("locf"),
+    )
+    return f.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum(F.when(F.col("was_gap"), 1).otherwise(0)).cast("long").alias("n_gaps"),
+        F.round(F.avg("vi"), _R).alias("avg_interp"),
+        F.round(F.avg(F.abs(F.col("vi") - F.col("locf"))), _R).alias(
+            "avg_abs_delta_vs_locf"
+        ),
+    )
+
+
+def _interp_table(ev: DataFrame) -> DataFrame:
+    """(user_id, h, v, pv, ph, nv, nh) bracketing table shared by the
+    registered aggregate report and the exact-value unit test."""
+    hourly = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.avg("value").alias("v"))
+    )
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("mn", "mx", F.expr("interval 1 hour"))).alias(
+                "h"
+            ),
+        )
+    )
+    joined = spine.join(hourly, ["user_id", "h"], "left")
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_bwd = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    vh = F.when(F.col("v").isNotNull(), F.col("h"))
+    return joined.select(
+        "user_id",
+        "h",
+        "v",
+        F.last("v", ignorenulls=True).over(w_fwd).alias("pv"),
+        F.last(vh, ignorenulls=True).over(w_fwd).alias("ph"),
+        F.first("v", ignorenulls=True).over(w_bwd).alias("nv"),
+        F.first(vh, ignorenulls=True).over(w_bwd).alias("nh"),
+    )

@@ -456,3 +456,42 @@ def test_ab_ztest_single_pass(spark):
     plan = _plan(spark, "ab_conversion_ztest")
     assert plan.count("Scan parquet") == 1, plan
     assert "partial_" in plan and "Join" not in plan, plan
+
+
+def test_linear_interp_exact_values(spark):
+    # row-grain semantics of the interpolation (the registered query
+    # aggregates to user grain because per-cell rationals land on
+    # 6th-decimal rounding ties): a 10 -> 20 ramp across a 4-hour gap
+    # must read 12/14/16/18, and edge gaps take the one-sided value
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from end_to_end_database_pipeline_project_spark.plans.relational_queries import (
+        _interp_table,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 0, 30), 10.0),
+            (1, datetime(2024, 1, 1, 5, 30), 20.0),
+        ],
+        "user_id INT, ts TIMESTAMP, value DOUBLE",
+    )
+    b = _interp_table(ev)
+    vi = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (F.unix_timestamp("h") - F.unix_timestamp("ph")).cast("double")
+            / (F.unix_timestamp("nh") - F.unix_timestamp("ph")).cast("double")
+        )
+    )
+    got = {
+        r["h"].hour: r["vi"]
+        for r in b.select("h", vi.alias("vi")).collect()
+    }
+    assert got == {0: 10.0, 1: 12.0, 2: 14.0, 3: 16.0, 4: 18.0, 5: 20.0}, got
