@@ -4,13 +4,16 @@ Images/audio/video are opaque ``binary`` columns plus a typed metadata
 struct; decode/feature-extraction runs as Arrow-batched pandas
 iterators over ``mapInPandas``.
 
-One real binary modality is fully implemented: **BMP images** (24-bit
-uncompressed), whose header+pixel layout needs no external libraries —
-``encode_bmp``/``decode_bmp`` below are a complete pure-Python codec
-(magic, DIB header, 4-byte row stride), so the binary path is exercised
-with genuine non-text bytes end-to-end. Codecs that DO need native
-libraries (JPEG/PNG via PIL, audio via soundfile, video via av) remain
-stubs that document the real call and raise ``NotImplementedError``.
+Three real binary modalities are fully implemented pure-Python:
+**BMP images** (24-bit uncompressed: magic, DIB header, 4-byte row
+stride), **PNG images** (8-bit RGB truecolor on stdlib zlib: CRC'd
+chunks, DEFLATE'd IDAT, all five scanline filters — the compressed
+real-world format), and **WAV audio** (PCM16 mono RIFF) — so the
+binary path is exercised with genuine non-text bytes end-to-end,
+including a real compression round-trip. Codecs that DO need native
+libraries (JPEG via PIL, lossy audio via soundfile, video via av)
+remain stubs that document the real call and raise
+``NotImplementedError``.
 
 At scale: binary payloads ride the columnar format untouched (parquet
 keeps them page-compressed); feature extraction is embarrassingly
@@ -52,11 +55,11 @@ def to_binary_column(
 
 
 def decode_stub(content: bytes, mime_type: str) -> dict:
-    """Decode kernel dispatch. text and image/bmp are real decoders;
-    formats needing native media libraries (JPEG/PNG via
-    ``PIL.Image.open``, audio via ``soundfile.read``, video via ``av``)
-    are explicitly unimplemented — none of those libraries ships in
-    this container."""
+    """Decode kernel dispatch. text, image/bmp, image/png and audio/wav
+    are real decoders; formats needing native media libraries (JPEG via
+    ``PIL.Image.open``, lossy audio via ``soundfile.read``, video via
+    ``av``) are explicitly unimplemented — none of those libraries
+    ships in this container."""
     if mime_type == "text/plain":
         return {
             "byte_len": len(content),
@@ -65,6 +68,13 @@ def decode_stub(content: bytes, mime_type: str) -> dict:
         }
     if mime_type == "image/bmp":
         decode_bmp(content)  # validates magic/header/stride
+        return {
+            "byte_len": len(content),
+            "content_md5": hashlib.md5(content).hexdigest(),
+            "modality": "image",
+        }
+    if mime_type == "image/png":
+        decode_png(content)  # validates signature/CRCs/inflate
         return {
             "byte_len": len(content),
             "content_md5": hashlib.md5(content).hexdigest(),
@@ -162,6 +172,173 @@ def text_to_bmp_column(
         make_bmp(F.col(text_col)).alias("content"),
         F.lit("image/bmp").alias("mime_type"),
     )
+
+
+# ------------------------------------------------------------ PNG codec
+#
+# A complete 8-bit RGB (truecolor) PNG implementation on stdlib zlib —
+# the first COMPRESSED real-world format in the modality suite (BMP and
+# WAV are uncompressed layouts). Encoder: signature, IHDR, one
+# zlib-deflated IDAT of filter-0 scanlines, IEND, each chunk CRC32'd.
+# Decoder: chunk walk with CRC verification, IDAT concatenation +
+# inflate, and full scanline UN-filtering (all five PNG filter types —
+# None/Sub/Up/Average/Paeth — so real-world encoder output parses, not
+# just our own).
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int, pixels: bytes) -> bytes:
+    """Pack raw RGB pixel bytes (len == 3*width*height, row-major) into
+    a well-formed 8-bit truecolor PNG (filter 0 scanlines, one IDAT)."""
+    import zlib
+
+    row_bytes = width * 3
+    if len(pixels) != row_bytes * height:
+        raise ValueError("pixels must be exactly 3*width*height bytes")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + pixels[r * row_bytes : (r + 1) * row_bytes]
+        for r in range(height)
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(content: bytes) -> dict:
+    """Parse an 8-bit RGB PNG: validate signature + per-chunk CRCs,
+    inflate the IDAT stream, un-filter every scanline (filters 0-4),
+    and return width/height/bit depth plus the pixel-byte sum — the
+    same whole-image statistic as the BMP decoder, now through a real
+    DEFLATE round-trip."""
+    import zlib
+
+    if content[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos, width = len(_PNG_SIG), None
+    idat = b""
+    while pos + 8 <= len(content):
+        (clen,) = struct.unpack_from(">I", content, pos)
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + clen]
+        (crc,) = struct.unpack_from(">I", content, pos + 8 + clen)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            width, height, depth, ctype_id, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, ctype_id, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise NotImplementedError(
+                    "only 8-bit non-interlaced truecolor PNG supported"
+                )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if width is None:
+        raise ValueError("missing IHDR")
+    raw = zlib.decompress(idat)
+    bpp, row_bytes = 3, width * 3
+    if len(raw) != (row_bytes + 1) * height:
+        raise ValueError("inflated scanline data has wrong length")
+    prev = bytearray(row_bytes)
+    total = 0
+    for r in range(height):
+        ftype = raw[r * (row_bytes + 1)]
+        line = bytearray(raw[r * (row_bytes + 1) + 1 : (r + 1) * (row_bytes + 1)])
+        if ftype == 1:  # Sub
+            for i in range(bpp, row_bytes):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(row_bytes):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(row_bytes):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(row_bytes):
+                left = line[i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        total += sum(line)
+        prev = line
+    return {"width": width, "height": height, "bit_depth": 8, "pixel_sum": total}
+
+
+def text_to_png_column(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesize a real PNG image column deterministically from text:
+    dimensions derive from the char length (distinct moduli from the
+    BMP twin), pixel bytes cycle the md5 digest. Every payload is a
+    genuine deflate-compressed PNG, and the construction is
+    reproducible in ANSI SQL, keeping the oracle exact."""
+
+    @F.pandas_udf(T.BinaryType())
+    def make_png(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            w = 5 + len(t) % 11
+            h = 2 + len(t) % 6
+            n = 3 * w * h
+            digest = hashlib.md5(t.encode("utf-8")).digest()
+            pixels = (digest * (n // 16 + 1))[:n]
+            out.append(encode_png(w, h, pixels))
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        make_png(F.col(text_col)).alias("content"),
+        F.lit("image/png").alias("mime_type"),
+    )
+
+
+PNG_FEATURE_SCHEMA = (
+    "doc_id long, width int, height int, bit_depth int, pixel_sum long"
+)
+
+
+def extract_png_features(assets: DataFrame) -> DataFrame:
+    """Arrow-batched PNG feature extraction (CRC-checked chunk walk +
+    inflate + un-filter + pixel-sum), same mapInPandas shape as the BMP
+    path but through a compressed codec."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_png(bytes(c)) for c in pdf["content"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+            yield out[["doc_id", "width", "height", "bit_depth", "pixel_sum"]]
+
+    return assets.mapInPandas(kernel, schema=PNG_FEATURE_SCHEMA)
 
 
 # ------------------------------------------------------------ WAV codec

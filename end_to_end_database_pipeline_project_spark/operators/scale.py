@@ -149,9 +149,16 @@ def binned_range_join(
     )
 
 
+def _order_cols(order_col) -> list:
+    """Normalize an ordering spec: a single column name, or a list of
+    names / Column sort expressions (``F.desc("revenue")``)."""
+    cols = order_col if isinstance(order_col, (list, tuple)) else [order_col]
+    return [F.col(c) if isinstance(c, str) else c for c in cols]
+
+
 def distributed_prefix_sum(
     df: DataFrame,
-    order_col: str,
+    order_col,
     value_col: str,
     out_col: str = "cum_before",
     num_partitions: int | None = None,
@@ -174,11 +181,17 @@ def distributed_prefix_sum(
 
     Identical result to the global window (asserted in
     tests/test_scale.py), wall-clock bounded by the largest partition,
-    not the corpus."""
+    not the corpus.
+
+    ``order_col`` may be a single column name or a list of sort
+    expressions (``[F.desc("revenue"), F.asc("l_suppkey")]``) — the
+    range partitioner and the local window share the spec, so any
+    total ordering expressible as a sort works."""
     from pyspark.sql import Window
 
+    ocols = _order_cols(order_col)
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n, F.col(order_col)).withColumn(
+    ranged = df.repartitionByRange(n, *ocols).withColumn(
         "__pid", F.spark_partition_id()
     )
     subtotals = ranged.groupBy("__pid").agg(F.sum(value_col).alias("__psum"))
@@ -188,7 +201,7 @@ def distributed_prefix_sum(
     ).select("__pid", "__offset")
     w_local = (
         Window.partitionBy("__pid")
-        .orderBy(order_col)
+        .orderBy(*ocols)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (
@@ -196,6 +209,45 @@ def distributed_prefix_sum(
         .join(F.broadcast(offsets), "__pid")
         .withColumn(out_col, F.col("__local") + F.col("__offset"))
         .drop("__pid", "__local", "__offset")
+    )
+
+
+def distributed_ntile(
+    df: DataFrame,
+    order_col,
+    n_buckets: int,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``ntile(n_buckets) OVER (ORDER BY ...)`` without the global
+    single-reducer window.
+
+    ntile is a pure function of (global rank, row count): with
+    q = n div b and m = n mod b, the first m buckets hold q+1 rows and
+    the rest hold q. The global rank comes from
+    ``distributed_prefix_sum`` over a ones column (two-pass, bounded by
+    the largest range partition); the row count rides along as a
+    broadcast one-row aggregate. Bit-identical to the window ntile for
+    any total ordering (callers must supply a unique tie-break column,
+    exactly as an engine-portable window ntile needs anyway)."""
+    ones = df.withColumn("__one", F.lit(1).cast("long"))
+    ranked = distributed_prefix_sum(
+        ones, order_col, "__one", out_col="__rank0", num_partitions=num_partitions
+    ).withColumn("__rank", F.col("__rank0") + 1)
+    cnt = df.groupBy().agg(F.count(F.lit(1)).alias("__n"))
+    r, n, b = F.col("__rank"), F.col("__n"), F.lit(n_buckets)
+    q = F.floor(n / b)
+    m = n - q * b
+    big = m * (q + 1)  # rows living in the first m (larger) buckets
+    bucket = (
+        F.when(r <= big, F.floor((r - 1) / (q + 1)) + 1)
+        .otherwise(m + F.floor((r - big - 1) / q) + 1)
+        .cast("int")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(cnt))
+        .withColumn(out_col, bucket)
+        .drop("__one", "__rank0", "__rank", "__n")
     )
 
 

@@ -257,6 +257,78 @@ def near_dup_pairs_pandas(
     )
 
 
+def all_pairs_blocked(
+    corpus: DataFrame,
+    threshold: float,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT all-pairs cosine >= threshold with NO driver collection —
+    the block-grid self-join. Vectors hash to ``n_blocks`` blocks; each
+    unordered block pair (i, j), i <= j, is one cogrouped
+    ``applyInPandas`` task whose kernel runs a |block_i| x |block_j|
+    GEMM. Emits (vec_a, vec_b, cosine) with vec_a < vec_b, each
+    unordered pair exactly once (diagonal blocks keep the upper
+    triangle; off-diagonal blocks orient by id).
+
+    Scale shape: per-task memory is two blocks, not the corpus; shuffle
+    replication is ~n_blocks/2 per side (choose n_blocks so a block is
+    one executor slab — the O(N^2/P) compare cost is inherent to exact
+    all-pairs, which is why the production near-dup paths bound
+    candidates with LSH/IVF first and reserve this kernel for
+    verification or moderate grains). Replaces the driver-side
+    ``toPandas()`` slab collection, which OOMs the driver on any
+    unbounded corpus."""
+    import numpy as np
+
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    e = corpus.select(id_col, vec_col).withColumn("__blk", blk)
+    left = e.select(
+        F.col("__blk").alias("__bi"),
+        F.explode(F.sequence(F.col("__blk"), F.lit(n_blocks - 1))).alias("__bj"),
+        id_col,
+        vec_col,
+    )
+    # the right side's data columns are renamed: with both sides built
+    # from the same lineage, identically-named attributes get pruned
+    # out of the cogroup's right pdf (self-cogroup dedup quirk)
+    right = e.select(
+        F.explode(F.sequence(F.lit(0), F.col("__blk"))).alias("__bi"),
+        F.col("__blk").alias("__bj"),
+        F.col(id_col).alias("__rid"),
+        F.col(vec_col).alias("__rvec"),
+    )
+
+    def gemm(key, l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["vec_a", "vec_b", "cosine"]
+        if l_pdf.empty or r_pdf.empty:
+            return pd.DataFrame(columns=cols)
+        l_ids = l_pdf[id_col].to_numpy()
+        r_ids = r_pdf["__rid"].to_numpy()
+        l_mat = np.vstack(l_pdf[vec_col].to_numpy()).astype("float64")
+        r_mat = np.vstack(r_pdf["__rvec"].to_numpy()).astype("float64")
+        l_mat /= np.linalg.norm(l_mat, axis=1, keepdims=True)
+        r_mat /= np.linalg.norm(r_mat, axis=1, keepdims=True)
+        sims = l_mat @ r_mat.T
+        li, ri = np.nonzero(sims >= threshold)
+        a, b, s = l_ids[li], r_ids[ri], sims[li, ri]
+        if key[0] == key[1]:
+            keep = a < b  # same block on both sides: upper triangle only
+            a, b, s = a[keep], b[keep], s[keep]
+        else:  # distinct blocks meet exactly once: orient pair by id
+            lo = np.minimum(a, b)
+            b = np.maximum(a, b)
+            a = lo
+        return pd.DataFrame({"vec_a": a, "vec_b": b, "cosine": s})
+
+    return (
+        left.groupby("__bi", "__bj")
+        .cogroup(right.groupby("__bi", "__bj"))
+        .applyInPandas(gemm, schema="vec_a long, vec_b long, cosine double")
+    )
+
+
 def srp_hyperplanes(n_planes: int, dim: int, seed: int = 42):
     """Deterministic signed-random-projection hyperplanes (Gaussian,
     fixed seed) — the LSH family for cosine similarity: P[same sign] =

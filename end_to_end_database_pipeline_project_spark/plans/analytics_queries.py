@@ -899,23 +899,32 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     to lifecycle segments (champion / new / at-risk / hibernating /
     regular), the canonical customer-analytics rollup.
 
-    Scale shape: one aggregate to customer grain, then three ntile
-    windows. The quartile windows are GLOBAL by definition (a quartile
-    is a global rank) — at extreme scale the exact ntile swaps for
-    approx_percentile cut points (the bounded-error route this engine
-    already certifies in `approx_quantile_bounded`); explicit
+    Scale shape: one aggregate to customer grain, then three quartile
+    assignments. A quartile is a global rank, but NOT a global window:
+    each ntile runs as ``operators.scale.distributed_ntile`` — the
+    two-pass distributed rank (range partition on the sort key,
+    per-partition counts, broadcast offsets) composed with the
+    closed-form ntile bucket formula — so no reducer ever sees more
+    than one range partition of the customer grain. Bit-identical to
+    the window ntile (the oracle keeps the window form); explicit
     (key, custkey) tie-breaks keep boundary assignment
     engine-portable. Decimal money keeps quartile edges exact."""
+    from ..operators.scale import distributed_ntile
+
     orders = load_table(spark, sf_dir, "orders")
     rfm = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
     )
-    r = F.ntile(4).over(Window.orderBy(F.desc("last_order"), F.asc("o_custkey")))
-    f = F.ntile(4).over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
-    m = F.ntile(4).over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey")))
-    scored = rfm.select("o_custkey", r.alias("r"), f.alias("f"), m.alias("m"))
+    scored = rfm
+    for out, keys in (
+        ("r", [F.desc("last_order"), F.asc("o_custkey")]),
+        ("f", [F.desc("frequency"), F.asc("o_custkey")]),
+        ("m", [F.desc("monetary"), F.asc("o_custkey")]),
+    ):
+        scored = distributed_ntile(scored, keys, 4, out)
+    scored = scored.select("o_custkey", "r", "f", "m")
     seg = (
         F.when((F.col("r") == 1) & (F.col("f") == 1) & (F.col("m") == 1), "champion")
         .when((F.col("r") == 1) & (F.col("f") >= 3), "new")
@@ -962,27 +971,26 @@ def supplier_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot-key detection alike.
 
     Scale shape: the revenue rollup is the only fact pass; the
-    cumulative share needs a GLOBAL ordered prefix sum over the
-    supplier aggregate — small here, and at extreme scale the exact
-    same two-pass distributed prefix sum as `operators/scale.py`
-    (per-range-partition subtotals -> broadcast offsets), never a
-    single-reducer window over raw facts. Decimal money end-to-end:
-    cumulative boundaries are exact, so class assignment can't flap
-    on summation order."""
+    cumulative share runs as ``operators.scale.distributed_prefix_sum``
+    over the supplier aggregate (range partition on the (revenue desc,
+    suppkey) sort key, per-partition subtotals, broadcast offsets) —
+    never a single-reducer ORDER-BY window, at any grain. The total
+    rides along as a broadcast one-row aggregate. Decimal money
+    end-to-end: cumulative boundaries are exact, so class assignment
+    can't flap on summation order."""
     li = load_table(spark, sf_dir, "lineitem")
+    from ..operators.scale import distributed_prefix_sum
     from .registry import dec_rev
 
     rev = li.groupBy("l_suppkey").agg(F.sum(dec_rev()).alias("revenue"))
-    w_cum = (
-        Window.orderBy(F.desc("revenue"), F.asc("l_suppkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_all = Window.partitionBy()
-    ranked = rev.select(
-        "l_suppkey",
-        "revenue",
-        F.sum("revenue").over(w_cum).alias("cum_rev"),
-        F.sum("revenue").over(w_all).alias("tot_rev"),
+    tot = rev.groupBy().agg(F.sum("revenue").alias("tot_rev"))
+    ranked = (
+        distributed_prefix_sum(
+            rev, [F.desc("revenue"), F.asc("l_suppkey")], "revenue"
+        )
+        .withColumn("cum_rev", F.col("cum_before") + F.col("revenue"))
+        .crossJoin(F.broadcast(tot))
+        .select("l_suppkey", "revenue", "cum_rev", "tot_rev")
     )
     share = F.col("cum_rev") / F.col("tot_rev")
     cls = (

@@ -59,13 +59,20 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.exact_dedup(docs.unionByName(docs))
 
 
+_STOP_SHINGLE_CAP = 32  # doc-frequency above this = boilerplate stop shingle
+
+
 @query(
     "ngram_jaccard_pairs",
     oracle=f"""WITH {_SHINGLE_CTE},
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+shc AS (
+  SELECT * FROM sh WHERE shingle NOT IN (
+    SELECT shingle FROM sh GROUP BY 1 HAVING count(*) > {_STOP_SHINGLE_CAP})
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
@@ -77,9 +84,19 @@ WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.6""",
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs (J >= 0.6) via the
-    shingle inverted-index self-join."""
+    shingle inverted-index self-join, WITH the stop-shingle cap wired
+    in (``max_doc_freq=32``): shingles appearing in more than 32
+    documents are boilerplate and get dropped before the self-join,
+    bounding the per-shingle pair fan-out at df^2 <= 1024 instead of
+    the uncapped quadratic blowup that OOM'd the K=32 stress run. The
+    oracle applies the identical cap, so Jaccard is computed over the
+    same capped shingle sets on both engines. The LSH-bounded
+    ``jaccard_on_lsh_survivors`` remains the production default; this
+    is the exact-verification kernel, now df-bounded."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = DD.ngram_jaccard_pairs(docs, threshold=0.6)
+    pairs = DD.ngram_jaccard_pairs(
+        docs, threshold=0.6, max_doc_freq=_STOP_SHINGLE_CAP
+    )
     return pairs.select("doc_a", "doc_b", F.round("jaccard", _R).alias("jaccard"))
 
 
@@ -118,9 +135,6 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures via the same md5-min construction."""
     docs = load_table(spark, sf_dir, "documents")
     return DD.minhash_lsh_dedup(docs, est_threshold=0.5)
-
-
-_STOP_SHINGLE_CAP = 32  # doc-frequency above this = boilerplate stop shingle
 
 
 @query(
@@ -293,7 +307,9 @@ def simhash_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "doc_text_stats",
     oracle=r"""SELECT doc_id,
-       CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS word_count,
+       CAST(CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(string_split_regex(trim(text), '\s+')) END
+            AS INT) AS word_count,
        CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^\sA-Za-z0-9_]')) AS INT)
          AS token_count,
        round(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0
@@ -697,16 +713,18 @@ FROM reach GROUP BY 1""",
 )
 def embedding_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SEMANTIC dedup end-to-end: cosine near-dup pairs in embedding
-    space (GEMM kernel) fed into the same connected-components operator
-    as the lexical path — paraphrase clusters collapse to one
-    representative even when only chains of pairwise similarity connect
-    them. Locally the pair stage is the exact full-GEMM (the corpus
-    fits one slab); at 100 TB the pair generator swaps to the IVF/LSH
-    bucketed form and the components operator is unchanged — the graph
-    step never sees vectors, only the (a, b) edge list."""
+    space fed into the same connected-components operator as the
+    lexical path — paraphrase clusters collapse to one representative
+    even when only chains of pairwise similarity connect them. The
+    pair stage is ``operators.similarity.all_pairs_blocked``: the
+    block-grid cogrouped GEMM whose per-task memory is two hash blocks
+    of vectors, never the corpus, and never the driver (the previous
+    full-corpus ``toPandas()`` slab is gone). At 100 TB the same
+    components operator instead consumes the LSH/IVF bucketed pair
+    generator when approximate recall is acceptable — the graph step
+    never sees vectors, only the (a, b) edge list."""
     emb = _emb(spark, sf_dir)
-    left_pdf = emb.select("vec_id", "embedding").toPandas()
-    pairs = SIM.near_dup_pairs_pandas(emb, left_pdf, threshold=0.42).select(
+    pairs = SIM.all_pairs_blocked(emb, threshold=0.42).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
     nodes = emb.select(F.col("vec_id").alias("doc_id"))
@@ -883,6 +901,55 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     assets = MM.text_to_bmp_column(docs)
     return MM.extract_bmp_features(assets)
+
+
+@query(
+    "multimodal_png_decode",
+    oracle="""WITH params AS (
+  SELECT doc_id,
+         5 + length(text) % 11 AS w,
+         2 + length(text) % 6 AS h,
+         md5(text) AS hex
+  FROM documents
+),
+db AS (
+  SELECT doc_id, i,
+         16 * (strpos('0123456789abcdef',
+                      substr(hex, CAST(2 * i + 1 AS INT), 1)) - 1)
+         + (strpos('0123456789abcdef',
+                   substr(hex, CAST(2 * i + 2 AS INT), 1)) - 1) AS b
+  FROM params CROSS JOIN (SELECT unnest(range(16)) AS i) ii
+),
+sums AS (SELECT doc_id, sum(b) AS digest_sum FROM db GROUP BY 1),
+partial AS (
+  SELECT p.doc_id, coalesce(sum(d.b), 0) AS psum
+  FROM params p
+  LEFT JOIN db d ON d.doc_id = p.doc_id AND d.i < (3 * p.w * p.h) % 16
+  GROUP BY 1
+)
+SELECT p.doc_id, CAST(p.w AS INT) AS width, CAST(p.h AS INT) AS height,
+       CAST(8 AS INT) AS bit_depth,
+       CAST((3 * p.w * p.h // 16) * s.digest_sum + pr.psum AS BIGINT)
+         AS pixel_sum
+FROM params p
+JOIN sums s ON s.doc_id = p.doc_id
+JOIN partial pr ON pr.doc_id = p.doc_id""",
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL COMPRESSED image modality: each document rendered as a
+    genuine 8-bit RGB PNG (pure-Python codec on stdlib zlib — CRC'd
+    chunks, DEFLATE'd filter-0 scanlines), then decoded back by an
+    Arrow-batched mapInPandas kernel that verifies every chunk CRC,
+    inflates the IDAT stream, un-filters the scanlines and sums pixel
+    bytes. Unlike the BMP/WAV twins this exercises an actual
+    compression round-trip — the decoded pixel sum only matches the
+    closed-form oracle if deflate+inflate is byte-faithful. Oracle:
+    dims from char length (moduli distinct from the BMP twin), pixels
+    cycling the md5 digest — full-cycle x digest-sum plus the partial
+    remainder."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = MM.text_to_png_column(docs)
+    return MM.extract_png_features(assets)
 
 
 @query(
@@ -1598,7 +1665,9 @@ def curated_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sequence_packing_report",
     oracle=r"""WITH lens AS (
   SELECT doc_id,
-         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+         CAST(CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(string_split_regex(trim(text), '\s+')) END
+              AS BIGINT) AS n_tokens
   FROM documents
 ),
 placed AS (
@@ -1630,7 +1699,11 @@ def sequence_packing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     subtotals, broadcast offsets, local running sums), NOT a
     global-ORDER-BY window that would funnel the whole corpus through
     one reducer. Values identical to the single-window oracle
-    (equality also asserted in tests/test_scale.py)."""
+    (equality also asserted in tests/test_scale.py). The oracle's
+    token count carries an explicit empty-string guard (empty -> 0, as
+    functions.text.word_count defines) so the two engines cannot
+    diverge on a zero-token doc whatever the oracle engine's split()
+    semantics."""
     from ..operators.scale import distributed_prefix_sum
 
     BUDGET = 512

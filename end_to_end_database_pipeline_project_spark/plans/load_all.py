@@ -95,97 +95,95 @@ except ImportError:
 # should hold every capability family that has not yet earned a green
 # driver row, not whichever pack happened to import first.
 #
-# Rounds 1-2 hard-verified the reference/relational surface (the old
-# first 50) twice.  Round 3 promotes the previously-unchecked families —
-# LSH/text/ANN/BM25/curation/multimodal/streaming/sources/scale/UDF/
-# TPC-H — into the checked window.  Redundant twins of a promoted query
-# (the `_pandas` variants, trivial projections) and the already-green 50
-# follow after slot 50; names listed here but not (yet) registered are
-# skipped harmlessly so the list can anticipate queries added later in
-# the round.
+# Rounds 1-2 hard-verified the reference/relational surface twice;
+# round 3 promoted the LSH/text/ANN/BM25/curation/multimodal/streaming/
+# sources/scale/UDF families (49/50 green in CORRECTNESS_r03).  Round 4
+# rotates: everything green in r01-r03 moves below the window (the
+# judge's full mirror still checks it), and the 50 slots fund
+# (a) the one red r03 row re-checked after its oracle hardening,
+# (b) every query whose plan or semantics CHANGED this round,
+# (c) one representative per never-driver-checked capability family —
+# TPC-H wide joins, mergeable sketches, governance, MV rewrite, the
+# wave-3 stats/experimentation pack, XML/ORC roundtrips, span removal,
+# retrieval fusion, graph algorithms, time-series repair.  Names listed
+# but not (yet) registered are skipped harmlessly.
 
 _DRIVER_FIRST = [
-    # near-dup / dedup beyond the two already-green ones
-    "minhash_lsh_pairs",
-    "jaccard_on_lsh_survivors",
-    "neardup_components",
-    "simhash_fingerprints",
-    # text analysis (repetition-score and raw-stats twins follow the
-    # window — quality scoring and PII scrubbing cover the hygiene
-    # family)
-    "doc_quality_scores",
-    "pii_scrubbed_docs",
-    # ANN / similarity
-    "knn_topk",
-    "embedding_near_dup_pairs",
-    "ivf_multiprobe_topk",
-    "bm25_retrieval",
-    # curation pipeline
-    "deterministic_split",
-    "decontamination_flags",
-    "full_curation_run",
+    # (a) the single red row of CORRECTNESS_r03 — hash mismatch that
+    # never reproduced locally; its oracle now carries the empty-text
+    # token-count guard so the engines cannot diverge on tokenization
     "sequence_packing_report",
-    # multimodal binary columns (wav-codec twin follows the window —
-    # the bmp codec covers real-binary decode)
-    "multimodal_features",
-    "multimodal_bmp_decode",
-    # structured streaming (batch-equivalence forms; sliding/session
-    # windows and the serving rollup follow the checked window —
-    # tumbling + upsert cover the mechanisms)
-    "streaming_hourly_window",
-    "stateful_user_totals",
-    "stream_stream_join",
-    "asof_last_purchase",
-    "observation_upsert",
-    # sources / sinks (orc + geojson variants follow the window;
-    # http-connector + csv + ddl cover the family)
-    "sql_ddl_pipeline",
-    # scale operators (join-salting twin follows the window;
-    # agg-salting covers the mechanism)
-    "salted_event_stats",
-    "bucketed_orders_revenue",
-    # sketch certificate: the one red row from r01/r02 (HLL); the
-    # approx-percentile twin follows the window
-    "approx_distinct_orders",
-    # pandas UDF surface (the scalar/UDAF twins follow the window —
-    # grouped-map is the representative arrow-batched form)
-    "grouped_map_zscores",
-    # round-3 families: connector, VARIANT, recursive CTE, mergeable
-    # sketches (exact bitmap path), substring-level dedup
-    "http_api_source_scan",
-    # round-3 curation wave: each a new capability family (twins of
-    # already-windowed mechanisms — chunking, hard negatives — follow
-    # the window for the judge's mirror)
-    "bloom_incremental_dedup",
-    "bigram_lm_scores",
-    "tfidf_cosine_topk",
-    "pagerank_customer_supplier",
-    "source_quota_cap",
-    # late round-3 families: connectors/table protocols, spatial,
-    # skyline, incremental maintenance, embedding diagnostics
-    "kv_cache_sink_roundtrip",
-    "versioned_time_travel",
-    "stations_within_500km",
-    "order_value_frontier",
-    "incremental_rollup_merge",
-    "variant_event_props",
-    "monthly_order_spine",
-    "bitmap_distinct_users",
-    "duplicate_span_stats",
-    # round-3 wave 2: governance/analytics + embedding-era curation —
-    # each a new capability family (snapshot-diff / BPE / cohesion /
-    # serving twins moved below the window to fund these slots)
-    "data_quality_report",
-    "mad_outlier_days",
-    "ewma_daily_value",
-    "trading_triangles",
-    "semantic_dedup_report",
-    "dsir_importance_weights",
-    "source_weighted_topk_sample",
-    "sq8_ann_topk",
-    # the one red row of CORRECTNESS_r02 (stale-reader artifact — the
-    # NTZ fixture landed after r02's code snapshot): re-check it green
-    "lineage_stamped_load",
+    # (b) changed this round: stop-shingle cap wired into the
+    # standalone exact-Jaccard; pair stage de-drivered to the blocked
+    # cogroup GEMM; ntile/cumsum globals replaced by the two-pass
+    # distributed forms; new compressed-format codec
+    "ngram_jaccard_pairs",
+    "embedding_dedup_components",
+    "customer_rfm_segments",
+    "supplier_pareto_abc",
+    "multimodal_png_decode",
+    # (c) never-driver-checked families, one representative each
+    # TPC-H at its widest (6-table joins, two-sided aggregates)
+    "market_share",
+    "product_profit_by_nation",
+    "volume_shipping",
+    # mergeable sketches / partitioned distinct
+    "hll_partitioned_distinct",
+    "rolling_distinct_users_7d",
+    "heavy_hitter_users",
+    # governance / compliance
+    "gdpr_erasure_report",
+    # MV catalog + automatic rewrite
+    "mv_rewrite_report",
+    # wave-3 stats & experimentation
+    "ols_daily_trend",
+    "ab_conversion_ztest",
+    "event_weekday_chi2",
+    "conversion_survival",
+    "event_transition_matrix",
+    "mix_shift_decomposition",
+    "quantile_normalized_scores",
+    # sources / formats
+    "xml_roundtrip_nations",
+    "orc_roundtrip_orders",
+    # substring dedup: span REMOVAL (stats already green r03)
+    "duplicate_span_removal",
+    # retrieval fusion + curation
+    "hybrid_rrf_retrieval",
+    "hard_negative_mining",
+    "bpe_train_merges",
+    "quality_classifier_scores",
+    "collocation_pmi_top",
+    "doc_chunks_overlap",
+    "corpus_snapshot_diff",
+    "stratified_sample",
+    "incremental_neardup_batch",
+    # text analysis beyond quality/PII
+    "doc_language_id",
+    "doc_word_entropy",
+    "vocab_oov_rates",
+    # ANN second scale path + embedding diagnostics
+    "srp_lsh_topk",
+    "embedding_cluster_cohesion",
+    # graph algorithms beyond pagerank/triangles
+    "trading_kcore",
+    "supplier_reach_hops",
+    # window-distribution family
+    "customer_balance_deciles",
+    "order_value_distribution",
+    # time-series repair / temporal modeling
+    "hourly_gap_fill",
+    "hourly_linear_interpolation",
+    "scd2_value_intervals",
+    # behavioral analytics
+    "session_funnel",
+    "retention_cohorts",
+    # bounded-error certificate (HLL twin went green r03)
+    "approx_quantile_bounded",
+    # dataset profiling
+    "lineitem_profile",
+    # modern-SQL pack
+    "lateral_top_nations",
 ]
 
 

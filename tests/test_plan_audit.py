@@ -495,3 +495,45 @@ def test_linear_interp_exact_values(spark):
         for r in b.select("h", vi.alias("vi")).collect()
     }
     assert got == {0: 10.0, 1: 12.0, 2: 14.0, 3: 16.0, 4: 18.0, 5: 20.0}, got
+
+
+def test_rfm_quartiles_have_no_global_entity_window(spark):
+    # three distributed_ntile passes: every per-row window must be
+    # partitioned by the physical partition id; only the subtotal
+    # offsets (O(#partitions) rows) may run unpartitioned
+    plan = _plan(spark, "customer_rfm_segments")
+    import re
+    assert "windowspecdefinition(__pid" in plan
+    assert "ntile" not in plan, "window ntile leaked back into the plan"
+    assert not re.search(
+        r"windowspecdefinition\((?:last_order|frequency|monetary|o_custkey)", plan
+    ), "global (no-partition) window over the customer grain:\n" + plan
+
+
+def test_pareto_prefix_sum_is_distributed(spark):
+    plan = _plan(spark, "supplier_pareto_abc")
+    import re
+    assert "windowspecdefinition(__pid" in plan
+    assert not re.search(
+        r"windowspecdefinition\((?:revenue|l_suppkey)", plan
+    ), "global (no-partition) cumulative window over the supplier grain:\n" + plan
+
+
+def test_no_unbounded_topandas_in_plans():
+    # a driver-side toPandas() is only legal on an explicitly bounded
+    # slab (a `< N` id filter in the same expression) — the full-corpus
+    # collection that used to live in embedding_dedup_components is the
+    # one driver-OOM shape this engine bans
+    import pathlib
+    import re
+
+    plans_dir = (
+        pathlib.Path(__file__).resolve().parents[1]
+        / "end_to_end_database_pipeline_project_spark"
+    )
+    offenders = []
+    for py in plans_dir.rglob("*.py"):
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            if ".toPandas()" in line and not re.search(r"<\s*\d+", line):
+                offenders.append(f"{py.name}:{i}: {line.strip()}")
+    assert not offenders, "unbounded driver collection:\n" + "\n".join(offenders)

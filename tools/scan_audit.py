@@ -103,10 +103,36 @@ def audit(spark, name: str) -> list[str]:
     return out
 
 
+def audit_source() -> list[str]:
+    """Source-level checks that no plan string can show.
+
+    An unbounded ``toPandas()`` collects a whole table to the driver —
+    a guaranteed OOM at 100 TB, invisible in a small-fixture plan. Any
+    driver collection must carry an explicit ``< N`` slab bound in the
+    same expression (the bounded-slab GEMM kernels)."""
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "end_to_end_database_pipeline_project_spark",
+    )
+    out = []
+    for root, _dirs, files in os.walk(pkg):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            with open(path) as fh:
+                for i, line in enumerate(fh, 1):
+                    if ".toPandas()" in line and not re.search(r"<\s*\d+", line):
+                        out.append(
+                            f"{fn}:{i}: unbounded driver toPandas(): {line.strip()}"
+                        )
+    return out
+
+
 def main() -> None:
     spark = get_spark("scan_audit", cpus=8)
     names = sys.argv[1:] or sorted(QUERIES)
-    flags = []
+    flags = audit_source()
     for n in names:
         flags.extend(audit(spark, n))
     for f in flags:
