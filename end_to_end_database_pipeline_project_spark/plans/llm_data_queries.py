@@ -1006,6 +1006,57 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_jpeg_decode",
+    oracle="""WITH params AS (
+  SELECT doc_id,
+         2 + length(text) % 5 AS wb,
+         2 + length(text) % 4 AS hb,
+         md5(text) AS hex
+  FROM documents
+),
+db AS (
+  SELECT doc_id, i,
+         16 * (strpos('0123456789abcdef',
+                      substr(hex, CAST(2 * i + 1 AS INT), 1)) - 1)
+         + (strpos('0123456789abcdef',
+                   substr(hex, CAST(2 * i + 2 AS INT), 1)) - 1) AS b
+  FROM params CROSS JOIN (SELECT unnest(range(16)) AS i) ii
+),
+sums AS (SELECT doc_id, sum(b) AS digest_sum FROM db GROUP BY 1),
+partial AS (
+  SELECT p.doc_id, coalesce(sum(d.b), 0) AS psum
+  FROM params p
+  LEFT JOIN db d ON d.doc_id = p.doc_id AND d.i < (p.wb * p.hb) % 16
+  GROUP BY 1
+)
+SELECT p.doc_id, CAST(8 * p.wb AS INT) AS width,
+       CAST(8 * p.hb AS INT) AS height,
+       CAST(p.wb * p.hb AS INT) AS n_blocks,
+       CAST(64 * ((p.wb * p.hb // 16) * s.digest_sum + pr.psum) AS BIGINT)
+         AS pixel_sum
+FROM params p
+JOIN sums s ON s.doc_id = p.doc_id
+JOIN partial pr ON pr.doc_id = p.doc_id""",
+)
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ENTROPY-CODED image modality: each document rendered as a
+    genuine baseline JPEG (pure-Python codec — JFIF markers, forward
+    DCT, zigzag, differential-DC / run-length-AC Huffman coding with
+    byte stuffing), then decoded back by an Arrow-batched mapInPandas
+    kernel that rebuilds the canonical Huffman tables from DHT, reads
+    the un-stuffed entropy scan, dequantizes and IDCTs every block.
+    The synthesizer emits flat 8x8 blocks (gray level cycling the md5
+    digest) under a unit quant table, for which the lossy transform is
+    exactly invertible — DC = 8*(v-128) is an integer preserved by
+    rounding — so the whole Huffman/DCT round-trip is value-checked by
+    the same closed-form full-cycle + remainder oracle as the other
+    image codecs (pixel_sum = 64 * sum of block gray levels)."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = MM.text_to_jpeg_column(docs)
+    return MM.extract_jpeg_features(assets)
+
+
+@query(
     "multimodal_frame_sample",
     oracle="""WITH f AS (
   SELECT doc_id, text,

@@ -122,6 +122,7 @@ _DRIVER_FIRST = [
     "customer_rfm_segments",
     "supplier_pareto_abc",
     "multimodal_png_decode",
+    "multimodal_jpeg_decode",
     # (c) never-driver-checked families, one representative each
     # TPC-H at its widest (6-table joins, two-sided aggregates)
     "market_share",
@@ -170,7 +171,6 @@ _DRIVER_FIRST = [
     "supplier_reach_hops",
     # window-distribution family
     "customer_balance_deciles",
-    "order_value_distribution",
     # time-series repair / temporal modeling
     "hourly_gap_fill",
     "hourly_linear_interpolation",

@@ -57,8 +57,17 @@ def test_decode_stub_dispatches_bmp():
     feats = decode_stub(bmp, "image/bmp")
     assert feats["modality"] == "image"
     assert feats["byte_len"] == len(bmp)
-    with pytest.raises(NotImplementedError):
+    # JPEG is now a real decoder: valid streams dispatch, garbage raises
+    from end_to_end_database_pipeline_project_spark.operators.multimodal import (
+        encode_jpeg_gray,
+    )
+
+    jpg = encode_jpeg_gray(8, 8, bytes(64))
+    assert decode_stub(jpg, "image/jpeg")["modality"] == "image"
+    with pytest.raises(ValueError, match="truncated"):
         decode_stub(b"\xff\xd8\xff", "image/jpeg")
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"\x00", "video/mp4")
 
 
 # ------------------------------------------------------------ WAV codec
