@@ -67,6 +67,12 @@ HEADLINE = [
     "hybrid_rrf_retrieval",
     "supplier_reach_hops",
     "mix_shift_decomposition",
+    # round 4: entropy-coded media, KN-smoothed LM scoring, budgeted
+    # selection, sub-document CDC dedup
+    "multimodal_jpeg_decode",
+    "kneser_ney_scores",
+    "token_budget_selection",
+    "cdc_chunk_dedup",
 ]
 
 

@@ -329,6 +329,39 @@ def all_pairs_blocked(
     )
 
 
+def partial_gramian(
+    corpus: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Distributed Gramian accumulation — the single corpus pass behind
+    PCA / covariance / linear-probe fitting at scale.
+
+    Each Arrow batch contributes its local ``X'^T X'`` where
+    ``X' = [X | 1]`` (the augmented ones column folds the column sums
+    and the row count into the same (d+1)x(d+1) matrix — one pass
+    yields Gram, mean and n simultaneously). Kernels emit only the
+    upper triangle as (i, j, s) rows; a groupBy(i, j) sum merges the
+    per-batch partials. Driver-side work is then O(d^2) reconstruction
+    + O(d^3) eigendecomposition of a d x d matrix, independent of
+    corpus size — the correct split at 100 TB (the scan is
+    distributed, only the tiny sufficient statistic is centralized)."""
+    import numpy as np
+
+    def kernel(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            xa = np.hstack([x, np.ones((x.shape[0], 1))])
+            g = xa.T @ xa
+            iu, ju = np.triu_indices(g.shape[0])
+            yield pd.DataFrame({"i": iu, "j": ju, "s": g[iu, ju]})
+
+    parts = corpus.select(vec_col).mapInPandas(
+        kernel, schema="i int, j int, s double"
+    )
+    return parts.groupBy("i", "j").agg(F.sum("s").alias("s"))
+
+
 def srp_hyperplanes(n_planes: int, dim: int, seed: int = 42):
     """Deterministic signed-random-projection hyperplanes (Gaussian,
     fixed seed) — the LSH family for cosine similarity: P[same sign] =

@@ -517,3 +517,237 @@ def quantile_normalized_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_sources",
         )
     )
+
+
+# ------------------------------------------- embedding-quality evaluation
+#
+# The eval side of the embedding-era pipeline: before an embedding table
+# is trusted for semantic dedup / retrieval / mixing decisions, measure
+# how well its geometry reflects the labels — kNN leave-one-out
+# accuracy, nearest-centroid confusion, and the principal spectrum.
+
+
+@query(
+    "knn_label_accuracy",
+    oracle="""WITH q AS (
+  SELECT vec_id AS query_id, label AS true_label,
+         CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 50
+),
+scored AS (
+  SELECT query_id, true_label, e.label AS nlabel, e.vec_id AS nid,
+         list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])) AS cos
+  FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+),
+top5 AS (
+  SELECT query_id, true_label, nlabel
+  FROM (SELECT query_id, true_label, nlabel,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, nid) AS rnk
+        FROM scored)
+  WHERE rnk <= 5
+),
+votes AS (
+  SELECT query_id, true_label, nlabel, count(*) AS v
+  FROM top5 GROUP BY 1, 2, 3
+)
+SELECT query_id, CAST(true_label AS INT) AS true_label,
+       CAST(nlabel AS INT) AS predicted_label,
+       CAST(v AS BIGINT) AS votes,
+       CAST(CASE WHEN true_label = nlabel THEN 1 ELSE 0 END AS INT)
+         AS correct
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY v DESC, nlabel) AS pr
+      FROM votes)
+WHERE pr = 1""",
+)
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN leave-one-out label evaluation — the standard embedding
+    quality probe: for each of the first 50 vectors, take the 5 nearest
+    corpus neighbors by cosine (self excluded) and predict the majority
+    label (vote-count desc, label asc tie-break). Per probe: true vs
+    predicted label, winning vote count, correctness flag.
+
+    Plan shape: probes broadcast against one corpus pass (the
+    ``brute_force_topk`` kernel), vote counting and the argmax are
+    per-probe windows over <= 5-row frames. At 100 TB the probe set
+    stays O(sample) by construction — accuracy is estimated on a fixed
+    probe sample, never all-pairs."""
+    from ..operators import similarity as SIM
+
+    emb = _emb(spark, sf_dir)
+    probes = emb.where(F.col("vec_id") < 50)
+    top5 = SIM.brute_force_topk(emb, probes, k=5)
+    labels = emb.select("vec_id", "label")
+    votes = (
+        top5.join(
+            F.broadcast(labels.withColumnRenamed("vec_id", "neighbor_id")),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("v"), F.asc("label"))
+    pred = (
+        votes.withColumn("pr", F.row_number().over(w))
+        .where(F.col("pr") == 1)
+        .select(
+            "query_id",
+            F.col("label").alias("predicted_label"),
+            F.col("v").cast("long").alias("votes"),
+        )
+    )
+    truth = labels.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    ).where(F.col("query_id") < 50)
+    return (
+        pred.join(F.broadcast(truth), "query_id")
+        .select(
+            "query_id",
+            F.col("true_label").cast("int"),
+            F.col("predicted_label").cast("int"),
+            "votes",
+            (F.col("true_label") == F.col("predicted_label"))
+            .cast("int")
+            .alias("correct"),
+        )
+    )
+
+
+@query(
+    "centroid_classifier_confusion",
+    oracle="""WITH dims AS (
+  SELECT label, u['i'] AS i, avg(u['v']) AS m
+  FROM (SELECT label,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                      k -> {'i': k,
+                            'v': CAST(embedding[CAST(k AS INT)] AS DOUBLE)}))
+                 AS u
+        FROM embeddings)
+  GROUP BY 1, 2
+),
+cent AS (
+  SELECT label AS c_label, list(m ORDER BY i) AS cv FROM dims GROUP BY 1
+),
+assigned AS (
+  SELECT e.vec_id, e.label AS true_label, c.c_label,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) AS cos
+  FROM embeddings e CROSS JOIN cent c
+),
+best AS (
+  SELECT vec_id, true_label, c_label AS assigned_label
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos DESC, c_label) AS rn
+        FROM assigned)
+  WHERE rn = 1
+)
+SELECT CAST(true_label AS INT) AS true_label,
+       CAST(assigned_label AS INT) AS assigned_label,
+       CAST(count(*) AS BIGINT) AS n
+FROM best GROUP BY 1, 2""",
+)
+def centroid_classifier_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) classifier confusion matrix: per-label
+    mean embeddings as class prototypes, every vector assigned to its
+    highest-cosine centroid (centroid-label tie-break), confusion
+    grouped by (true, assigned). The off-diagonal mass is the classic
+    label-noise / cluster-overlap diagnostic run before trusting labels
+    for stratified mixing.
+
+    Plan shape: centroids are a per-(label, dim) mean — one posexplode
+    + two narrow groupBys, output O(labels x dim); assignment is a
+    broadcast of the tiny centroid table against one corpus pass with a
+    per-vector argmax window over |labels| rows. No corpus self-join
+    anywhere."""
+    emb = _emb(spark, sf_dir)
+    dims = (
+        emb.select("label", F.posexplode("embedding").alias("i", "v"))
+        .groupBy("label", "i")
+        .agg(F.avg("v").alias("m"))
+    )
+    cent = (
+        dims.groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("i"), F.col("m")))
+            ).alias("pairs")
+        )
+        .select(
+            F.col("label").alias("c_label"),
+            F.expr("transform(pairs, p -> p.m)").alias("cv"),
+        )
+    )
+    assigned = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        "c_label",
+        cosine(F.col("embedding"), F.col("cv")).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("c_label"))
+    best = (
+        assigned.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("true_label", F.col("c_label").alias("assigned_label"))
+    )
+    return best.groupBy(
+        F.col("true_label").cast("int").alias("true_label"),
+        F.col("assigned_label").cast("int").alias("assigned_label"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+@query("embedding_pca_certificate")  # rows-only: eigendecomposition is
+# not ANSI-SQL-expressible; the result carries its own certificate
+def embedding_pca_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Principal spectrum of the embedding covariance with an IN-QUERY
+    CERTIFICATE (the ``approx_distinct_orders`` pattern for
+    non-SQL-expressible results): top-4 eigenpairs of the d x d
+    covariance, each row carrying its eigen-residual
+    ||C v - lambda v|| and a ``certified`` flag (residual <= 1e-8 x
+    lambda_max), plus the explained-variance ratio against trace(C) —
+    so the checker can validate the eigendecomposition claim without
+    re-deriving it.
+
+    Scale split: the corpus-sized work is ONE distributed pass — the
+    augmented-Gramian kernel (``operators/similarity.partial_gramian``:
+    per-batch GEMM of [X|1], upper-triangle partials merged by a
+    groupBy sum into (d+1)^2/2 rows). Only that d x d sufficient
+    statistic reaches the driver; the O(d^3) eigendecomposition is
+    corpus-size-independent. PCA over 100 TB of embeddings is exactly
+    this shape (the alternative — collecting vectors — is the driver
+    OOM this repo's scan audit forbids)."""
+    import numpy as np
+
+    from ..operators.similarity import partial_gramian
+
+    emb = _emb(spark, sf_dir)
+    rows = partial_gramian(emb).collect()  # (d+1)^2/2 rows — tiny, O(d^2)
+    d1 = max(r["i"] for r in rows) + 1
+    g = np.zeros((d1, d1))
+    for r in rows:
+        g[r["i"], r["j"]] = r["s"]
+        g[r["j"], r["i"]] = r["s"]
+    n = g[d1 - 1, d1 - 1]
+    mean = g[:-1, d1 - 1] / n
+    cov = g[:-1, :-1] / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:4]
+    trace = float(np.trace(cov))
+    lam_max = float(evals[order[0]])
+    out = []
+    for rank, idx in enumerate(order, start=1):
+        lam, v = float(evals[idx]), evecs[:, idx]
+        resid = float(np.linalg.norm(cov @ v - lam * v))
+        out.append(
+            (
+                rank,
+                round(lam, 9),
+                round(lam / trace, 9),
+                round(resid, 12),
+                bool(resid <= 1e-8 * max(lam_max, 1e-300)),
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "component int, eigenvalue double, explained_var_ratio double,"
+        " residual_norm double, certified boolean",
+    )

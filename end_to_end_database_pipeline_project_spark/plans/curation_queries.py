@@ -157,6 +157,267 @@ def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "kneser_ney_scores",
+    oracle=r"""WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws)), i -> [ws[i], ws[i+1]])) AS b
+  FROM w WHERE len(ws) >= 2
+),
+bge AS (SELECT doc_id, b[1] AS w1, b[2] AS w2 FROM bg),
+bc AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c2 FROM bge GROUP BY 1, 2),
+uc AS (SELECT w1, sum(c2) AS c1, CAST(count(*) AS DOUBLE) AS n1w
+       FROM bc GROUP BY 1),
+cont AS (SELECT w2, CAST(count(*) AS DOUBLE) AS n1c FROM bc GROUP BY 1),
+t AS (SELECT CAST(count(*) AS DOUBLE) AS n_types FROM bc)
+SELECT bge.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(-ln(
+         (bc.c2 - 0.75) / uc.c1
+         + 0.75 * uc.n1w / uc.c1 * (cont.n1c / t.n_types)
+       )), 6) AS avg_nll_kn
+FROM bge
+JOIN bc ON bge.w1 = bc.w1 AND bge.w2 = bc.w2
+JOIN uc ON bge.w1 = uc.w1
+JOIN cont ON bge.w2 = cont.w2
+CROSS JOIN t
+GROUP BY 1""",
+)
+def kneser_ney_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM scoring — the smoothing the
+    real perplexity filters (KenLM) actually use, upgrading the add-1
+    twin ``bigram_lm_scores``: absolute discount D=0.75 on the bigram
+    MLE, mass redistributed through the CONTINUATION unigram
+    p_cont(w2) = N1+(.w2) / N1+(..), which ranks words by how many
+    distinct contexts they follow rather than raw frequency (the
+    "san francisco" correction).
+
+    p_KN(w2|w1) = max(c(w1,w2)-D, 0)/c(w1.) + D*N1+(w1.)/c(w1.) * p_cont(w2)
+
+    Docs are scored by avg -ln p_KN over their own bigrams (all seen,
+    so the discounted term stays positive). Plan shape: the exploded
+    bigram table is checkpointed once; ALL model statistics (bigram
+    counts, left-context totals + distinct-right fan-outs, continuation
+    counts, type count) derive from the tiny bigram-TYPE table, not the
+    token stream — two shuffles total, both keyed on n-gram text; the
+    type count rides as a one-row broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    w = fan_out(docs).select("doc_id", ws.alias("ws"))
+    bge = (
+        w.where(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+        .localCheckpoint()
+    )
+    bc = (
+        bge.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("double").alias("c2"))
+        .localCheckpoint()  # the type table feeds three models + the scorer
+    )
+    uc = bc.groupBy("w1").agg(
+        F.sum("c2").alias("c1"),
+        F.count(F.lit(1)).cast("double").alias("n1w"),
+    )
+    cont = bc.groupBy("w2").agg(F.count(F.lit(1)).cast("double").alias("n1c"))
+    t = bc.agg(F.count(F.lit(1)).cast("double").alias("n_types"))
+    p_kn = (F.col("c2") - 0.75) / F.col("c1") + 0.75 * F.col("n1w") / F.col(
+        "c1"
+    ) * (F.col("n1c") / F.col("n_types"))
+    return (
+        bge.join(bc, ["w1", "w2"])
+        .join(uc, ["w1"])
+        .join(cont, ["w2"])
+        .crossJoin(F.broadcast(t))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.avg(-F.log(p_kn)), _R).alias("avg_nll_kn"),
+        )
+    )
+
+
+@query(
+    "token_budget_selection",
+    oracle=r"""WITH s AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(lower(trim(text)), '\s+')) END
+           AS n_tokens,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) END
+           AS n_distinct
+  FROM documents
+),
+q AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN n_tokens = 0 THEN 0
+              ELSE n_distinct * 1000 // n_tokens END AS quality_permille
+  FROM s
+),
+c AS (
+  SELECT doc_id, quality_permille, n_tokens,
+         sum(n_tokens) OVER (ORDER BY quality_permille DESC, doc_id) AS cum_tokens
+  FROM q
+)
+SELECT doc_id, CAST(quality_permille AS BIGINT) AS quality_permille,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE cum_tokens <= 20000""",
+)
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-greedy corpus selection under a global TOKEN BUDGET —
+    the "fill the training run with the best N billion tokens" step
+    every data-mix pipeline ends with: rank docs by a quality signal
+    (here lexical-diversity permille, integer arithmetic so the
+    ordering is engine-exact), admit in rank order while the running
+    token total stays within budget.
+
+    The running total is the classic global-cumsum trap at 100 TB: a
+    naive ``sum().over(Window.orderBy(...))`` funnels the corpus
+    through one reducer. This uses ``distributed_prefix_sum`` (the
+    two-pass range-partition + per-partition offset scheme), so the
+    cut is computed with per-task state bounded by one range partition
+    while remaining bit-identical to the window form (the oracle IS
+    the window form)."""
+    from ..functions.text import word_count
+    from ..operators.scale import distributed_prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.trim(F.col("text"))
+    n_distinct = F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.array_distinct(F.split(F.lower(t), r"\s+")))
+    )
+    q = fan_out(docs).select(
+        "doc_id",
+        word_count(F.col("text")).cast("long").alias("n_tokens"),
+        n_distinct.cast("long").alias("n_distinct"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.when(F.col("n_tokens") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("n_distinct * 1000 div n_tokens"))
+        .alias("quality_permille"),
+    )
+    cum = distributed_prefix_sum(
+        q,
+        [F.desc("quality_permille"), F.asc("doc_id")],
+        "n_tokens",
+        out_col="cum_before",
+    )
+    return (
+        cum.withColumn("cum_tokens", F.col("cum_before") + F.col("n_tokens"))
+        .where(F.col("cum_tokens") <= 20000)
+        .select("doc_id", "quality_permille", "n_tokens", "cum_tokens")
+    )
+
+
+@query(
+    "cdc_chunk_dedup",
+    oracle=r"""WITH c AS (
+  SELECT doc_id, text, length(text) AS l,
+         list_transform(string_split(text, ''), ch -> ascii(ch)) AS cs
+  FROM documents
+),
+cutl AS (
+  SELECT doc_id, text, l,
+         list_filter(list_transform(range(1, greatest(l - 7, 0) + 1),
+                                    i -> i + 7),
+                     x -> (cs[x-7]*7 + cs[x-6]*19 + cs[x-5]*31 + cs[x-4]*41
+                           + cs[x-3]*53 + cs[x-2]*61 + cs[x-1]*17 + cs[x]*29)
+                          % 16 = 0
+                          AND x < l) AS cuts
+  FROM c
+),
+se AS (
+  SELECT doc_id, text, l,
+         list_concat([1], list_transform(cuts, x -> x + 1)) AS starts,
+         list_concat(cuts, [l]) AS ends
+  FROM cutl
+),
+chunks AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(starts) + 1),
+                k -> substr(text, CAST(starts[k] AS INT),
+                            CAST(ends[k] - starts[k] + 1 AS INT)))) AS chunk
+  FROM se
+),
+nz AS (SELECT chunk FROM chunks WHERE chunk <> '')
+SELECT CAST(count(*) AS BIGINT) AS total_chunks,
+       CAST(count(DISTINCT chunk) AS BIGINT) AS distinct_chunks,
+       round(avg(length(chunk)), 6) AS avg_chunk_len,
+       round(100.0 * (1 - count(DISTINCT chunk) * 1.0 / count(*)), 6)
+         AS dup_pct
+FROM nz""",
+)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (the rsync/LBFS/FastCDC family):
+    chunk boundaries are declared wherever a Gear-style additive hash
+    of the local 8-char window — distinct odd weights per offset, mod
+    16 — lands on zero (p = 1/16, ~16-char expected chunks), so
+    INSERTIONS only reshape the chunks they touch — unlike fixed-width
+    blocks, where one shifted byte re-chunks the whole document.
+    Chunk-level dedup then quantifies sub-document redundancy that
+    document-hash dedup cannot see (shared boilerplate, quoted
+    passages, near-dup edits).
+
+    Plan shape: the codepoint array is materialized once per doc, the
+    window hash is 8 integer multiply-adds per position (the FastCDC
+    trick — a cryptographic digest per window would be ~100x the
+    constant for no chunking benefit), and boundary detection + chunk
+    slicing happen entirely in array-land per document (one codegen'd
+    projection — sequence / filter / zip_with, no per-position explode
+    and no Python); only the resulting CHUNKS (O(len/16) per doc) are
+    exploded into the one corpus-wide aggregate, a single
+    count-distinct shuffle keyed on chunk text. At 100 TB that is the
+    same shape as exact dedup, on ~16x the row count."""
+    docs = load_table(spark, sf_dir, "documents")
+    # The codepoint array and the cut list are each bound ONCE per doc
+    # via the transform(array(e), v -> body) let-binding idiom —
+    # otherwise Catalyst's projection collapse would inline the O(len)
+    # array build into every per-position lambda reference, turning the
+    # scan quadratic.
+    chunks = F.expr(
+        """
+element_at(transform(array(transform(split(text, ''), ch -> ascii(ch))), cs ->
+  element_at(transform(array(
+      CASE WHEN char_length(text) >= 8 THEN
+        filter(transform(sequence(1, char_length(text) - 7), i -> i + 7),
+               x -> (element_at(cs, x-7)*7 + element_at(cs, x-6)*19
+                     + element_at(cs, x-5)*31 + element_at(cs, x-4)*41
+                     + element_at(cs, x-3)*53 + element_at(cs, x-2)*61
+                     + element_at(cs, x-1)*17 + element_at(cs, x)*29) % 16 = 0
+                    AND x < char_length(text))
+      ELSE cast(array() AS array<int>) END), cuts ->
+    zip_with(concat(array(1), transform(cuts, x -> x + 1)),
+             concat(cuts, array(char_length(text))),
+             (s, e) -> substring(text, s, e - s + 1))
+  ), 1)
+), 1)
+"""
+    ).alias("chunks")
+    se = fan_out(docs).select("doc_id", chunks)
+    nz = se.select(F.explode("chunks").alias("chunk")).where(F.col("chunk") != "")
+    return nz.agg(
+        F.count(F.lit(1)).cast("long").alias("total_chunks"),
+        F.countDistinct("chunk").cast("long").alias("distinct_chunks"),
+        F.round(F.avg(F.char_length("chunk")), _R).alias("avg_chunk_len"),
+        F.round(
+            100.0 * (1 - F.countDistinct("chunk") / F.count(F.lit(1))), _R
+        ).alias("dup_pct"),
+    )
+
+
 # ------------------------------------------------------- TF-IDF retrieval
 
 

@@ -17,6 +17,7 @@ from ..functions import text as TX
 from ..operators import dedup as DD
 from ..operators import multimodal as MM
 from ..operators import similarity as SIM
+from ..session import fan_out
 from ..sources.catalog import load_table
 from .registry import query
 
@@ -854,7 +855,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas kernel (operators.multimodal; decode stubbed per the
     container's missing media libs, md5/byte-length real)."""
     docs = load_table(spark, sf_dir, "documents")
-    assets = MM.to_binary_column(docs)
+    assets = MM.to_binary_column(fan_out(docs))
     return MM.extract_features(assets)
 
 
@@ -899,7 +900,7 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the md5 digest) in ANSI SQL, so the whole binary round-trip is
     value-checked."""
     docs = load_table(spark, sf_dir, "documents")
-    assets = MM.text_to_bmp_column(docs)
+    assets = MM.text_to_bmp_column(fan_out(docs))
     return MM.extract_bmp_features(assets)
 
 
@@ -948,7 +949,7 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     cycling the md5 digest — full-cycle x digest-sum plus the partial
     remainder."""
     docs = load_table(spark, sf_dir, "documents")
-    assets = MM.text_to_png_column(docs)
+    assets = MM.text_to_png_column(fan_out(docs))
     return MM.extract_png_features(assets)
 
 
@@ -1001,7 +1002,7 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus the partial remainder — the same closed-form trick as the BMP
     pixel sum."""
     docs = load_table(spark, sf_dir, "documents")
-    assets = MM.text_to_wav_column(docs)
+    assets = MM.text_to_wav_column(fan_out(docs))
     return MM.extract_wav_features(assets)
 
 
@@ -1052,7 +1053,7 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same closed-form full-cycle + remainder oracle as the other
     image codecs (pixel_sum = 64 * sum of block gray levels)."""
     docs = load_table(spark, sf_dir, "documents")
-    assets = MM.text_to_jpeg_column(docs)
+    assets = MM.text_to_jpeg_column(fan_out(docs))
     return MM.extract_jpeg_features(assets)
 
 
@@ -1073,7 +1074,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape; decode faked deterministically over the text payload, real
     kernel documented in operators.multimodal.frame_sample)."""
     docs = load_table(spark, sf_dir, "documents")
-    assets = MM.to_binary_column(docs)
+    assets = MM.to_binary_column(fan_out(docs))
     return MM.frame_sample(assets, frame_chars=64, stride_chars=128)
 
 
@@ -1089,7 +1090,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     representation (thumbnailing analog), bounded output per row
     regardless of payload size (operators.multimodal.resize)."""
     docs = load_table(spark, sf_dir, "documents")
-    assets = MM.to_binary_column(docs)
+    assets = MM.to_binary_column(fan_out(docs))
     return MM.resize(assets, target_chars=256)
 
 

@@ -122,28 +122,34 @@ _DRIVER_FIRST = [
     "customer_rfm_segments",
     "supplier_pareto_abc",
     "multimodal_png_decode",
+    # (b') NEW this round: entropy-coded JPEG, Kneser-Ney LM scoring,
+    # budgeted greedy selection on the distributed prefix sum, CDC
+    # sub-document chunk dedup
     "multimodal_jpeg_decode",
+    "kneser_ney_scores",
+    "token_budget_selection",
+    "cdc_chunk_dedup",
+    "knn_label_accuracy",
+    "centroid_classifier_confusion",
     # (c) never-driver-checked families, one representative each
     # TPC-H at its widest (6-table joins, two-sided aggregates)
     "market_share",
     "product_profit_by_nation",
-    "volume_shipping",
     # mergeable sketches / partitioned distinct
     "hll_partitioned_distinct",
     "rolling_distinct_users_7d",
-    "heavy_hitter_users",
     # governance / compliance
     "gdpr_erasure_report",
     # MV catalog + automatic rewrite
     "mv_rewrite_report",
-    # wave-3 stats & experimentation
+    # wave-3 stats & experimentation (four of the seven reps — the
+    # family shares one sufficient-statistics discipline; chi2 /
+    # transition-matrix / quantile-norm ride the judge mirror and the
+    # K=64 stress table instead)
     "ols_daily_trend",
     "ab_conversion_ztest",
-    "event_weekday_chi2",
     "conversion_survival",
-    "event_transition_matrix",
     "mix_shift_decomposition",
-    "quantile_normalized_scores",
     # sources / formats
     "xml_roundtrip_nations",
     "orc_roundtrip_orders",
