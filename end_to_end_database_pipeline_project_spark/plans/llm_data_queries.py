@@ -192,6 +192,56 @@ surv AS (
   HAVING avg(CASE WHEN sa.sig = sb.sig THEN 1.0 ELSE 0.0 END) >= 0.5
 )"""
 
+@query(
+    "edit_distance_on_lsh_survivors",
+    oracle=f"""WITH {_LSH_SURV_CTE}
+SELECT s.doc_a, s.doc_b,
+       CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_distance,
+       round(CASE WHEN greatest(length(da.text), length(db.text)) = 0
+                  THEN 1.0
+                  ELSE 1.0 - levenshtein(da.text, db.text) * 1.0
+                       / greatest(length(da.text), length(db.text)) END,
+             6) AS similarity
+FROM surv s
+JOIN documents da ON da.doc_id = s.doc_a
+JOIN documents db ON db.doc_id = s.doc_b""",
+)
+def edit_distance_on_lsh_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup verification on the LSH-bounded pair
+    set: exact Levenshtein distance + normalized similarity for every
+    MinHash/LSH survivor pair — the edit-level complement of
+    ``jaccard_on_lsh_survivors`` (token-set Jaccard is blind to
+    reorderings and within-word edits; edit distance is not).
+
+    Levenshtein is O(|a|*|b|) per pair — the textbook quadratic you
+    must NEVER run all-pairs. Fusing it behind the LSH candidate
+    generator is the scale discipline: cost is O(survivors * len^2),
+    bounded by banding, while the full-corpus form would be
+    O(n^2 * len^2). Both engines ship the same DP primitive
+    (Spark ``levenshtein``, DuckDB ``levenshtein``), so the
+    verification stage is value-checked exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    survivors = DD.minhash_lsh_dedup(docs, est_threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+    ed = F.levenshtein("ta", "tb")
+    mx = F.greatest(F.char_length("ta"), F.char_length("tb"))
+    return (
+        survivors.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            ed.cast("long").alias("edit_distance"),
+            F.round(
+                F.when(mx == 0, F.lit(1.0)).otherwise(1.0 - ed / mx), _R
+            ).alias("similarity"),
+        )
+    )
+
+
 _COMPONENTS_CTE = f"""{_LSH_SURV_CTE},
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM surv

@@ -537,3 +537,81 @@ def test_no_unbounded_topandas_in_plans():
             if ".toPandas()" in line and not re.search(r"<\s*\d+", line):
                 offenders.append(f"{py.name}:{i}: {line.strip()}")
     assert not offenders, "unbounded driver collection:\n" + "\n".join(offenders)
+
+
+# ------------------------------------------------- round-4 additions
+
+
+def test_token_budget_prefix_sum_is_distributed(spark):
+    # the running token total must be the two-pass form: per-row windows
+    # partitioned by the physical partition id, offsets broadcast back —
+    # never a global ORDER BY window over the document grain
+    plan = _plan(spark, "token_budget_selection")
+    import re
+    assert "windowspecdefinition(__pid" in plan
+    assert not re.search(
+        r"windowspecdefinition\((?:quality_permille|n_tokens|doc_id)", plan
+    ), "global (no-partition) window over the document grain:\n" + plan
+
+
+def test_kneser_ney_models_read_checkpointed_type_table(spark):
+    # the bigram explode runs once into a checkpoint; ALL model
+    # statistics (bigram counts, context totals, continuation counts,
+    # type count) then derive from the checkpointed bigram-TYPE table —
+    # no second explode, no FileScan re-read; the type count rides as a
+    # one-row broadcast
+    plan = _plan(spark, "kneser_ney_scores")
+    assert "FileScan" not in plan, plan
+    assert "Generate explode" not in plan, "the corpus re-exploded:\n" + plan
+    assert "BroadcastNestedLoopJoin" in plan  # one-row type count
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_cdc_chunking_stays_native_with_one_explode(spark):
+    # boundary detection + slicing are array expressions (no Python
+    # evaluator anywhere); only the chunk explode generates rows, and
+    # the distinct aggregate combines map-side
+    plan = _plan(spark, "cdc_chunk_dedup")
+    assert "EvalPython" not in plan, plan
+    assert plan.count("Generate explode") == 1, plan
+    assert "partial_count" in plan
+
+
+def test_knn_probes_broadcast_against_one_corpus_pass(spark):
+    # the probe set rides a broadcast (the non-equi self-exclusion join
+    # plans as BroadcastNestedLoopJoin); the corpus is never self-joined
+    plan = _plan(spark, "knn_label_accuracy")
+    assert "BroadcastNestedLoopJoin BuildRight" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_centroid_confusion_broadcasts_prototypes(spark):
+    # the |labels|-row centroid table must broadcast against the corpus
+    # scan; assignment is an argmax window per vector, never a shuffle
+    # of the corpus against itself
+    plan = _plan(spark, "centroid_classifier_confusion")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_bitmap_set_algebra_reads_stored_state_only(spark):
+    # every count (per-type, union, intersection) derives from the
+    # checkpointed (type, bucket) bitmap table — a second FileScan of
+    # events would break the stored-sketch claim; unions OR-merge and
+    # intersections come from inclusion-exclusion, so no bitmap_and
+    plan = _plan(spark, "bitmap_set_algebra")
+    assert "FileScan" not in plan, plan
+    assert "bitmap_or_agg" in plan
+    # the checkpointed KB-sized state may be re-read per consumer
+    # (totals x2 for the pair self-join, the union path, the final
+    # join) — cheap by construction; what matters is zero fact scans
+    assert plan.count("Scan ExistingRDD") >= 2, plan
+
+
+def test_edit_distance_verifier_has_no_cartesian(spark):
+    # the O(len^2) Levenshtein DP must only run on LSH survivor pairs:
+    # texts join back by id (hash joins), never an all-pairs product
+    plan = _plan(spark, "edit_distance_on_lsh_survivors")
+    assert "levenshtein" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
