@@ -1887,3 +1887,93 @@ def ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, _R).alias("z_score"),
         (F.abs(z) > 1.959964).alias("significant"),
     )
+
+
+# ----------------------------------------------- resampling inference
+
+# Half-sample bootstrap membership: bit r of a 32-bit mask derived from
+# the first 8 hex chars of md5(o_orderkey) — engine-portable (md5 is the
+# shared deterministic hash), each replicate an independent ~half-sample.
+_BOOT_REPS = 32
+
+
+def _boot_bit_sql(r: int) -> str:
+    return (
+        f"((strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)),"
+        f" {r // 4 + 1}, 1)) - 1) >> {r % 4}) & 1"
+    )
+
+
+def _boot_oracle() -> str:
+    sums = ",\n       ".join(
+        f"sum(CASE WHEN {_boot_bit_sql(r)} = 1 THEN o_totalprice END) AS s{r},"
+        f" count(CASE WHEN {_boot_bit_sql(r)} = 1 THEN 1 END) AS c{r}"
+        for r in range(_BOOT_REPS)
+    )
+    means = ", ".join(f"s{r} / c{r}" for r in range(_BOOT_REPS))
+    n = _BOOT_REPS
+    lo_i, lo_w = int(0.025 * (n - 1)), 0.025 * (n - 1) - int(0.025 * (n - 1))
+    hi_i, hi_w = int(0.975 * (n - 1)), 0.975 * (n - 1) - int(0.975 * (n - 1))
+    return f"""WITH agg AS (
+  SELECT avg(o_totalprice) AS point_avg,
+       {sums}
+  FROM orders
+),
+ms AS (SELECT point_avg, list_sort([{means}]) AS m FROM agg)
+SELECT round(point_avg, 6) AS point_avg,
+       CAST({n} AS INT) AS n_reps,
+       round(m[{lo_i + 1}] + {lo_w} * (m[{lo_i + 2}] - m[{lo_i + 1}]), 6)
+         AS ci_lo,
+       round(m[{hi_i + 1}] + {hi_w} * (m[{hi_i + 2}] - m[{hi_i + 1}]), 6)
+         AS ci_hi
+FROM ms"""
+
+
+@query("half_sample_bootstrap_ci", oracle=_boot_oracle())
+def half_sample_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resampling-based uncertainty for the mean order value: 32
+    half-sample bootstrap replicates, each membership decided by one
+    bit of a 32-bit md5-derived mask per order (deterministic,
+    engine-portable, retry-safe — no rand()), with the 95% interval
+    read off the sorted replicate means by linear interpolation.
+
+    The scale discipline is the whole point: the naive bootstrap
+    explodes each row into its replicates (32x the fact scan). Here all
+    32 replicate (sum, count) pairs fold into ONE conditional aggregate
+    pass — 64 map-side-combined expressions over a single scan; the
+    interpolation then runs on a one-row, 32-value array. At 100 TB the
+    cost is one read of orders, identical to computing the plain mean."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def bit(r: int):
+        nibble = F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), r // 4 + 1, 1),
+            16,
+            10,
+        ).cast("int")
+        return (F.shiftright(nibble, r % 4) % 2) == 1
+
+    aggs = [F.avg("o_totalprice").alias("point_avg")]
+    for r in range(_BOOT_REPS):
+        aggs.append(F.sum(F.when(bit(r), F.col("o_totalprice"))).alias(f"s{r}"))
+        aggs.append(F.count(F.when(bit(r), F.lit(1))).alias(f"c{r}"))
+    one = orders.agg(*aggs)
+    means = F.array_sort(
+        F.array(*[F.col(f"s{r}") / F.col(f"c{r}") for r in range(_BOOT_REPS)])
+    )
+    n = _BOOT_REPS
+    lo_i, lo_w = int(0.025 * (n - 1)), 0.025 * (n - 1) - int(0.025 * (n - 1))
+    hi_i, hi_w = int(0.975 * (n - 1)), 0.975 * (n - 1) - int(0.975 * (n - 1))
+    m = means
+    lo = F.element_at(m, lo_i + 1) + F.lit(lo_w) * (
+        F.element_at(m, lo_i + 2) - F.element_at(m, lo_i + 1)
+    )
+    hi = F.element_at(m, hi_i + 1) + F.lit(hi_w) * (
+        F.element_at(m, hi_i + 2) - F.element_at(m, hi_i + 1)
+    )
+    return one.select(
+        F.round("point_avg", _R).alias("point_avg"),
+        F.lit(n).cast("int").alias("n_reps"),
+        F.round(lo, _R).alias("ci_lo"),
+        F.round(hi, _R).alias("ci_hi"),
+    )

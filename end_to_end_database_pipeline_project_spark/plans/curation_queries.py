@@ -1018,6 +1018,99 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "retraction_aggregate_maintenance",
+    oracle="""WITH kept AS (
+  SELECT o_orderkey, o_orderpriority,
+         CASE WHEN o_orderkey % 17 = 0
+              THEN CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                   + CAST(round(o_totalprice * 100, 0) AS BIGINT) // 10
+              ELSE CAST(round(o_totalprice * 100, 0) AS BIGINT) END AS cents
+  FROM orders WHERE o_orderkey % 13 <> 0
+),
+ins AS (
+  SELECT o_orderkey + 100000000 AS o_orderkey, o_orderpriority,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 19 = 0
+),
+allr AS (
+  SELECT o_orderpriority, cents FROM kept
+  UNION ALL SELECT o_orderpriority, cents FROM ins
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM allr GROUP BY 1""",
+)
+def retraction_aggregate_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRACTION-aware incremental aggregate maintenance — the half of
+    IVM that insert-only pipelines skip: a CDC batch carrying DELETEs
+    (keys % 13), UPDATEs (+10% price, keys % 17) and INSERTs (key-shifted
+    copies, keys % 19) is folded into the stored per-priority aggregate
+    by pure delta algebra — delete contributes (-1, -old), update
+    (0, new - old), insert (+1, +new) — with the measure in integer
+    cents so the retraction arithmetic is exact, not
+    float-order-dependent.
+
+    The ORACLE is the full recompute over the post-CDC table: the check
+    is precisely "state + deltas == recompute", the correctness
+    contract of retractions. Scale shape: the stored aggregate state is
+    checkpointed (O(groups) rows) and the maintenance path touches ONLY
+    the CDC batch — at 100 TB the base facts are never rescanned, which
+    is the entire point of maintaining aggregates under deletes instead
+    of re-running them."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    base = orders.select("o_orderkey", "o_orderpriority", cents.alias("cents"))
+    # the "stored" aggregate state over the pre-CDC table
+    state = (
+        base.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("s"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # CDC batch: op-tagged rows derived deterministically from the base
+    deletes = base.where(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderpriority",
+        F.lit(-1).cast("long").alias("dn"),
+        (-F.col("cents")).alias("ds"),
+    )
+    updates = base.where(
+        (F.col("o_orderkey") % 13 != 0) & (F.col("o_orderkey") % 17 == 0)
+    ).select(
+        "o_orderpriority",
+        F.lit(0).cast("long").alias("dn"),
+        # new - old where new = cents + cents div 10
+        F.expr("cents div 10").alias("ds"),
+    )
+    inserts = base.where(F.col("o_orderkey") % 19 == 0).select(
+        "o_orderpriority",
+        F.lit(1).cast("long").alias("dn"),
+        F.col("cents").alias("ds"),
+    )
+    deltas = (
+        deletes.unionByName(updates)
+        .unionByName(inserts)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("dn").alias("dn"), F.sum("ds").alias("ds"))
+    )
+    return (
+        state.join(deltas, "o_orderpriority", "full_outer")
+        .select(
+            "o_orderpriority",
+            (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0)))
+            .cast("long")
+            .alias("n_orders"),
+            (F.coalesce("s", F.lit(0)) + F.coalesce("ds", F.lit(0)))
+            .cast("long")
+            .alias("total_cents"),
+        )
+        .where(F.col("n_orders") > 0)
+    )
+
+
 # ------------------------------------------------------ collocation mining
 
 
