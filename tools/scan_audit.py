@@ -57,6 +57,9 @@ BNLJ_ALLOWED = {
     "hard_negative_mining": "broadcast side = 3 anchor vectors (label-inequality theta)",
     "rolling_distinct_users_7d": "days x id-buckets densify grid (bounded state: #days * id_space/2^15)",
     "idw_station_interpolation": "broadcast side = 20 probe grid points (forecast grid, bounded by construction)",
+    "knn_label_accuracy": "broadcast side = 50 probe vectors (self-exclusion theta, fixed probe sample)",
+    "centroid_classifier_confusion": "broadcast side = |labels| centroid prototypes (10 rows)",
+    "bitmap_set_algebra": "all joins over the KB-sized (type, bucket) bitmap state: type-pair self-join (|types| rows) + OR-membership tag (|pairs| rows)",
 }
 
 
