@@ -191,8 +191,18 @@ def distributed_prefix_sum(
 
     ocols = _order_cols(order_col)
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n, *ocols).withColumn(
-        "__pid", F.spark_partition_id()
+    # the partition assignment MUST be materialized once: `ranged`
+    # feeds two branches (subtotals and the final join), and the range
+    # partitioner derives its boundaries by SAMPLING — if the upstream
+    # row order is nondeterministic (e.g. this operator chained after
+    # another shuffle), two independent evaluations can draw different
+    # boundaries, and the offsets then correct the wrong partitions
+    # (observed at sf0.1 as ntile buckets > n_buckets). The checkpoint
+    # pins one assignment for both consumers.
+    ranged = (
+        df.repartitionByRange(n, *ocols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     subtotals = ranged.groupBy("__pid").agg(F.sum(value_col).alias("__psum"))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
@@ -279,8 +289,13 @@ def skyline_2d(
     neg_inf = F.lit(float("-inf"))
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     pts = df.select(x_col, y_col).distinct()
-    ranged = pts.repartitionByRange(n, F.desc(x_col), F.desc(y_col)).withColumn(
-        "__pid", F.spark_partition_id()
+    # same consistency requirement as distributed_prefix_sum: the
+    # sampled range assignment feeds both the submax pass and the join,
+    # so it must be pinned by a checkpoint, not re-evaluated per branch
+    ranged = (
+        pts.repartitionByRange(n, F.desc(x_col), F.desc(y_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     submax = ranged.groupBy("__pid").agg(F.max(y_col).alias("__pmax"))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
