@@ -183,6 +183,16 @@ def distributed_prefix_sum(
     tests/test_scale.py), wall-clock bounded by the largest partition,
     not the corpus.
 
+    Cost model of the checkpoint below: one extra local write + read
+    of the ranged table (executor-local storage, already post-shuffle).
+    That is the price of a CONSISTENT partition assignment across the
+    two consumer branches — the same materialize-then-assign shape
+    production packing/offset pipelines use — and it is what makes the
+    operator deterministic when chained after other shuffles. (The
+    zero-materialization alternative — deterministic value-binned
+    partitioning, a pure function of the key — trades this for skew
+    sensitivity; the checkpoint is the right default.)
+
     ``order_col`` may be a single column name or a list of sort
     expressions (``[F.desc("revenue"), F.asc("l_suppkey")]``) — the
     range partitioner and the local window share the spec, so any

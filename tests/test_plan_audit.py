@@ -615,3 +615,22 @@ def test_edit_distance_verifier_has_no_cartesian(spark):
     plan = _plan(spark, "edit_distance_on_lsh_survivors")
     assert "levenshtein" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_prefix_sum_partition_assignment_is_pinned(spark):
+    # regression for the round-4 range-partition consistency bug: the
+    # ranged frame (repartitionByRange + spark_partition_id) feeds two
+    # branches, and the range partitioner SAMPLES its boundaries — two
+    # independent evaluations under nondeterministic upstream order can
+    # disagree, silently corrupting the global rank (seen as ntile
+    # buckets > n_buckets at sf0.1). The assignment must therefore be
+    # materialized exactly once: the plan reads the checkpoint (Scan
+    # ExistingRDD), never a second live repartitionByRange of the base.
+    for name in ("token_budget_selection", "customer_rfm_segments",
+                 "supplier_pareto_abc", "order_value_frontier"):
+        plan = _plan(spark, name)
+        assert "Scan ExistingRDD" in plan, name + ":\n" + plan
+        # exactly one live range exchange per prefix pass would mean the
+        # ranged frame escaped the checkpoint; there must be none below it
+        assert "REPARTITION_BY_RANGE" not in plan.split("Scan ExistingRDD")[0] or \
+               "rangepartitioning" not in plan, name
