@@ -1521,3 +1521,57 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=False)
         )
     return out.orderBy("merge_round")
+
+
+@query(
+    "language_mix_rebalance",
+    oracle=r"""WITH s AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(string_split_regex(lower(trim(text)), '\s+'))
+                  END) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+),
+t AS (SELECT sum(n_tokens) AS tot, count(*) AS n_langs FROM s)
+SELECT s.lang, s.n_docs, s.n_tokens,
+       round(s.n_tokens * 1.0 / t.tot, 6) AS token_share,
+       round(1.0 / t.n_langs, 6) AS target_share,
+       round((1.0 / t.n_langs) / (s.n_tokens * 1.0 / t.tot), 6)
+         AS sampling_multiplier
+FROM s CROSS JOIN t""",
+)
+def language_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix rebalancing report — the static mixture-reweighting
+    step (the DoReMi-style dynamic version fits the same shape) every
+    multilingual training run applies before sampling: per language,
+    document and token counts, the actual token share, the target share
+    (uniform over observed languages here; any target vector drops in),
+    and the SAMPLING MULTIPLIER target/actual that an upstream sampler
+    (``source_weighted_topk_sample``) consumes as its weight column.
+
+    Plan shape: one aggregate over the corpus to language grain
+    (map-side combined), totals ride back as a one-row broadcast —
+    output is O(|languages|). The empty-text token guard matches
+    ``functions/text.word_count`` so engines cannot diverge on
+    zero-token docs."""
+    from ..functions.text import word_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = fan_out(docs).groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(word_count(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    t = s.agg(
+        F.sum("n_tokens").alias("tot"), F.count(F.lit(1)).alias("n_langs")
+    )
+    share = F.col("n_tokens") / F.col("tot")
+    target = F.lit(1.0) / F.col("n_langs")
+    return s.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(share, _R).alias("token_share"),
+        F.round(target, _R).alias("target_share"),
+        F.round(target / share, _R).alias("sampling_multiplier"),
+    )
