@@ -252,6 +252,83 @@ def edit_distance_on_lsh_survivors(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@query(
+    "lsh_recall_report",
+    oracle=f"""WITH {_LSH_SURV_CTE},
+shc AS (
+  SELECT * FROM sh WHERE shingle NOT IN (
+    SELECT shingle FROM sh GROUP BY 1 HAVING count(*) > {_STOP_SHINGLE_CAP})
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+),
+m AS (
+  SELECT (SELECT count(*) FROM truth) AS n_true,
+         (SELECT count(*) FROM surv) AS n_pred,
+         (SELECT count(*) FROM truth t JOIN surv s
+            ON s.doc_a = t.doc_a AND s.doc_b = t.doc_b) AS n_tp
+)
+SELECT CAST(n_true AS BIGINT) AS n_true, CAST(n_pred AS BIGINT) AS n_pred,
+       CAST(n_tp AS BIGINT) AS n_tp,
+       round(CASE WHEN n_pred = 0 THEN 1.0 ELSE n_tp * 1.0 / n_pred END, 6)
+         AS precision,
+       round(CASE WHEN n_true = 0 THEN 1.0 ELSE n_tp * 1.0 / n_true END, 6)
+         AS recall
+FROM m""",
+)
+def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-pipeline EVALUATION: precision/recall of the MinHash+LSH
+    candidate generator (est-Jaccard >= 0.5 survivors) against exact
+    ground truth (capped word-3-gram Jaccard >= 0.5) — the measurement
+    every production near-dup deployment runs before trusting banding
+    parameters, here as a first-class oracle-checked report (the batch
+    analog of ``test_ann_recall`` for the text path).
+
+    Scale shape: the truth side is the df-capped inverted-index join
+    (bounded fan-out), the predicted side is the banded-bucket join,
+    and the confusion counts are one pair-key join over two
+    already-bounded pair sets. On a real corpus this runs on a SAMPLE
+    (truth is quadratic-ish even capped); the report's shape is
+    sample-size-independent."""
+    docs = load_table(spark, sf_dir, "documents")
+    truth = DD.ngram_jaccard_pairs(
+        docs, threshold=0.5, max_doc_freq=_STOP_SHINGLE_CAP
+    ).select("doc_a", "doc_b")
+    pred = DD.minhash_lsh_dedup(docs, est_threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    tp = truth.join(pred, ["doc_a", "doc_b"])
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    n_pred = pred.agg(F.count(F.lit(1)).alias("n_pred"))
+    n_tp = tp.agg(F.count(F.lit(1)).alias("n_tp"))
+    prec = F.when(F.col("n_pred") == 0, F.lit(1.0)).otherwise(
+        F.col("n_tp") / F.col("n_pred")
+    )
+    rec = F.when(F.col("n_true") == 0, F.lit(1.0)).otherwise(
+        F.col("n_tp") / F.col("n_true")
+    )
+    return (
+        n_true.crossJoin(n_pred)
+        .crossJoin(n_tp)
+        .select(
+            F.col("n_true").cast("long"),
+            F.col("n_pred").cast("long"),
+            F.col("n_tp").cast("long"),
+            F.round(prec, _R).alias("precision"),
+            F.round(rec, _R).alias("recall"),
+        )
+    )
+
+
 _COMPONENTS_CTE = f"""{_LSH_SURV_CTE},
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM surv
