@@ -663,9 +663,13 @@ class _BitReader:
 
     def bit(self) -> int:
         if not self.nbits:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG: entropy scan exhausted")
             byte = self.data[self.pos]
             self.pos += 1
             if byte == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("truncated JPEG: entropy scan exhausted")
                 marker = self.data[self.pos]
                 self.pos += 1
                 if marker != 0x00:
@@ -726,6 +730,8 @@ def decode_jpeg_gray(content: bytes) -> dict:
         if pos + 4 > len(content):
             raise ValueError("truncated JPEG: marker segment cut short")
         (seglen,) = struct.unpack_from(">H", content, pos + 2)
+        if pos + 2 + seglen > len(content):
+            raise ValueError("truncated JPEG: segment length exceeds stream")
         payload = content[pos + 4 : pos + 2 + seglen]
         if marker == 0xDB:  # DQT (possibly several tables per segment)
             p = 0
@@ -733,6 +739,8 @@ def decode_jpeg_gray(content: bytes) -> dict:
                 pq, tq = payload[p] >> 4, payload[p] & 0xF
                 if pq != 0:
                     raise NotImplementedError("16-bit quant tables unsupported")
+                if p + 65 > len(payload):
+                    raise ValueError("truncated DQT payload")
                 qtables[tq] = list(payload[p + 1 : p + 65])
                 p += 65
         elif marker == 0xC0:  # SOF0 baseline
@@ -747,7 +755,11 @@ def decode_jpeg_gray(content: bytes) -> dict:
             while p < len(payload):
                 tc, th = payload[p] >> 4, payload[p] & 0xF
                 bits = list(payload[p + 1 : p + 17])
+                if len(bits) < 16:
+                    raise ValueError("truncated DHT payload")
                 nvals = sum(bits)
+                if p + 17 + nvals > len(payload):
+                    raise ValueError("truncated DHT payload")
                 vals = list(payload[p + 17 : p + 17 + nvals])
                 htables[(tc, th)] = {
                     (c, l): s for s, (c, l) in _huff_codes(bits, vals).items()

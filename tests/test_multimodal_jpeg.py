@@ -118,3 +118,58 @@ def test_decoder_honours_quant_table():
     out = decode_jpeg_gray(bytes(enc))
     # 128 + 2*10 = 148 per pixel
     assert out["pixel_sum"] == 148 * 64
+
+
+# ---------------------------------------------- property-based round-trips
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    wb=st.integers(min_value=1, max_value=6),
+    hb=st.integers(min_value=1, max_value=5),
+    data=st.data(),
+)
+def test_flat_block_roundtrip_property(wb, hb, data):
+    # ANY flat-block image round-trips exactly under the unit quant
+    # table — the invariant the SQL oracle construction relies on
+    vals = data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=255),
+            min_size=wb * hb,
+            max_size=wb * hb,
+        )
+    )
+    img = _flat_image(vals, wb, hb)
+    out = decode_jpeg_gray(encode_jpeg_gray(wb * 8, hb * 8, img.tobytes()))
+    assert out["pixel_sum"] == int(img.sum())
+    assert (out["width"], out["height"]) == (wb * 8, hb * 8)
+
+
+@settings(max_examples=40, deadline=None)
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+def test_random_content_roundtrip_error_bounded_property(seed):
+    # arbitrary pixel content: the only loss is coefficient rounding,
+    # so the mean reconstruction error stays under 0.1 gray levels
+    rng = np.random.RandomState(seed)
+    wb, hb = int(rng.randint(1, 4)), int(rng.randint(1, 4))
+    img = rng.randint(0, 256, (hb * 8, wb * 8)).astype(np.uint8)
+    out = decode_jpeg_gray(encode_jpeg_gray(wb * 8, hb * 8, img.tobytes()))
+    assert abs(out["pixel_sum"] - int(img.sum())) <= max(8, img.size // 10)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    cut=st.integers(min_value=3, max_value=60),
+)
+def test_truncated_stream_never_crashes_undiagnosed(cut):
+    # every truncation of a valid stream must raise a clean
+    # ValueError/NotImplementedError (or decode, if the cut landed
+    # after the last needed byte) — never IndexError/struct.error
+    enc = encode_jpeg_gray(8, 8, bytes(range(64)) * 1)
+    prefix = enc[: max(2, len(enc) * cut // 64)]
+    try:
+        decode_jpeg_gray(prefix)
+    except (ValueError, NotImplementedError):
+        pass
