@@ -137,6 +137,8 @@ def decode_bmp(content: bytes) -> dict:
     deterministic whole-image statistic — the mean-brightness analog)."""
     if content[:2] != b"BM":
         raise ValueError("not a BMP: missing 'BM' magic")
+    if len(content) < _BMP_HEADER_LEN:
+        raise ValueError("truncated BMP: header cut short")
     pixel_offset = struct.unpack_from("<I", content, 10)[0]
     _dib_size, width, height, _planes, bpp = struct.unpack_from("<IiiHH", content, 14)
     if bpp != 24:
@@ -250,6 +252,8 @@ def decode_png(content: bytes) -> dict:
     idat = b""
     while pos + 8 <= len(content):
         (clen,) = struct.unpack_from(">I", content, pos)
+        if pos + 12 + clen > len(content):
+            raise ValueError("truncated PNG: chunk cut short")
         ctype = content[pos + 4 : pos + 8]
         data = content[pos + 8 : pos + 8 + clen]
         (crc,) = struct.unpack_from(">I", content, pos + 8 + clen)
@@ -270,7 +274,10 @@ def decode_png(content: bytes) -> dict:
         pos += 12 + clen
     if width is None:
         raise ValueError("missing IHDR")
-    raw = zlib.decompress(idat)
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
     bpp, row_bytes = 3, width * 3
     if len(raw) != (row_bytes + 1) * height:
         raise ValueError("inflated scanline data has wrong length")
@@ -379,6 +386,8 @@ def decode_wav(content: bytes) -> dict:
         clen = struct.unpack_from("<I", content, pos + 4)[0]
         data = content[pos + 8 : pos + 8 + clen]
         if cid == b"fmt ":
+            if len(data) < 16:
+                raise ValueError("truncated WAV: fmt chunk cut short")
             _fmt, channels, sample_rate, _br, _ba, bits = struct.unpack_from(
                 "<HHIIHH", data, 0
             )

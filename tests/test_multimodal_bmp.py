@@ -253,3 +253,31 @@ def test_png_roundtrip_property(w, h, data):
         h,
         sum(pixels),
     )
+
+
+def test_every_prefix_of_every_codec_fails_cleanly():
+    # exhaustive truncation sweep across all four codecs: any prefix of
+    # a valid stream must either decode (cut past the needed bytes) or
+    # raise a diagnosed ValueError/NotImplementedError — never a raw
+    # IndexError/struct.error/zlib.error escaping to the caller. This
+    # is the contract the Arrow-batch kernels rely on for quarantine
+    # handling of corrupt payloads.
+    from end_to_end_database_pipeline_project_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        decode_png,
+        encode_jpeg_gray,
+        encode_png,
+    )
+
+    cases = [
+        (encode_png(6, 4, bytes(range(72))), decode_png),
+        (encode_wav(8000, bytes(range(128))), decode_wav),
+        (encode_bmp(5, 3, bytes(45)), decode_bmp),
+        (encode_jpeg_gray(8, 8, bytes(range(64))), decode_jpeg_gray),
+    ]
+    for enc, dec in cases:
+        for cut in range(len(enc)):
+            try:
+                dec(enc[:cut])
+            except (ValueError, NotImplementedError):
+                pass
