@@ -477,6 +477,46 @@ def extract_bmp_features(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(kernel, schema=BMP_FEATURE_SCHEMA)
 
 
+SAFE_BMP_SCHEMA = (
+    "doc_id long, status string, error string,"
+    " width int, height int, pixel_sum long"
+)
+
+
+def extract_bmp_features_safe(assets: DataFrame) -> DataFrame:
+    """BMP feature extraction with PER-ROW error isolation — the
+    quarantine discipline a 100 TB decode pass needs: one corrupt
+    payload must cost one quarantined row, never the task (a single
+    bad blob failing a 10k-row Arrow batch, four times through retry,
+    kills the stage). Decode errors are caught per row and surfaced as
+    ``status='corrupt'`` with the diagnosed message; good rows carry
+    ``status='ok'`` and their features. The codecs' clean-truncation
+    contract (every malformed input raises ValueError /
+    NotImplementedError, pinned by the every-prefix sweep test) is
+    what makes this catch block safe — nothing escapes as an opaque
+    crash."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                try:
+                    f = decode_bmp(bytes(content))
+                    rows.append(
+                        (doc_id, "ok", None, f["width"], f["height"],
+                         f["pixel_sum"])
+                    )
+                except (ValueError, NotImplementedError) as e:
+                    rows.append((doc_id, "corrupt", str(e)[:120], None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "status", "error", "width", "height",
+                         "pixel_sum"],
+            )
+
+    return assets.mapInPandas(kernel, schema=SAFE_BMP_SCHEMA)
+
+
 def extract_features(assets: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over the binary column.
 

@@ -1195,6 +1195,76 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_decode_quarantine",
+    oracle="""WITH params AS (
+  SELECT doc_id,
+         4 + length(text) % 13 AS w,
+         3 + length(text) % 7 AS h,
+         md5(text) AS hex
+  FROM documents WHERE doc_id % 10 <> 0
+),
+db AS (
+  SELECT doc_id, i,
+         16 * (strpos('0123456789abcdef',
+                      substr(hex, CAST(2 * i + 1 AS INT), 1)) - 1)
+         + (strpos('0123456789abcdef',
+                   substr(hex, CAST(2 * i + 2 AS INT), 1)) - 1) AS b
+  FROM params CROSS JOIN (SELECT unnest(range(16)) AS i) ii
+),
+sums AS (SELECT doc_id, sum(b) AS digest_sum FROM db GROUP BY 1),
+partial AS (
+  SELECT p.doc_id, coalesce(sum(d.b), 0) AS psum
+  FROM params p
+  LEFT JOIN db d ON d.doc_id = p.doc_id AND d.i < (3 * p.w * p.h) % 16
+  GROUP BY 1
+),
+ok AS (
+  SELECT p.doc_id,
+         (3 * p.w * p.h // 16) * s.digest_sum + pr.psum AS pixel_sum
+  FROM params p
+  JOIN sums s ON s.doc_id = p.doc_id
+  JOIN partial pr ON pr.doc_id = p.doc_id
+)
+SELECT 'corrupt' AS status,
+       CAST((SELECT count(*) FROM documents WHERE doc_id % 10 = 0) AS BIGINT)
+         AS n_docs,
+       CAST(0 AS BIGINT) AS total_pixel_sum
+UNION ALL
+SELECT 'ok' AS status,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(pixel_sum) AS BIGINT) AS total_pixel_sum
+FROM ok""",
+)
+def multimodal_decode_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-payload QUARANTINE for the binary decode path: every
+    tenth document's BMP payload is truncated to 10 bytes (simulating
+    the torn blobs any 100 TB media crawl contains), then the
+    error-isolating kernel (``extract_bmp_features_safe``) decodes the
+    corpus — good rows emit features, corrupt rows emit
+    ``status='corrupt'`` with the diagnosed error, and ONE report
+    aggregates counts + the pixel-sum total of the healthy subset. The
+    per-row catch is what keeps one bad blob from failing a whole
+    Arrow batch (and, through retries, the stage); the oracle
+    reproduces the healthy subset's closed-form pixel sums and the
+    deterministic corrupt count."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = MM.text_to_bmp_column(fan_out(docs))
+    corrupted = assets.withColumn(
+        "content",
+        F.when(
+            F.col("doc_id") % 10 == 0, F.expr("substring(content, 1, 10)")
+        ).otherwise(F.col("content")),
+    )
+    feats = MM.extract_bmp_features_safe(corrupted)
+    return feats.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("pixel_sum"), F.lit(0)).cast("long").alias(
+            "total_pixel_sum"
+        ),
+    )
+
+
+@query(
     "multimodal_frame_sample",
     oracle="""WITH f AS (
   SELECT doc_id, text,

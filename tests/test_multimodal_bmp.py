@@ -281,3 +281,22 @@ def test_every_prefix_of_every_codec_fails_cleanly():
                 dec(enc[:cut])
             except (ValueError, NotImplementedError):
                 pass
+
+
+def test_safe_extraction_quarantines_per_row(spark):
+    # one corrupt payload costs one quarantined row, never the batch
+    from pyspark.sql import functions as F
+
+    from end_to_end_database_pipeline_project_spark.operators.multimodal import (
+        extract_bmp_features_safe,
+    )
+
+    good = encode_bmp(4, 2, bytes(24))
+    rows = [(1, good), (2, good[:7]), (3, b"JUNK"), (4, good)]
+    assets = spark.createDataFrame(rows, "doc_id long, content binary")
+    out = {r["doc_id"]: r for r in extract_bmp_features_safe(assets).collect()}
+    assert out[1]["status"] == "ok" and out[1]["pixel_sum"] == sum(bytes(24))
+    assert out[4]["status"] == "ok"
+    assert out[2]["status"] == "corrupt" and "truncated" in out[2]["error"]
+    assert out[3]["status"] == "corrupt" and "magic" in out[3]["error"]
+    assert out[2]["pixel_sum"] is None
