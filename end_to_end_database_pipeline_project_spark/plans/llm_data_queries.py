@@ -439,6 +439,89 @@ def simhash_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_collision_groups(docs)
 
 
+@query(
+    "simhash_recall_report",
+    oracle=f"""WITH {_SIMHASH_CTE},
+pred AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM fp a JOIN fp b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+),
+shc AS (
+  SELECT * FROM sh WHERE shingle NOT IN (
+    SELECT shingle FROM sh GROUP BY 1 HAVING count(*) > {_STOP_SHINGLE_CAP})
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+),
+m AS (
+  SELECT (SELECT count(*) FROM truth) AS n_true,
+         (SELECT count(*) FROM pred) AS n_pred,
+         (SELECT count(*) FROM truth t JOIN pred p
+            ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b) AS n_tp
+)
+SELECT CAST(n_true AS BIGINT) AS n_true, CAST(n_pred AS BIGINT) AS n_pred,
+       CAST(n_tp AS BIGINT) AS n_tp,
+       round(CASE WHEN n_pred = 0 THEN 1.0 ELSE n_tp * 1.0 / n_pred END, 6)
+         AS precision,
+       round(CASE WHEN n_true = 0 THEN 1.0 ELSE n_tp * 1.0 / n_true END, 6)
+         AS recall
+FROM m""",
+)
+def simhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash candidate-generator evaluation — the fingerprint-family
+    twin of ``lsh_recall_report``: exact-collision pairs of the 16-bit
+    SimHash measured against the same capped-Jaccard >= 0.5 ground
+    truth. Together the two reports let a pipeline CHOOSE its candidate
+    generator from measured precision/recall instead of folklore
+    (SimHash exact-collision is precision-leaning at 16 bits; MinHash
+    banding is recall-leaning at 4x4).
+
+    Plan shape mirrors the LSH report: collision pairs from one
+    groupBy-free fingerprint self-join on the 16-bit key (bounded by
+    collision-group sizes), truth from the df-capped inverted index,
+    confusion counts from one pair-key join."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = DD.simhash16(docs)
+    a = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("h"))
+    b = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("h"))
+    pred = a.join(b, "h").where(F.col("doc_a") < F.col("doc_b")).select(
+        "doc_a", "doc_b"
+    )
+    truth = DD.ngram_jaccard_pairs(
+        docs, threshold=0.5, max_doc_freq=_STOP_SHINGLE_CAP
+    ).select("doc_a", "doc_b")
+    tp = truth.join(pred, ["doc_a", "doc_b"])
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    n_pred = pred.agg(F.count(F.lit(1)).alias("n_pred"))
+    n_tp = tp.agg(F.count(F.lit(1)).alias("n_tp"))
+    prec = F.when(F.col("n_pred") == 0, F.lit(1.0)).otherwise(
+        F.col("n_tp") / F.col("n_pred")
+    )
+    rec = F.when(F.col("n_true") == 0, F.lit(1.0)).otherwise(
+        F.col("n_tp") / F.col("n_true")
+    )
+    return (
+        n_true.crossJoin(n_pred)
+        .crossJoin(n_tp)
+        .select(
+            F.col("n_true").cast("long"),
+            F.col("n_pred").cast("long"),
+            F.col("n_tp").cast("long"),
+            F.round(prec, _R).alias("precision"),
+            F.round(rec, _R).alias("recall"),
+        )
+    )
+
+
 # ------------------------------------------------------------ text analysis
 
 
@@ -1985,6 +2068,139 @@ def sequence_packing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("end_seq") > F.col("seq_id"), 1).otherwise(0)).alias(
             "n_straddling"
         ),
+    )
+
+
+@query(
+    "packing_efficiency_report",
+    oracle=r"""WITH lens AS (
+  SELECT doc_id,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(string_split_regex(trim(text), '\s+')) END
+              AS BIGINT) AS n
+  FROM documents
+),
+nz AS (SELECT doc_id, n FROM lens WHERE n > 0),
+placed AS (
+  SELECT doc_id, n,
+         coalesce(sum(n) OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0) AS cb
+  FROM nz
+),
+concat_m AS (
+  SELECT CAST((sum(n) + 511) // 512 AS BIGINT) AS n_seqs,
+         CAST(sum(n) AS BIGINT) AS total_tokens,
+         CAST(sum(CASE WHEN cb % 512 + n > 512 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_straddling
+  FROM placed
+),
+classed AS (
+  SELECT n // 512 AS full_seqs, n % 512 AS r,
+         CASE WHEN n % 512 = 0 THEN NULL
+              WHEN n % 512 > 256 THEN 512
+              WHEN n % 512 > 128 THEN 256
+              WHEN n % 512 > 64 THEN 128
+              WHEN n % 512 > 32 THEN 64
+              ELSE 32 END AS cls
+  FROM nz
+),
+by_cls AS (
+  SELECT cls, count(*) AS items,
+         (count(*) + (512 // cls) - 1) // (512 // cls) AS seqs
+  FROM classed WHERE cls IS NOT NULL GROUP BY 1
+),
+bucketed_m AS (
+  SELECT CAST((SELECT coalesce(sum(seqs), 0) FROM by_cls)
+              + (SELECT coalesce(sum(full_seqs), 0) FROM classed) AS BIGINT)
+           AS n_seqs,
+         (SELECT CAST(sum(n) AS BIGINT) FROM nz) AS total_tokens,
+         CAST(0 AS BIGINT) AS n_straddling
+)
+SELECT 'concat_chunk' AS strategy, n_seqs, total_tokens, n_straddling,
+       round(1.0 - total_tokens * 1.0 / (n_seqs * 512), 6) AS padding_pct
+FROM concat_m
+UNION ALL
+SELECT 'length_bucketed', n_seqs, total_tokens, n_straddling,
+       round(1.0 - total_tokens * 1.0 / (n_seqs * 512), 6)
+FROM bucketed_m""",
+)
+def packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-strategy EVALUATION for 512-token pretraining sequences
+    — the padding-vs-contamination tradeoff quantified instead of
+    assumed: **concat_chunk** (the ``sequence_packing_report`` layout)
+    wastes almost nothing (only the final partial sequence pads) but
+    lets documents straddle sequence boundaries (cross-doc attention
+    contamination); **length_bucketed** (docs grouped into power-of-2
+    length classes, each sequence holding only whole same-class docs)
+    never splits a document but pads each slot up to its class.
+
+    Scale shapes: the concat metrics need one ``distributed_prefix_sum``
+    (two-pass, no global window); the bucketed metrics are pure
+    CLOSED-FORM aggregates (per-class counts -> ceil-division seq
+    counts) — deliberately chosen over first-fit packing, whose
+    bin-state recurrence is inherently sequential and cannot shard.
+    Output: per strategy, sequence count, token total, straddling docs
+    and padding fraction."""
+    from ..operators.scale import distributed_prefix_sum
+
+    B = 512
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select(
+        "doc_id", TX.word_count(F.col("text")).cast("long").alias("n")
+    ).where(F.col("n") > 0)
+    placed = distributed_prefix_sum(lens, "doc_id", "n", out_col="cb")
+    concat_m = placed.agg(
+        F.ceil(F.sum("n") / B).cast("long").alias("n_seqs"),
+        F.sum("n").cast("long").alias("total_tokens"),
+        F.sum(
+            F.when(F.col("cb") % B + F.col("n") > B, 1).otherwise(0)
+        ).cast("long").alias("n_straddling"),
+    )
+    cls = (
+        F.when(F.col("r") > 256, 512)
+        .when(F.col("r") > 128, 256)
+        .when(F.col("r") > 64, 128)
+        .when(F.col("r") > 32, 64)
+        .otherwise(32)
+    )
+    classed = lens.select(
+        F.expr(f"n div {B}").alias("full_seqs"), (F.col("n") % B).alias("r")
+    ).select("full_seqs", "r", F.when(F.col("r") > 0, cls).alias("cls"))
+    by_cls = (
+        classed.where(F.col("cls").isNotNull())
+        .groupBy("cls")
+        .agg(F.count(F.lit(1)).alias("items"))
+        .select(F.expr(f"(items + ({B} div cls) - 1) div ({B} div cls)").alias("seqs"))
+        .agg(F.coalesce(F.sum("seqs"), F.lit(0)).alias("cls_seqs"))
+    )
+    fulls = classed.agg(
+        F.coalesce(F.sum("full_seqs"), F.lit(0)).alias("full_seqs"),
+    )
+    tot = lens.agg(F.sum("n").cast("long").alias("total_tokens"))
+    bucketed_m = (
+        by_cls.crossJoin(fulls)
+        .crossJoin(tot)
+        .select(
+            (F.col("cls_seqs") + F.col("full_seqs")).cast("long").alias("n_seqs"),
+            "total_tokens",
+            F.lit(0).cast("long").alias("n_straddling"),
+        )
+    )
+    pad = F.round(1.0 - F.col("total_tokens") / (F.col("n_seqs") * B), _R)
+    return (
+        concat_m.select(
+            F.lit("concat_chunk").alias("strategy"),
+            "n_seqs", "total_tokens", "n_straddling",
+            pad.alias("padding_pct"),
+        )
+        .unionByName(
+            bucketed_m.select(
+                F.lit("length_bucketed").alias("strategy"),
+                "n_seqs", "total_tokens", "n_straddling",
+                pad.alias("padding_pct"),
+            )
+        )
     )
 
 
