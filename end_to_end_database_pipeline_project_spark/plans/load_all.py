@@ -131,6 +131,8 @@ _DRIVER_FIRST = [
     "cdc_chunk_dedup",
     "knn_label_accuracy",
     "centroid_classifier_confusion",
+    "packing_efficiency_report",
+    "simhash_recall_report",
     # (c) never-driver-checked families, one representative each
     # TPC-H at its widest (6-table joins, two-sided aggregates)
     "market_share",
@@ -179,11 +181,9 @@ _DRIVER_FIRST = [
     "customer_balance_deciles",
     # time-series repair / temporal modeling
     "hourly_gap_fill",
-    "hourly_linear_interpolation",
     "scd2_value_intervals",
     # behavioral analytics
     "session_funnel",
-    "retention_cohorts",
     # bounded-error certificate (HLL twin went green r03)
     "approx_quantile_bounded",
     # dataset profiling
