@@ -1977,3 +1977,104 @@ def half_sample_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(lo, _R).alias("ci_lo"),
         F.round(hi, _R).alias("ci_hi"),
     )
+
+
+# ----------------------------------------------- time-series bars / TWAP
+
+
+@query(
+    "daily_ohlc_bars",
+    oracle="""SELECT event_type,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS obs_date,
+       round(min_by(value, ts), 6) AS open,
+       round(max(value), 6) AS high,
+       round(min(value), 6) AS low,
+       round(max_by(value, ts), 6) AS close,
+       CAST(count(value) AS BIGINT) AS n_obs
+FROM events WHERE value IS NOT NULL
+GROUP BY 1, 2""",
+)
+def daily_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar aggregation — the candlestick downsampling every
+    market-data / IoT store ships: per (series, day), the first value
+    by time (open), extremes (high/low), last value by time (close)
+    and the observation count. Open/close are argmin/argmax aggregates
+    (``min_by``/``max_by`` on the timestamp), NOT window row_numbers —
+    one map-side-combinable aggregate pass, no per-row rank shuffle.
+
+    Determinism note: events carry unique timestamps per (type, ts) in
+    the fixture; were ties possible, the tie-break would need a
+    secondary key inside the min_by struct (the engine-portable
+    argmin discipline used by ``status_priority_profile``)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    return ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("obs_date")
+    ).agg(
+        F.round(F.expr("min_by(value, ts)"), _R).alias("open"),
+        F.round(F.max("value"), _R).alias("high"),
+        F.round(F.min("value"), _R).alias("low"),
+        F.round(F.expr("max_by(value, ts)"), _R).alias("close"),
+        F.count("value").cast("long").alias("n_obs"),
+    )
+
+
+@query(
+    "daily_twap",
+    oracle="""WITH obs AS (
+  SELECT event_type, ts, value,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+         lead(ts) OVER (PARTITION BY event_type,
+                                     CAST(date_trunc('day', ts) AS TIMESTAMP)
+                        ORDER BY ts, event_id) AS nxt
+  FROM events WHERE value IS NOT NULL
+),
+weighted AS (
+  SELECT event_type, d,
+         value,
+         CAST(epoch(coalesce(nxt, d + INTERVAL 1 DAY)) - epoch(ts) AS DOUBLE)
+           AS dur
+  FROM obs
+)
+SELECT event_type, d AS obs_date,
+       round(sum(value * dur) / sum(dur), 6) AS twap,
+       round(avg(value), 6) AS plain_avg,
+       CAST(count(*) AS BIGINT) AS n_obs
+FROM weighted GROUP BY 1, 2""",
+)
+def daily_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP) per (series, day) for IRREGULARLY
+    sampled observations — each value holds until the next observation
+    (or midnight for the day's last), and the average weights by that
+    holding duration, so a burst of readings in one minute no longer
+    dominates the day the way the plain mean (reported alongside, for
+    the bias comparison) lets it.
+
+    Plan shape: one lead() window per (series, day) partition — the
+    same keyed-window discipline as the sessionization family, state
+    bounded per partition, never a global ordering; then one
+    map-side-combinable weighted aggregate."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    d = F.date_trunc("day", "ts")
+    obs = ev.select(
+        "event_type",
+        "ts",
+        "value",
+        "event_id",
+        d.alias("d"),
+    ).withColumn("nxt", F.lead("ts").over(
+        Window.partitionBy("event_type", "d").orderBy("ts", "event_id")
+    ))
+    dur = (
+        F.unix_micros(F.coalesce(F.col("nxt"), F.col("d") + F.expr("INTERVAL 1 DAY")))
+        - F.unix_micros(F.col("ts"))
+    ).cast("double") / 1e6
+    weighted = obs.withColumn("dur", dur)
+    return weighted.groupBy(
+        "event_type", F.col("d").alias("obs_date")
+    ).agg(
+        F.round(F.sum(F.col("value") * F.col("dur")) / F.sum("dur"), _R).alias(
+            "twap"
+        ),
+        F.round(F.avg("value"), _R).alias("plain_avg"),
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+    )
