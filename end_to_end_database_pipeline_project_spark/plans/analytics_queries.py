@@ -2078,3 +2078,53 @@ def daily_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value"), _R).alias("plain_avg"),
         F.count(F.lit(1)).cast("long").alias("n_obs"),
     )
+
+
+@query(
+    "benford_digit_audit",
+    oracle="""WITH digits AS (
+  SELECT CAST(floor(o_totalprice
+               / power(10, floor(log10(o_totalprice)))) AS INT) AS digit
+  FROM orders WHERE o_totalprice > 0
+),
+n AS (SELECT count(*) AS total FROM digits)
+SELECT digit,
+       CAST(count(*) AS BIGINT) AS n_values,
+       round(count(*) * 1.0 / any_value(n.total), 6) AS observed_share,
+       round(log10(1 + 1.0 / digit), 6) AS benford_share,
+       round(abs(count(*) * 1.0 / any_value(n.total)
+                 - log10(1 + 1.0 / digit)), 6) AS abs_deviation
+FROM digits CROSS JOIN n
+GROUP BY digit""",
+)
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit — the data-forensics screen for
+    fabricated or synthetically generated monetary columns: the first
+    significant digit of naturally occurring amounts follows
+    log10(1 + 1/d), and per-digit deviation from that curve is the
+    classic fraud/synthetic-data flag (TPC-H's uniform price generator
+    deviates hard, which is exactly what the report shows). The digit
+    is extracted NUMERICALLY (x / 10^floor(log10 x)) — never via
+    double->string formatting, which differs between engines.
+
+    Plan shape: one scan, one 9-group aggregate, the total riding as a
+    one-row broadcast — the cheapest possible forensic pass at any
+    scale."""
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    digit = F.floor(
+        F.col("o_totalprice") / F.pow(10, F.floor(F.log10("o_totalprice")))
+    ).cast("int")
+    digits = orders.select(digit.alias("digit"))
+    n = digits.agg(F.count(F.lit(1)).alias("total"))
+    benford = F.log10(1 + 1.0 / F.col("digit"))
+    obs = F.count(F.lit(1)) / F.first("total")
+    return (
+        digits.crossJoin(F.broadcast(n))
+        .groupBy("digit")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_values"),
+            F.round(obs, _R).alias("observed_share"),
+            F.round(benford, _R).alias("benford_share"),
+            F.round(F.abs(obs - benford), _R).alias("abs_deviation"),
+        )
+    )
