@@ -2128,3 +2128,61 @@ def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(obs - benford), _R).alias("abs_deviation"),
         )
     )
+
+
+@query(
+    "event_id_islands",
+    oracle="""WITH ranked AS (
+  SELECT event_id,
+         event_id - row_number() OVER (ORDER BY event_id) AS grp
+  FROM events
+),
+islands AS (
+  SELECT grp, min(event_id) AS island_start, max(event_id) AS island_end,
+         count(*) AS island_len
+  FROM ranked GROUP BY grp
+)
+SELECT CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(max(island_len) AS BIGINT) AS longest_island,
+       CAST(min(island_start) AS BIGINT) AS first_id,
+       CAST(max(island_end) AS BIGINT) AS last_id,
+       CAST(max(island_end) - min(island_start) + 1 - sum(island_len)
+            AS BIGINT) AS n_missing
+FROM islands""",
+)
+def event_id_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over the event id sequence — the classic
+    contiguity audit (did the ingest drop ranges?): consecutive ids
+    share ``id - rank``, so islands fall out of one groupBy on that
+    difference; the report counts islands, the longest contiguous run,
+    and the total missing ids between the observed bounds.
+
+    The global rank is the trap: ``row_number() OVER (ORDER BY ...)``
+    is a single-reducer window. Here it comes from
+    ``distributed_prefix_sum`` over a ones column (two-pass range
+    partition, checkpoint-pinned assignment), identical to the window
+    form the oracle keeps — the same discipline as sequence packing,
+    reused for an audit instead of a layout."""
+    from ..operators.scale import distributed_prefix_sum
+
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    ones = ev.withColumn("__one", F.lit(1).cast("long"))
+    ranked = distributed_prefix_sum(
+        ones, "event_id", "__one", out_col="rank0"
+    ).select(
+        "event_id", (F.col("event_id") - (F.col("rank0") + 1)).alias("grp")
+    )
+    islands = ranked.groupBy("grp").agg(
+        F.min("event_id").alias("island_start"),
+        F.max("event_id").alias("island_end"),
+        F.count(F.lit(1)).alias("island_len"),
+    )
+    return islands.agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.max("island_len").cast("long").alias("longest_island"),
+        F.min("island_start").cast("long").alias("first_id"),
+        F.max("island_end").cast("long").alias("last_id"),
+        (
+            F.max("island_end") - F.min("island_start") + 1 - F.sum("island_len")
+        ).cast("long").alias("n_missing"),
+    )
