@@ -751,3 +751,192 @@ def embedding_pca_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component int, eigenvalue double, explained_var_ratio double,"
         " residual_norm double, certified boolean",
     )
+
+
+# ------------------------------------------------- corpus-growth laws
+
+
+@query(
+    "heaps_law_fit",
+    oracle=r"""WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents WHERE trim(text) <> ''
+),
+cuts AS (
+  SELECT unnest(range(1, 11)) AS decile
+),
+bounds AS (
+  SELECT decile,
+         (SELECT max(doc_id) FROM documents) * decile // 10 AS max_id
+  FROM cuts
+),
+pts AS (
+  SELECT b.decile,
+         CAST(count(*) AS DOUBLE) AS n_tokens,
+         CAST(count(DISTINCT t.term) AS DOUBLE) AS vocab
+  FROM bounds b JOIN toks t ON t.doc_id <= b.max_id
+  GROUP BY 1
+),
+ll AS (
+  SELECT ln(n_tokens) AS x, ln(vocab) AS y FROM pts
+  WHERE n_tokens > 0 AND vocab > 0
+),
+fit AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+  FROM ll
+)
+SELECT round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta,
+       round(exp((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n),
+             6) AS k,
+       round(CASE WHEN (n * syy - sy * sy) = 0 THEN 1.0
+                  ELSE (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                       / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END,
+             6) AS r2,
+       CAST(n AS BIGINT) AS n_points
+FROM fit""",
+)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V(N) = K * N^beta of vocabulary growth — the
+    corpus statistic behind tokenizer/vocab sizing decisions (how many
+    new types will the next 10x of data bring?): vocabulary and token
+    counts measured at ten doc-id-prefix cuts of the corpus, the
+    power law fitted by OLS in log-log space via the same one-pass
+    sufficient-statistics discipline as ``ols_daily_trend``, with R²
+    certifying the fit.
+
+    Plan shape: ONE token explode feeds all ten measurement points (the
+    bounds table is 10 rows broadcast against it; each point is a
+    filtered count + count-distinct); the regression then runs on ten
+    (x, y) pairs — corpus-scan cost independent of the number of cuts,
+    and no iterative fitting anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = fan_out(docs.where(F.trim("text") != "")).select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    )
+    max_id = docs.agg(F.max("doc_id").alias("mx"))
+    bounds = (
+        spark.range(1, 11)
+        .withColumnRenamed("id", "decile")
+        .crossJoin(F.broadcast(max_id))
+        .select("decile", F.expr("mx * decile div 10").alias("max_id"))
+    )
+    pts = (
+        toks.join(F.broadcast(bounds), F.col("doc_id") <= F.col("max_id"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_tokens"),
+            F.countDistinct("term").cast("double").alias("vocab"),
+        )
+    )
+    ll = pts.where((F.col("n_tokens") > 0) & (F.col("vocab") > 0)).select(
+        F.log("n_tokens").alias("x"), F.log("vocab").alias("y")
+    )
+    fit = ll.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    beta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    k = F.exp((F.col("sy") - beta * F.col("sx")) / F.col("n"))
+    denom = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * (
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    r2 = F.when(
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") == 0, F.lit(1.0)
+    ).otherwise(num * num / denom)
+    return fit.select(
+        F.round(beta, _R).alias("beta"),
+        F.round(k, _R).alias("k"),
+        F.round(r2, _R).alias("r2"),
+        F.col("n").cast("long").alias("n_points"),
+    )
+
+
+@query(
+    "zipf_law_fit",
+    oracle=r"""WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents WHERE trim(text) <> ''
+),
+tf AS (SELECT term, count(*) AS freq FROM toks GROUP BY 1),
+top AS (
+  SELECT term, freq FROM tf ORDER BY freq DESC, term LIMIT 500
+),
+ranked AS (
+  SELECT freq,
+         row_number() OVER (ORDER BY freq DESC, term) AS rnk
+  FROM top
+),
+ll AS (SELECT ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y
+       FROM ranked),
+fit AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+  FROM ll
+)
+SELECT round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       round(exp((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n),
+             6) AS c,
+       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2,
+       CAST(n AS BIGINT) AS n_terms
+FROM fit""",
+)
+def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit freq(rank) ~ C * rank^s over the top-500 term
+    frequencies — the companion corpus statistic to ``heaps_law_fit``
+    (together they characterize the vocabulary's head and growth, the
+    inputs to vocab-size and stop-list decisions; natural text sits
+    near s = -1, and large deviations flag templated/synthetic
+    corpora).
+
+    Plan shape: term frequencies are one map-side-combined aggregate;
+    the top-500 cut is a TakeOrderedAndProject (per-partition heaps,
+    never a full sort); ranking and the log-log OLS then run on 500
+    rows — the only corpus-sized work is the token count."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = fan_out(docs.where(F.trim("text") != "")).select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term")
+    )
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    top = tf.orderBy(F.desc("freq"), F.asc("term")).limit(500)
+    w = Window.orderBy(F.desc("freq"), F.asc("term"))  # 500-row frame
+    ranked = top.withColumn("rnk", F.row_number().over(w))
+    ll = ranked.select(
+        F.log(F.col("rnk").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    fit = ll.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    c = F.exp((F.col("sy") - slope * F.col("sx")) / F.col("n"))
+    r2 = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        )
+    )
+    return fit.select(
+        F.round(slope, _R).alias("zipf_slope"),
+        F.round(c, _R).alias("c"),
+        F.round(r2, _R).alias("r2"),
+        F.col("n").cast("long").alias("n_terms"),
+    )
