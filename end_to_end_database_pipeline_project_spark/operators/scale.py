@@ -149,19 +149,126 @@ def binned_range_join(
     )
 
 
-def _order_cols(order_col) -> list:
-    """Normalize an ordering spec: a single column name, or a list of
-    names / Column sort expressions (``F.desc("revenue")``)."""
-    cols = order_col if isinstance(order_col, (list, tuple)) else [order_col]
-    return [F.col(c) if isinstance(c, str) else c for c in cols]
+def _norm_order_spec(order_spec) -> list[tuple[str, str]]:
+    """Normalize an ordering spec to ``[(column_name, "asc"|"desc")]``.
+
+    Accepted: a single column name, a ``(name, direction)`` pair, or a
+    list mixing both. Column sort *expressions* (``F.desc("x")``) are
+    deliberately rejected: the deterministic bin assignment needs the
+    column NAME and DIRECTION separately (to build an orderable
+    normalized key), and a Column object hides both."""
+    if isinstance(order_spec, str):
+        raw: list = [order_spec]
+    elif (
+        isinstance(order_spec, tuple)
+        and len(order_spec) == 2
+        and order_spec[1] in ("asc", "desc")
+    ):
+        raw = [order_spec]
+    else:
+        raw = list(order_spec)
+    items: list[tuple[str, str]] = []
+    for it in raw:
+        if isinstance(it, str):
+            items.append((it, "asc"))
+        elif (
+            isinstance(it, tuple) and len(it) == 2 and it[1] in ("asc", "desc")
+        ):
+            items.append((it[0], it[1]))
+        else:
+            raise TypeError(
+                "order spec must be column names or (name, 'asc'|'desc') "
+                f"pairs, got {it!r} — Column sort expressions are not "
+                "accepted (the deterministic binning needs name+direction)"
+            )
+    return items
+
+
+def _orderable(df: DataFrame, name: str, direction: str) -> Column:
+    """A column whose ASCENDING order equals the requested order of
+    ``name`` — desc numerics/dates/timestamps are negated so a plain
+    struct comparison implements any supported sort spec."""
+    if direction == "asc":
+        return F.col(name)
+    dt = dict(df.dtypes)[name]
+    if dt == "date":
+        return -F.unix_date(F.col(name))
+    if dt.startswith("timestamp"):
+        return -F.unix_micros(F.col(name))
+    if dt in ("tinyint", "smallint", "int", "bigint", "float", "double") or dt.startswith(
+        "decimal"
+    ):
+        return -F.col(name)
+    raise NotImplementedError(
+        f"desc ordering on type {dt} has no orderable negation; "
+        "add an ascending surrogate column instead"
+    )
+
+
+def _assign_order_bins(
+    df: DataFrame,
+    items: list[tuple[str, str]],
+    n: int,
+    n_candidates: int = 4096,
+) -> DataFrame:
+    """Order-preserving bin id ``__pid`` in [0, n) for every row, as a
+    PURE FUNCTION of the data multiset — zero sampling, zero
+    materialization, so no session, plan branch, or upstream shuffle
+    order can ever produce two different assignments for the same
+    input (the nondeterminism class behind the r03/r04
+    ``sequence_packing_report`` driver-gate mismatch: sampled
+    ``repartitionByRange`` boundaries + per-run checkpoints are
+    functions of the RUN, this is a function of the DATA).
+
+    Scheme: hash every row's order key into ``n_candidates`` buckets
+    and take each bucket's MIN key (an order-insensitive aggregate —
+    deterministic whatever the row order); the sorted bucket-mins are
+    a deterministic pseudo-random sample of the key distribution, from
+    which n-1 evenly-spaced boundaries are drawn in-plan; each row's
+    bin is the count of boundaries <= its key (struct comparison on
+    the direction-normalized key), evaluated against the one-row
+    broadcast boundary array. Balance matches sampled range
+    partitioning (~n_candidates key samples); determinism is absolute.
+    Sort keys must be non-null and (as a whole) unique — the same
+    contract every engine-portable global ordering needs."""
+    key = F.struct(
+        *[
+            _orderable(df, nm, d).alias(f"__k{i}")
+            for i, (nm, d) in enumerate(items)
+        ]
+    )
+    keyed = df.withColumn("__k", key)
+    if n <= 1:
+        return keyed.withColumn("__pid", F.lit(0)).drop("__k")
+    hash_cols = [F.col(nm) for nm, _ in items]
+    cands = keyed.groupBy(
+        F.pmod(F.xxhash64(*hash_cols), F.lit(n_candidates)).alias("__b")
+    ).agg(F.min("__k").alias("__ck"))
+    bnds = cands.agg(
+        F.array_sort(F.collect_list("__ck")).alias("__cs")
+    ).select(
+        F.expr(
+            f"transform(sequence(1, {n - 1}), "
+            f"i -> __cs[cast(i * size(__cs) / {n} AS INT)])"
+        ).alias("__bs")
+    )
+    return (
+        keyed.crossJoin(F.broadcast(bnds))
+        .withColumn(
+            "__pid",
+            F.size(F.filter(F.col("__bs"), lambda b: b <= F.col("__k"))),
+        )
+        .drop("__k", "__bs")
+    )
 
 
 def distributed_prefix_sum(
     df: DataFrame,
-    order_col,
+    order_spec,
     value_col: str,
     out_col: str = "cum_before",
     num_partitions: int | None = None,
+    n_candidates: int = 4096,
 ) -> DataFrame:
     """Exclusive prefix sum over a global ordering WITHOUT a global
     window — the two-pass scheme every sequence-packing / offset-
@@ -171,61 +278,52 @@ def distributed_prefix_sum(
     collapses to a single partition (Spark literally warns): one
     reducer streams the whole corpus. Instead:
 
-    1. range-partition by the order column (already sorted within
-       partitions);
-    2. per-partition subtotals (one tiny row each) -> driver-free
-       cumulative offsets via a window over the FEW subtotal rows;
-    3. broadcast-join offsets back, then a per-partition running sum
-       (window PARTITION BY the physical partition id — state bounded
-       per partition) plus the partition's offset.
+    1. assign every row a DETERMINISTIC order-preserving bin id (see
+       ``_assign_order_bins`` — a pure function of the data, never a
+       sampled range partitioner, so repeated evaluation in separate
+       plan branches can never disagree);
+    2. per-bin subtotals (one tiny row each) -> cumulative offsets via
+       a window over the FEW subtotal rows;
+    3. broadcast-join offsets back, then a per-bin running sum
+       (window PARTITION BY ``__pid`` — state bounded per bin) plus
+       the bin's offset.
 
     Identical result to the global window (asserted in
-    tests/test_scale.py), wall-clock bounded by the largest partition,
-    not the corpus.
+    tests/test_scale.py, and across sessions/parallelism in the soak
+    test), wall-clock bounded by the largest bin, not the corpus.
 
-    Cost model of the checkpoint below: one extra local write + read
-    of the ranged table (executor-local storage, already post-shuffle).
-    That is the price of a CONSISTENT partition assignment across the
-    two consumer branches — the same materialize-then-assign shape
-    production packing/offset pipelines use — and it is what makes the
-    operator deterministic when chained after other shuffles. (The
-    zero-materialization alternative — deterministic value-binned
-    partitioning, a pure function of the key — trades this for skew
-    sensitivity; the checkpoint is the right default.)
+    Determinism contract: with integer/decimal values the result is
+    bit-identical across any session, parallelism, or upstream row
+    order (min-of-bucket boundaries and per-bin integer sums are
+    order-insensitive). Float values keep the usual FP
+    summation-order caveat of any distributed sum.
 
-    ``order_col`` may be a single column name or a list of sort
-    expressions (``[F.desc("revenue"), F.asc("l_suppkey")]``) — the
-    range partitioner and the local window share the spec, so any
-    total ordering expressible as a sort works."""
+    ``order_spec``: a column name, a ``(name, "desc")`` pair, or a
+    list of either (``[("revenue", "desc"), "l_suppkey"]``). Callers
+    must make the whole key unique (tie-break column) — exactly what
+    an engine-portable global ordering needs anyway."""
     from pyspark.sql import Window
 
-    ocols = _order_cols(order_col)
+    items = _norm_order_spec(order_spec)
+    wcols = [
+        F.asc(nm) if d == "asc" else F.desc(nm) for nm, d in items
+    ]
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    # the partition assignment MUST be materialized once: `ranged`
-    # feeds two branches (subtotals and the final join), and the range
-    # partitioner derives its boundaries by SAMPLING — if the upstream
-    # row order is nondeterministic (e.g. this operator chained after
-    # another shuffle), two independent evaluations can draw different
-    # boundaries, and the offsets then correct the wrong partitions
-    # (observed at sf0.1 as ntile buckets > n_buckets). The checkpoint
-    # pins one assignment for both consumers.
-    ranged = (
-        df.repartitionByRange(n, *ocols)
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
-    )
-    subtotals = ranged.groupBy("__pid").agg(F.sum(value_col).alias("__psum"))
+    assigned = _assign_order_bins(df, items, n, n_candidates)
+    subtotals = assigned.groupBy("__pid").agg(F.sum(value_col).alias("__psum"))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = subtotals.withColumn(
         "__offset", F.coalesce(F.sum("__psum").over(w_off), F.lit(0))
     ).select("__pid", "__offset")
     w_local = (
         Window.partitionBy("__pid")
-        .orderBy(*ocols)
+        .orderBy(*wcols)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (
-        ranged.withColumn("__local", F.coalesce(F.sum(value_col).over(w_local), F.lit(0)))
+        assigned.withColumn(
+            "__local", F.coalesce(F.sum(value_col).over(w_local), F.lit(0))
+        )
         .join(F.broadcast(offsets), "__pid")
         .withColumn(out_col, F.col("__local") + F.col("__offset"))
         .drop("__pid", "__local", "__offset")
@@ -234,7 +332,7 @@ def distributed_prefix_sum(
 
 def distributed_ntile(
     df: DataFrame,
-    order_col,
+    order_spec,
     n_buckets: int,
     out_col: str,
     num_partitions: int | None = None,
@@ -249,10 +347,11 @@ def distributed_ntile(
     the largest range partition); the row count rides along as a
     broadcast one-row aggregate. Bit-identical to the window ntile for
     any total ordering (callers must supply a unique tie-break column,
-    exactly as an engine-portable window ntile needs anyway)."""
+    exactly as an engine-portable window ntile needs anyway).
+    ``order_spec`` format as in ``distributed_prefix_sum``."""
     ones = df.withColumn("__one", F.lit(1).cast("long"))
     ranked = distributed_prefix_sum(
-        ones, order_col, "__one", out_col="__rank0", num_partitions=num_partitions
+        ones, order_spec, "__one", out_col="__rank0", num_partitions=num_partitions
     ).withColumn("__rank", F.col("__rank0") + 1)
     cnt = df.groupBy().agg(F.count(F.lit(1)).alias("__n"))
     r, n, b = F.col("__rank"), F.col("__n"), F.lit(n_buckets)
@@ -286,10 +385,12 @@ def skyline_2d(
     one-pass O(n log n) algorithm, but a naive Spark translation is a
     global no-partition window (single reducer). This runs the sweep
     with the same two-pass discipline as ``distributed_prefix_sum``:
-    range-partition on the sort key, local running max per partition,
-    partition-level maxima prefix-maxed over the FEW subtotal rows and
-    broadcast back. Identical to the naive sweep, wall-clock bounded by
-    the largest partition.
+    deterministic order-preserving bins on the sort key (pure function
+    of the data — see ``_assign_order_bins``; no sampled range
+    partitioner, no checkpoint), local running max per bin, bin-level
+    maxima prefix-maxed over the FEW subtotal rows and broadcast back.
+    Identical to the naive sweep, wall-clock bounded by the largest
+    bin.
 
     ``x_col``/``y_col`` must be numeric (doubles); duplicate points are
     collapsed first (a point never dominates its twin).
@@ -299,13 +400,8 @@ def skyline_2d(
     neg_inf = F.lit(float("-inf"))
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     pts = df.select(x_col, y_col).distinct()
-    # same consistency requirement as distributed_prefix_sum: the
-    # sampled range assignment feeds both the submax pass and the join,
-    # so it must be pinned by a checkpoint, not re-evaluated per branch
-    ranged = (
-        pts.repartitionByRange(n, F.desc(x_col), F.desc(y_col))
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
+    ranged = _assign_order_bins(
+        pts, [(x_col, "desc"), (y_col, "desc")], n
     )
     submax = ranged.groupBy("__pid").agg(F.max(y_col).alias("__pmax"))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)

@@ -919,9 +919,9 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = rfm
     for out, keys in (
-        ("r", [F.desc("last_order"), F.asc("o_custkey")]),
-        ("f", [F.desc("frequency"), F.asc("o_custkey")]),
-        ("m", [F.desc("monetary"), F.asc("o_custkey")]),
+        ("r", [("last_order", "desc"), "o_custkey"]),
+        ("f", [("frequency", "desc"), "o_custkey"]),
+        ("m", [("monetary", "desc"), "o_custkey"]),
     ):
         scored = distributed_ntile(scored, keys, 4, out)
     scored = scored.select("o_custkey", "r", "f", "m")
@@ -986,7 +986,7 @@ def supplier_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = rev.groupBy().agg(F.sum("revenue").alias("tot_rev"))
     ranked = (
         distributed_prefix_sum(
-            rev, [F.desc("revenue"), F.asc("l_suppkey")], "revenue"
+            rev, [("revenue", "desc"), "l_suppkey"], "revenue"
         )
         .withColumn("cum_rev", F.col("cum_before") + F.col("revenue"))
         .crossJoin(F.broadcast(tot))
@@ -2159,10 +2159,11 @@ def event_id_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The global rank is the trap: ``row_number() OVER (ORDER BY ...)``
     is a single-reducer window. Here it comes from
-    ``distributed_prefix_sum`` over a ones column (two-pass range
-    partition, checkpoint-pinned assignment), identical to the window
-    form the oracle keeps — the same discipline as sequence packing,
-    reused for an audit instead of a layout."""
+    ``distributed_prefix_sum`` over a ones column (two-pass,
+    deterministic order-preserving bins — a pure function of the
+    data), identical to the window form the oracle keeps — the same
+    discipline as sequence packing, reused for an audit instead of a
+    layout."""
     from ..operators.scale import distributed_prefix_sum
 
     ev = load_table(spark, sf_dir, "events").select("event_id")

@@ -311,7 +311,7 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cum = distributed_prefix_sum(
         q,
-        [F.desc("quality_permille"), F.asc("doc_id")],
+        [("quality_permille", "desc"), "doc_id"],
         "n_tokens",
         out_col="cum_before",
     )

@@ -618,19 +618,25 @@ def test_edit_distance_verifier_has_no_cartesian(spark):
 
 
 def test_prefix_sum_partition_assignment_is_pinned(spark):
-    # regression for the round-4 range-partition consistency bug: the
-    # ranged frame (repartitionByRange + spark_partition_id) feeds two
-    # branches, and the range partitioner SAMPLES its boundaries — two
-    # independent evaluations under nondeterministic upstream order can
-    # disagree, silently corrupting the global rank (seen as ntile
-    # buckets > n_buckets at sf0.1). The assignment must therefore be
-    # materialized exactly once: the plan reads the checkpoint (Scan
-    # ExistingRDD), never a second live repartitionByRange of the base.
+    # regression for the round-3/4 range-partition consistency bug:
+    # the sampled range partitioner derives boundaries from the RUN
+    # (input-split order, session sampling), so two plan branches (or
+    # two sessions) could assign the same row to different partitions,
+    # silently corrupting the global rank. The round-5 fix removes
+    # sampling entirely — the bin id is a pure function of the data
+    # (hash-bucket MIN-key candidates -> in-plan boundaries -> per-row
+    # boundary count). The plan must therefore contain NO sampled
+    # range exchange and NO checkpoint scan: determinism by
+    # construction, not by materialization.
     for name in ("token_budget_selection", "customer_rfm_segments",
-                 "supplier_pareto_abc", "order_value_frontier"):
+                 "supplier_pareto_abc", "order_value_frontier",
+                 "sequence_packing_report", "event_id_islands"):
         plan = _plan(spark, name)
-        assert "Scan ExistingRDD" in plan, name + ":\n" + plan
-        # exactly one live range exchange per prefix pass would mean the
-        # ranged frame escaped the checkpoint; there must be none below it
-        assert "REPARTITION_BY_RANGE" not in plan.split("Scan ExistingRDD")[0] or \
-               "rangepartitioning" not in plan, name
+        assert "rangepartitioning" not in plan, name + ":\n" + plan
+        assert "REPARTITION_BY_RANGE" not in plan, name
+        assert "Scan ExistingRDD" not in plan, (
+            name + ": checkpoint in plan — determinism must not depend "
+            "on per-run materialization\n" + plan
+        )
+        # the deterministic candidate pass is present
+        assert "xxhash64" in plan, name + ":\n" + plan

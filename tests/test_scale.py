@@ -175,3 +175,109 @@ def test_skyline_matches_brute_force(spark):
         )
     }
     assert got == expect
+
+
+# --------------------------------------------------------------- soak
+# The r03/r04 driver gate twice hashed `sequence_packing_report` red
+# while every in-session mirror passed — an environment-sensitive
+# nondeterminism in the *sampled* range-partition assignment that only
+# a fresh-session, varied-parallelism harness could reproduce.  This
+# soak is that harness: each config runs in its own subprocess (fresh
+# JVM, fresh SparkSession, different master / shuffle partitions), the
+# prefix-sum consumers run repeatedly per session, and every hash must
+# be bit-identical across runs AND configs.  The deterministic
+# bin-assignment rewrite (pure function of the data, no sampling, no
+# checkpoint) is what makes this pass.
+
+_SOAK_QUERIES = [
+    "sequence_packing_report",
+    "packing_efficiency_report",
+    "customer_rfm_segments",
+    "supplier_pareto_abc",
+    "token_budget_selection",
+    "event_id_islands",
+]
+
+_SOAK_SCRIPT = r"""
+import hashlib, json, sys
+sys.path.insert(0, sys.argv[3])
+from pyspark.sql import SparkSession, functions as F
+spark = (
+    SparkSession.builder.master(sys.argv[1])
+    .config("spark.sql.shuffle.partitions", sys.argv[2])
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.adaptive.enabled", "true")
+    .appName("prefix-sum-soak")
+    .getOrCreate()
+)
+from end_to_end_database_pipeline_project_spark.plans import QUERIES
+from end_to_end_database_pipeline_project_spark.plans import load_all  # noqa: F401
+from end_to_end_database_pipeline_project_spark.operators.scale import (
+    distributed_prefix_sum,
+)
+from end_to_end_database_pipeline_project_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+N_RUNS = 3
+out = {}
+for name in json.loads(sys.argv[4]):
+    hs = []
+    for _ in range(N_RUNS):
+        rows = sorted(map(str, QUERIES[name](spark, SF).collect()))
+        hs.append(hashlib.md5("\n".join(rows).encode()).hexdigest())
+    out[name] = hs
+# the chained-after-shuffle shape that triggered the original bug:
+# feed the operator an input whose row order is whatever a prior
+# round-robin shuffle produced
+docs = load_table(spark, SF, "documents").select(
+    "doc_id", F.length("text").alias("v")
+).repartition(7)
+hs = []
+for _ in range(N_RUNS):
+    rows = sorted(
+        map(str, distributed_prefix_sum(docs, "doc_id", "v").collect())
+    )
+    hs.append(hashlib.md5("\n".join(rows).encode()).hexdigest())
+out["__chained_after_shuffle"] = hs
+print("SOAK_RESULT " + json.dumps(out))
+spark.stop()
+"""
+
+
+def test_prefix_sum_soak_across_sessions_and_parallelism():
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    results = {}
+    for master, shuffle in (("local[4]", "4"), ("local[16]", "16"), ("local[32]", "32")):
+        proc = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                _SOAK_SCRIPT,
+                master,
+                shuffle,
+                repo,
+                json.dumps(_SOAK_QUERIES),
+            ],
+            capture_output=True,
+            text=True,
+            timeout=600,
+        )
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        line = [
+            ln for ln in proc.stdout.splitlines() if ln.startswith("SOAK_RESULT ")
+        ]
+        assert line, "no soak result in output:\n" + proc.stdout[-2000:]
+        results[(master, shuffle)] = json.loads(line[-1][len("SOAK_RESULT "):])
+    for name in _SOAK_QUERIES + ["__chained_after_shuffle"]:
+        all_hashes = {
+            h for cfg in results.values() for h in cfg[name]
+        }
+        assert len(all_hashes) == 1, (
+            f"{name}: output not bit-identical across sessions/parallelism: "
+            + str({cfg: r[name] for cfg, r in results.items()})
+        )
