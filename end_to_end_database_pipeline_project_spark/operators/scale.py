@@ -239,7 +239,7 @@ def _assign_order_bins(
     )
     keyed = df.withColumn("__k", key)
     if n <= 1:
-        return keyed.withColumn("__pid", F.lit(0)).drop("__k")
+        return keyed.withColumn("__pid", F.lit(0))
     hash_cols = [F.col(nm) for nm, _ in items]
     cands = keyed.groupBy(
         F.pmod(F.xxhash64(*hash_cols), F.lit(n_candidates)).alias("__b")
@@ -258,8 +258,8 @@ def _assign_order_bins(
             "__pid",
             F.size(F.filter(F.col("__bs"), lambda b: b <= F.col("__k"))),
         )
-        .drop("__k", "__bs")
-    )
+        .drop("__bs")
+    )  # __k is kept: consumers use it as the in-bin order surrogate
 
 
 def distributed_prefix_sum(
@@ -310,23 +310,38 @@ def distributed_prefix_sum(
     ]
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     assigned = _assign_order_bins(df, items, n, n_candidates)
-    subtotals = assigned.groupBy("__pid").agg(F.sum(value_col).alias("__psum"))
-    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = subtotals.withColumn(
-        "__offset", F.coalesce(F.sum("__psum").over(w_off), F.lit(0))
-    ).select("__pid", "__offset")
     w_local = (
         Window.partitionBy("__pid")
         .orderBy(*wcols)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    return (
-        assigned.withColumn(
-            "__local", F.coalesce(F.sum(value_col).over(w_local), F.lit(0))
+    localed = assigned.withColumn(
+        "__local", F.coalesce(F.sum(value_col).over(w_local), F.lit(0))
+    )
+    # subtotals are derived ABOVE the window's hashpartitioning(__pid)
+    # exchange: the bin total is the LAST row's inclusive running sum,
+    # read with max_by over the in-bin order surrogate __k. Because
+    # this aggregate genuinely depends on the window output, Catalyst
+    # cannot prune the window from the subtotal branch (a plain
+    # sum(value) would be pushed below it), so both consumer branches
+    # share a canonically-identical exchange and ReuseExchange
+    # materializes the (possibly expensive) upstream exactly once —
+    # the perf role the old checkpoint played, now without any
+    # correctness dependence on materialization (the assignment is a
+    # pure function of the data either way).
+    subtotals = localed.groupBy("__pid").agg(
+        F.max_by(F.col("__local") + F.col(value_col), F.col("__k")).alias(
+            "__psum"
         )
-        .join(F.broadcast(offsets), "__pid")
+    )
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = subtotals.withColumn(
+        "__offset", F.coalesce(F.sum("__psum").over(w_off), F.lit(0))
+    ).select("__pid", "__offset")
+    return (
+        localed.join(F.broadcast(offsets), "__pid")
         .withColumn(out_col, F.col("__local") + F.col("__offset"))
-        .drop("__pid", "__local", "__offset")
+        .drop("__pid", "__local", "__offset", "__k")
     )
 
 
@@ -403,23 +418,34 @@ def skyline_2d(
     ranged = _assign_order_bins(
         pts, [(x_col, "desc"), (y_col, "desc")], n
     )
-    submax = ranged.groupBy("__pid").agg(F.max(y_col).alias("__pmax"))
-    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = submax.withColumn("__premax", F.max("__pmax").over(w_off)).select(
-        "__pid", "__premax"
-    )
     w_local = (
         Window.partitionBy("__pid")
         .orderBy(F.desc(x_col), F.desc(y_col))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    localed = ranged.withColumn(
+        "__lmax", F.coalesce(F.max(y_col).over(w_local), neg_inf)
+    )
+    # submax sits above the window exchange (same ReuseExchange
+    # discipline as distributed_prefix_sum — the max_by over the
+    # window output keeps the window in this branch, so the big
+    # exchange is shared and the upstream materializes once): the bin
+    # maximum is the last row's inclusive running max
+    submax = localed.groupBy("__pid").agg(
+        F.max_by(
+            F.greatest(F.col("__lmax"), F.col(y_col)), F.col("__k")
+        ).alias("__pmax")
+    )
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = submax.withColumn("__premax", F.max("__pmax").over(w_off)).select(
+        "__pid", "__premax"
+    )
     prev = F.greatest(
-        F.coalesce(F.max(y_col).over(w_local), neg_inf),
-        F.coalesce(F.col("__premax"), neg_inf),
+        F.col("__lmax"), F.coalesce(F.col("__premax"), neg_inf)
     )
     return (
-        ranged.join(F.broadcast(offsets), "__pid")
+        localed.join(F.broadcast(offsets), "__pid")
         .withColumn("__prev", prev)
         .where(F.col(y_col) > F.col("__prev"))
-        .drop("__pid", "__premax", "__prev")
+        .drop("__pid", "__premax", "__prev", "__lmax", "__k")
     )
