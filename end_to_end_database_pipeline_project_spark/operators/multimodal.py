@@ -776,6 +776,15 @@ def decode_jpeg_gray(content: bytes) -> dict:
         marker = content[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0xFF:  # fill byte padding before a marker
+            pos += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / RSTn are standalone (no length word) — legal between
+            # SOI and SOS; advance past them instead of misreading the
+            # following bytes as a segment length
+            pos += 2
+            continue
         if pos + 4 > len(content):
             raise ValueError("truncated JPEG: marker segment cut short")
         (seglen,) = struct.unpack_from(">H", content, pos + 2)
@@ -793,6 +802,8 @@ def decode_jpeg_gray(content: bytes) -> dict:
                 qtables[tq] = list(payload[p + 1 : p + 65])
                 p += 65
         elif marker == 0xC0:  # SOF0 baseline
+            if len(payload) < 9:
+                raise ValueError("corrupt JPEG: SOF0 payload too short")
             _prec, height, width, ncomp = struct.unpack_from(">BHHB", payload, 0)
             if ncomp != 1:
                 raise NotImplementedError("only grayscale (1 component) supported")
@@ -815,12 +826,20 @@ def decode_jpeg_gray(content: bytes) -> dict:
                 }
                 p += 17 + nvals
         elif marker == 0xDA:  # SOS
+            if len(payload) < 3:
+                raise ValueError("corrupt JPEG: SOS payload too short")
             dc_id, ac_id = payload[2] >> 4, payload[2] & 0xF
             scan_start = pos + 2 + seglen
             break
         pos += 2 + seglen
     if width is None or scan_start is None:
         raise ValueError("missing SOF0 or SOS")
+    if comp_q not in qtables:
+        raise ValueError(f"corrupt JPEG: quant table {comp_q} never defined")
+    if (0, dc_id) not in htables or (1, ac_id) not in htables:
+        raise ValueError(
+            f"corrupt JPEG: Huffman table dc={dc_id}/ac={ac_id} never defined"
+        )
     quant = np.array(qtables[comp_q], dtype=float)
     dc_table = htables[(0, dc_id)]
     ac_table = htables[(1, ac_id)]
@@ -845,6 +864,10 @@ def decode_jpeg_gray(content: bytes) -> dict:
                     i += 16
                     continue
                 i += run
+                if i > 63:
+                    raise ValueError(
+                        "corrupt JPEG scan: AC run past end of block"
+                    )
                 zz[i] = _extend(reader.bits(size), size)
                 i += 1
             coef = np.zeros(64)

@@ -710,45 +710,66 @@ def embedding_pca_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale split: the corpus-sized work is ONE distributed pass — the
     augmented-Gramian kernel (``operators/similarity.partial_gramian``:
     per-batch GEMM of [X|1], upper-triangle partials merged by a
-    groupBy sum into (d+1)^2/2 rows). Only that d x d sufficient
-    statistic reaches the driver; the O(d^3) eigendecomposition is
-    corpus-size-independent. PCA over 100 TB of embeddings is exactly
-    this shape (the alternative — collecting vectors — is the driver
-    OOM this repo's scan audit forbids)."""
-    import numpy as np
-
+    groupBy sum into (d+1)^2/2 rows). The O(d^3) eigendecomposition is
+    corpus-size-independent and runs in a single-task ``mapInPandas``
+    over the coalesced Gramian rows, so the whole query is LAZY like
+    every other registered plan — building it (plan dumps, EXPLAIN
+    tooling, the scan audit) costs nothing; the corpus scan happens
+    only on action. PCA over 100 TB of embeddings is exactly this
+    shape (the alternative — collecting vectors — is the driver OOM
+    this repo's scan audit forbids)."""
     from ..operators.similarity import partial_gramian
 
     emb = _emb(spark, sf_dir)
-    rows = partial_gramian(emb).collect()  # (d+1)^2/2 rows — tiny, O(d^2)
-    d1 = max(r["i"] for r in rows) + 1
-    g = np.zeros((d1, d1))
-    for r in rows:
-        g[r["i"], r["j"]] = r["s"]
-        g[r["j"], r["i"]] = r["s"]
-    n = g[d1 - 1, d1 - 1]
-    mean = g[:-1, d1 - 1] / n
-    cov = g[:-1, :-1] / n - np.outer(mean, mean)
-    evals, evecs = np.linalg.eigh(cov)
-    order = np.argsort(evals)[::-1][:4]
-    trace = float(np.trace(cov))
-    lam_max = float(evals[order[0]])
-    out = []
-    for rank, idx in enumerate(order, start=1):
-        lam, v = float(evals[idx]), evecs[:, idx]
-        resid = float(np.linalg.norm(cov @ v - lam * v))
-        out.append(
-            (
-                rank,
-                round(lam, 9),
-                round(lam / trace, 9),
-                round(resid, 12),
-                bool(resid <= 1e-8 * max(lam_max, 1e-300)),
+    gram = partial_gramian(emb).coalesce(1)  # (d+1)^2/2 rows — O(d^2)
+
+    def eigen_kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        parts = list(batches)
+        if not parts:  # empty source partition: no output rows
+            return
+        rows = pd.concat(parts, ignore_index=True)
+        d1 = int(rows["i"].max()) + 1
+        g = np.zeros((d1, d1))
+        for i, j, s in zip(rows["i"], rows["j"], rows["s"]):
+            g[int(i), int(j)] = s
+            g[int(j), int(i)] = s
+        n = g[d1 - 1, d1 - 1]
+        mean = g[:-1, d1 - 1] / n
+        cov = g[:-1, :-1] / n - np.outer(mean, mean)
+        evals, evecs = np.linalg.eigh(cov)
+        order = np.argsort(evals)[::-1][:4]
+        trace = float(np.trace(cov))
+        lam_max = float(evals[order[0]])
+        out = []
+        for rank, idx in enumerate(order, start=1):
+            lam, v = float(evals[idx]), evecs[:, idx]
+            resid = float(np.linalg.norm(cov @ v - lam * v))
+            out.append(
+                (
+                    rank,
+                    round(lam, 9),
+                    round(lam / trace, 9),
+                    round(resid, 12),
+                    bool(resid <= 1e-8 * max(lam_max, 1e-300)),
+                )
             )
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "component",
+                "eigenvalue",
+                "explained_var_ratio",
+                "residual_norm",
+                "certified",
+            ],
         )
-    return spark.createDataFrame(
-        out,
-        "component int, eigenvalue double, explained_var_ratio double,"
+
+    return gram.mapInPandas(
+        eigen_kernel,
+        schema="component int, eigenvalue double, explained_var_ratio double,"
         " residual_norm double, certified boolean",
     )
 

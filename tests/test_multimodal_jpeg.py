@@ -173,3 +173,31 @@ def test_truncated_stream_never_crashes_undiagnosed(cut):
         decode_jpeg_gray(prefix)
     except (ValueError, NotImplementedError):
         pass
+
+
+def test_byte_flip_corruption_never_crashes_undiagnosed():
+    # exhaustive single-byte corruption (not just truncation): every
+    # position XORed with three patterns must either decode or raise the
+    # clean ValueError/NotImplementedError the quarantine kernel catches
+    # — never IndexError (AC run past 63), KeyError (missing DQT/DHT id)
+    # or struct.error (short SOF/SOS payloads)
+    enc = encode_jpeg_gray(16, 16, bytes(range(256)))
+    for pos in range(2, len(enc)):
+        for xor in (0x01, 0x80, 0xFF):
+            corrupt = bytearray(enc)
+            corrupt[pos] ^= xor
+            try:
+                decode_jpeg_gray(bytes(corrupt))
+            except (ValueError, NotImplementedError):
+                pass
+
+
+def test_standalone_markers_and_fill_bytes_accepted():
+    # TEM (0xFF01) and RSTn (0xFFD0-D7) carry no length word, and fill
+    # 0xFF bytes may pad before any marker — all legal between SOI and
+    # SOS and must not be misparsed as sized segments
+    img = _flat_image([100, 200], 2, 1)
+    enc = encode_jpeg_gray(16, 8, img.tobytes())
+    want = decode_jpeg_gray(enc)
+    patched = enc[:2] + b"\xff\x01\xff\xd3\xff\xff\xd7\xff" + enc[2:]
+    assert decode_jpeg_gray(patched) == want
