@@ -457,6 +457,132 @@ def extract_wav_features(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(kernel, schema=WAV_FEATURE_SCHEMA)
 
 
+# ------------------------------------------------- mu-law WAV codec
+#
+# G.711 mu-law: the LOSSY audio modality (8-bit log-companded PCM —
+# a real telephony codec, 2:1 compression of PCM16). Unlike the PCM16
+# path, encode genuinely loses information (16-bit samples quantize to
+# 256 log-spaced reconstruction levels); decode is an EXACT integer
+# function of the code byte, which is what makes the whole-clip energy
+# statistic reproducible in ANSI SQL for the oracle (the audio twin of
+# the JPEG flat-block trick: synthesize streams whose samples sit on
+# reconstruction levels, so the lossy transform is exactly invertible
+# by construction while arbitrary input still exercises real
+# quantization — covered by the bounded-error tests).
+
+MULAW_BIAS = 0x84  # 132
+MULAW_CLIP = 32635
+
+
+def mulaw_expand(code: int) -> int:
+    """Exact G.711 mu-law decode of one code byte to a linear PCM16
+    sample: t = ((mantissa<<3) + bias) << exponent; sample = +-(t-bias)."""
+    u = ~code & 0xFF
+    t = (((u & 0x0F) << 3) + MULAW_BIAS) << ((u >> 4) & 0x07)
+    return MULAW_BIAS - t if u & 0x80 else t - MULAW_BIAS
+
+
+def mulaw_compress(sample: int) -> int:
+    """G.711 mu-law encode of a linear PCM16 sample (lossy): bias, find
+    the segment (MSB position), keep a 4-bit mantissa, complement."""
+    sign = 0x80 if sample < 0 else 0x00
+    mag = min(-sample if sample < 0 else sample, MULAW_CLIP) + MULAW_BIAS
+    exponent = max(0, mag.bit_length() - 8)
+    mantissa = (mag >> (exponent + 3)) & 0x0F
+    return ~(sign | (exponent << 4) | mantissa) & 0xFF
+
+
+def encode_wav_mulaw(sample_rate: int, codes: bytes) -> bytes:
+    """Pack mu-law code bytes into a WAV file (format tag 7, mono,
+    8 bits/sample, blockAlign 1)."""
+    fmt = struct.pack("<HHIIHH", 7, 1, sample_rate, sample_rate, 1, 8)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(codes)) + codes
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_mulaw(content: bytes) -> dict:
+    """Parse a mu-law WAV by walking RIFF chunks, expand every code
+    byte to its exact linear PCM16 level, and sum |sample| — the same
+    whole-clip energy statistic as the PCM16 path, now through a lossy
+    companding codec."""
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a WAV: missing RIFF/WAVE magic")
+    pos, sample_rate, energy, n_samples = 12, None, 0, 0
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        clen = struct.unpack_from("<I", content, pos + 4)[0]
+        data = content[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            if len(data) < 16:
+                raise ValueError("truncated WAV: fmt chunk cut short")
+            _fmt, channels, sample_rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", data, 0
+            )
+            if _fmt != 7 or channels != 1 or bits != 8:
+                raise NotImplementedError("only mu-law (format 7) mono supported")
+        elif cid == b"data":
+            if sample_rate is None:
+                raise ValueError("data chunk before fmt chunk")
+            if len(data) != clen:
+                raise ValueError("truncated data chunk")
+            n_samples = clen
+            for b in data:
+                energy += abs(mulaw_expand(b))
+        pos += 8 + clen + (clen % 2)  # RIFF chunks pad to even
+    return {
+        "sample_rate": sample_rate,
+        "n_samples": n_samples,
+        "abs_amplitude_sum": energy,
+    }
+
+
+def text_to_mulaw_wav_column(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesize a real mu-law WAV column deterministically from text:
+    the md5 digest bytes ARE the mu-law codes (every byte is a valid
+    code, and codes sit exactly on reconstruction levels, so
+    compress(expand(b)) round-trips — asserted in tests) cycled to the
+    length-derived sample count. Genuine format-7 RIFF bytes, and the
+    expansion formula is pure integer arithmetic the SQL oracle
+    replicates."""
+
+    @F.pandas_udf(T.BinaryType())
+    def make_mulaw(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            n = 64 + len(t) % 57
+            rate = 8000 + 1000 * (len(t) % 5)
+            digest = hashlib.md5(t.encode("utf-8")).digest()
+            codes = (digest * (n // 16 + 1))[:n]
+            out.append(encode_wav_mulaw(rate, codes))
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        make_mulaw(F.col(text_col)).alias("content"),
+        F.lit("audio/wav").alias("mime_type"),
+    )
+
+
+def extract_mulaw_features(assets: DataFrame) -> DataFrame:
+    """Arrow-batched mu-law WAV feature extraction (chunk walk + exact
+    integer expansion + energy) — same mapInPandas shape as the PCM16
+    path but through the lossy companding codec."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_wav_mulaw(bytes(c)) for c in pdf["content"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+            yield out[
+                ["doc_id", "sample_rate", "n_samples", "abs_amplitude_sum"]
+            ]
+
+    return assets.mapInPandas(kernel, schema=WAV_FEATURE_SCHEMA)
+
+
 BMP_FEATURE_SCHEMA = (
     "doc_id long, width int, height int, bpp int, pixel_sum long"
 )

@@ -1227,6 +1227,58 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_mulaw_decode",
+    oracle="""WITH params AS (
+  SELECT doc_id,
+         64 + length(text) % 57 AS n,
+         8000 + 1000 * (length(text) % 5) AS rate,
+         md5(text) AS hex
+  FROM documents
+),
+codes AS (
+  SELECT doc_id, j,
+         16 * (strpos('0123456789abcdef',
+                      substr(hex, CAST(2 * j + 1 AS INT), 1)) - 1)
+           + (strpos('0123456789abcdef',
+                     substr(hex, CAST(2 * j + 2 AS INT), 1)) - 1) AS b
+  FROM params CROSS JOIN (SELECT unnest(range(16)) AS j) jj
+),
+vals AS (
+  SELECT doc_id, j,
+         (8 * ((255 - b) % 16) + 132)
+           * (1 << (((255 - b) // 16) % 8)) - 132 AS av
+  FROM codes
+),
+full16 AS (SELECT doc_id, sum(av) AS s16 FROM vals GROUP BY 1),
+part AS (
+  SELECT p.doc_id, coalesce(sum(v.av), 0) AS ps
+  FROM params p LEFT JOIN vals v ON v.doc_id = p.doc_id AND v.j < p.n % 16
+  GROUP BY 1
+)
+SELECT p.doc_id, CAST(p.rate AS INT) AS sample_rate,
+       CAST(p.n AS INT) AS n_samples,
+       CAST((p.n // 16) * f.s16 + pr.ps AS BIGINT) AS abs_amplitude_sum
+FROM params p
+JOIN full16 f ON f.doc_id = p.doc_id
+JOIN part pr ON pr.doc_id = p.doc_id""",
+)
+def multimodal_mulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSY audio modality: G.711 mu-law — 8-bit log-companded PCM
+    (2:1 compression of PCM16, a real telephony codec) in a genuine
+    format-7 RIFF container, decoded by an Arrow-batched mapInPandas
+    kernel that expands every code byte to its exact linear level and
+    sums |sample|. The digest bytes ARE the mu-law codes (each byte is
+    a valid code sitting exactly on a reconstruction level, so the
+    lossy transform is exactly invertible by construction — the audio
+    analog of the JPEG flat-block trick), letting the oracle reproduce
+    the energy with the pure-integer expansion formula
+    ((8*(u%16)+132) << (u//16 % 8)) - 132, u = 255 - code."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = MM.text_to_mulaw_wav_column(fan_out(docs))
+    return MM.extract_mulaw_features(assets)
+
+
+@query(
     "multimodal_jpeg_decode",
     oracle="""WITH params AS (
   SELECT doc_id,
