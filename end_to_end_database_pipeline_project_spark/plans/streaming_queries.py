@@ -415,6 +415,56 @@ def stateful_user_totals_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stateful_user_totals_tws",
+    oracle="""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(coalesce(value, 0)), 6) AS total_value
+FROM events GROUP BY user_id""",
+)
+def stateful_user_totals_tws_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-stateful streaming op via ``transformWithStateInPandas``
+    — the Spark 4 typed-state API (ValueState handle, RocksDB state
+    store). Runs with the real protobuf wheel where installed, else the
+    vendored mini runtime (``_vendor/protobuf_shim``) activates and is
+    exported to Python workers through the captured env. Same semantics
+    and oracle as ``stateful_user_totals``; final totals are the
+    max-count row per key out of the update-mode sink."""
+    from ..streaming.stateful import stateful_user_totals_tws
+
+    ship_package(spark)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        out = run_stream_to_table(
+            stateful_user_totals_tws(stream_events(spark, sf_dir)),
+            "update",
+            "stream_tws",
+        ).localCheckpoint()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("total_value", _R).alias("total_value"),
+        )
+    )
+
+
+@query(
     "gold_partition_refresh",
     oracle="""WITH silver AS (
   SELECT CAST(ts AS TIMESTAMP) AS timestamp,

@@ -138,20 +138,18 @@ def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
     (changelog-checkpointed at scale), which the caller enables on the
     session before starting the query.
 
-    GATED: the API's streaming Python runner needs ``google.protobuf``,
-    which this container lacks — the import guard raises a clear
-    NotImplementedError here; on a normally-provisioned cluster
-    (protobuf ships with pyspark[connect]) the code path below is the
-    production form. ``stateful_user_totals`` is the container-runnable
-    equivalent and covers the semantics in the oracle suite."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-        from pyspark.sql.streaming import StatefulProcessor
-    except ImportError as e:  # pragma: no cover - env-dependent
-        raise NotImplementedError(
-            "transformWithStateInPandas needs google.protobuf, absent in "
-            "this container; use stateful_user_totals instead"
-        ) from e
+    The API's streaming Python runner needs ``google.protobuf``. Where
+    the real wheel is installed (pyspark[connect] clusters) it is used
+    as-is; in wheel-less containers the vendored mini runtime
+    (``_vendor/protobuf_shim``) is activated and shipped to Python
+    workers via addPyFile, so the state-server protocol round-trips
+    end-to-end either way (pinned by
+    tests/test_pipeline_streaming.py::test_transform_with_state_agrees
+    and the protobuf-shim unit suite)."""
+    from .._vendor import ensure_protobuf
+
+    ensure_protobuf(events.sparkSession)
+    from pyspark.sql.streaming import StatefulProcessor
 
     proc_cls = type("UserTotalsProcessor", (_UserTotalsProcessor, StatefulProcessor), {})
     return events.groupBy("user_id").transformWithStateInPandas(

@@ -86,33 +86,28 @@ def test_asof_join_carries_latest_right(spark):
     assert [r["val_asof"] for r in rows] == [100.0, 200.0, None]
 
 
-def test_transform_with_state_gated_or_agrees(spark):
-    """transformWithStateInPandas needs protobuf; in this container the
-    operator must fail fast with NotImplementedError. Where protobuf
-    exists, it must agree with the applyInPandasWithState totals."""
-    import pytest
-
+def test_transform_with_state_agrees(spark):
+    """transformWithStateInPandas (the Spark 4 typed-state API) must run
+    end-to-end — with the real protobuf wheel where installed, else via
+    the vendored mini runtime shipped to Python workers — and its final
+    per-user totals must agree exactly with the applyInPandasWithState
+    twin."""
     from end_to_end_database_pipeline_project_spark.streaming.pipeline import (
         run_stream_to_table,
         stream_events,
     )
     from end_to_end_database_pipeline_project_spark.streaming.stateful import (
+        stateful_user_totals,
         stateful_user_totals_tws,
     )
 
-    try:
-        import google.protobuf  # noqa: F401
-    except ImportError:
-        with pytest.raises(NotImplementedError):
-            stateful_user_totals_tws(stream_events(spark, SF))
-        return
     prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
     try:
-        out = run_stream_to_table(
+        tws = run_stream_to_table(
             stateful_user_totals_tws(stream_events(spark, SF)), "update", "tws"
         ).localCheckpoint()
     finally:
@@ -120,7 +115,25 @@ def test_transform_with_state_gated_or_agrees(spark):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
-    assert out.count() > 0
+    twin = run_stream_to_table(
+        stateful_user_totals(stream_events(spark, SF)), "update", "totals_twin"
+    ).localCheckpoint()
+
+    def final_totals(df):
+        # update-mode sink holds one row per (key, batch); the final
+        # totals are the max-count row per key
+        out = {}
+        for r in df.collect():
+            cur = out.get(r["user_id"])
+            if cur is None or r["n_events"] > cur[0]:
+                out[r["user_id"]] = (r["n_events"], r["total_value"])
+        return out
+
+    a, b = final_totals(tws), final_totals(twin)
+    assert len(b) > 0 and set(a) == set(b)
+    for uid in b:
+        assert a[uid][0] == b[uid][0]
+        assert abs(a[uid][1] - b[uid][1]) < 1e-6
 
 
 def test_backfill_bronze_days(spark, tmp_path):
