@@ -72,6 +72,21 @@ PYTHON_ROW_ALLOWED = {
 }
 
 
+# Source files allowed to build GLOBAL windows (Window.orderBy with no
+# partitionBy — a single-reducer funnel at scale): (max occurrences,
+# boundedness argument). Docstrings/comments are excluded by the
+# tokenizer, so only real call sites count. Anything above the cap or
+# in an unlisted file is a finding.
+WINDOW_GLOBAL_ALLOWED = {
+    "plans/corpus_queries.py": (1, "zipf rank over the 500-row term-frequency frame"),
+    "plans/llm_data_queries.py": (2, "RRF rank windows over top-20 candidate frames"),
+    "plans/analytics_queries.py": (2, "event-islands prefix windows over the day-grain series"),
+    "plans/reference_queries.py": (1, "month-grain rollup series (<= #months rows)"),
+    "plans/relational_queries.py": (1, "day-grain rolling average (<= #days rows)"),
+    "operators/scale.py": (2, "offset windows over <= num_partitions subtotal rows"),
+}
+
+
 def audit(spark, name: str) -> list[str]:
     try:
         plan = QUERIES[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
@@ -106,29 +121,81 @@ def audit(spark, name: str) -> list[str]:
     return out
 
 
-def audit_source() -> list[str]:
+def _code_name_sites(path: str, names: tuple[str, ...]) -> dict[str, list[int]]:
+    """Line numbers of NAME-token occurrences, excluding strings and
+    comments (so docstrings discussing an anti-pattern don't count)."""
+    import tokenize
+
+    sites: dict[str, list[int]] = {n: [] for n in names}
+    with open(path, "rb") as fh:
+        toks = list(tokenize.tokenize(fh.readline))
+    for i, t in enumerate(toks):
+        if t.type != tokenize.NAME or t.string not in names:
+            continue
+        if t.string == "orderBy":
+            # count only `Window.orderBy` (a spec STARTING with orderBy
+            # has no partitionBy), not `.partitionBy(...).orderBy(...)`
+            if (
+                i >= 2
+                and toks[i - 1].string == "."
+                and toks[i - 2].string == "Window"
+            ):
+                sites[t.string].append(t.start[0])
+        else:
+            sites[t.string].append(t.start[0])
+    return sites
+
+
+def audit_source(pkg: str | None = None) -> list[str]:
     """Source-level checks that no plan string can show.
 
-    An unbounded ``toPandas()`` collects a whole table to the driver —
-    a guaranteed OOM at 100 TB, invisible in a small-fixture plan. Any
-    driver collection must carry an explicit ``< N`` slab bound in the
-    same expression (the bounded-slab GEMM kernels)."""
-    pkg = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "end_to_end_database_pipeline_project_spark",
-    )
+    1. An unbounded ``toPandas()`` collects a whole table to the driver
+       — a guaranteed OOM at 100 TB, invisible in a small-fixture plan.
+       Any driver collection must carry an explicit ``< N`` slab bound
+       in the same expression (the bounded-slab GEMM kernels).
+    2. ``Window.orderBy`` with no partitionBy funnels everything to one
+       reducer; only the allow-listed bounded frames may use it.
+    3. ``repartitionByRange`` samples its boundaries per run — banned
+       from registered plans (``plans/``); the deterministic
+       ``operators.scale`` binning or the write-time ``operators.layout``
+       use are the sanctioned forms."""
+    if pkg is None:
+        pkg = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "end_to_end_database_pipeline_project_spark",
+        )
     out = []
+    window_counts: dict[str, list[int]] = {}
     for root, _dirs, files in os.walk(pkg):
         for fn in files:
             if not fn.endswith(".py"):
                 continue
             path = os.path.join(root, fn)
+            rel = os.path.relpath(path, pkg)
             with open(path) as fh:
                 for i, line in enumerate(fh, 1):
                     if ".toPandas()" in line and not re.search(r"<\s*\d+", line):
                         out.append(
                             f"{fn}:{i}: unbounded driver toPandas(): {line.strip()}"
                         )
+            sites = _code_name_sites(path, ("orderBy", "repartitionByRange"))
+            if sites["orderBy"]:
+                window_counts[rel] = sites["orderBy"]
+            if sites["repartitionByRange"] and rel.startswith("plans" + os.sep):
+                for ln in sites["repartitionByRange"]:
+                    out.append(
+                        f"{rel}:{ln}: repartitionByRange in a registered plan "
+                        "(sampled boundaries are nondeterministic; use "
+                        "operators.scale deterministic bins)"
+                    )
+    for rel, lines in sorted(window_counts.items()):
+        cap, _why = WINDOW_GLOBAL_ALLOWED.get(rel, (0, ""))
+        if len(lines) > cap:
+            out.append(
+                f"{rel}:{lines}: {len(lines)} global Window.orderBy "
+                f"(no partitionBy) sites exceed the documented allowance "
+                f"of {cap}"
+            )
     return out
 
 
