@@ -56,11 +56,12 @@ def to_binary_column(
 
 
 def decode_stub(content: bytes, mime_type: str) -> dict:
-    """Decode kernel dispatch. text, image/bmp, image/png, image/jpeg
-    and audio/wav are real decoders; formats needing native media
-    libraries (lossy audio via ``soundfile.read``, video via ``av``)
-    are explicitly unimplemented — neither library ships in this
-    container."""
+    """Decode kernel dispatch. text, image/bmp, image/png, image/jpeg,
+    audio/wav (PCM16 and mu-law format-7) and video/x-msvideo
+    (Motion-JPEG AVI) are real decoders; formats needing native media
+    libraries (MP3/AAC via ``soundfile``, inter-frame codecs like
+    H.264 via ``av``) are explicitly unimplemented — neither library
+    ships in this container."""
     if mime_type == "text/plain":
         return {
             "byte_len": len(content),
@@ -89,11 +90,21 @@ def decode_stub(content: bytes, mime_type: str) -> dict:
             "modality": "image",
         }
     if mime_type == "audio/wav":
-        decode_wav(content)  # validates RIFF chunks
+        try:
+            decode_wav(content)  # validates RIFF chunks (PCM16)
+        except NotImplementedError:
+            decode_wav_mulaw(content)  # mu-law format-7 variant
         return {
             "byte_len": len(content),
             "content_md5": hashlib.md5(content).hexdigest(),
             "modality": "audio",
+        }
+    if mime_type == "video/x-msvideo":
+        decode_avi_mjpeg(content)  # validates container + every frame
+        return {
+            "byte_len": len(content),
+            "content_md5": hashlib.md5(content).hexdigest(),
+            "modality": "video",
         }
     raise NotImplementedError(
         f"decode for {mime_type!r} requires the real media libraries "
@@ -1135,3 +1146,204 @@ def resize(assets: DataFrame, target_chars: int = 256) -> DataFrame:
             )
 
     return assets.mapInPandas(kernel, schema=RESIZE_SCHEMA)
+
+
+# ------------------------------------------------- MJPEG/AVI video codec
+#
+# The VIDEO modality on real bytes: Motion-JPEG in a genuine RIFF/AVI
+# container — 'hdrl' header list (avih + vids stream header + MJPG
+# BITMAPINFOHEADER) and a 'movi' list of '00dc' chunks, each a complete
+# entropy-coded baseline JPEG frame decoded by the transform codec
+# above. Frame extraction walks the container; no synthetic text fake.
+
+
+def _riff_chunk(fourcc: bytes, data: bytes) -> bytes:
+    pad = b"\x00" if len(data) % 2 else b""
+    return fourcc + struct.pack("<I", len(data)) + data + pad
+
+
+def _riff_list(list_type: bytes, data: bytes) -> bytes:
+    return _riff_chunk(b"LIST", list_type + data)
+
+
+def encode_avi_mjpeg(
+    width: int, height: int, frames: list, fps: int = 10
+) -> bytes:
+    """Pack JPEG frame streams into a Motion-JPEG AVI container."""
+    n = len(frames)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # microseconds per frame
+        0, 0, 0,           # max bytes/sec, padding, flags
+        n, 0, 1, 0,        # total frames, initial, streams, sugg buffer
+        width, height,
+        0, 0, 0, 0,        # reserved
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, 0, 0, 0)
+        + struct.pack("<4H", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, b"MJPG", width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi = _riff_list(
+        b"movi", b"".join(_riff_chunk(b"00dc", f) for f in frames)
+    )
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _iter_riff(content: bytes, pos: int, end: int):
+    """Yield (fourcc, payload_start, payload_len) inside [pos, end)."""
+    while pos + 8 <= end:
+        cid = content[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", content, pos + 4)
+        if pos + 8 + clen > end:
+            raise ValueError("truncated AVI: chunk length exceeds stream")
+        yield cid, pos + 8, clen
+        pos += 8 + clen + (clen % 2)  # RIFF chunks pad to even
+
+
+def decode_avi_mjpeg(content: bytes) -> dict:
+    """Walk a Motion-JPEG AVI: validate RIFF/AVI magic, read frame
+    count + dims from avih, decode every '00dc'/'00db' frame with the
+    baseline-JPEG codec, cross-check counts and per-frame dims, and
+    return clip metadata plus the whole-clip pixel-sum statistic."""
+    if content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        raise ValueError("not an AVI: missing RIFF/'AVI ' magic")
+    if len(content) < 12:
+        raise ValueError("truncated AVI: header cut short")
+    n_declared = width = height = None
+    frame_sums: list[int] = []
+    for cid, p, ln in _iter_riff(content, 12, len(content)):
+        if cid != b"LIST":
+            continue
+        if ln < 4:
+            raise ValueError("truncated AVI: LIST type cut short")
+        ltype = content[p : p + 4]
+        if ltype == b"hdrl":
+            for cid2, p2, ln2 in _iter_riff(content, p + 4, p + ln):
+                if cid2 == b"avih":
+                    if ln2 < 56:
+                        raise ValueError("truncated AVI: avih cut short")
+                    vals = struct.unpack_from("<14I", content, p2)
+                    n_declared, width, height = vals[4], vals[8], vals[9]
+        elif ltype == b"movi":
+            for cid2, p2, ln2 in _iter_riff(content, p + 4, p + ln):
+                if cid2 in (b"00dc", b"00db"):
+                    feat = decode_jpeg_gray(content[p2 : p2 + ln2])
+                    if width is not None and (
+                        feat["width"] != width or feat["height"] != height
+                    ):
+                        raise ValueError(
+                            "corrupt AVI: frame dims disagree with avih"
+                        )
+                    frame_sums.append(feat["pixel_sum"])
+    if n_declared is None:
+        raise ValueError("missing avih header")
+    if n_declared != len(frame_sums):
+        raise ValueError(
+            f"corrupt AVI: avih declares {n_declared} frames, "
+            f"movi holds {len(frame_sums)}"
+        )
+    return {
+        "width": width,
+        "height": height,
+        "n_frames": len(frame_sums),
+        "frame_sums": frame_sums,
+        "pixel_sum_total": sum(frame_sums),
+    }
+
+
+def text_to_mjpeg_avi_column(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesize a real Motion-JPEG AVI column deterministically from
+    text: frame count and block-grid dims from the char length, frame f
+    built from the md5 digest ROTATED by f (each 8x8 block flat at
+    digest[(k+f) % 16]), so every frame is a genuine entropy-coded
+    baseline JPEG and the whole lossy pipeline stays exactly invertible
+    for the SQL oracle (the flat-block/unit-quant construction)."""
+
+    @F.pandas_udf(T.BinaryType())
+    def make_avi(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for t in texts:
+            nf = 1 + len(t) % 4
+            wb = 2 + len(t) % 3
+            hb = 2 + len(t) % 2
+            digest = hashlib.md5(t.encode("utf-8")).digest()
+            frames = []
+            for f in range(nf):
+                img = np.zeros((hb * 8, wb * 8), dtype=np.uint8)
+                for k in range(wb * hb):
+                    by, bx = divmod(k, wb)
+                    img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = digest[
+                        (k + f) % 16
+                    ]
+                frames.append(encode_jpeg_gray(wb * 8, hb * 8, img.tobytes()))
+            out.append(encode_avi_mjpeg(wb * 8, hb * 8, frames))
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        make_avi(F.col(text_col)).alias("content"),
+        F.lit("video/x-msvideo").alias("mime_type"),
+    )
+
+
+MJPEG_FEATURE_SCHEMA = (
+    "doc_id long, n_frames int, width int, height int, pixel_sum_total long"
+)
+VIDEO_FRAME_SCHEMA = "doc_id long, frame_idx int, frame_pixel_sum long"
+
+
+def extract_mjpeg_features(assets: DataFrame) -> DataFrame:
+    """Arrow-batched clip-grain video feature extraction: container
+    walk + per-frame Huffman/IDCT decode + whole-clip pixel sum."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_avi_mjpeg(bytes(c)) for c in pdf["content"]]
+            out = pd.DataFrame(
+                [
+                    {k: f[k] for k in
+                     ("n_frames", "width", "height", "pixel_sum_total")}
+                    for f in feats
+                ]
+            )
+            out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+            yield out
+
+    return assets.mapInPandas(kernel, schema=MJPEG_FEATURE_SCHEMA)
+
+
+def extract_video_frames(assets: DataFrame) -> DataFrame:
+    """Frame-grain extraction over REAL video bytes: one asset row fans
+    out to one row per decoded frame (the keyframe-sampling shape) via
+    a row-multiplying mapInPandas kernel — frames stream out per Arrow
+    batch, never materialized all-at-once for a long clip."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sums = [], [], []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                feat = decode_avi_mjpeg(bytes(content))
+                for i, s in enumerate(feat["frame_sums"]):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    sums.append(s)
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_pixel_sum": sums}
+            )
+
+    return assets.mapInPandas(kernel, schema=VIDEO_FRAME_SCHEMA)

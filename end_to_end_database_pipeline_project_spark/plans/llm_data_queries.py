@@ -1278,6 +1278,83 @@ def multimodal_mulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.extract_mulaw_features(assets)
 
 
+_MJPEG_PARAMS_SQL = """params AS (
+  SELECT doc_id,
+         1 + length(text) % 4 AS nf,
+         2 + length(text) % 3 AS wb,
+         2 + length(text) % 2 AS hb,
+         md5(text) AS hex
+  FROM documents
+),
+db AS (
+  SELECT doc_id, i,
+         16 * (strpos('0123456789abcdef',
+                      substr(hex, CAST(2 * i + 1 AS INT), 1)) - 1)
+           + (strpos('0123456789abcdef',
+                     substr(hex, CAST(2 * i + 2 AS INT), 1)) - 1) AS b
+  FROM params CROSS JOIN (SELECT unnest(range(16)) AS i) ii
+),
+cells AS (
+  SELECT p.doc_id, f.f, k.k
+  FROM params p
+  CROSS JOIN (SELECT unnest(range(4)) AS f) f
+  CROSS JOIN (SELECT unnest(range(12)) AS k) k
+  WHERE f.f < p.nf AND k.k < p.wb * p.hb
+)"""
+
+
+@query(
+    "multimodal_mjpeg_decode",
+    oracle="WITH "
+    + _MJPEG_PARAMS_SQL
+    + """,
+sums AS (
+  SELECT c.doc_id, CAST(64 * sum(d.b) AS BIGINT) AS pixel_sum_total
+  FROM cells c JOIN db d ON d.doc_id = c.doc_id AND d.i = (c.k + c.f) % 16
+  GROUP BY 1
+)
+SELECT p.doc_id, CAST(p.nf AS INT) AS n_frames,
+       CAST(8 * p.wb AS INT) AS width, CAST(8 * p.hb AS INT) AS height,
+       s.pixel_sum_total
+FROM params p JOIN sums s ON s.doc_id = p.doc_id""",
+)
+def multimodal_mjpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL VIDEO modality, clip grain: each document rendered as a
+    Motion-JPEG AVI (genuine RIFF container — avih/strh/strf headers,
+    'movi' list of '00dc' chunks, every frame a complete entropy-coded
+    baseline JPEG), decoded back by an Arrow-batched container walk +
+    per-frame Huffman/IDCT. Frame f's blocks cycle the md5 digest
+    rotated by f, so the lossy transform is exactly invertible (unit
+    quant + flat blocks) and the oracle reproduces the whole-clip pixel
+    sum from a frames x blocks unnest."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = MM.text_to_mjpeg_avi_column(fan_out(docs))
+    return MM.extract_mjpeg_features(assets)
+
+
+@query(
+    "multimodal_video_frames",
+    oracle="WITH "
+    + _MJPEG_PARAMS_SQL
+    + """
+SELECT c.doc_id, CAST(c.f AS INT) AS frame_idx,
+       CAST(64 * sum(d.b) AS BIGINT) AS frame_pixel_sum
+FROM cells c JOIN db d ON d.doc_id = c.doc_id AND d.i = (c.k + c.f) % 16
+GROUP BY 1, 2""",
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL VIDEO modality, frame grain: the keyframe-extraction shape
+    over genuine AVI bytes — one asset row fans out to one row per
+    decoded '00dc' frame through a row-multiplying mapInPandas kernel
+    (frames stream per Arrow batch; a long clip never materializes all
+    frames at once). Complements ``multimodal_frame_sample`` (the
+    documented text-fake plumbing demo) with decode on real container
+    bytes."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = MM.text_to_mjpeg_avi_column(fan_out(docs))
+    return MM.extract_video_frames(assets)
+
+
 @query(
     "multimodal_jpeg_decode",
     oracle="""WITH params AS (
