@@ -1433,27 +1433,10 @@ UNION ALL SELECT 4, p1, p2, p1 || p2, weight FROM top4
 )
 
 
-@query("bpe_train_merges", oracle=_BPE_TRAIN_ORACLE)
-def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Iterative BPE tokenizer training — four full merge rounds, not
-    just the first-pair statistics (`bpe_pair_stats`): each round
-    counts adjacent symbol pairs weighted by word frequency, picks the
-    global argmax pair, and rewrites every symbol sequence with the
-    greedy non-overlapping merge, exactly as production BPE trainers
-    do. Verified against the oracle's window-based reformulation of
-    the greedy merge (runs of consecutive matches, alternate positions
-    active) — two independent implementations of the same recurrence.
-
-    Scale shape: training operates on the DISTINCT-word-frequency
-    table (Zipf-bounded — millions of rows when the corpus is 100 TB),
-    never the corpus itself; the corpus is scanned exactly once to
-    build it. Each round is one pair-count aggregate plus a per-row
-    fold to apply the merge — no shuffle for the rewrite, since the
-    sequence table is word-grain. The argmax pair stays IN-PLAN
-    (TakeOrderedAndProject limit-1 broadcast into the fold via
-    crossJoin) — zero driver round-trips; only the round counter lives
-    on the driver. Per-round ``localCheckpoint`` truncates the growing
-    lineage (a persisted vocab table in production)."""
+def _bpe_vocab_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Initial BPE symbol-sequence table: distinct normalized alpha
+    words with corpus frequencies, each split to characters. Checkpoint
+    so round 1's pair aggregate and fold share one corpus tokenize."""
     docs = load_table(spark, sf_dir, "documents")
     vocab = (
         fan_out(docs)
@@ -1462,15 +1445,21 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    # checkpoint the initial symbol-sequence table: round 1's pair
-    # aggregate and fold both consume it, and without the checkpoint
-    # each compiles its own lineage back through the corpus tokenize —
-    # scanning the corpus twice instead of once.
-    seq = vocab.select(
+    return vocab.select(
         "word", "w", F.split("word", "").alias("toks")
     ).localCheckpoint(eager=False)
+
+
+def _bpe_train_rounds(seq: DataFrame, n_rounds: int = 4):
+    """Run ``n_rounds`` of BPE training over a symbol-sequence table.
+
+    Returns (merge_table, final_seq): the per-round argmax pairs and
+    the vocab-grain sequence table with all merges applied — i.e. the
+    trained ENCODER state. Each round: pair-count aggregate, in-plan
+    limit-1 argmax broadcast into a greedy left-to-right fold.
+    Per-round localCheckpoint truncates the growing lineage."""
     out = None
-    for r in range(1, 5):
+    for r in range(1, n_rounds + 1):
         pairs = (
             seq.where(F.size("toks") >= 2)
             .select(
@@ -1520,7 +1509,92 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=False)
         )
-    return out.orderBy("merge_round")
+    return out, seq
+
+
+@query("bpe_train_merges", oracle=_BPE_TRAIN_ORACLE)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE tokenizer training — four full merge rounds, not
+    just the first-pair statistics (`bpe_pair_stats`): each round
+    counts adjacent symbol pairs weighted by word frequency, picks the
+    global argmax pair, and rewrites every symbol sequence with the
+    greedy non-overlapping merge, exactly as production BPE trainers
+    do. Verified against the oracle's window-based reformulation of
+    the greedy merge (runs of consecutive matches, alternate positions
+    active) — two independent implementations of the same recurrence.
+
+    Scale shape: training operates on the DISTINCT-word-frequency
+    table (Zipf-bounded — millions of rows when the corpus is 100 TB),
+    never the corpus itself; the corpus is scanned exactly once to
+    build it. Each round is one pair-count aggregate plus a per-row
+    fold to apply the merge — no shuffle for the rewrite, since the
+    sequence table is word-grain. The argmax pair stays IN-PLAN
+    (TakeOrderedAndProject limit-1 broadcast into the fold via
+    crossJoin) — zero driver round-trips; only the round counter lives
+    on the driver. Per-round ``localCheckpoint`` truncates the growing
+    lineage (a persisted vocab table in production)."""
+    merges, _seq = _bpe_train_rounds(_bpe_vocab_seq(spark, sf_dir), 4)
+    return merges.orderBy("merge_round")
+
+
+@query(
+    "bpe_encode_docs",
+    oracle=r"""WITH seq1 AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS w,
+         list_transform(range(length(word)),
+                        i -> substr(word, CAST(i+1 AS INT), 1)) AS toks
+  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        FROM documents)
+  WHERE regexp_matches(word, '^[a-z]+$') AND length(word) BETWEEN 2 AND 12
+  GROUP BY 1
+),"""
+    + ",".join(_bpe_round_sql(r) for r in range(1, 5))
+    + """,
+enc AS (SELECT word, len(toks) AS n_toks FROM seq5),
+docwords AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+  FROM documents
+),
+j AS (
+  SELECT d.doc_id, length(d.word) AS n_chars, e.n_toks
+  FROM docwords d JOIN enc e ON e.word = d.word
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       CAST(sum(n_toks) AS BIGINT) AS n_bpe_tokens,
+       round(sum(n_chars) * 1.0 / sum(n_toks), 6) AS compression_ratio
+FROM j GROUP BY 1""",
+)
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION — the other half of the BPE story: train
+    the 4 merges (`bpe_train_merges`), then ENCODE every document with
+    them and report per-doc token counts plus the chars/tokens
+    compression ratio (the statistic a token-budget planner consumes).
+
+    Scale shape: the merges are applied at the DISTINCT-WORD grain
+    (the training loop's final sequence table IS the trained encoder —
+    Zipf-bounded, never corpus-grain), then the corpus's exploded
+    words hash-join the encoded vocab and aggregate back to doc grain.
+    Encoding 100 TB costs one explode + one join against a vocab table
+    millions of rows small — the merge fold itself never touches the
+    corpus. Same normalized-alpha word filter as training (words the
+    tokenizer never saw are out of scope on both sides)."""
+    _merges, seq = _bpe_train_rounds(_bpe_vocab_seq(spark, sf_dir), 4)
+    enc = seq.select("word", F.size("toks").alias("n_toks"))
+    docs = load_table(spark, sf_dir, "documents")
+    words = fan_out(docs).select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"),
+    )
+    j = words.join(enc, "word")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum(F.length("word")).cast("long").alias("n_chars"),
+        F.sum("n_toks").cast("long").alias("n_bpe_tokens"),
+        F.round(
+            F.sum(F.length("word")) / F.sum("n_toks"), _R
+        ).alias("compression_ratio"),
+    )
 
 
 @query(
