@@ -97,99 +97,78 @@ except ImportError:
 #
 # Rounds 1-2 hard-verified the reference/relational surface twice;
 # round 3 promoted the LSH/text/ANN/BM25/curation/multimodal/streaming/
-# sources/scale/UDF families (49/50 green in CORRECTNESS_r03).  Round 4
-# rotates: everything green in r01-r03 moves below the window (the
-# judge's full mirror still checks it), and the 50 slots fund
-# (a) the one red r03 row re-checked after its oracle hardening,
-# (b) every query whose plan or semantics CHANGED this round,
-# (c) one representative per never-driver-checked capability family —
-# TPC-H wide joins, mergeable sketches, governance, MV rewrite, the
-# wave-3 stats/experimentation pack, XML/ORC roundtrips, span removal,
-# retrieval fusion, graph algorithms, time-series repair.  Names listed
-# but not (yet) registered are skipped harmlessly.
+# sources/scale/UDF families; round 4 rotated one representative per
+# never-checked family through (49/50 green, union r01-r04 = 146 of
+# 237 names).  Round 5 keeps the policy: (a) the one never-green name
+# stays slot 1 after the deterministic-binning root-cause fix,
+# (b) everything NEW or semantics-changed this round, then
+# (c) 44 slots drain the never-driver-checked backlog —
+# the verdict's named funding list first, then mechanisms ahead of
+# their `_pandas`/serving twins.  Names listed but not (yet)
+# registered are skipped harmlessly.
 
 _DRIVER_FIRST = [
-    # (a) the single red row of CORRECTNESS_r03 — hash mismatch that
-    # never reproduced locally; its oracle now carries the empty-text
-    # token-count guard so the engines cannot diverge on tokenization
+    # (a) the one name still red in a driver ledger (r03+r04) — its
+    # partition assignment is now a pure function of the data (zero
+    # sampling, zero checkpoint dependence; operators/scale.py
+    # _assign_order_bins) and the cross-session soak test pins it
     "sequence_packing_report",
-    # (b) changed this round: stop-shingle cap wired into the
-    # standalone exact-Jaccard; pair stage de-drivered to the blocked
-    # cogroup GEMM; ntile/cumsum globals replaced by the two-pass
-    # distributed forms; new compressed-format codec
-    "ngram_jaccard_pairs",
-    "embedding_dedup_components",
-    "customer_rfm_segments",
-    "supplier_pareto_abc",
-    "multimodal_png_decode",
-    # (b') NEW this round: entropy-coded JPEG, Kneser-Ney LM scoring,
-    # budgeted greedy selection on the distributed prefix sum, CDC
-    # sub-document chunk dedup
-    "multimodal_jpeg_decode",
-    "kneser_ney_scores",
-    "token_budget_selection",
-    "cdc_chunk_dedup",
-    "knn_label_accuracy",
-    "centroid_classifier_confusion",
-    "packing_efficiency_report",
-    "simhash_recall_report",
-    # (c) never-driver-checked families, one representative each
-    # TPC-H at its widest (6-table joins, two-sided aggregates)
-    "market_share",
-    "product_profit_by_nation",
-    # mergeable sketches / partitioned distinct
-    "hll_partitioned_distinct",
-    "rolling_distinct_users_7d",
-    # governance / compliance
-    "gdpr_erasure_report",
-    # MV catalog + automatic rewrite
-    "mv_rewrite_report",
-    # wave-3 stats & experimentation (four of the seven reps — the
-    # family shares one sufficient-statistics discipline; chi2 /
-    # transition-matrix / quantile-norm ride the judge mirror and the
-    # K=64 stress table instead)
-    "ols_daily_trend",
-    "ab_conversion_ztest",
-    "conversion_survival",
-    "mix_shift_decomposition",
-    # sources / formats
-    "xml_roundtrip_nations",
-    "orc_roundtrip_orders",
-    # substring dedup: span REMOVAL (stats already green r03)
-    "duplicate_span_removal",
-    # retrieval fusion + curation
-    "hybrid_rrf_retrieval",
-    "hard_negative_mining",
-    "bpe_train_merges",
-    "quality_classifier_scores",
-    "collocation_pmi_top",
-    "doc_chunks_overlap",
-    "corpus_snapshot_diff",
-    "stratified_sample",
-    "incremental_neardup_batch",
-    # text analysis beyond quality/PII
-    "doc_language_id",
-    "doc_word_entropy",
-    "vocab_oov_rates",
-    # ANN second scale path + embedding diagnostics
-    "srp_lsh_topk",
-    "embedding_cluster_cohesion",
-    # graph algorithms beyond pagerank/triangles
-    "trading_kcore",
-    "supplier_reach_hops",
-    # window-distribution family
-    "customer_balance_deciles",
-    # time-series repair / temporal modeling
-    "hourly_gap_fill",
-    "scd2_value_intervals",
-    # behavioral analytics
-    "session_funnel",
-    # bounded-error certificate (HLL twin went green r03)
-    "approx_quantile_bounded",
-    # dataset profiling
-    "lineitem_profile",
-    # modern-SQL pack
-    "lateral_top_nations",
+    # (b) NEW or semantics-changed this round: the un-gated
+    # typed-state streaming op (vendored protobuf runtime), the lossy
+    # audio codec, the MJPEG/AVI video modality (clip + frame grain),
+    # and BPE tokenizer application
+    "stateful_user_totals_tws",
+    "multimodal_mulaw_decode",
+    "multimodal_mjpeg_decode",
+    "multimodal_video_frames",
+    "bpe_encode_docs",
+    # (c) draining the never-driver-checked backlog (91 names after
+    # r04), highest-traffic first — the verdict's named funding list
+    "volume_shipping",
+    "heavy_hitter_users",
+    "count_min_estimates",
+    "bitmap_set_algebra",
+    "retraction_aggregate_maintenance",
+    "half_sample_bootstrap_ci",
+    "daily_ohlc_bars",
+    "daily_twap",
+    "benford_digit_audit",
+    "event_id_islands",
+    "heaps_law_fit",
+    "zipf_law_fit",
+    "language_mix_rebalance",
+    "edit_distance_on_lsh_survivors",
+    "lsh_recall_report",
+    "neardup_cluster_size_histogram",
+    "hourly_linear_interpolation",
+    "retention_cohorts",
+    # (c cont.) never-checked mechanisms over twins
+    "fuzzy_nation_match",
+    "simhash_collisions",
+    "doc_text_stats",
+    "token_frequencies",
+    "doc_fingerprints",
+    "ivf_topk",
+    "embedding_norms",
+    "multimodal_wav_decode",
+    "multimodal_decode_quarantine",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "doc_token_preview",
+    "corpus_mix_by_source",
+    "temperature_mix_rates",
+    "ngram_containment_pairs",
+    "quality_weighted_sample",
+    "doc_repetition_scores",
+    "boilerplate_lines",
+    "curated_corpus_report",
+    "lsh_quality_certificate",
+    "neardup_dedup_retention",
+    "stream_static_enrich",
+    "medallion_silver",
+    "medallion_serving",
+    "streaming_sliding_window",
+    "streaming_session_window",
 ]
 
 
