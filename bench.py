@@ -73,6 +73,12 @@ HEADLINE = [
     "kneser_ney_scores",
     "token_budget_selection",
     "cdc_chunk_dedup",
+    # round 5: lossy audio, MJPEG/AVI video, BPE tokenizer application,
+    # batch-vs-standing incremental near-dup
+    "multimodal_mulaw_decode",
+    "multimodal_mjpeg_decode",
+    "bpe_encode_docs",
+    "incremental_neardup_batch",
 ]
 
 
