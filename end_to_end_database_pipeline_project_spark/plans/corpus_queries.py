@@ -377,6 +377,142 @@ def sq8_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LOGREG_FEATS_SQL = """feats AS (
+  SELECT 1.0 AS x0,
+         ln(1 + length(text)) AS x1,
+         length(regexp_replace(text, '[a-zA-Z ]', '', 'g'))
+           * 1.0 / (length(text) + 1) AS x2,
+         (length(text) - length(replace(text, ' ', '')))
+           * 1.0 / (length(text) + 1) AS x3,
+         CASE WHEN source IN ('src0','src1','src2','src3','src4')
+              THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+)"""
+
+
+def _logreg_iter_sql(r: int) -> str:
+    """One unrolled batch-GD iteration for the DuckDB oracle: sigmoid
+    of the previous weights' dot product, gradient sums, step."""
+    return f"""
+g{r} AS (
+  SELECT w{r - 1}.w0 - 1.0 * sum((1.0 / (1.0 + exp(-(w{r - 1}.w0 * x0
+           + w{r - 1}.w1 * x1 + w{r - 1}.w2 * x2 + w{r - 1}.w3 * x3))) - y)
+           * x0) / count(*) AS w0,
+         w{r - 1}.w1 - 1.0 * sum((1.0 / (1.0 + exp(-(w{r - 1}.w0 * x0
+           + w{r - 1}.w1 * x1 + w{r - 1}.w2 * x2 + w{r - 1}.w3 * x3))) - y)
+           * x1) / count(*) AS w1,
+         w{r - 1}.w2 - 1.0 * sum((1.0 / (1.0 + exp(-(w{r - 1}.w0 * x0
+           + w{r - 1}.w1 * x1 + w{r - 1}.w2 * x2 + w{r - 1}.w3 * x3))) - y)
+           * x2) / count(*) AS w2,
+         w{r - 1}.w3 - 1.0 * sum((1.0 / (1.0 + exp(-(w{r - 1}.w0 * x0
+           + w{r - 1}.w1 * x1 + w{r - 1}.w2 * x2 + w{r - 1}.w3 * x3))) - y)
+           * x3) / count(*) AS w3
+  FROM feats CROSS JOIN w{r - 1}
+  GROUP BY w{r - 1}.w0, w{r - 1}.w1, w{r - 1}.w2, w{r - 1}.w3
+),
+w{r} AS (SELECT * FROM g{r})"""
+
+
+@query(
+    "quality_logreg_classifier",
+    oracle="WITH "
+    + _LOGREG_FEATS_SQL
+    + ", w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),"
+    + ",".join(_logreg_iter_sql(r) for r in (1, 2, 3))
+    + """
+SELECT round(w.w0, 6) AS w_bias, round(w.w1, 6) AS w_loglen,
+       round(w.w2, 6) AS w_nonalpha, round(w.w3, 6) AS w_space,
+       round(avg(-y * ln(1.0 / (1.0 + exp(-(w.w0 * x0 + w.w1 * x1
+             + w.w2 * x2 + w.w3 * x3))))
+             - (1 - y) * ln(1 - 1.0 / (1.0 + exp(-(w.w0 * x0 + w.w1 * x1
+             + w.w2 * x2 + w.w3 * x3))))), 6) AS train_logloss,
+       round(avg(CASE WHEN (1.0 / (1.0 + exp(-(w.w0 * x0 + w.w1 * x1
+             + w.w2 * x2 + w.w3 * x3))) >= 0.5) = (y = 1.0)
+             THEN 1.0 ELSE 0.0 END), 6) AS train_acc,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM feats CROSS JOIN w3 w
+GROUP BY w.w0, w.w1, w.w2, w.w3""",
+)
+def quality_logreg_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-plan iterative ML: a quality/domain classifier (the
+    fastText-classifier shape behind classifier-based corpus filtering
+    — CCNet, DCLM, FineWeb-Edu) trained as 3 batch-gradient-descent
+    logistic-regression iterations entirely inside the plan. Features
+    are cheap text statistics (bias, log-length, non-alpha ratio,
+    whitespace ratio); the label is membership in the DSIR target
+    sources; output is the trained weights plus train log-loss and
+    accuracy.
+
+    Scale shape: each iteration is ONE corpus aggregate producing a
+    4-value gradient (map-side combined), with the weights riding as a
+    one-row broadcast into the next pass — 3 iterations = 3 scans,
+    zero driver round-trips, no collect. This is the sufficient-
+    statistics discipline every distributed GLM trainer uses (Spark
+    MLlib's LBFGS does the same treeAggregate per iteration); the
+    oracle unrolls the identical recurrence in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    ln = F.length("text")
+    feats = fan_out(docs).select(
+        F.lit(1.0).alias("x0"),
+        F.log1p(ln).alias("x1"),
+        (
+            F.length(F.regexp_replace("text", "[a-zA-Z ]", ""))
+            / (ln + 1)
+        ).alias("x2"),
+        (
+            (ln - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))))
+            / (ln + 1)
+        ).alias("x3"),
+        F.col("source").isin(*_DSIR_TARGETS).cast("double").alias("y"),
+    )
+    w = spark.range(1).select(
+        *[F.lit(0.0).alias(f"w{i}") for i in range(4)]
+    )
+    sig = None
+    for _ in range(3):
+        joined = feats.crossJoin(F.broadcast(w))
+        z = sum(F.col(f"w{i}") * F.col(f"x{i}") for i in range(4))
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        w = joined.groupBy(*[f"w{i}" for i in range(4)]).agg(
+            *[
+                F.sum((p - F.col("y")) * F.col(f"x{i}")).alias(f"g{i}")
+                for i in range(4)
+            ],
+            F.count(F.lit(1)).alias("n"),
+        ).select(
+            *[
+                (F.col(f"w{i}") - F.lit(1.0) * F.col(f"g{i}") / F.col("n")).alias(
+                    f"w{i}"
+                )
+                for i in range(4)
+            ]
+        )
+    joined = feats.crossJoin(F.broadcast(w))
+    z = sum(F.col(f"w{i}") * F.col(f"x{i}") for i in range(4))
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    y = F.col("y")
+    return joined.groupBy(*[f"w{i}" for i in range(4)]).agg(
+        F.round(
+            F.avg(-y * F.log(p) - (F.lit(1.0) - y) * F.log(F.lit(1.0) - p)), _R
+        ).alias("train_logloss"),
+        F.round(
+            F.avg(
+                F.when((p >= 0.5) == (y == 1.0), F.lit(1.0)).otherwise(0.0)
+            ),
+            _R,
+        ).alias("train_acc"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    ).select(
+        F.round("w0", _R).alias("w_bias"),
+        F.round("w1", _R).alias("w_loglen"),
+        F.round("w2", _R).alias("w_nonalpha"),
+        F.round("w3", _R).alias("w_space"),
+        "train_logloss",
+        "train_acc",
+        "n_docs",
+    )
+
+
 @query(
     "pq_adc_topk",
     oracle="""WITH p AS (
