@@ -580,11 +580,16 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"acc + (element_at(embedding, s * {sub} + i + 1) - element_at(cv, i + 1))"
         f" * (element_at(embedding, s * {sub} + i + 1) - element_at(cv, i + 1)))"
     )
+    # let-binding idiom (the cdc_chunk_dedup trick): bind the per-
+    # subspace distance array once via a one-element transform, so
+    # array_position and array_min share it instead of recomputing the
+    # k x sub distance sweep twice (2x on the K=64 encode)
     dq_expr = (
         f"flatten(transform(sequence(0, {m - 1}), s -> "
-        f"element_at(element_at(cb, s + 1), "
-        f"cast(array_position(transform(element_at(cb, s + 1), cv -> {dist}), "
-        f"array_min(transform(element_at(cb, s + 1), cv -> {dist}))) as int))))"
+        f"element_at(transform("
+        f"array(transform(element_at(cb, s + 1), cv -> {dist})), "
+        f"ds -> element_at(element_at(cb, s + 1), "
+        f"cast(array_position(ds, array_min(ds)) as int))), 1)))"
     )
     enc = emb.crossJoin(F.broadcast(cb)).select(
         "vec_id", "embedding", F.expr(dq_expr).alias("dq")
