@@ -93,7 +93,10 @@ def decode_stub(content: bytes, mime_type: str) -> dict:
         try:
             decode_wav(content)  # validates RIFF chunks (PCM16)
         except NotImplementedError:
-            decode_wav_mulaw(content)  # mu-law format-7 variant
+            try:
+                decode_wav_mulaw(content)  # mu-law format-7 variant
+            except NotImplementedError:
+                decode_wav_adpcm(content)  # IMA ADPCM format-0x11 variant
         return {
             "byte_len": len(content),
             "content_md5": hashlib.md5(content).hexdigest(),
@@ -585,6 +588,191 @@ def extract_mulaw_features(assets: DataFrame) -> DataFrame:
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [decode_wav_mulaw(bytes(c)) for c in pdf["content"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+            yield out[
+                ["doc_id", "sample_rate", "n_samples", "abs_amplitude_sum"]
+            ]
+
+    return assets.mapInPandas(kernel, schema=WAV_FEATURE_SCHEMA)
+
+
+# ------------------------------------------------- IMA ADPCM WAV codec
+#
+# IMA/DVI ADPCM (WAV format tag 0x11): the PREDICTIVE lossy audio
+# modality — 4 bits/sample (4:1 compression of PCM16) where each nibble
+# encodes a delta against an adaptive predictor with an 89-entry step
+# table. Unlike mu-law (memoryless companding), decode carries state
+# sample-to-sample, which is exactly the structure real media codecs
+# have. Decode of ANY nibble stream is a well-defined pure-integer
+# recurrence, so no invertibility trick is needed: the SQL oracle
+# replays the identical recurrence with a recursive CTE.
+
+ADPCM_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+]
+ADPCM_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def adpcm_step(pred: int, idx: int, nibble: int) -> tuple[int, int]:
+    """One exact IMA ADPCM decode step: (predictor, step-index) x nibble
+    -> next (predictor, step-index). Pure integer arithmetic — the SQL
+    oracle replays this recurrence verbatim."""
+    step = ADPCM_STEPS[idx]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    pred = pred - diff if nibble & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + ADPCM_INDEX[nibble]))
+    return pred, idx
+
+
+def adpcm_compress(samples: list[int]) -> tuple[int, int, bytes]:
+    """True IMA ADPCM encode (lossy): greedy per-sample nibble choice by
+    running the decoder in the loop, as real encoders do. Returns
+    (initial predictor, initial index, nibble bytes — low nibble first);
+    the first sample becomes the block-header predictor verbatim."""
+    if not samples:
+        return 0, 0, b""
+    pred, idx = samples[0], 0
+    nibbles = []
+    for s in samples[1:]:
+        step = ADPCM_STEPS[idx]
+        delta = s - pred
+        nib = 8 if delta < 0 else 0
+        delta = abs(delta)
+        for bit, frac in ((4, step), (2, step >> 1), (1, step >> 2)):
+            if delta >= frac:
+                nib |= bit
+                delta -= frac
+        pred, idx = adpcm_step(pred, idx, nib)
+        nibbles.append(nib)
+    if len(nibbles) % 2:
+        nibbles.append(0)
+    packed = bytes(
+        nibbles[i] | (nibbles[i + 1] << 4) for i in range(0, len(nibbles), 2)
+    )
+    return samples[0], 0, packed
+
+
+def encode_wav_adpcm(
+    sample_rate: int, pred0: int, idx0: int, nibble_data: bytes
+) -> bytes:
+    """Pack one IMA ADPCM block into a WAV file (format tag 0x11, mono,
+    4 bits/sample): fmt chunk carries cbSize=2 + samplesPerBlock, the
+    data chunk is the 4-byte block header (int16 predictor, uint8 step
+    index, uint8 reserved) followed by the nibble bytes."""
+    n_samples = 1 + 2 * len(nibble_data)
+    block_align = 4 + len(nibble_data)
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        0x11, 1, sample_rate, sample_rate * block_align, block_align, 4,
+        2, n_samples,
+    )
+    block = struct.pack("<hBB", pred0, idx0, 0) + nibble_data
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(block)) + block
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_adpcm(content: bytes) -> dict:
+    """Parse an IMA ADPCM WAV by walking RIFF chunks, replay the exact
+    predictor/step-index recurrence over every nibble (low nibble
+    first), and sum |sample| over all decoded samples including the
+    block-header seed — the same whole-clip energy statistic as the
+    PCM16 and mu-law paths, now through a predictive codec."""
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a WAV: missing RIFF/WAVE magic")
+    pos, sample_rate, energy, n_samples = 12, None, 0, 0
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        clen = struct.unpack_from("<I", content, pos + 4)[0]
+        data = content[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            if len(data) < 16:
+                raise ValueError("truncated WAV: fmt chunk cut short")
+            _fmt, channels, sample_rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", data, 0
+            )
+            if _fmt != 0x11 or channels != 1 or bits != 4:
+                raise NotImplementedError(
+                    "only IMA ADPCM (format 0x11) mono supported"
+                )
+        elif cid == b"data":
+            if sample_rate is None:
+                raise ValueError("data chunk before fmt chunk")
+            if len(data) != clen:
+                raise ValueError("truncated data chunk")
+            if clen < 4:
+                raise ValueError("ADPCM block shorter than its header")
+            pred, idx = struct.unpack_from("<hB", data, 0)[0], data[2]
+            if idx > 88:
+                raise ValueError(f"ADPCM step index {idx} out of range")
+            energy += abs(pred)
+            n_samples += 1
+            for b in data[4:]:
+                for nib in (b & 0x0F, b >> 4):
+                    pred, idx = adpcm_step(pred, idx, nib)
+                    energy += abs(pred)
+                    n_samples += 1
+        pos += 8 + clen + (clen % 2)  # RIFF chunks pad to even
+    return {
+        "sample_rate": sample_rate,
+        "n_samples": n_samples,
+        "abs_amplitude_sum": energy,
+    }
+
+
+def text_to_adpcm_wav_column(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesize a real IMA ADPCM WAV column deterministically from
+    text: the block header seeds from the first md5 digest bytes
+    (int16 LE predictor, index byte % 89) and the digest bytes cycled
+    to the length-derived count ARE the nibble data — every nibble
+    stream is valid ADPCM, so decode is exact and the oracle replays
+    the recurrence from the same digest."""
+
+    @F.pandas_udf(T.BinaryType())
+    def make_adpcm(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            n = 64 + len(t) % 57
+            rate = 8000 + 1000 * (len(t) % 5)
+            digest = hashlib.md5(t.encode("utf-8")).digest()
+            pred0 = struct.unpack_from("<h", digest, 0)[0]
+            idx0 = digest[2] % 89
+            nibble_data = (digest * (n // 16 + 1))[:n]
+            out.append(encode_wav_adpcm(rate, pred0, idx0, nibble_data))
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        make_adpcm(F.col(text_col)).alias("content"),
+        F.lit("audio/wav").alias("mime_type"),
+    )
+
+
+def extract_adpcm_features(assets: DataFrame) -> DataFrame:
+    """Arrow-batched IMA ADPCM feature extraction (chunk walk + exact
+    stateful nibble recurrence + energy) — same mapInPandas shape as
+    the PCM16/mu-law paths but through the predictive codec."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_wav_adpcm(bytes(c)) for c in pdf["content"]]
             out = pd.DataFrame(feats)
             out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
             yield out[

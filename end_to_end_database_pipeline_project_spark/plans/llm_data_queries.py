@@ -1278,6 +1278,96 @@ def multimodal_mulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.extract_mulaw_features(assets)
 
 
+@query(
+    "multimodal_adpcm_decode",
+    oracle="""WITH RECURSIVE params AS (
+  SELECT doc_id,
+         64 + length(text) % 57 AS n,
+         8000 + 1000 * (length(text) % 5) AS rate,
+         md5(text) AS hex
+  FROM documents
+),
+db AS (
+  SELECT doc_id, j,
+         16 * (strpos('0123456789abcdef',
+                      substr(hex, CAST(2 * j + 1 AS INT), 1)) - 1)
+           + (strpos('0123456789abcdef',
+                     substr(hex, CAST(2 * j + 2 AS INT), 1)) - 1) AS b
+  FROM params CROSS JOIN (SELECT unnest(range(16)) AS j) jj
+),
+init AS (
+  SELECT p.doc_id, 2 * p.n AS nt,
+         CASE WHEN b0.b + 256 * b1.b >= 32768
+              THEN b0.b + 256 * b1.b - 65536
+              ELSE b0.b + 256 * b1.b END AS pred,
+         b2.b % 89 AS idx
+  FROM params p
+  JOIN db b0 ON b0.doc_id = p.doc_id AND b0.j = 0
+  JOIN db b1 ON b1.doc_id = p.doc_id AND b1.j = 1
+  JOIN db b2 ON b2.doc_id = p.doc_id AND b2.j = 2
+),
+dec(doc_id, t, pred, idx, energy) AS (
+  SELECT doc_id, 0, pred, idx, abs(pred) FROM init
+  UNION ALL
+  SELECT x.doc_id, x.t + 1,
+         CASE WHEN x.nib & 8 = 8 THEN GREATEST(-32768, x.pred - x.diff)
+              ELSE LEAST(32767, x.pred + x.diff) END,
+         LEAST(88, GREATEST(0, x.idx + list_extract(
+           [-1,-1,-1,-1,2,4,6,8,-1,-1,-1,-1,2,4,6,8], x.nib + 1))),
+         x.energy + abs(
+           CASE WHEN x.nib & 8 = 8 THEN GREATEST(-32768, x.pred - x.diff)
+                ELSE LEAST(32767, x.pred + x.diff) END)
+  FROM (
+    SELECT y.*, (y.s >> 3)
+           + CASE WHEN y.nib & 1 = 1 THEN y.s >> 2 ELSE 0 END
+           + CASE WHEN y.nib & 2 = 2 THEN y.s >> 1 ELSE 0 END
+           + CASE WHEN y.nib & 4 = 4 THEN y.s ELSE 0 END AS diff
+    FROM (
+      SELECT d.doc_id, d.t, d.pred, d.idx, d.energy, i.nt,
+             CASE WHEN d.t % 2 = 0 THEN bb.b % 16 ELSE bb.b // 16 END AS nib,
+             list_extract(
+               [7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,
+                37,41,45,50,55,60,66,73,80,88,97,107,118,130,143,
+                157,173,190,209,230,253,279,307,337,371,408,449,494,
+                544,598,658,724,796,876,963,1060,1166,1282,1411,1552,
+                1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,
+                4871,5358,5894,6484,7132,7845,8630,9493,10442,11487,
+                12635,13899,15289,16818,18500,20350,22385,24623,27086,
+                29794,32767], d.idx + 1) AS s
+      FROM dec d
+      JOIN init i ON i.doc_id = d.doc_id
+      JOIN db bb ON bb.doc_id = d.doc_id AND bb.j = (d.t // 2) % 16
+      WHERE d.t < i.nt
+    ) y
+  ) x
+)
+SELECT p.doc_id, CAST(p.rate AS INT) AS sample_rate,
+       CAST(1 + 2 * p.n AS INT) AS n_samples,
+       CAST(f.energy AS BIGINT) AS abs_amplitude_sum
+FROM params p
+JOIN dec f ON f.doc_id = p.doc_id AND f.t = 2 * p.n""",
+)
+def multimodal_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREDICTIVE lossy audio modality: IMA/DVI ADPCM (WAV format tag
+    0x11) — 4 bits/sample (4:1 over PCM16) where every nibble moves an
+    adaptive predictor through the standard 89-entry step table, i.e.
+    decode carries state sample-to-sample like real media codecs do
+    (vs mu-law's memoryless companding). The digest bytes seed the
+    block header (int16 predictor, index % 89) and, cycled, ARE the
+    nibble stream — any nibble stream is valid ADPCM, so no
+    invertibility trick is needed; the Arrow-batched kernel walks the
+    RIFF container and replays the exact integer recurrence, and the
+    oracle replays the identical recurrence with a recursive CTE
+    (per-doc state advanced one nibble per iteration).
+
+    Scale shape: one mapInPandas pass, embarrassingly parallel per
+    Arrow batch; the recursion lives only in the DuckDB oracle — the
+    engine side is a single sequential scan per asset, O(bytes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = MM.text_to_adpcm_wav_column(fan_out(docs))
+    return MM.extract_adpcm_features(assets)
+
+
 _MJPEG_PARAMS_SQL = """params AS (
   SELECT doc_id,
          1 + length(text) % 4 AS nf,

@@ -114,11 +114,13 @@ _DRIVER_FIRST = [
     # _assign_order_bins) and the cross-session soak test pins it
     "sequence_packing_report",
     # (b) NEW or semantics-changed this round: the un-gated
-    # typed-state streaming op (vendored protobuf runtime), the lossy
-    # audio codec, the MJPEG/AVI video modality (clip + frame grain),
-    # and BPE tokenizer application
+    # typed-state streaming op (vendored protobuf runtime), the two
+    # lossy audio codecs (mu-law + predictive IMA ADPCM), the
+    # MJPEG/AVI video modality (clip + frame grain), and BPE
+    # tokenizer application
     "stateful_user_totals_tws",
     "multimodal_mulaw_decode",
+    "multimodal_adpcm_decode",
     "multimodal_mjpeg_decode",
     "multimodal_video_frames",
     "bpe_encode_docs",
@@ -168,7 +170,6 @@ _DRIVER_FIRST = [
     "medallion_silver",
     "medallion_serving",
     "streaming_sliding_window",
-    "streaming_session_window",
 ]
 
 
