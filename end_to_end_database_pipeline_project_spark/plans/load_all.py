@@ -121,6 +121,7 @@ _DRIVER_FIRST = [
     "stateful_user_totals_tws",
     "multimodal_mulaw_decode",
     "multimodal_adpcm_decode",
+    "ivfpq_topk",
     "multimodal_mjpeg_decode",
     "multimodal_video_frames",
     "bpe_encode_docs",
@@ -169,7 +170,6 @@ _DRIVER_FIRST = [
     "stream_static_enrich",
     "medallion_silver",
     "medallion_serving",
-    "streaming_sliding_window",
 ]
 
 
