@@ -1649,3 +1649,94 @@ def language_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(target, _R).alias("target_share"),
         F.round(target / share, _R).alias("sampling_multiplier"),
     )
+
+
+@query(
+    "preference_pair_mining",
+    oracle=r"""WITH s AS (
+  SELECT doc_id, source,
+    CASE WHEN length(text) >= 100 AND length(text) <= 20000 THEN 1.0
+         WHEN length(text) > 0 THEN 0.5 ELSE 0.0 END AS len_score,
+    1.0 - least(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0
+                / length(text) * 5, 1.0) AS punct_score,
+    least(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+          w -> list_contains(['the','a','and','of','to','in','is','it'], w))) * 1.0
+          / len(string_split_regex(lower(trim(text)), '\s+')) * 4, 1.0) AS stop_score
+  FROM documents
+),
+q AS (
+  SELECT doc_id, source,
+         round(len_score * 0.4 + punct_score * 0.3 + stop_score * 0.3, 6) AS qs
+  FROM s
+),
+r AS (
+  SELECT doc_id, source, qs,
+    row_number() OVER (PARTITION BY source ORDER BY qs DESC, doc_id) AS top_rk,
+    row_number() OVER (PARTITION BY source ORDER BY qs ASC, doc_id) AS bot_rk
+  FROM q
+)
+SELECT t.source, CAST(t.top_rk AS INT) AS pair_rank,
+       t.doc_id AS chosen_doc_id, b.doc_id AS rejected_doc_id,
+       round(t.qs - b.qs, 6) AS margin
+FROM r t JOIN r b ON b.source = t.source AND b.bot_rk = t.top_rk
+WHERE t.top_rk <= 5 AND t.doc_id <> b.doc_id AND t.qs - b.qs >= 0.2""",
+)
+def preference_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alignment-data construction: mine (chosen, rejected) preference
+    pairs — the training rows of DPO/RLHF reward modeling — from a
+    quality-scored corpus. Within each source (the prompt-cluster
+    proxy), the rank-i best document pairs with the rank-i worst,
+    capped at 5 pairs per source and kept only when the quality margin
+    clears 0.2 — wide-margin pairs are the ones preference optimizers
+    learn from; the score is the shared ``functions.text.quality_score``
+    so the filter agrees with ``doc_quality_scores`` by construction.
+
+    Scale shape: two rank windows per source partition (the same
+    distributed top-k discipline as ``top_orders_per_customer``), a
+    pair join on (source, rank) whose size is bounded at 5 rows per
+    source regardless of corpus size, and no driver participation. At
+    100 TB the grouping key becomes the real prompt-cluster id (e.g.
+    ``neardup_components`` output) with the identical plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..functions import text as TX
+
+    scored = docs.select(
+        "doc_id", "source", TX.quality_score(F.col("text")).alias("qs")
+    )
+    w_top = Window.partitionBy("source").orderBy(F.desc("qs"), F.asc("doc_id"))
+    w_bot = Window.partitionBy("source").orderBy(F.asc("qs"), F.asc("doc_id"))
+    ranked = scored.select(
+        "source",
+        "doc_id",
+        "qs",
+        F.row_number().over(w_top).alias("top_rk"),
+        F.row_number().over(w_bot).alias("bot_rk"),
+    )
+    chosen = ranked.where(F.col("top_rk") <= 5).select(
+        "source",
+        F.col("top_rk").alias("pair_rank"),
+        F.col("doc_id").alias("chosen_doc_id"),
+        F.col("qs").alias("chosen_q"),
+    )
+    rejected = ranked.where(F.col("bot_rk") <= 5).select(
+        "source",
+        F.col("bot_rk").alias("pair_rank"),
+        F.col("doc_id").alias("rejected_doc_id"),
+        F.col("qs").alias("rejected_q"),
+    )
+    return (
+        chosen.join(rejected, ["source", "pair_rank"])
+        .where(
+            (F.col("chosen_doc_id") != F.col("rejected_doc_id"))
+            & (F.col("chosen_q") - F.col("rejected_q") >= 0.2)
+        )
+        .select(
+            "source",
+            F.col("pair_rank").cast("int").alias("pair_rank"),
+            "chosen_doc_id",
+            "rejected_doc_id",
+            F.round(F.col("chosen_q") - F.col("rejected_q"), _R).alias(
+                "margin"
+            ),
+        )
+    )

@@ -122,6 +122,8 @@ _DRIVER_FIRST = [
     "multimodal_mulaw_decode",
     "multimodal_adpcm_decode",
     "ivfpq_topk",
+    "bloom_semijoin_pushdown",
+    "preference_pair_mining",
     "multimodal_mjpeg_decode",
     "multimodal_video_frames",
     "bpe_encode_docs",
@@ -147,11 +149,9 @@ _DRIVER_FIRST = [
     "retention_cohorts",
     # (c cont.) never-checked mechanisms over twins
     "fuzzy_nation_match",
-    "simhash_collisions",
     "doc_text_stats",
     "token_frequencies",
     "doc_fingerprints",
-    "ivf_topk",
     "embedding_norms",
     "multimodal_wav_decode",
     "multimodal_decode_quarantine",

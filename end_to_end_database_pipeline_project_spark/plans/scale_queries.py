@@ -15,6 +15,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators import bloom as BL
 from ..operators import scale as SC
 from ..sources.catalog import load_table, load_tables
 from .registry import query
@@ -448,4 +449,52 @@ def idw_station_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("v") * wgt) / F.sum(wgt), _R).alias("idw_value"),
             F.round(F.min("dist_km"), _R).alias("nearest_km"),
         )
+    )
+
+
+@query(
+    "bloom_semijoin_pushdown",
+    oracle="""SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS total_price
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+GROUP BY 1""",
+)
+def bloom_semijoin_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter join: the semijoin ``orders ⋉ rich-customers`` is
+    executed by first aggregating the selective build side into a
+    Bloom words table (<= 16K longs — broadcastable regardless of
+    build-side row count), probing every fact row against the
+    broadcast filter, and running the exact semi join only on probe
+    survivors (true matches + ~2% false positives the join weeds out
+    — false negatives are impossible, so the answer is exact; the
+    oracle IS the naive ``IN`` form). This is the manual spelling of
+    engine runtime filters (Spark's own
+    ``spark.sql.optimizer.runtime.bloomFilter.enabled`` injects the
+    same shape), spelled as explicit operators so the pushdown
+    composes with any source.
+
+    Scale shape: at 100 TB the fact side never shuffles for the
+    filter — the probe is a broadcast hash lookup inside the scan
+    stage; only the ~selectivity-sized survivor set reaches the
+    shuffle-free broadcast semi join."""
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    rich = t["customer"].where(F.col("c_acctbal") > 9000).select("c_custkey")
+    bloom = BL.build_bloom(rich, "c_custkey")
+    tagged = BL.probe_bloom(
+        t["orders"], bloom, key_col="o_custkey", id_col="o_orderkey"
+    )
+    survivors = tagged.where(F.col("maybe_dup")).drop("maybe_dup")
+    exact = survivors.join(
+        F.broadcast(rich),
+        survivors["o_custkey"] == rich["c_custkey"],
+        "left_semi",
+    )
+    return exact.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total_price"),
     )
