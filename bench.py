@@ -79,6 +79,15 @@ HEADLINE = [
     "multimodal_mjpeg_decode",
     "bpe_encode_docs",
     "incremental_neardup_batch",
+    # round 5 wave 2: predictive lossy audio, product-quantized ANN
+    # (flat + IVF composition), in-plan GLM training, runtime-filter
+    # join, preference-pair construction
+    "multimodal_adpcm_decode",
+    "pq_adc_topk",
+    "ivfpq_topk",
+    "quality_logreg_classifier",
+    "bloom_semijoin_pushdown",
+    "preference_pair_mining",
 ]
 
 

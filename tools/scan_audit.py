@@ -60,6 +60,7 @@ BNLJ_ALLOWED = {
     "knn_label_accuracy": "broadcast side = 50 probe vectors (self-exclusion theta, fixed probe sample)",
     "centroid_classifier_confusion": "broadcast side = |labels| centroid prototypes (10 rows)",
     "bitmap_set_algebra": "all joins over the KB-sized (type, bucket) bitmap state: type-pair self-join (|types| rows) + OR-membership tag (|pairs| rows)",
+    "quality_logreg_classifier": "broadcast side = the 1-row weight vector each GD iteration (spark.range(1) seed, then groupBy over the single weight row — provably 1 row, but no keys=[] aggregate signature in the plan)",
 }
 
 
