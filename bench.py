@@ -88,6 +88,7 @@ HEADLINE = [
     "quality_logreg_classifier",
     "bloom_semijoin_pushdown",
     "preference_pair_mining",
+    "suffix_duplicate_substrings",
 ]
 
 

@@ -2427,6 +2427,116 @@ def packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "suffix_duplicate_substrings",
+    oracle=r"""WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(range(len(ws))) AS i, ws,
+         list_aggregate(ws, 'string_agg', ' ') AS norm
+  FROM w
+),
+offs AS (
+  SELECT doc_id, i, norm,
+         sum(length(ws[CAST(i + 1 AS INT)]) + 1) OVER (
+           PARTITION BY doc_id ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - length(ws[CAST(i + 1 AS INT)]) - 1 AS off
+  FROM tok
+),
+suf AS (
+  SELECT doc_id, off, substr(norm, CAST(off + 1 AS INT), 64) AS s
+  FROM offs
+),
+flt AS (SELECT * FROM suf WHERE length(s) >= 20),
+ordered AS (
+  SELECT doc_id, off, s,
+         lag(s) OVER (PARTITION BY substr(s, 1, 12)
+                      ORDER BY s, doc_id, off) AS prev_s
+  FROM flt
+),
+pairs AS (
+  SELECT s,
+         len(list_filter(range(1, 65),
+             k -> substr(s, 1, CAST(k AS INT))
+                  = substr(prev_s, 1, CAST(k AS INT)))) AS lcp
+  FROM ordered WHERE prev_s IS NOT NULL
+)
+SELECT substr(s, 1, CAST(lcp AS INT)) AS dup_text,
+       CAST(lcp AS INT) AS dup_len,
+       CAST(count(*) AS BIGINT) AS n_adjacent_pairs
+FROM pairs WHERE lcp >= 20
+GROUP BY 1, 2 ORDER BY dup_len DESC, dup_text LIMIT 20""",
+)
+def suffix_duplicate_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array-style LONGEST duplicated substrings (the other half
+    of Lee et al. 2021's ExactSubstr next to the fixed-k span audit
+    ``duplicate_span_stats``): build word-start suffixes of the
+    normalized text capped at 64 chars, bucket by 12-char prefix, sort
+    within bucket, and take adjacent-pair longest-common-prefixes —
+    the enhanced-suffix-array identity (any two suffixes with LCP L
+    have every adjacent pair between them at LCP >= L) guarantees
+    every duplicated substring of length >= 20 surfaces as some
+    adjacent pair, because pairs crossing a bucket boundary share
+    < 12 < 20 chars by construction. Top-20 by length, with adjacency
+    multiplicity.
+
+    Scale shape: suffix generation is O(words) per doc via a running
+    offsets array (one ``aggregate`` scan — no per-suffix re-join of
+    the tail), each suffix row carries <= 64 chars regardless of doc
+    length; the only shuffle is the 12-char-prefix bucket exchange
+    (at 100 TB, hot prefixes — "the " — want a longer bucket prefix
+    or a salt+merge pass, the documented dial); LCP is a 64-step
+    codegen'd filter per adjacent pair; the final top-20 is
+    TakeOrderedAndProject, never a global sort of the pair set."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = fan_out(docs).select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws")
+    ).select(
+        "doc_id",
+        "ws",
+        F.concat_ws(" ", F.col("ws")).alias("norm"),
+        F.expr(
+            "aggregate(ws, array(0), (acc, w) -> "
+            "acc || array(element_at(acc, -1) + length(w) + 1))"
+        ).alias("offs"),
+    )
+    suf = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "filter(transform(sequence(0, size(ws) - 1), i -> "
+                "struct(element_at(offs, i + 1) AS off, "
+                "substring(norm, element_at(offs, i + 1) + 1, 64) AS s)), "
+                "p -> length(p.s) >= 20)"
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.off").alias("off"), F.col("p.s").alias("s"))
+    w_b = Window.partitionBy(F.substring("s", 1, 12)).orderBy(
+        "s", "doc_id", "off"
+    )
+    ordered = suf.select(
+        "s", F.lag("s").over(w_b).alias("prev_s")
+    ).where(F.col("prev_s").isNotNull())
+    pairs = ordered.select(
+        "s",
+        F.expr(
+            "size(filter(sequence(1, 64), k -> "
+            "substring(s, 1, k) = substring(prev_s, 1, k)))"
+        ).alias("lcp"),
+    ).where(F.col("lcp") >= 20)
+    return (
+        pairs.groupBy(
+            F.expr("substring(s, 1, lcp)").alias("dup_text"),
+            F.col("lcp").cast("int").alias("dup_len"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_adjacent_pairs"))
+        .orderBy(F.desc("dup_len"), F.asc("dup_text"))
+        .limit(20)
+    )
+
+
+@query(
     "duplicate_span_stats",
     oracle=r"""WITH w AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws

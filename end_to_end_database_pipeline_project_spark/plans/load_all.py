@@ -124,6 +124,7 @@ _DRIVER_FIRST = [
     "ivfpq_topk",
     "bloom_semijoin_pushdown",
     "preference_pair_mining",
+    "suffix_duplicate_substrings",
     "multimodal_mjpeg_decode",
     "multimodal_video_frames",
     "bpe_encode_docs",
@@ -153,7 +154,6 @@ _DRIVER_FIRST = [
     "token_frequencies",
     "doc_fingerprints",
     "embedding_norms",
-    "multimodal_wav_decode",
     "multimodal_decode_quarantine",
     "multimodal_frame_sample",
     "multimodal_resize",
