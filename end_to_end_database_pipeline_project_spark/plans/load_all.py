@@ -125,6 +125,7 @@ _DRIVER_FIRST = [
     "bloom_semijoin_pushdown",
     "preference_pair_mining",
     "suffix_duplicate_substrings",
+    "lsh_band_tuning_report",
     "multimodal_mjpeg_decode",
     "multimodal_video_frames",
     "bpe_encode_docs",
@@ -165,7 +166,6 @@ _DRIVER_FIRST = [
     "doc_repetition_scores",
     "boilerplate_lines",
     "curated_corpus_report",
-    "lsh_quality_certificate",
     "neardup_dedup_retention",
     "stream_static_enrich",
     "medallion_silver",
