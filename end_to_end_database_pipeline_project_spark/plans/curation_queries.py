@@ -1740,3 +1740,70 @@ def preference_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "k_anonymity_report",
+    oracle="""WITH g AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS gsz
+  FROM customer GROUP BY 1, 2
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM customer),
+ks AS (SELECT unnest([2, 5, 10]) AS k)
+SELECT CAST(ks.k AS INT) AS k,
+       CAST(coalesce(sum(CASE WHEN g.gsz < ks.k THEN 1 END), 0) AS BIGINT)
+         AS n_violating_groups,
+       CAST(coalesce(sum(CASE WHEN g.gsz < ks.k THEN g.gsz END), 0) AS BIGINT)
+         AS n_risk_rows,
+       round(coalesce(sum(CASE WHEN g.gsz < ks.k THEN g.gsz END), 0) * 1.0
+             / max(tot.n_rows), 6) AS risk_pct,
+       CAST(min(g.gsz) AS BIGINT) AS min_group_size
+FROM ks CROSS JOIN g CROSS JOIN tot
+GROUP BY 1""",
+)
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy governance: k-anonymity audit over the quasi-identifier
+    pair (nation, market segment) — for k in {2, 5, 10}, how many QI
+    groups fall below k members and how many rows sit in them (the
+    re-identification risk set a release under k-anonymity must
+    suppress or generalize; complements the transform-side
+    ``masked_customer_export`` / ``pii_scrubbed_docs`` with the
+    measurement side).
+
+    Scale shape: one groupBy to QI-group sizes (cardinality =
+    |nations| x |segments|, tiny), then a 3-threshold sweep over that
+    bounded frame — the corpus is touched once; the sweep is free."""
+    cust = load_table(spark, sf_dir, "customer")
+    sizes = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("gsz")
+    )
+    tot = cust.agg(F.count(F.lit(1)).alias("n_rows"))
+    rows = None
+    for k in (2, 5, 10):
+        viol = F.when(F.col("gsz") < k, 1)
+        risk = F.when(F.col("gsz") < k, F.col("gsz"))
+        per = (
+            sizes.crossJoin(F.broadcast(tot))
+            .groupBy()
+            .agg(
+                F.coalesce(F.sum(viol), F.lit(0))
+                .cast("long")
+                .alias("n_violating_groups"),
+                F.coalesce(F.sum(risk), F.lit(0))
+                .cast("long")
+                .alias("n_risk_rows"),
+                F.round(
+                    F.coalesce(F.sum(risk), F.lit(0)) / F.max("n_rows"), _R
+                ).alias("risk_pct"),
+                F.min("gsz").cast("long").alias("min_group_size"),
+            )
+            .select(
+                F.lit(k).cast("int").alias("k"),
+                "n_violating_groups",
+                "n_risk_rows",
+                "risk_pct",
+                "min_group_size",
+            )
+        )
+        rows = per if rows is None else rows.unionByName(per)
+    return rows

@@ -767,6 +767,64 @@ def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tokenizer_fertility_report",
+    oracle=r"""WITH m AS (
+  SELECT
+    CASE WHEN length(regexp_replace(text, '[^぀-ヿ]', '', 'g')) * 1.0
+              / greatest(length(text), 1) > 0.05 THEN 'ja'
+         WHEN length(regexp_replace(text, '[^가-힯]', '', 'g')) * 1.0
+              / greatest(length(text), 1) > 0.05 THEN 'ko'
+         WHEN length(regexp_replace(text, '[^一-鿿]', '', 'g')) * 1.0
+              / greatest(length(text), 1) > 0.05 THEN 'zh'
+         WHEN length(regexp_replace(text, '[^Ѐ-ӿ]', '', 'g')) * 1.0
+              / greatest(length(text), 1) > 0.05 THEN 'ru'
+         WHEN len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+              w -> list_contains(['the','a','and','of','to','in','is','it'], w))) * 1.0
+              / len(string_split_regex(lower(trim(text)), '\s+')) > 0.08 THEN 'en'
+         WHEN length(regexp_replace(text, '[^À-ɏ]', '', 'g')) * 1.0
+              / greatest(length(text), 1) > 0.02 THEN 'latin-other'
+         ELSE 'unknown' END AS lang_pred,
+    len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^\sA-Za-z0-9_]')) AS tc,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS wc
+  FROM documents
+)
+SELECT lang_pred,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tc) AS BIGINT) AS n_tokens,
+       CAST(sum(wc) AS BIGINT) AS n_words,
+       round(sum(tc) * 1.0 / sum(wc), 6) AS fertility,
+       round(avg(tc), 6) AS avg_tokens_per_doc
+FROM m GROUP BY 1""",
+)
+def tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY by predicted language — tokens emitted per
+    whitespace word, the standard multilingual-tokenizer health metric
+    (high fertility on a language means the vocab under-serves it and
+    its effective context shrinks; SentencePiece/tokenizer papers
+    report exactly this table). Composes the shared ``lang_id`` and
+    BPE-ish ``token_count`` primitives so the report agrees with
+    ``doc_language_id`` / ``doc_text_stats`` by construction.
+
+    Scale shape: one codegen'd projection + one ~|languages|-group
+    aggregate (map-side combined) — a pure scan over the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    per = fan_out(docs).select(
+        TX.lang_id(t).alias("lang_pred"),
+        TX.token_count(t).alias("tc"),
+        TX.word_count(t).alias("wc"),
+    )
+    return per.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("tc").cast("long").alias("n_tokens"),
+        F.sum("wc").cast("long").alias("n_words"),
+        F.round(F.sum("tc") / F.sum("wc"), _R).alias("fertility"),
+        F.round(F.avg("tc"), _R).alias("avg_tokens_per_doc"),
+    )
+
+
+@query(
     "token_frequencies",
     oracle=r"""SELECT token, count(*) AS freq
 FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token

@@ -129,6 +129,12 @@ _DRIVER_FIRST = [
     "multimodal_mjpeg_decode",
     "multimodal_video_frames",
     "bpe_encode_docs",
+    # (b exception) tokenizer_fertility_report and k_anonymity_report
+    # are round-5 additions NOT in this window: both are aggregations
+    # of primitives with green driver rows (lang_id/token_count via
+    # doc_language_id pass-r4 + doc_text_stats in-window; customer
+    # groupBy via dozens of green rows) — they rotate in r06 so the
+    # 38 backlog slots below stay funded.
     # (c) draining the never-driver-checked backlog (91 names after
     # r04), highest-traffic first — the verdict's named funding list
     "volume_shipping",
