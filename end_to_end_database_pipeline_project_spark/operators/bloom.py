@@ -90,6 +90,51 @@ def probe_bloom(batch: DataFrame, bloom: DataFrame, key_col: str, id_col: str) -
     return batch.join(hit, batch[id_col] == hit["pid"]).drop("pid")
 
 
+def probe_bloom_scan(batch: DataFrame, bloom: DataFrame, key_col: str) -> DataFrame:
+    """Fact-side probe: tag each row with ``maybe_dup`` with ZERO
+    exchanges on the probed side — ``K_HASHES`` chained broadcast hash
+    joins against the (≤16K-row) words table, one per hash seed, all
+    fused into the scan stage; the verdict is a codegen'd AND over the
+    k fetched words.
+
+    Probing a FACT table is a different problem than probing a batch:
+    the explode+groupBy probe above costs one fact-sized exchange
+    (fine for incremental-ingest batches, disqualifying for a runtime
+    filter), and riding the words table as a dense one-row ARRAY
+    through a broadcast join measured 14x SLOWER than the exchange it
+    saved — the join copies the 128 KB array into every joined fact
+    row (~190 GB of memcpy at sf0.1). Chained broadcast HASH joins add
+    one 8-byte word per row per probe instead. (Spark's own injected
+    runtime filters — BloomFilterMightContain under
+    ``spark.sql.optimizer.runtime.bloomFilter.enabled`` — are the
+    config-level form of the same shape; the expression is not in the
+    public function registry, so the explicit spelling stays on
+    engine-portable relational pieces.)"""
+    out = batch
+    verdict = F.lit(True)
+    for i in range(K_HASHES):
+        pos = F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(M_BITS))
+        words_i = bloom.select(
+            F.col("word_idx").alias(f"__widx{i}"),
+            F.col("bits").alias(f"__bits{i}"),
+        )
+        out = out.withColumn(
+            f"__pos{i}", pos
+        ).join(
+            F.broadcast(words_i),
+            (F.col(f"__pos{i}") / 64).cast("long") == F.col(f"__widx{i}"),
+            "left",
+        )
+        bit = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(__pos{i} % 64 AS INT))"
+        )
+        verdict = verdict & (
+            F.col(f"__bits{i}").isNotNull()
+            & (F.col(f"__bits{i}").bitwiseAND(bit) != 0)
+        )
+    return out.select(*batch.columns, verdict.alias("maybe_dup"))
+
+
 def incremental_dedup(
     corpus: DataFrame,
     batch: DataFrame,

