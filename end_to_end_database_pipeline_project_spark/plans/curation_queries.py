@@ -1807,3 +1807,71 @@ def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = per if rows is None else rows.unionByName(per)
     return rows
+
+
+@query(
+    "training_shard_manifest",
+    oracle=r"""WITH s AS (
+  SELECT doc_id, md5(text) AS h,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, h, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM s
+),
+a AS (SELECT doc_id, h, n_tokens, cum_before // 8192 AS shard_id FROM c)
+SELECT CAST(shard_id AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+       min(h) AS first_doc_hash,
+       round(sum(n_tokens) * 1.0 / 8192, 6) AS fill_ratio
+FROM a GROUP BY 1""",
+)
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packing pipeline's OUTPUT contract: assign every document to
+    a training shard of ~8192 tokens along a deterministic
+    content-hash global order (the same hash order
+    ``deterministic_split`` uses, so shards are reproducible shuffles
+    — no ``rand()``), and emit the shard manifest (doc count, token
+    count, first content hash, fill ratio) that the training loader
+    consumes. A document belongs to the shard where its offset starts
+    — standard offset-assignment semantics, same as
+    ``sequence_packing_report``.
+
+    Scale shape: the global offset comes from
+    ``distributed_prefix_sum`` (deterministic two-pass bins — never a
+    single-reducer global window; the oracle IS the window form), and
+    the manifest is one |shards|-group aggregate. This is the 6th
+    consumer of the flagship prefix-sum operator, in its most
+    production-real role."""
+    from ..functions.text import word_count
+    from ..operators.scale import distributed_prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = fan_out(docs).select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        word_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    cum = distributed_prefix_sum(
+        s, ["h", "doc_id"], "n_tokens", out_col="cum_before"
+    )
+    return (
+        cum.select(
+            F.expr("cum_before div 8192").alias("shard_id"),
+            "n_tokens",
+            "h",
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("shard_tokens"),
+            F.min("h").alias("first_doc_hash"),
+            F.round(F.sum("n_tokens") / 8192.0, _R).alias("fill_ratio"),
+        )
+    )

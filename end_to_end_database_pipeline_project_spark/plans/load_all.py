@@ -129,11 +129,14 @@ _DRIVER_FIRST = [
     "multimodal_mjpeg_decode",
     "multimodal_video_frames",
     "bpe_encode_docs",
-    # (b exception) tokenizer_fertility_report and k_anonymity_report
-    # are round-5 additions NOT in this window: both are aggregations
-    # of primitives with green driver rows (lang_id/token_count via
-    # doc_language_id pass-r4 + doc_text_stats in-window; customer
-    # groupBy via dozens of green rows) — they rotate in r06 so the
+    # (b exception) tokenizer_fertility_report, k_anonymity_report and
+    # training_shard_manifest are round-5 additions NOT in this window:
+    # the first two are aggregations of primitives with green driver
+    # rows (lang_id/token_count via doc_language_id pass-r4 +
+    # doc_text_stats in-window; customer groupBy via dozens of green
+    # rows), and the shard manifest is a 6th consumer of the same
+    # prefix-sum operator that slot 1 + the cross-session soak already
+    # pin (it joined the soak list) — all three rotate in r06 so the
     # 38 backlog slots below stay funded.
     # (c) draining the never-driver-checked backlog (91 names after
     # r04), highest-traffic first — the verdict's named funding list

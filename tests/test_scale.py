@@ -196,6 +196,7 @@ _SOAK_QUERIES = [
     "supplier_pareto_abc",
     "token_budget_selection",
     "event_id_islands",
+    "training_shard_manifest",
 ]
 
 _SOAK_SCRIPT = r"""
