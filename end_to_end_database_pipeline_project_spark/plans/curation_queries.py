@@ -1875,3 +1875,122 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("n_tokens") / 8192.0, _R).alias("fill_ratio"),
         )
     )
+
+
+@query(
+    "doremi_proxy_weights",
+    oracle=r"""WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws)), i -> [ws[i], ws[i+1]])) AS b
+  FROM w WHERE len(ws) >= 2
+),
+bge AS (SELECT doc_id, b[1] AS w1, b[2] AS w2 FROM bg),
+bc AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c2 FROM bge GROUP BY 1, 2),
+uc AS (SELECT w1, CAST(count(*) AS DOUBLE) AS c1 FROM bge GROUP BY 1),
+v AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS vsize
+      FROM (SELECT unnest(ws) AS t FROM w)),
+per_doc AS (
+  SELECT bge.doc_id, avg(-ln((bc.c2 + 1) / (uc.c1 + v.vsize))) AS nll
+  FROM bge
+  JOIN bc ON bge.w1 = bc.w1 AND bge.w2 = bc.w2
+  JOIN uc ON bge.w1 = uc.w1
+  CROSS JOIN v
+  GROUP BY 1
+),
+srcd AS (
+  SELECT d.source, p.nll FROM per_doc p JOIN documents d USING (doc_id)
+),
+per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs, avg(nll) AS mean_nll
+  FROM srcd GROUP BY 1
+),
+corpus AS (SELECT avg(nll) AS cmean FROM srcd),
+ex AS (
+  SELECT source, n_docs, mean_nll,
+         greatest(mean_nll - cmean, 0) AS excess
+  FROM per_src CROSS JOIN corpus
+),
+z AS (SELECT sum(exp(excess)) AS zz, CAST(count(*) AS DOUBLE) AS ns FROM ex)
+SELECT source, n_docs, round(mean_nll, 6) AS mean_nll,
+       round(excess, 6) AS excess_nll,
+       round(0.7 * exp(excess) / zz + 0.3 / ns, 6) AS domain_weight
+FROM ex CROSS JOIN z""",
+)
+def doremi_proxy_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023) with the
+    corpus bigram LM standing in for the proxy model: each source's
+    EXCESS loss (its mean doc NLL above the corpus mean, clipped at 0
+    — exactly DoReMi's clipped excess) drives an exponential-weights
+    update, mixed 0.7/0.3 with uniform (the paper's smoothing), giving
+    the domain weights the next data mix would sample by. Sources the
+    LM finds surprising get upweighted — the opposite dial from the
+    perplexity FILTER (`bigram_lm_scores` thresholding), and the
+    reason the two coexist in real pipelines.
+
+    Scale shape: reuses the bigram-LM plan shape (one checkpointed
+    explode feeding both count models), collapses to |sources| rows
+    before any exp/softmax arithmetic, and the corpus mean rides as a
+    one-row broadcast — the reweighting itself is free at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    w = fan_out(docs).select("doc_id", ws.alias("ws"))
+    bge = (
+        w.where(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> struct(element_at(ws, i) AS w1,"
+                    " element_at(ws, i + 1) AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+        .localCheckpoint()
+    )
+    bc = bge.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("double").alias("c2")
+    )
+    uc = bge.groupBy("w1").agg(F.count(F.lit(1)).cast("double").alias("c1"))
+    vsize = w.select(F.explode("ws").alias("t")).agg(
+        F.countDistinct("t").cast("double").alias("vsize")
+    )
+    nll = -F.log((F.col("c2") + 1) / (F.col("c1") + F.col("vsize")))
+    per_doc = (
+        bge.join(bc, ["w1", "w2"])
+        .join(uc, ["w1"])
+        .crossJoin(F.broadcast(vsize))
+        .groupBy("doc_id")
+        .agg(F.avg(nll).alias("nll"))
+    )
+    srcd = per_doc.join(docs.select("doc_id", "source"), "doc_id")
+    per_src = srcd.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.avg("nll").alias("mean_nll"),
+    )
+    corpus = srcd.agg(F.avg("nll").alias("cmean"))
+    ex = per_src.crossJoin(F.broadcast(corpus)).select(
+        "source",
+        "n_docs",
+        "mean_nll",
+        F.greatest(F.col("mean_nll") - F.col("cmean"), F.lit(0.0)).alias(
+            "excess"
+        ),
+    )
+    z = ex.agg(
+        F.sum(F.exp("excess")).alias("zz"),
+        F.count(F.lit(1)).cast("double").alias("ns"),
+    )
+    return ex.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        F.round("mean_nll", _R).alias("mean_nll"),
+        F.round("excess", _R).alias("excess_nll"),
+        F.round(
+            0.7 * F.exp("excess") / F.col("zz") + 0.3 / F.col("ns"), _R
+        ).alias("domain_weight"),
+    )

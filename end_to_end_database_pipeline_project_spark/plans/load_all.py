@@ -129,7 +129,9 @@ _DRIVER_FIRST = [
     "multimodal_mjpeg_decode",
     "multimodal_video_frames",
     "bpe_encode_docs",
-    # (b exception) tokenizer_fertility_report, k_anonymity_report and
+    # (b exception) tokenizer_fertility_report, k_anonymity_report,
+    # doremi_proxy_weights (a 20-row exp-weights reduction over the
+    # driver-benched bigram-LM scaffold) and
     # training_shard_manifest are round-5 additions NOT in this window:
     # the first two are aggregations of primitives with green driver
     # rows (lang_id/token_count via doc_language_id pass-r4 +
