@@ -412,8 +412,9 @@ def decode_wav(content: bytes) -> dict:
                 raise ValueError("data chunk before fmt chunk")
             if len(data) != clen:
                 raise ValueError("truncated data chunk")
-            n_samples = clen // 2
-            for i in range(n_samples):
+            # accumulate across data chunks (multi-chunk RIFF is legal)
+            n_samples += clen // 2
+            for i in range(clen // 2):
                 (v,) = struct.unpack_from("<h", data, 2 * i)
                 energy += abs(v)
         pos += 8 + clen + (clen % 2)  # RIFF chunks pad to even
@@ -540,7 +541,9 @@ def decode_wav_mulaw(content: bytes) -> dict:
                 raise ValueError("data chunk before fmt chunk")
             if len(data) != clen:
                 raise ValueError("truncated data chunk")
-            n_samples = clen
+            # accumulate across data chunks (multi-chunk RIFF is
+            # legal), matching the ADPCM decoder's semantics
+            n_samples += clen
             for b in data:
                 energy += abs(mulaw_expand(b))
         pos += 8 + clen + (clen % 2)  # RIFF chunks pad to even

@@ -195,7 +195,17 @@ def _orderable(df: DataFrame, name: str, direction: str) -> Column:
         return -F.unix_date(F.col(name))
     if dt.startswith("timestamp"):
         return -F.unix_micros(F.col(name))
-    if dt in ("tinyint", "smallint", "int", "bigint", "float", "double") or dt.startswith(
+    if dt in ("float", "double"):
+        # Spark orders NaN as the LARGEST value, so desc puts NaN
+        # first — but -NaN is still NaN, which would bin NaN rows
+        # LAST. Map NaN to -infinity instead: minimum bin key, weakly
+        # consistent with the true order (it ties with negated +inf;
+        # ties in the bin key are fine — the in-bin window re-orders
+        # by the real sort spec).
+        return F.when(
+            F.isnan(F.col(name)), F.lit(float("-inf"))
+        ).otherwise(-F.col(name))
+    if dt in ("tinyint", "smallint", "int", "bigint") or dt.startswith(
         "decimal"
     ):
         return -F.col(name)
@@ -331,7 +341,13 @@ def distributed_prefix_sum(
     # persist() above is purely perf — the upstream (often a corpus
     # tokenize) feeds both branches once instead of twice (measured
     # 1.7-2.5x across the five consumers); on a cluster this is the
-    # staging table a production two-pass job would write.
+    # staging table a production two-pass job would write. The cache
+    # is deliberately NOT unpersisted here (the operator cannot know
+    # when its consumers finish); MEMORY_AND_DISK entries are evicted
+    # LRU / collected by the ContextCleaner once the frame is
+    # unreachable, which bounds the footprint in long sessions — a
+    # long-running service calling this in a loop should unpersist the
+    # returned frame's lineage itself after materializing.
     subtotals = assigned.groupBy("__pid").agg(
         F.sum(value_col).alias("__psum")
     )

@@ -420,18 +420,19 @@ w{r} AS (SELECT * FROM g{r})"""
     + ", w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),"
     + ",".join(_logreg_iter_sql(r) for r in (1, 2, 3))
     + """
-SELECT round(w.w0, 6) AS w_bias, round(w.w1, 6) AS w_loglen,
-       round(w.w2, 6) AS w_nonalpha, round(w.w3, 6) AS w_space,
-       round(avg(-y * ln(1.0 / (1.0 + exp(-(w.w0 * x0 + w.w1 * x1
-             + w.w2 * x2 + w.w3 * x3))))
-             - (1 - y) * ln(1 - 1.0 / (1.0 + exp(-(w.w0 * x0 + w.w1 * x1
-             + w.w2 * x2 + w.w3 * x3))))), 6) AS train_logloss,
-       round(avg(CASE WHEN (1.0 / (1.0 + exp(-(w.w0 * x0 + w.w1 * x1
-             + w.w2 * x2 + w.w3 * x3))) >= 0.5) = (y = 1.0)
+SELECT round(w0, 6) AS w_bias, round(w1, 6) AS w_loglen,
+       round(w2, 6) AS w_nonalpha, round(w3, 6) AS w_space,
+       round(avg(-y * ln(p) - (1 - y) * ln(1 - p)), 6) AS train_logloss,
+       round(avg(CASE WHEN (p >= 0.5) = (y = 1.0)
              THEN 1.0 ELSE 0.0 END), 6) AS train_acc,
        CAST(count(*) AS BIGINT) AS n_docs
-FROM feats CROSS JOIN w3 w
-GROUP BY w.w0, w.w1, w.w2, w.w3""",
+FROM (
+  SELECT w.w0 AS w0, w.w1 AS w1, w.w2 AS w2, w.w3 AS w3, y,
+         greatest(least(1.0 / (1.0 + exp(-(w.w0 * x0 + w.w1 * x1
+           + w.w2 * x2 + w.w3 * x3))), 1.0 - 1e-12), 1e-12) AS p
+  FROM feats CROSS JOIN w3 w
+) t
+GROUP BY w0, w1, w2, w3""",
 )
 def quality_logreg_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-plan iterative ML: a quality/domain classifier (the
@@ -489,7 +490,13 @@ def quality_logreg_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     joined = feats.crossJoin(F.broadcast(w))
     z = sum(F.col(f"w{i}") * F.col(f"x{i}") for i in range(4))
+    # clamp the scoring sigmoid away from exact 0/1: a saturated p
+    # makes Spark's log(0) return NULL (row silently dropped from the
+    # avg) while DuckDB's ln(0) raises — the clamp keeps both engines
+    # on the same finite arithmetic (gradients need no clamp: they
+    # never take a log)
     p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    p = F.least(F.greatest(p, F.lit(1e-12)), F.lit(1.0 - 1e-12))
     y = F.col("y")
     return joined.groupBy(*[f"w{i}" for i in range(4)]).agg(
         F.round(

@@ -129,7 +129,10 @@ _DRIVER_FIRST = [
     "multimodal_mjpeg_decode",
     "multimodal_video_frames",
     "bpe_encode_docs",
-    # (b exception) tokenizer_fertility_report, k_anonymity_report,
+    # (b exception) pq_adc_topk and quality_logreg_classifier (wave-1
+    # additions whose certificate/recurrence mechanics are exercised by
+    # the in-window ivfpq_topk and the bench headliner set),
+    # tokenizer_fertility_report, k_anonymity_report,
     # doremi_proxy_weights (a 20-row exp-weights reduction over the
     # driver-benched bigram-LM scaffold) and
     # training_shard_manifest are round-5 additions NOT in this window:

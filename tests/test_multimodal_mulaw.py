@@ -113,3 +113,19 @@ def test_truncation_and_byte_flip_never_crash_undiagnosed():
                 decode_wav_mulaw(bytes(corrupt))
             except (ValueError, NotImplementedError):
                 pass
+
+
+def test_multi_data_chunk_accumulates_consistently():
+    # multi-chunk RIFF is legal: n_samples and energy must both
+    # accumulate (previously n_samples kept only the last chunk)
+    c1, c2 = bytes(range(64)), bytes(range(64, 128))
+    fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    for codes in (c1, c2):
+        body += b"data" + struct.pack("<I", len(codes)) + codes
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    out = decode_wav_mulaw(wav)
+    assert out["n_samples"] == 128
+    assert out["abs_amplitude_sum"] == sum(
+        abs(mulaw_expand(b)) for b in c1 + c2
+    )

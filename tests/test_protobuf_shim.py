@@ -151,3 +151,51 @@ def test_shim_dir_on_path_only_when_needed():
     assert SHIM_DIR in sys.path
     mode = ensure_protobuf()
     assert mode in ("native", "shim")
+
+
+def test_nested_assignment_through_vivified_child():
+    # the pyspark state client writes `cmd.ttl.durationMs = n` through
+    # the auto-vivified child — the write must survive serialization
+    sm = _sm()
+    call = sm.StateCallCommand()
+    call.stateName = "s"
+    call.ttl.durationMs = 1234
+    assert call.HasField("ttl")
+    back = sm.StateCallCommand()
+    back.ParseFromString(call.SerializeToString())
+    assert back.HasField("ttl") and back.ttl.durationMs == 1234
+
+
+def test_untouched_vivified_child_not_serialized():
+    sm = _sm()
+    call = sm.StateCallCommand()
+    call.stateName = "s"
+    _ = call.ttl  # read-only access vivifies but must not emit
+    assert not call.HasField("ttl")
+    back = sm.StateCallCommand()
+    back.ParseFromString(call.SerializeToString())
+    assert not back.HasField("ttl")
+
+
+def test_wire_level_oneof_last_wins_for_message_members():
+    # two members of the same oneof on the wire: parser keeps the LAST
+    # (proto3), including for message-typed members
+    sm = _sm()
+    a = sm.StateRequest(
+        statefulProcessorCall=sm.StatefulProcessorCall(
+            setHandleState=sm.SetHandleState(state=sm.INITIALIZED)
+        )
+    )
+    b = sm.StateRequest(
+        implicitGroupingKeyRequest=sm.ImplicitGroupingKeyRequest(
+            setImplicitKey=sm.SetImplicitKey(key=b"k")
+        )
+    )
+    merged = sm.StateRequest()
+    merged.MergeFromString(a.SerializeToString() + b.SerializeToString())
+    assert merged.WhichOneof("method") == "implicitGroupingKeyRequest"
+    assert not merged.HasField("statefulProcessorCall")
+    # re-serialization must not emit both members
+    again = sm.StateRequest()
+    again.ParseFromString(merged.SerializeToString())
+    assert again.WhichOneof("method") == "implicitGroupingKeyRequest"

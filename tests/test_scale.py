@@ -282,3 +282,37 @@ def test_prefix_sum_soak_across_sessions_and_parallelism():
             f"{name}: output not bit-identical across sessions/parallelism: "
             + str({cfg: r[name] for cfg, r in results.items()})
         )
+
+
+def test_prefix_sum_desc_double_with_nan_matches_window(spark):
+    # -NaN is still NaN, so a negated desc bin key would send NaN rows
+    # (which Spark's desc sort puts FIRST) to the LAST bin — the
+    # NaN -> -infinity mapping in _orderable pins the fix
+    from pyspark.sql import Window
+
+    rows = [(i, float(v)) for i, v in enumerate([3.5, 1.25, 2.0, 7.5, 0.5])]
+    df = spark.createDataFrame(rows, "id long, score double").withColumn(
+        "score",
+        F.when(F.col("id") == 2, F.lit(float("nan"))).otherwise(
+            F.col("score")
+        ),
+    ).withColumn("v", F.lit(1).cast("long"))
+    got = {
+        r["id"]: r["cum"]
+        for r in SC.distributed_prefix_sum(
+            df, [("score", "desc"), "id"], "v", out_col="cum",
+            num_partitions=4,
+        ).collect()
+    }
+    w = Window.orderBy(F.desc("score"), F.asc("id")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    want = {
+        r["id"]: r["cum"]
+        for r in df.withColumn(
+            "cum", F.coalesce(F.sum("v").over(w), F.lit(0))
+        ).collect()
+    }
+    assert got == want
+    # the NaN row sorts first under desc => exclusive prefix 0
+    assert want[2] == 0

@@ -66,3 +66,21 @@ def test_flags_repartition_by_range_in_plans_only(tmp_path):
     _write(tmp_path, "operators/layout.py", "df = df.repartitionByRange(8, 'k')\n")
     flags = audit_source(str(tmp_path))
     assert len(flags) == 1 and "plans/y.py" in flags[0] and "repartitionByRange" in flags[0]
+
+
+def test_flags_line_wrapped_global_window(tmp_path):
+    # black/79-col style wraps the chain: `Window\n  .orderBy(...)` —
+    # the tokenizer walk must skip NL/COMMENT tokens, not require
+    # strict adjacency
+    pkg = tmp_path / "pkg"
+    pkg.mkdir()
+    (pkg / "wrapped.py").write_text(
+        "from pyspark.sql import Window\n"
+        "w = (\n"
+        "    Window\n"
+        "    # a comment between the parts\n"
+        "    .orderBy('x')\n"
+        ")\n"
+    )
+    flags = audit_source(str(pkg))
+    assert any("global Window.orderBy" in f for f in flags), flags

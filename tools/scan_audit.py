@@ -130,16 +130,35 @@ def _code_name_sites(path: str, names: tuple[str, ...]) -> dict[str, list[int]]:
     sites: dict[str, list[int]] = {n: [] for n in names}
     with open(path, "rb") as fh:
         toks = list(tokenize.tokenize(fh.readline))
+    skip = (
+        tokenize.NL,
+        tokenize.NEWLINE,
+        tokenize.COMMENT,
+        tokenize.INDENT,
+        tokenize.DEDENT,
+    )
+
+    def prev_significant(i: int) -> int:
+        # inside parentheses a chained call can line-wrap:
+        # `Window\n  .orderBy(...)` tokenizes with NL/COMMENT tokens
+        # between the parts — walking raw i-1/i-2 would miss the site
+        j = i - 1
+        while j >= 0 and toks[j].type in skip:
+            j -= 1
+        return j
+
     for i, t in enumerate(toks):
         if t.type != tokenize.NAME or t.string not in names:
             continue
         if t.string == "orderBy":
             # count only `Window.orderBy` (a spec STARTING with orderBy
             # has no partitionBy), not `.partitionBy(...).orderBy(...)`
+            j1 = prev_significant(i)
+            j2 = prev_significant(j1) if j1 >= 0 else -1
             if (
-                i >= 2
-                and toks[i - 1].string == "."
-                and toks[i - 2].string == "Window"
+                j2 >= 0
+                and toks[j1].string == "."
+                and toks[j2].string == "Window"
             ):
                 sites[t.string].append(t.start[0])
         else:
