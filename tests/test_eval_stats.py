@@ -1,0 +1,141 @@
+"""Known-value checks for the statistical evaluation pack
+(plans/eval_queries.py): the AUC / KS / CUSUM / Theil-Sen kernels are
+verified against tiny hand-computable datasets, independent of the
+documents/events tables the registered queries run on.  (The
+registered queries themselves are oracle-checked end-to-end by
+tools/check_oracle.py; these tests pin the *math* so a refactor of
+the shared prefix-sum shape can't silently change the statistics.)
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from end_to_end_database_pipeline_project_spark.operators.scale import (
+    distributed_prefix_sum,
+)
+
+
+def _auc_from_groups(df):
+    """The exact Mann-Whitney fold used by quality_classifier_auc."""
+    c = distributed_prefix_sum(df, "s", "n", out_col="cum_before")
+    t = c.agg(
+        F.sum(F.col("npos") * (2 * F.col("cum_before") + F.col("n") + 1))
+        .cast("long")
+        .alias("twice_ranksum"),
+        F.sum("npos").cast("long").alias("n_pos"),
+        F.sum(F.col("n") - F.col("npos")).cast("long").alias("n_neg"),
+    ).collect()[0]
+    ranksum = t.twice_ranksum / 2.0
+    return (ranksum - t.n_pos * (t.n_pos + 1) / 2.0) / (t.n_pos * t.n_neg)
+
+
+def test_auc_perfect_separation(spark):
+    # scores 1,2 negative; 3,4 positive -> AUC = 1.0
+    rows = [(1.0, 1, 0), (2.0, 1, 0), (3.0, 1, 1), (4.0, 1, 1)]
+    df = spark.createDataFrame(rows, "s double, n long, npos long")
+    assert _auc_from_groups(df) == pytest.approx(1.0)
+
+
+def test_auc_with_ties(spark):
+    # pos scores {2,3}, neg scores {1,2}: pairs (2>1)=1, (2=2)=0.5,
+    # (3>1)=1, (3>2)=1 -> AUC = 3.5/4 = 0.875.  Tied score 2 collapses
+    # to one group of n=2, npos=1 — exercises the tie-aware rank.
+    rows = [(1.0, 1, 0), (2.0, 2, 1), (3.0, 1, 1)]
+    df = spark.createDataFrame(rows, "s double, n long, npos long")
+    assert _auc_from_groups(df) == pytest.approx(0.875)
+
+
+def test_auc_interleaved(spark):
+    # pos at odd scores 1,3,5,7 vs neg at even 2,4,6,8:
+    # wins 0+1+2+3 = 6 of 16 -> AUC = 0.375
+    rows = [(float(i), 1, i % 2) for i in range(1, 9)]
+    df = spark.createDataFrame(rows, "s double, n long, npos long")
+    assert _auc_from_groups(df) == pytest.approx(0.375)
+
+
+def test_ks_statistic_disjoint_supports(spark):
+    # population 1 entirely below population 2 -> D = 1.0
+    g = spark.createDataFrame(
+        [(1.0, 1, 0), (2.0, 1, 0), (10.0, 0, 1), (11.0, 0, 1)],
+        "value double, c1 long, c2 long",
+    )
+    cum1 = distributed_prefix_sum(g, "value", "c1", out_col="cb1")
+    cum = distributed_prefix_sum(cum1, "value", "c2", out_col="cb2").select(
+        (F.col("cb1") + F.col("c1")).alias("f1"),
+        (F.col("cb2") + F.col("c2")).alias("f2"),
+    )
+    d = cum.agg(F.max(F.abs(F.col("f1") / 2.0 - F.col("f2") / 2.0))).collect()[0][0]
+    assert d == pytest.approx(1.0)
+
+
+def test_ks_identical_samples_zero(spark):
+    g = spark.createDataFrame(
+        [(1.0, 2, 2), (5.0, 3, 3), (9.0, 1, 1)], "value double, c1 long, c2 long"
+    )
+    cum1 = distributed_prefix_sum(g, "value", "c1", out_col="cb1")
+    cum = distributed_prefix_sum(cum1, "value", "c2", out_col="cb2").select(
+        (F.col("cb1") + F.col("c1")).alias("f1"),
+        (F.col("cb2") + F.col("c2")).alias("f2"),
+    )
+    d = cum.agg(F.max(F.abs(F.col("f1") / 6.0 - F.col("f2") / 6.0))).collect()[0][0]
+    assert d == pytest.approx(0.0)
+
+
+def test_cusum_peak_at_level_shift(spark):
+    # series 0,0,0,10,10,10 -> mean 5; S_t = cum - t*5 peaks (in |.|)
+    # at t=3 (S_3 = -15) -> changepoint at the last low day.
+    rows = [(f"2024-01-0{i}", 0.0 if i <= 3 else 10.0) for i in range(1, 7)]
+    daily = spark.createDataFrame(rows, "obs_date string, day_value double").select(
+        F.to_date("obs_date").alias("obs_date"), "day_value"
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("obs_date").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = daily.select(
+        "obs_date",
+        F.sum("day_value").over(w).alias("cum_incl"),
+        F.row_number().over(Window.orderBy("obs_date")).cast("long").alias("t"),
+    ).where(F.col("t") < 6)
+    stat = F.abs(F.col("cum_incl") - F.col("t") * 5.0)
+    top = c.orderBy(stat.desc(), F.col("obs_date").asc()).limit(1).collect()[0]
+    assert str(top.obs_date) == "2024-01-03"
+
+
+def test_theil_sen_recovers_exact_line(spark):
+    # y = 3x + 7 exactly -> every pairwise slope is 3, intercept 7.
+    rows = [(f"2024-01-{d:02d}", 7.0 + 3.0 * (d - 1)) for d in range(1, 8)]
+    daily = spark.createDataFrame(rows, "obs_date string, daily_avg double").select(
+        F.to_date("obs_date").alias("obs_date"), "daily_avg"
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(b, F.col("a.obs_date") < F.col("b.obs_date")).select(
+        (
+            (F.col("b.daily_avg") - F.col("a.daily_avg"))
+            / F.datediff(F.col("b.obs_date"), F.col("a.obs_date"))
+        ).alias("slope")
+    )
+    med = slopes.agg(F.median("slope")).collect()[0][0]
+    assert med == pytest.approx(3.0)
+    x = F.datediff(F.col("obs_date"), F.lit("2024-01-01").cast("date"))
+    icpt = daily.agg(F.median(F.col("daily_avg") - med * x)).collect()[0][0]
+    assert icpt == pytest.approx(7.0)
+
+
+def test_theil_sen_robust_to_outlier(spark):
+    # one wild outlier day should not move the median slope.
+    rows = [(f"2024-01-{d:02d}", 7.0 + 3.0 * (d - 1)) for d in range(1, 8)]
+    rows[3] = ("2024-01-04", 1000.0)
+    daily = spark.createDataFrame(rows, "obs_date string, daily_avg double").select(
+        F.to_date("obs_date").alias("obs_date"), "daily_avg"
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(b, F.col("a.obs_date") < F.col("b.obs_date")).select(
+        (
+            (F.col("b.daily_avg") - F.col("a.daily_avg"))
+            / F.datediff(F.col("b.obs_date"), F.col("a.obs_date"))
+        ).alias("slope")
+    )
+    med = slopes.agg(F.median("slope")).collect()[0][0]
+    assert med == pytest.approx(3.0)
