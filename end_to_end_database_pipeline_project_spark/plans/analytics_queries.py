@@ -2187,3 +2187,94 @@ def event_id_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("island_end") - F.min("island_start") + 1 - F.sum("island_len")
         ).cast("long").alias("n_missing"),
     )
+
+
+# ------------------------------------------------ multi-touch attribution
+
+
+@query(
+    "linear_attribution",
+    oracle="""WITH p AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+t AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+  FROM events WHERE event_type IN ('view', 'click')
+),
+j AS (
+  SELECT p.event_id, p.value, t.event_type
+  FROM p JOIN t
+    ON t.user_id = p.user_id
+   AND t.ts < p.ts AND t.ts >= p.ts - INTERVAL 7 DAY
+),
+n AS (SELECT event_id, CAST(count(*) AS BIGINT) AS n_t FROM j GROUP BY 1),
+credited AS (
+  SELECT j.event_type AS channel, j.value / n.n_t AS credit, j.event_id
+  FROM j JOIN n ON j.event_id = n.event_id
+)
+SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_purchases,
+       round(sum(credit), 6) AS credited_value
+FROM credited GROUP BY 1
+UNION ALL
+SELECT 'direct', CAST(0 AS BIGINT), CAST(count(*) AS BIGINT),
+       round(coalesce(sum(value), 0.0), 6)
+FROM p WHERE NOT EXISTS (SELECT 1 FROM j WHERE j.event_id = p.event_id)""",
+)
+def linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch linear revenue attribution: every purchase's value
+    is split equally across the user's view/click touchpoints in the
+    preceding 7 days; untouched purchases land in a 'direct' bucket —
+    the channel-credit table a marketing/behavior pipeline derives
+    from the same event stream the funnel queries read (complements
+    `session_funnel`'s conversion counts and `asof_last_purchase`'s
+    last-touch shape with the fractional-credit model).
+
+    Scale shape: the touch join is an equi-join ON user_id with a
+    7-day range predicate — per-user fan bounded by a user's touch
+    rate x the window, never cross-user; per-purchase touch counts are
+    one groupBy on the join output joined back by purchase id (same
+    key — AQE coalesces the exchange); the anti-join finds direct
+    purchases without a second scan shape. No windows, no driver
+    state."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select("event_id", "user_id", "ts", "value")
+    t = ev.where(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    j = p.join(
+        t,
+        (F.col("t_user") == F.col("user_id"))
+        & (F.col("t_ts") < F.col("ts"))
+        & (F.col("t_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")),
+    ).select("event_id", "value", "channel")
+    n = j.groupBy("event_id").agg(F.count(F.lit(1)).cast("long").alias("n_t"))
+    credited = j.join(n, "event_id").select(
+        "channel", (F.col("value") / F.col("n_t")).alias("credit"), "event_id"
+    )
+    per_channel = credited.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.countDistinct("event_id").cast("long").alias("n_purchases"),
+        F.round(F.sum("credit"), _R).alias("credited_value"),
+    )
+    direct = (
+        p.join(n, "event_id", "left_anti")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.round(F.coalesce(F.sum("value"), F.lit(0.0)), _R).alias(
+                "credited_value"
+            ),
+        )
+        .select(
+            F.lit("direct").alias("channel"),
+            F.lit(0).cast("long").alias("n_touches"),
+            "n_purchases",
+            "credited_value",
+        )
+    )
+    return per_channel.unionByName(direct)

@@ -1994,3 +1994,77 @@ def doremi_proxy_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             0.7 * F.exp("excess") / F.col("zz") + 0.3 / F.col("ns"), _R
         ).alias("domain_weight"),
     )
+
+
+# ------------------------------------------------ l-diversity audit
+
+
+@query(
+    "l_diversity_report",
+    oracle="""WITH g AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(count(*) AS BIGINT) AS gsz,
+         CAST(count(DISTINCT CAST(floor(c_acctbal / 2000.0) AS BIGINT))
+              AS BIGINT) AS n_sensitive
+  FROM customer GROUP BY 1, 2
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM customer),
+ls AS (SELECT unnest([2, 3, 4]) AS l)
+SELECT CAST(ls.l AS INT) AS l,
+       CAST(coalesce(sum(CASE WHEN g.n_sensitive < ls.l THEN 1 END), 0)
+            AS BIGINT) AS n_violating_groups,
+       CAST(coalesce(sum(CASE WHEN g.n_sensitive < ls.l THEN g.gsz END), 0)
+            AS BIGINT) AS n_risk_rows,
+       round(coalesce(sum(CASE WHEN g.n_sensitive < ls.l THEN g.gsz END), 0)
+             * 1.0 / max(tot.n_rows), 6) AS risk_pct,
+       CAST(min(g.n_sensitive) AS BIGINT) AS min_l
+FROM ls CROSS JOIN g CROSS JOIN tot
+GROUP BY 1""",
+)
+def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy governance: l-diversity audit over the same QI pair as
+    ``k_anonymity_report`` (nation, market segment), with the account
+    balance band (2000-wide buckets) as the sensitive attribute — a
+    k-anonymous group is still disclosive if everyone in it shares the
+    same sensitive value, which is exactly what l-diversity measures
+    (Machanavajjhala et al.: every QI group must contain >= l distinct
+    sensitive values).
+
+    Scale shape mirrors the k-report: one groupBy to QI-group
+    (size, distinct-sensitive) pairs — the distinct count is bounded
+    by the 6 balance bands, so it map-side combines — then a
+    3-threshold sweep over the tiny group frame."""
+    cust = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 2000.0).cast("long")
+    sizes = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("gsz"),
+        F.countDistinct(band).cast("long").alias("n_sensitive"),
+    )
+    tot = cust.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    rows = None
+    for l in (2, 3, 4):
+        viol = F.when(F.col("n_sensitive") < l, 1)
+        risk = F.when(F.col("n_sensitive") < l, F.col("gsz"))
+        per = (
+            sizes.crossJoin(F.broadcast(tot))
+            .groupBy()
+            .agg(
+                F.coalesce(F.sum(viol), F.lit(0))
+                .cast("long")
+                .alias("n_violating_groups"),
+                F.coalesce(F.sum(risk), F.lit(0)).cast("long").alias("n_risk_rows"),
+                F.round(
+                    F.coalesce(F.sum(risk), F.lit(0)) / F.max("n_rows"), _R
+                ).alias("risk_pct"),
+                F.min("n_sensitive").cast("long").alias("min_l"),
+            )
+            .select(
+                F.lit(l).cast("int").alias("l"),
+                "n_violating_groups",
+                "n_risk_rows",
+                "risk_pct",
+                "min_l",
+            )
+        )
+        rows = per if rows is None else rows.unionByName(per)
+    return rows

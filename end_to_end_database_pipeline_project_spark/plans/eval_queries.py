@@ -15,6 +15,17 @@ these are the inferential forms a production curation stack adds).
   series.
 - ``theil_sen_trend`` — robust (median-of-pairwise-slopes) trend
   estimate per event type.
+- ``revenue_gini_coefficient`` — Lorenz/Gini revenue concentration
+  over customers (exact integer-cents rank statistic on the prefix
+  sum).
+- ``daily_value_acf`` — autocorrelation function of the daily value
+  series at lags 1..7.
+- ``doc_length_quality_spearman`` — tie-aware Spearman rank
+  correlation between document length and quality score, exact
+  decimal arithmetic end-to-end.
+- ``source_token_js_divergence`` — pairwise Jensen-Shannon divergence
+  between per-source token distributions (common-token inner join
+  only, closed-form correction for one-sided tokens).
 
 Determinism discipline shared by the pack: scores and test statistics
 are built from RATIONAL double arithmetic only (+, -, *, /, sqrt — all
@@ -58,13 +69,14 @@ def _scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = (space_ratio - 3.0 * nonalpha_ratio) + ln / 10000.0
     return fan_out(docs).select(
         "doc_id",
+        "n_chars",
         s.alias("s"),
         F.col("source").isin(*_POS_SOURCES).cast("long").alias("y"),
     )
 
 
 _SCORED_DOCS_SQL = """feats AS (
-  SELECT doc_id,
+  SELECT doc_id, n_chars,
          ((length(text) - length(replace(text, ' ', ''))) * 1.0
             / (length(text) + 1)
           - 3.0 * (length(regexp_replace(text, '[a-zA-Z ]', '', 'g')) * 1.0
@@ -442,4 +454,309 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.median(F.col("daily_avg") - F.col("slope_med") * x), _R
             ).alias("intercept"),
         )
+    )
+
+
+# ------------------------------------------------ Gini concentration
+
+
+@query(
+    "revenue_gini_coefficient",
+    oracle="""WITH rev AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT rev_cents,
+         CAST(row_number() OVER (ORDER BY rev_cents, o_custkey) AS BIGINT)
+           AS rk
+  FROM rev
+),
+t AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(sum(rev_cents) AS BIGINT) AS total_cents,
+         sum(CAST(rk AS DECIMAL(19,0)) * CAST(rev_cents AS DECIMAL(19,0)))
+           AS wsum
+  FROM r
+)
+SELECT n_customers, total_cents,
+       round(2.0 * CAST(wsum AS DOUBLE)
+               / (n_customers * 1.0 * total_cents)
+             - (n_customers + 1.0) / n_customers, 6) AS gini
+FROM t""",
+)
+def revenue_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration — the
+    Lorenz-curve summary next to `supplier_pareto_abc`'s ABC bands
+    (the "how skewed is my key distribution" number that also predicts
+    shuffle skew on that key).
+
+    G = 2*sum(rank_i * x_i) / (n * sum(x)) - (n+1)/n with x ascending
+    and rank from ``distributed_prefix_sum`` over a ones column (never
+    a global window). Revenue is integer cents and the rank-weighted
+    sum accumulates in DECIMAL(19,0)*DECIMAL(19,0) -> exact decimal —
+    order-insensitive and bit-identical across engines at any scale;
+    doubles appear only in the final three-term expression over one
+    row."""
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("rev_cents")
+    )
+    ones = rev.withColumn("__one", F.lit(1).cast("long"))
+    ranked = distributed_prefix_sum(
+        ones, ["rev_cents", "o_custkey"], "__one", out_col="__rk0"
+    ).withColumn("rk", (F.col("__rk0") + 1).cast("long"))
+    t = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("rev_cents").cast("long").alias("total_cents"),
+        F.sum(
+            F.col("rk").cast("decimal(19,0)")
+            * F.col("rev_cents").cast("decimal(19,0)")
+        ).alias("wsum"),
+    )
+    gini = (
+        2.0 * F.col("wsum").cast("double")
+        / (F.col("n_customers") * 1.0 * F.col("total_cents"))
+        - (F.col("n_customers") + 1.0) / F.col("n_customers")
+    )
+    return t.select("n_customers", "total_cents", F.round(gini, _R).alias("gini"))
+
+
+# ------------------------------------------------ daily-series ACF
+
+
+@query(
+    "daily_value_acf",
+    oracle="""WITH daily AS (
+  SELECT CAST(ts AS DATE) AS obs_date, sum(value) AS day_value
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+m AS (
+  SELECT sum(day_value) / count(*) AS mean_all FROM daily
+),
+c AS (
+  SELECT CAST(row_number() OVER (ORDER BY obs_date) AS BIGINT) AS t,
+         day_value - mean_all AS dev
+  FROM daily CROSS JOIN m
+),
+den AS (SELECT sum(dev * dev) AS ss FROM c),
+lags AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS lag)
+SELECT CAST(lags.lag AS INT) AS lag,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(sum(a.dev * b.dev) / max(den.ss), 6) AS acf
+FROM lags
+JOIN c a ON TRUE
+JOIN c b ON b.t = a.t + lags.lag
+CROSS JOIN den
+GROUP BY 1""",
+)
+def daily_value_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily event-value series at
+    lags 1..7 — the seasonality screen (a weekly cycle shows as a
+    lag-7 peak) run before any forecasting model; complements
+    `ewma_daily_value` / `ols_daily_trend` on the same series.
+
+    r_k = sum(dev_t * dev_{t+k}) / sum(dev^2) with dev = x - mean. The
+    raw scan collapses to the day grain first; the row index is ONE
+    global window over that bounded series (<= ~3650 rows/decade —
+    the audit-registered boundedness class), lag pairing is a
+    self-equi-join on t+k (7 bounded probes, no window per lag), and
+    the denominator rides as a one-row broadcast."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    daily = ev.groupBy(F.to_date("ts").alias("obs_date")).agg(
+        F.sum("value").alias("day_value")
+    )
+    m = daily.agg((F.sum("day_value") / F.count(F.lit(1))).alias("mean_all"))
+    c = daily.crossJoin(F.broadcast(m)).select(
+        F.row_number().over(Window.orderBy("obs_date")).cast("long").alias("t"),
+        (F.col("day_value") - F.col("mean_all")).alias("dev"),
+    )
+    den = c.agg(F.sum(F.col("dev") * F.col("dev")).alias("ss"))
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    a = c.alias("a").crossJoin(F.broadcast(lags))
+    b = c.alias("b")
+    joined = a.join(b, F.col("b.t") == F.col("a.t") + F.col("lag"))
+    return (
+        joined.crossJoin(F.broadcast(den))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.sum(F.col("a.dev") * F.col("b.dev")) / F.max("ss"), _R).alias(
+                "acf"
+            ),
+        )
+    )
+
+
+# ------------------------------------------------ Spearman rank correlation
+
+
+@query(
+    "doc_length_quality_spearman",
+    oracle="WITH "
+    + _SCORED_DOCS_SQL
+    + """,
+gx AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS n FROM feats GROUP BY 1),
+cx AS (
+  SELECT v, 2 * CAST(coalesce(sum(n) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         + n + 1 AS a2
+  FROM gx
+),
+gy AS (SELECT s AS v, CAST(count(*) AS BIGINT) AS n FROM feats GROUP BY 1),
+cy AS (
+  SELECT v, 2 * CAST(coalesce(sum(n) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         + n + 1 AS a2
+  FROM gy
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM feats),
+j AS (
+  SELECT CAST(cx.a2 - (nt + 1) AS DECIMAL(19,0)) AS dx,
+         CAST(cy.a2 - (nt + 1) AS DECIMAL(19,0)) AS dy
+  FROM feats f
+  JOIN cx ON f.n_chars = cx.v
+  JOIN cy ON f.s = cy.v
+  CROSS JOIN tot
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         sum(dx * dy) AS sxy, sum(dx * dx) AS sxx, sum(dy * dy) AS syy
+  FROM j
+)
+SELECT n_docs,
+       round(CAST(sxy AS DOUBLE)
+             / (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(syy AS DOUBLE))),
+             6) AS spearman_rho
+FROM agg""",
+)
+def doc_length_quality_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-aware Spearman rank correlation between document length and
+    the quality score — the monotone-association check (is my quality
+    classifier just a length detector?) every scorer audit runs before
+    trusting a filter threshold.
+
+    Spearman = Pearson on average ranks. Both rank passes collapse to
+    value-distinct groups and take ranks from ``distributed_prefix_sum``
+    (tie groups get the closed-form average rank — stored DOUBLED,
+    2*cum_before + n + 1, so it stays integer); ranks are centered by
+    -(n+1) and all three cross-sums accumulate in DECIMAL(19,0)
+    products -> exact decimal, order-insensitive, bit-identical across
+    engines at any corpus size. Doubles appear only in the final
+    one-row sqrt/divide."""
+    d = _scored_docs(spark, sf_dir)
+    gx = d.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    cx = distributed_prefix_sum(gx, "v", "n", out_col="cb").select(
+        "v", (2 * F.col("cb") + F.col("n") + 1).alias("a2x")
+    )
+    gy = d.groupBy(F.col("s").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    cy = distributed_prefix_sum(gy, "v", "n", out_col="cb").select(
+        "v", (2 * F.col("cb") + F.col("n") + 1).alias("a2y")
+    )
+    tot = d.agg(F.count(F.lit(1)).cast("long").alias("nt"))
+    j = (
+        d.join(cx, d["n_chars"] == cx["v"])
+        .drop("v")
+        .join(cy, d["s"] == cy["v"])
+        .drop("v")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (F.col("a2x") - (F.col("nt") + 1)).cast("decimal(19,0)").alias("dx"),
+            (F.col("a2y") - (F.col("nt") + 1)).cast("decimal(19,0)").alias("dy"),
+        )
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    rho = F.col("sxy").cast("double") / (
+        F.sqrt(F.col("sxx").cast("double")) * F.sqrt(F.col("syy").cast("double"))
+    )
+    return agg.select("n_docs", F.round(rho, _R).alias("spearman_rho"))
+
+
+# ---------------------------------------- Jensen-Shannon source divergence
+
+
+@query(
+    "source_token_js_divergence",
+    oracle=r"""WITH tok AS (
+  SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+  FROM documents
+),
+t AS (
+  SELECT source, token, CAST(count(*) AS BIGINT) AS cnt
+  FROM tok WHERE token <> '' GROUP BY 1, 2
+),
+tt AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS total FROM t GROUP BY 1),
+p AS (
+  SELECT t.source, t.token, t.cnt * 1.0 / tt.total AS p
+  FROM t JOIN tt ON t.source = tt.source
+),
+pairs AS (
+  SELECT a.source AS s1, b.source AS s2,
+         (a.p / 2) * ln(a.p / 2) + (b.p / 2) * ln(b.p / 2)
+           - ((a.p + b.p) / 2) * ln((a.p + b.p) / 2) AS term
+  FROM p a JOIN p b ON a.token = b.token AND a.source < b.source
+)
+SELECT s1, s2, CAST(count(*) AS BIGINT) AS n_common_tokens,
+       round((sum(term) + ln(2)) / ln(2), 6) AS js_bits
+FROM pairs GROUP BY 1, 2""",
+)
+def source_token_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence (in bits, 0 = identical,
+    1 = disjoint) between every two sources' unigram token
+    distributions — the data-mixing distance matrix DoReMi/DSIR-style
+    reweighting consults to know which domains are near-duplicates of
+    each other and which add diversity.
+
+    Naively JS needs the token UNION per pair (a full outer join per
+    pair). Closed form used here: for mixture M=(P+Q)/2,
+    JS = ln2 + sum over COMMON tokens of
+    [(p/2)ln(p/2) + (q/2)ln(q/2) - m*ln(m)] — tokens on one side only
+    contribute exactly ln2 * their mass, which telescopes into the
+    constant (disjoint supports -> JS = ln2 = 1 bit; identical -> the
+    sum is -ln2 -> 0). So the plan is ONE inner self-join on token
+    (fan bounded by |sources|^2 = 190 pairs max per token, no skew
+    blowup on 'the'), per-source totals broadcast (20 rows), output
+    |pairs| rows. No unions, no outer joins, no per-pair passes."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = fan_out(docs).select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
+    )
+    t = (
+        tok.where(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    tt = t.groupBy("source").agg(F.sum("cnt").cast("long").alias("total"))
+    p = t.join(F.broadcast(tt), "source").select(
+        "source", "token", (F.col("cnt") * 1.0 / F.col("total")).alias("p")
+    )
+    a, b = p.alias("a"), p.alias("b")
+    ln = F.log
+    pa, pb = F.col("a.p"), F.col("b.p")
+    term = (
+        (pa / 2) * ln(pa / 2)
+        + (pb / 2) * ln(pb / 2)
+        - ((pa + pb) / 2) * ln((pa + pb) / 2)
+    )
+    pairs = a.join(
+        b, (F.col("a.token") == F.col("b.token")) & (F.col("a.source") < F.col("b.source"))
+    ).select(F.col("a.source").alias("s1"), F.col("b.source").alias("s2"), term.alias("term"))
+    ln2 = F.log(F.lit(2.0))
+    return pairs.groupBy("s1", "s2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common_tokens"),
+        F.round((F.sum("term") + ln2) / ln2, _R).alias("js_bits"),
     )

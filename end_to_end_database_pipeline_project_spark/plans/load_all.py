@@ -150,10 +150,12 @@ _DRIVER_FIRST = [
     # prefix-sum operator that slot 1 + the cross-session soak already
     # pin (it joined the soak list) — all three rotate in r06 so the
     # 38 backlog slots below stay funded.  The statistical evaluation
-    # pack (eval_queries: AUC / KS / calibration / CUSUM / Theil-Sen)
-    # is likewise out-of-window for r05 — its prefix-sum consumers ride
-    # the slot-1 operator and all five are mirror-green at sf0.01 AND
-    # sf0.1 — and rotates in r06 with the rest.
+    # pack (eval_queries: AUC / KS / calibration / CUSUM / Theil-Sen /
+    # Gini / ACF / Spearman / JS-divergence) plus linear_attribution
+    # and l_diversity_report are likewise out-of-window for r05 — the
+    # rank statistics ride the slot-1 prefix operator and all eleven
+    # are mirror-green at sf0.01 AND sf0.1 — and rotate in r06 with
+    # the rest.
     # (c) draining the never-driver-checked backlog (91 names after
     # r04), highest-traffic first — the verdict's named funding list
     "volume_shipping",
