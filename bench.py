@@ -89,6 +89,13 @@ HEADLINE = [
     "bloom_semijoin_pushdown",
     "preference_pair_mining",
     "suffix_duplicate_substrings",
+    # round 5 waves 3-4: statistical evaluation layer — global-rank
+    # statistics on the prefix-sum operator, the token-distribution
+    # distance matrix (corpus-wide explode + bounded self-join), and
+    # the behavioral range-join attribution
+    "quality_classifier_auc",
+    "source_token_js_divergence",
+    "linear_attribution",
 ]
 
 

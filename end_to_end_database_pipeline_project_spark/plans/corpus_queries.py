@@ -1369,3 +1369,183 @@ def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(r2, _R).alias("r2"),
         F.col("n").cast("long").alias("n_terms"),
     )
+
+
+# ------------------------------------------------ MMR diversified retrieval
+
+
+def _mmr_round_sql(k: int) -> str:
+    """One unrolled MMR greedy round as SQL CTEs: from candidates not
+    yet in s{k-1}, score 0.7*rel - 0.3*max(sim to selected), pick the
+    per-query argmax (rounded score, cand_id tie-break)."""
+    prev = k - 1
+    return f""",
+r{k} AS (
+  SELECT c.query_id, c.cand_id, c.rel,
+         round(0.7 * c.rel - 0.3 * max(s.sim), 6) AS mmr
+  FROM cand c
+  JOIN sims s ON s.query_id = c.query_id AND s.ca = c.cand_id
+  JOIN s{prev} ON s{prev}.query_id = s.query_id AND s{prev}.cand_id = s.cb
+  WHERE NOT EXISTS (SELECT 1 FROM s{prev} x
+                    WHERE x.query_id = c.query_id AND x.cand_id = c.cand_id)
+  GROUP BY 1, 2, 3
+),
+p{k} AS (
+  SELECT query_id, cand_id, rel, mmr FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY mmr DESC, cand_id) AS rk
+    FROM r{k}) WHERE rk = 1
+),
+s{k} AS (SELECT query_id, cand_id FROM s{prev}
+         UNION ALL SELECT query_id, cand_id FROM p{k})"""
+
+
+_MMR_ORACLE = (
+    """WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+rel AS (
+  SELECT q.query_id, e.vec_id AS cand_id,
+         round(list_cosine_similarity(q.qv, e.v), 6) AS rel
+  FROM q JOIN e ON e.vec_id <> q.query_id
+),
+cand AS (
+  SELECT query_id, cand_id, rel FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, cand_id) AS rk
+    FROM rel) WHERE rk <= 10
+),
+sims AS (
+  SELECT a.query_id, a.cand_id AS ca, b.cand_id AS cb,
+         round(list_cosine_similarity(ea.v, eb.v), 6) AS sim
+  FROM cand a
+  JOIN cand b ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+  JOIN e ea ON ea.vec_id = a.cand_id
+  JOIN e eb ON eb.vec_id = b.cand_id
+),
+p1 AS (
+  SELECT query_id, cand_id, rel, rel AS mmr FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, cand_id) AS rk
+    FROM cand) WHERE rk = 1
+),
+s1 AS (SELECT query_id, cand_id FROM p1)"""
+    + _mmr_round_sql(2)
+    + _mmr_round_sql(3)
+    + _mmr_round_sql(4)
+    + """
+SELECT query_id, CAST(1 AS INT) AS rank, cand_id,
+       rel AS relevance, mmr AS mmr_score FROM p1
+UNION ALL SELECT query_id, 2, cand_id, rel, mmr FROM p2
+UNION ALL SELECT query_id, 3, cand_id, rel, mmr FROM p3
+UNION ALL SELECT query_id, 4, cand_id, rel, mmr FROM p4"""
+)
+
+
+@query("mmr_diversified_topk", oracle=_MMR_ORACLE)
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein '98)
+    diversified retrieval: for each of 3 query vectors, take the
+    top-10 cosine candidates, then greedily pick 4 where each pick
+    maximizes 0.7*relevance - 0.3*max-similarity-to-already-picked —
+    the rerank RAG stacks run so the context window isn't 5 copies of
+    the same paragraph (the diversity twin of `hybrid_rrf_retrieval`'s
+    fusion).
+
+    Scale shape: ONE corpus pass scores relevance (broadcast queries,
+    same kernel as `knn_topk`); everything after — the pairwise
+    similarity matrix (<= 90 rows/query) and the 4 unrolled greedy
+    rounds — runs on the bounded per-query candidate frames, so the
+    iterative argmax chain never touches the corpus again. Every
+    argmax uses ROUNDED scores + cand_id tie-break, so the greedy
+    decisions (and thus the whole chain) are engine-portable by
+    construction."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    rel = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), _R).alias("rel"),
+            F.col("v").alias("cv"),
+        )
+    )
+    w_rel = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("cand_id"))
+    cand = (
+        rel.withColumn("rk", F.row_number().over(w_rel))
+        .where(F.col("rk") <= 10)
+        .drop("rk")
+        .localCheckpoint()
+    )
+    a = cand.select("query_id", F.col("cand_id").alias("ca"), F.col("cv").alias("va"))
+    b = cand.select(
+        F.col("query_id").alias("qb"), F.col("cand_id").alias("cb"), F.col("cv").alias("vb")
+    )
+    sims = (
+        a.join(b, (F.col("query_id") == F.col("qb")) & (F.col("ca") != F.col("cb")))
+        .select(
+            "query_id",
+            "ca",
+            "cb",
+            F.round(cosine(F.col("va"), F.col("vb")), _R).alias("sim"),
+        )
+        .localCheckpoint()
+    )
+    cands = cand.select("query_id", "cand_id", "rel")
+    pick = (
+        cands.withColumn("rk", F.row_number().over(w_rel))
+        .where(F.col("rk") == 1)
+        .select("query_id", "cand_id", "rel", F.col("rel").alias("mmr"))
+    )
+    selected = pick.select("query_id", "cand_id")
+    out = pick.select(
+        "query_id",
+        F.lit(1).cast("int").alias("rank"),
+        "cand_id",
+        F.col("rel").alias("relevance"),
+        F.col("mmr").alias("mmr_score"),
+    )
+    for step in (2, 3, 4):
+        pen = (
+            sims.join(
+                selected.select(
+                    F.col("query_id").alias("qs"), F.col("cand_id").alias("cs")
+                ),
+                (F.col("query_id") == F.col("qs")) & (F.col("cb") == F.col("cs")),
+            )
+            .groupBy("query_id", "ca")
+            .agg(F.max("sim").alias("pen"))
+        )
+        rem = cands.join(selected, ["query_id", "cand_id"], "left_anti")
+        r = rem.join(
+            pen,
+            (rem["query_id"] == pen["query_id"]) & (rem["cand_id"] == pen["ca"]),
+        ).select(
+            rem["query_id"],
+            "cand_id",
+            "rel",
+            F.round(0.7 * F.col("rel") - 0.3 * F.col("pen"), _R).alias("mmr"),
+        )
+        w_mmr = Window.partitionBy("query_id").orderBy(F.desc("mmr"), F.asc("cand_id"))
+        p = (
+            r.withColumn("rk", F.row_number().over(w_mmr))
+            .where(F.col("rk") == 1)
+            .select("query_id", "cand_id", "rel", "mmr")
+        )
+        out = out.unionByName(
+            p.select(
+                "query_id",
+                F.lit(step).cast("int").alias("rank"),
+                "cand_id",
+                F.col("rel").alias("relevance"),
+                F.col("mmr").alias("mmr_score"),
+            )
+        )
+        selected = selected.unionByName(p.select("query_id", "cand_id"))
+    return out
