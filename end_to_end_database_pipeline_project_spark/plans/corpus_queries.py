@@ -1477,11 +1477,16 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w_rel = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("cand_id"))
+    # checkpoints are LAZY (perf-only: candidate/sim frames feed 4
+    # greedy rounds) so the corpus relevance join stays visible to the
+    # plan audit; recomputation is harmless because every decision is
+    # on ROUNDED scores with id tie-breaks — any evaluation order
+    # yields the same picks
     cand = (
         rel.withColumn("rk", F.row_number().over(w_rel))
         .where(F.col("rk") <= 10)
         .drop("rk")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     a = cand.select("query_id", F.col("cand_id").alias("ca"), F.col("cv").alias("va"))
     b = cand.select(
@@ -1495,7 +1500,7 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cb",
             F.round(cosine(F.col("va"), F.col("vb")), _R).alias("sim"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     cands = cand.select("query_id", "cand_id", "rel")
     pick = (

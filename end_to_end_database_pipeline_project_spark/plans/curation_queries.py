@@ -1778,35 +1778,25 @@ def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("gsz")
     )
     tot = cust.agg(F.count(F.lit(1)).alias("n_rows"))
-    rows = None
-    for k in (2, 5, 10):
-        viol = F.when(F.col("gsz") < k, 1)
-        risk = F.when(F.col("gsz") < k, F.col("gsz"))
-        per = (
-            sizes.crossJoin(F.broadcast(tot))
-            .groupBy()
-            .agg(
-                F.coalesce(F.sum(viol), F.lit(0))
-                .cast("long")
-                .alias("n_violating_groups"),
-                F.coalesce(F.sum(risk), F.lit(0))
-                .cast("long")
-                .alias("n_risk_rows"),
-                F.round(
-                    F.coalesce(F.sum(risk), F.lit(0)) / F.max("n_rows"), _R
-                ).alias("risk_pct"),
-                F.min("gsz").cast("long").alias("min_group_size"),
-            )
-            .select(
-                F.lit(k).cast("int").alias("k"),
-                "n_violating_groups",
-                "n_risk_rows",
-                "risk_pct",
-                "min_group_size",
-            )
+    # ONE customer scan: sweep via broadcast cross join with the 3-row
+    # threshold literal (the oracle's unnest shape), not three unioned
+    # re-aggregations of the corpus
+    ks = spark.createDataFrame([(2,), (5,), (10,)], "k int")
+    viol = F.when(F.col("gsz") < F.col("k"), 1)
+    risk = F.when(F.col("gsz") < F.col("k"), F.col("gsz"))
+    return (
+        sizes.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.coalesce(F.sum(viol), F.lit(0)).cast("long").alias("n_violating_groups"),
+            F.coalesce(F.sum(risk), F.lit(0)).cast("long").alias("n_risk_rows"),
+            F.round(
+                F.coalesce(F.sum(risk), F.lit(0)) / F.max("n_rows"), _R
+            ).alias("risk_pct"),
+            F.min("gsz").cast("long").alias("min_group_size"),
         )
-        rows = per if rows is None else rows.unionByName(per)
-    return rows
+    )
 
 
 @query(
@@ -2041,30 +2031,22 @@ def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(band).cast("long").alias("n_sensitive"),
     )
     tot = cust.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
-    rows = None
-    for l in (2, 3, 4):
-        viol = F.when(F.col("n_sensitive") < l, 1)
-        risk = F.when(F.col("n_sensitive") < l, F.col("gsz"))
-        per = (
-            sizes.crossJoin(F.broadcast(tot))
-            .groupBy()
-            .agg(
-                F.coalesce(F.sum(viol), F.lit(0))
-                .cast("long")
-                .alias("n_violating_groups"),
-                F.coalesce(F.sum(risk), F.lit(0)).cast("long").alias("n_risk_rows"),
-                F.round(
-                    F.coalesce(F.sum(risk), F.lit(0)) / F.max("n_rows"), _R
-                ).alias("risk_pct"),
-                F.min("n_sensitive").cast("long").alias("min_l"),
-            )
-            .select(
-                F.lit(l).cast("int").alias("l"),
-                "n_violating_groups",
-                "n_risk_rows",
-                "risk_pct",
-                "min_l",
-            )
+    # ONE customer scan: the 3-threshold sweep is a broadcast cross
+    # join of the tiny group frame with a 3-row literal (the oracle's
+    # unnest shape), not three unioned re-aggregations of the corpus
+    ls = spark.createDataFrame([(2,), (3,), (4,)], "l int")
+    viol = F.when(F.col("n_sensitive") < F.col("l"), 1)
+    risk = F.when(F.col("n_sensitive") < F.col("l"), F.col("gsz"))
+    return (
+        sizes.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ls))
+        .groupBy("l")
+        .agg(
+            F.coalesce(F.sum(viol), F.lit(0)).cast("long").alias("n_violating_groups"),
+            F.coalesce(F.sum(risk), F.lit(0)).cast("long").alias("n_risk_rows"),
+            F.round(
+                F.coalesce(F.sum(risk), F.lit(0)) / F.max("n_rows"), _R
+            ).alias("risk_pct"),
+            F.min("n_sensitive").cast("long").alias("min_l"),
         )
-        rows = per if rows is None else rows.unionByName(per)
-    return rows
+    )

@@ -47,14 +47,17 @@ from pyspark.sql import functions as F
 from ..operators.scale import distributed_prefix_sum
 from ..session import fan_out
 from ..sources.catalog import load_table
+from .corpus_queries import _DSIR_TARGETS
 from .registry import query
 
 _R = 6
 
-# DSIR target sources = the positive class, matching
-# quality_logreg_classifier's label so the two queries evaluate the
-# same classification task.
-_POS_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+# DSIR target sources = the positive class, imported from
+# corpus_queries so quality_classifier_auc / calibration_bins always
+# evaluate the SAME classification task quality_logreg_classifier and
+# dsir_importance_weights train on (a drifted copy would silently
+# score a label nobody uses).
+_POS_SOURCES = _DSIR_TARGETS
 
 
 def _scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -108,15 +111,19 @@ c AS (
   FROM g
 ),
 t AS (
-  SELECT CAST(sum(npos * (2 * cum_before + n + 1)) AS BIGINT) AS twice_ranksum,
+  SELECT sum(CAST(npos AS DECIMAL(19,0))
+             * CAST(2 * cum_before + n + 1 AS DECIMAL(19,0)))
+           AS twice_ranksum,
          CAST(sum(npos) AS BIGINT) AS n_pos,
          CAST(sum(n - npos) AS BIGINT) AS n_neg
   FROM c
 )
 SELECT n_pos, n_neg,
-       round((twice_ranksum / 2.0 - n_pos * (n_pos + 1) / 2.0)
+       round((CAST(twice_ranksum AS DOUBLE) / 2.0
+              - n_pos * 1.0 * (n_pos + 1.0) / 2.0)
              / (n_pos * 1.0 * n_neg), 6) AS auc,
-       round(2.0 * ((twice_ranksum / 2.0 - n_pos * (n_pos + 1) / 2.0)
+       round(2.0 * ((CAST(twice_ranksum AS DOUBLE) / 2.0
+              - n_pos * 1.0 * (n_pos + 1.0) / 2.0)
              / (n_pos * 1.0 * n_neg)) - 1.0, 6) AS gini
 FROM t""",
 )
@@ -147,16 +154,20 @@ def quality_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     c = distributed_prefix_sum(g, "s", "n", out_col="cum_before")
+    # the rank-weighted sum is quadratic in corpus size — accumulate in
+    # exact DECIMAL (a BIGINT wraps silently around ~4e9 docs)
     t = c.agg(
-        F.sum(F.col("npos") * (2 * F.col("cum_before") + F.col("n") + 1))
-        .cast("long")
-        .alias("twice_ranksum"),
+        F.sum(
+            F.col("npos").cast("decimal(19,0)")
+            * (2 * F.col("cum_before") + F.col("n") + 1).cast("decimal(19,0)")
+        ).alias("twice_ranksum"),
         F.sum("npos").cast("long").alias("n_pos"),
         F.sum(F.col("n") - F.col("npos")).cast("long").alias("n_neg"),
     )
-    auc = (F.col("twice_ranksum") / 2.0 - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0) / (
-        F.col("n_pos") * 1.0 * F.col("n_neg")
-    )
+    auc = (
+        F.col("twice_ranksum").cast("double") / 2.0
+        - F.col("n_pos") * 1.0 * (F.col("n_pos") + 1.0) / 2.0
+    ) / (F.col("n_pos") * 1.0 * F.col("n_neg"))
     return t.select(
         "n_pos",
         "n_neg",
@@ -220,8 +231,11 @@ def ks_two_sample_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("event_type") == "click").cast("long")).alias("c1"),
         F.sum((F.col("event_type") == "purchase").cast("long")).alias("c2"),
     )
-    cum1 = distributed_prefix_sum(g, "value", "c1", out_col="cb1")
-    cum = distributed_prefix_sum(cum1, "value", "c2", out_col="cb2").select(
+    # both ECDF counts ride ONE binning pass (the operator's
+    # multi-value form) — not two back-to-back two-pass prefix sums
+    cum = distributed_prefix_sum(
+        g, "value", ["c1", "c2"], out_col=["cb1", "cb2"]
+    ).select(
         (F.col("cb1") + F.col("c1")).alias("f1"),
         (F.col("cb2") + F.col("c2")).alias("f2"),
     )
@@ -323,7 +337,7 @@ SELECT obs_date AS changepoint_date, n_days,
        round((total - cum_incl) / (n_days - t), 6) AS mean_after
 FROM c
 WHERE t < n_days
-ORDER BY abs(cum_incl - t * mean_all) DESC, obs_date ASC
+ORDER BY round(abs(cum_incl - t * mean_all), 6) DESC, obs_date ASC
 LIMIT 1""",
 )
 def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -362,9 +376,13 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("t") < F.col("n_days"))
     )
+    # argmax on the ROUNDED statistic: day_value is a float sum, so the
+    # raw |S_t| of two near-tied days can differ between engines by
+    # ulps of summation order — rounding first makes the date
+    # tie-break actually fire, keeping the pick engine-portable
     stat = F.abs(F.col("cum_incl") - F.col("t") * F.col("mean_all"))
     return (
-        c.orderBy(stat.desc(), F.col("obs_date").asc())
+        c.orderBy(F.round(stat, _R).desc(), F.col("obs_date").asc())
         .limit(1)
         .select(
             F.col("obs_date").alias("changepoint_date"),
@@ -708,10 +726,19 @@ pairs AS (
          (a.p / 2) * ln(a.p / 2) + (b.p / 2) * ln(b.p / 2)
            - ((a.p + b.p) / 2) * ln((a.p + b.p) / 2) AS term
   FROM p a JOIN p b ON a.token = b.token AND a.source < b.source
+),
+agg AS (
+  SELECT s1, s2, CAST(count(*) AS BIGINT) AS n_common, sum(term) AS st
+  FROM pairs GROUP BY 1, 2
+),
+allp AS (
+  SELECT a.source AS s1, b.source AS s2
+  FROM tt a JOIN tt b ON a.source < b.source
 )
-SELECT s1, s2, CAST(count(*) AS BIGINT) AS n_common_tokens,
-       round((sum(term) + ln(2)) / ln(2), 6) AS js_bits
-FROM pairs GROUP BY 1, 2""",
+SELECT allp.s1, allp.s2,
+       CAST(coalesce(agg.n_common, 0) AS BIGINT) AS n_common_tokens,
+       round((coalesce(agg.st, 0) + ln(2)) / ln(2), 6) AS js_bits
+FROM allp LEFT JOIN agg ON allp.s1 = agg.s1 AND allp.s2 = agg.s2""",
 )
 def source_token_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Jensen-Shannon divergence (in bits, 0 = identical,
@@ -755,8 +782,20 @@ def source_token_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(
         b, (F.col("a.token") == F.col("b.token")) & (F.col("a.source") < F.col("b.source"))
     ).select(F.col("a.source").alias("s1"), F.col("b.source").alias("s2"), term.alias("term"))
+    agg = pairs.groupBy("s1", "s2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        F.sum("term").alias("st"),
+    )
+    # emit EVERY source pair: a pair with zero common tokens is the
+    # maximally divergent one (disjoint supports -> JS = ln2 = 1 bit)
+    # and must appear in the distance matrix, not be silently absent
+    ta = tt.select(F.col("source").alias("s1"))
+    tb = tt.select(F.col("source").alias("s2"))
+    allp = ta.join(tb, F.col("s1") < F.col("s2"))
     ln2 = F.log(F.lit(2.0))
-    return pairs.groupBy("s1", "s2").agg(
-        F.count(F.lit(1)).cast("long").alias("n_common_tokens"),
-        F.round((F.sum("term") + ln2) / ln2, _R).alias("js_bits"),
+    return allp.join(agg, ["s1", "s2"], "left").select(
+        "s1",
+        "s2",
+        F.coalesce(F.col("n_common"), F.lit(0)).cast("long").alias("n_common_tokens"),
+        F.round((F.coalesce(F.col("st"), F.lit(0.0)) + ln2) / ln2, _R).alias("js_bits"),
     )

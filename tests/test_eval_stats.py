@@ -57,12 +57,14 @@ def test_auc_interleaved(spark):
 
 def test_ks_statistic_disjoint_supports(spark):
     # population 1 entirely below population 2 -> D = 1.0
+    # (multi-value form: both ECDF counts ride one binning pass)
     g = spark.createDataFrame(
         [(1.0, 1, 0), (2.0, 1, 0), (10.0, 0, 1), (11.0, 0, 1)],
         "value double, c1 long, c2 long",
     )
-    cum1 = distributed_prefix_sum(g, "value", "c1", out_col="cb1")
-    cum = distributed_prefix_sum(cum1, "value", "c2", out_col="cb2").select(
+    cum = distributed_prefix_sum(
+        g, "value", ["c1", "c2"], out_col=["cb1", "cb2"]
+    ).select(
         (F.col("cb1") + F.col("c1")).alias("f1"),
         (F.col("cb2") + F.col("c2")).alias("f2"),
     )
@@ -74,13 +76,30 @@ def test_ks_identical_samples_zero(spark):
     g = spark.createDataFrame(
         [(1.0, 2, 2), (5.0, 3, 3), (9.0, 1, 1)], "value double, c1 long, c2 long"
     )
-    cum1 = distributed_prefix_sum(g, "value", "c1", out_col="cb1")
-    cum = distributed_prefix_sum(cum1, "value", "c2", out_col="cb2").select(
+    cum = distributed_prefix_sum(
+        g, "value", ["c1", "c2"], out_col=["cb1", "cb2"]
+    ).select(
         (F.col("cb1") + F.col("c1")).alias("f1"),
         (F.col("cb2") + F.col("c2")).alias("f2"),
     )
     d = cum.agg(F.max(F.abs(F.col("f1") / 6.0 - F.col("f2") / 6.0))).collect()[0][0]
     assert d == pytest.approx(0.0)
+
+
+def test_prefix_sum_multi_col_matches_single(spark):
+    # the multi-value form must be column-for-column identical to two
+    # independent single-column passes over the same ordering
+    rows = [(float(i), i % 3 + 1, (i * 7) % 5) for i in range(200)]
+    g = spark.createDataFrame(rows, "value double, c1 long, c2 long")
+    multi = distributed_prefix_sum(
+        g, "value", ["c1", "c2"], out_col=["m1", "m2"]
+    )
+    s1 = distributed_prefix_sum(g, "value", "c1", out_col="s1")
+    s2 = distributed_prefix_sum(g, "value", "c2", out_col="s2")
+    got = {r.value: (r.m1, r.m2) for r in multi.collect()}
+    want1 = {r.value: r.s1 for r in s1.collect()}
+    want2 = {r.value: r.s2 for r in s2.collect()}
+    assert got == {v: (want1[v], want2[v]) for v in want1}
 
 
 def test_cusum_peak_at_level_shift(spark):
