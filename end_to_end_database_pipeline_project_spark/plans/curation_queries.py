@@ -2050,3 +2050,99 @@ def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n_sensitive").cast("long").alias("min_l"),
         )
     )
+
+
+# ------------------------------------- query-likelihood (Dirichlet) retrieval
+
+
+@query(
+    "ql_dirichlet_topk",
+    oracle=f"""WITH {_TOKS_CTE},
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+ctf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ctf FROM tf GROUP BY 1),
+coll AS (SELECT CAST(sum(tf) AS BIGINT) AS c FROM tf),
+q AS (SELECT doc_id AS query_id, term, tf AS qtf FROM tf WHERE doc_id < 5),
+qlen AS (SELECT query_id, CAST(sum(qtf) AS BIGINT) AS qlen FROM q GROUP BY 1),
+m AS (
+  SELECT q.query_id, t.doc_id,
+         sum(q.qtf * ln(1 + t.tf * 1.0 * coll.c / (2000.0 * ctf.ctf)))
+           AS s_match
+  FROM q
+  JOIN tf t ON t.term = q.term AND t.doc_id <> q.query_id
+  JOIN ctf ON ctf.term = q.term
+  CROSS JOIN coll
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT m.query_id, m.doc_id,
+         round(m.s_match + qlen.qlen * ln(2000.0 / (dl.dl + 2000.0)), 6)
+           AS ql_score
+  FROM m
+  JOIN dl ON dl.doc_id = m.doc_id
+  JOIN qlen ON qlen.query_id = m.query_id
+)
+SELECT query_id, doc_id, ql_score,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY ql_score DESC, doc_id) AS BIGINT) AS rank
+FROM scored QUALIFY rank <= 5""",
+)
+def ql_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty,
+    mu=2000): top-5 docs for each of the first 5 docs-as-queries,
+    completing the classic scorer trio next to `bm25_retrieval` and
+    `tfidf_cosine_topk` (whose outputs `hybrid_rrf_retrieval` fuses
+    and `mmr_diversified_topk` diversifies).
+
+    The absent-term mass folds into closed form — score =
+    sum over MATCHING terms of qtf*ln(1 + tf*C/(mu*ctf)) plus the
+    per-doc constant |q|*ln(mu/(dl+mu)) — so the plan touches only the
+    shared-term join (inverted-index evaluation: docs sharing no query
+    term are unranked, as in any posting-list engine), the per-doc
+    length table, and one-row broadcast totals. Ranking on the ROUNDED
+    score + doc_id keeps the cut engine-portable."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(fan_out(docs))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    ctf = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("ctf"))
+    coll = tf.agg(F.sum("tf").cast("long").alias("c"))
+    q = tf.where(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), "term", F.col("tf").alias("qtf")
+    )
+    qlen = q.groupBy("query_id").agg(F.sum("qtf").cast("long").alias("qlen"))
+    m = (
+        tf.join(F.broadcast(q), "term")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .join(ctf, "term")
+        .crossJoin(F.broadcast(coll))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(
+                F.col("qtf")
+                * F.log(
+                    1 + F.col("tf") * 1.0 * F.col("c") / (2000.0 * F.col("ctf"))
+                )
+            ).alias("s_match")
+        )
+    )
+    scored = (
+        m.join(dl, "doc_id")
+        .join(F.broadcast(qlen), "query_id")
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.col("s_match")
+                + F.col("qlen") * F.log(2000.0 / (F.col("dl") + 2000.0)),
+                _R,
+            ).alias("ql_score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("ql_score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+    )
