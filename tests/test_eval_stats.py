@@ -158,3 +158,112 @@ def test_theil_sen_robust_to_outlier(spark):
     )
     med = slopes.agg(F.median("slope")).collect()[0][0]
     assert med == pytest.approx(3.0)
+
+
+def test_gini_formula_extremes(spark):
+    # perfectly equal revenues -> G = 0; one customer holds all -> G -> (n-1)/n
+    def gini(rows):
+        df = spark.createDataFrame(rows, "custkey long, rev long")
+        ones = df.withColumn("__one", F.lit(1).cast("long"))
+        ranked = distributed_prefix_sum(
+            ones, ["rev", "custkey"], "__one", out_col="rk0"
+        ).withColumn("rk", F.col("rk0") + 1)
+        t = ranked.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("rev").alias("s"),
+            F.sum(F.col("rk").cast("decimal(19,0)") * F.col("rev").cast("decimal(19,0)")).alias("w"),
+        ).collect()[0]
+        return 2.0 * float(t.w) / (t.n * t.s) - (t.n + 1.0) / t.n
+
+    assert gini([(i, 100) for i in range(10)]) == pytest.approx(0.0)
+    # one holder of everything: G = (n-1)/n = 0.9 for n=10
+    assert gini([(i, 0) for i in range(9)] + [(9, 1000)]) == pytest.approx(0.9)
+
+
+def test_spearman_perfect_and_inverse(spark):
+    from end_to_end_database_pipeline_project_spark.plans.eval_queries import (
+        doc_length_quality_spearman,  # noqa: F401 - import check only
+    )
+
+    def rho(pairs):
+        d = spark.createDataFrame(pairs, "x long, y double")
+        gx = d.groupBy(F.col("x").alias("v")).agg(F.count(F.lit(1)).cast("long").alias("n"))
+        cx = distributed_prefix_sum(gx, "v", "n", out_col="cb").select(
+            "v", (2 * F.col("cb") + F.col("n") + 1).alias("a2x")
+        )
+        gy = d.groupBy(F.col("y").alias("v")).agg(F.count(F.lit(1)).cast("long").alias("n"))
+        cy = distributed_prefix_sum(gy, "v", "n", out_col="cb").select(
+            "v", (2 * F.col("cb") + F.col("n") + 1).alias("a2y")
+        )
+        nt = d.count()
+        j = (
+            d.join(cx, d["x"] == cx["v"]).drop("v")
+            .join(cy, d["y"] == cy["v"]).drop("v")
+            .select(
+                (F.col("a2x") - (nt + 1)).cast("decimal(19,0)").alias("dx"),
+                (F.col("a2y") - (nt + 1)).cast("decimal(19,0)").alias("dy"),
+            )
+        )
+        a = j.agg(
+            F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+            F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+            F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+        ).collect()[0]
+        return float(a.sxy) / (float(a.sxx) ** 0.5 * float(a.syy) ** 0.5)
+
+    inc = [(i, float(i) * 2.0) for i in range(1, 9)]
+    dec = [(i, -float(i)) for i in range(1, 9)]
+    assert rho(inc) == pytest.approx(1.0)
+    assert rho(dec) == pytest.approx(-1.0)
+
+
+def test_js_divergence_identities(spark):
+    # identical distributions -> 0 bits; disjoint supports -> 1 bit,
+    # via the closed form JS = ln2 + sum_common[...] the query uses
+    import math
+
+    def js_bits(rows):
+        p = spark.createDataFrame(rows, "source string, token string, p double")
+        a, b = p.alias("a"), p.alias("b")
+        pa, pb = F.col("a.p"), F.col("b.p")
+        term = (
+            (pa / 2) * F.log(pa / 2)
+            + (pb / 2) * F.log(pb / 2)
+            - ((pa + pb) / 2) * F.log((pa + pb) / 2)
+        )
+        pairs = a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.source") < F.col("b.source")),
+        ).select(term.alias("term"))
+        s = pairs.agg(F.sum("term")).collect()[0][0]
+        return ((s or 0.0) + math.log(2)) / math.log(2)
+
+    same = [("s1", "a", 0.5), ("s1", "b", 0.5), ("s2", "a", 0.5), ("s2", "b", 0.5)]
+    disjoint = [("s1", "a", 1.0), ("s2", "b", 1.0)]
+    assert js_bits(same) == pytest.approx(0.0, abs=1e-12)
+    assert js_bits(disjoint) == pytest.approx(1.0)
+
+
+def test_acf_alternating_series(spark):
+    # x = +1,-1,+1,... (mean 0): r_1 = -1, r_2 = +1 on the overlap
+    # normalized by the full sum of squares -> r_k = -(n-k)/n * sign
+    rows = [(f"2024-01-{d:02d}", 1.0 if d % 2 else -1.0) for d in range(1, 11)]
+    daily = spark.createDataFrame(rows, "obs_date string, dev double").select(
+        F.to_date("obs_date").alias("obs_date"), "dev"
+    )
+    from pyspark.sql import Window
+
+    c = daily.select(
+        F.row_number().over(Window.orderBy("obs_date")).cast("long").alias("t"),
+        "dev",
+    )
+    den = 10.0  # sum of dev^2
+    a, b = c.alias("a"), c.alias("b")
+    for k, want in ((1, -9 / 10), (2, 8 / 10)):
+        num = (
+            a.join(b, F.col("b.t") == F.col("a.t") + k)
+            .agg(F.sum(F.col("a.dev") * F.col("b.dev")))
+            .collect()[0][0]
+        )
+        assert num / den == pytest.approx(want)
