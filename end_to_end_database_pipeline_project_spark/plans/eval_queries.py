@@ -26,6 +26,12 @@ these are the inferential forms a production curation stack adds).
 - ``source_token_js_divergence`` — pairwise Jensen-Shannon divergence
   between per-source token distributions (common-token inner join
   only, closed-form correction for one-sided tokens).
+- ``value_psi_drift`` — Population Stability Index between the first
+  and second half of the event history (equal-width bins off
+  associative min/max, add-1 smoothing).
+- ``source_quality_mutual_info`` — MI / NMI between source and
+  quality decile (deciles from ``distributed_ntile``, MI from the
+  exact-count contingency).
 
 Determinism discipline shared by the pack: scores and test statistics
 are built from RATIONAL double arithmetic only (+, -, *, /, sqrt — all
@@ -798,4 +804,187 @@ def source_token_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s2",
         F.coalesce(F.col("n_common"), F.lit(0)).cast("long").alias("n_common_tokens"),
         F.round((F.coalesce(F.col("st"), F.lit(0.0)) + ln2) / ln2, _R).alias("js_bits"),
+    )
+
+
+# ---------------------------------------- population stability index (PSI)
+
+
+@query(
+    "value_psi_drift",
+    oracle="""WITH ev AS (
+  SELECT CAST(ts AS DATE) AS d, value FROM events WHERE value IS NOT NULL
+),
+split AS (
+  SELECT min(d) + CAST(floor((max(d) - min(d)) / 2.0) AS INTEGER) AS mid,
+         min(value) AS lo, max(value) AS hi
+  FROM ev
+),
+binned AS (
+  SELECT least(CAST(floor((value - lo) / ((hi - lo) / 10.0)) AS BIGINT), 9)
+           AS bin,
+         CAST(CASE WHEN d <= mid THEN 1 ELSE 0 END AS BIGINT) AS is_ref
+  FROM ev CROSS JOIN split
+),
+c AS (
+  SELECT bin, CAST(sum(is_ref) AS BIGINT) AS nr,
+         CAST(sum(1 - is_ref) AS BIGINT) AS nc
+  FROM binned GROUP BY 1
+),
+tot AS (SELECT CAST(sum(nr) AS BIGINT) AS tr, CAST(sum(nc) AS BIGINT) AS tc FROM c),
+p AS (
+  SELECT bin, (nr + 1.0) / (tr + 10.0) AS pr, (nc + 1.0) / (tc + 10.0) AS pc
+  FROM c CROSS JOIN tot
+)
+SELECT CAST(count(*) AS BIGINT) AS n_bins,
+       round(sum((pr - pc) * ln(pr / pc)), 6) AS psi,
+       sum((pr - pc) * ln(pr / pc)) > 0.2 AS drifted
+FROM p""",
+)
+def value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the event-value history — the scorecard-monitoring drift number
+    (PSI > 0.2 = significant shift) run next to `ks_two_sample_test`:
+    KS answers "did the distribution move at all", PSI quantifies the
+    per-bin reallocation a production model-monitor alerts on.
+
+    Bins are 10 equal-width cuts of the GLOBAL [min, max] — min/max
+    are associative aggregates (scale-safe where exact quantile edges
+    are not), and add-1 smoothing keeps empty bins finite exactly as
+    the scorecard literature prescribes. One scan to the (bin, half)
+    contingency (20 cells), broadcast totals, 10-row PSI fold."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    ev = ev.select(F.to_date("ts").alias("d"), "value")
+    split = ev.agg(
+        (
+            F.min("d")
+            + F.make_dt_interval(
+                days=F.floor(F.datediff(F.max("d"), F.min("d")) / 2)
+            )
+        )
+        .cast("date")
+        .alias("mid"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+    binned = ev.crossJoin(F.broadcast(split)).select(
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 10.0))
+            .cast("long"),
+            F.lit(9).cast("long"),
+        ).alias("bin"),
+        (F.col("d") <= F.col("mid")).cast("long").alias("is_ref"),
+    )
+    c = binned.groupBy("bin").agg(
+        F.sum("is_ref").cast("long").alias("nr"),
+        F.sum(1 - F.col("is_ref")).cast("long").alias("nc"),
+    )
+    tot = c.agg(
+        F.sum("nr").cast("long").alias("tr"), F.sum("nc").cast("long").alias("tc")
+    )
+    p = c.crossJoin(F.broadcast(tot)).select(
+        ((F.col("nr") + 1.0) / (F.col("tr") + 10.0)).alias("pr"),
+        ((F.col("nc") + 1.0) / (F.col("tc") + 10.0)).alias("pc"),
+    )
+    term = (F.col("pr") - F.col("pc")) * F.log(F.col("pr") / F.col("pc"))
+    return p.agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.round(F.sum(term), _R).alias("psi"),
+        (F.sum(term) > 0.2).alias("drifted"),
+    )
+
+
+# ------------------------------------ source x quality mutual information
+
+
+@query(
+    "source_quality_mutual_info",
+    oracle="WITH "
+    + _SCORED_DOCS_SQL
+    + """,
+d AS (
+  SELECT source,
+         CAST(ntile(10) OVER (ORDER BY s, doc_id) AS INT) AS decile
+  FROM feats JOIN documents USING (doc_id)
+),
+cxy AS (SELECT source, decile, CAST(count(*) AS BIGINT) AS nxy FROM d GROUP BY 1, 2),
+cx AS (SELECT source, CAST(sum(nxy) AS BIGINT) AS nx FROM cxy GROUP BY 1),
+cy AS (SELECT decile, CAST(sum(nxy) AS BIGINT) AS ny FROM cxy GROUP BY 1),
+n AS (SELECT CAST(sum(nxy) AS BIGINT) AS nt FROM cxy),
+mi AS (
+  SELECT sum((nxy * 1.0 / nt) * ln(nxy * 1.0 * nt / (nx * 1.0 * ny))) AS mi
+  FROM cxy JOIN cx USING (source) JOIN cy USING (decile) CROSS JOIN n
+),
+hx AS (SELECT -sum((nx * 1.0 / nt) * ln(nx * 1.0 / nt)) AS h FROM cx CROSS JOIN n),
+hy AS (SELECT -sum((ny * 1.0 / nt) * ln(ny * 1.0 / nt)) AS h FROM cy CROSS JOIN n)
+SELECT round(mi.mi, 6) AS mi_nats,
+       round(hx.h, 6) AS h_source,
+       round(hy.h, 6) AS h_decile,
+       round(mi.mi / least(hx.h, hy.h), 6) AS nmi
+FROM mi CROSS JOIN hx CROSS JOIN hy""",
+)
+def source_quality_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between a document's source and its quality
+    decile — "how much does knowing the source tell you about
+    quality": the audit that decides whether a per-source quota or a
+    global quality threshold is the right curation lever (MI near 0:
+    source-blind threshold suffices; high NMI: source gates leak
+    through a global cut).
+
+    The decile is the tie-broken (s, doc_id) ntile from
+    ``distributed_ntile`` (two-pass, no global window; bit-identical
+    to the window ntile by the operator's contract); MI/entropies fold
+    from the |sources| x 10 exact-count contingency — a 200-cell frame
+    whatever the corpus size."""
+    from ..operators.scale import distributed_ntile
+
+    d0 = _scored_docs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    d = distributed_ntile(
+        d0.join(docs, "doc_id"), ["s", "doc_id"], 10, out_col="decile"
+    ).select("source", "decile")
+    cxy = d.groupBy("source", "decile").agg(
+        F.count(F.lit(1)).cast("long").alias("nxy")
+    )
+    cx = cxy.groupBy("source").agg(F.sum("nxy").cast("long").alias("nx"))
+    cy = cxy.groupBy("decile").agg(F.sum("nxy").cast("long").alias("ny"))
+    n = cxy.agg(F.sum("nxy").cast("long").alias("nt"))
+    j = (
+        cxy.join(F.broadcast(cx), "source")
+        .join(F.broadcast(cy), "decile")
+        .crossJoin(F.broadcast(n))
+    )
+    mi = j.agg(
+        F.sum(
+            (F.col("nxy") * 1.0 / F.col("nt"))
+            * F.log(F.col("nxy") * 1.0 * F.col("nt") / (F.col("nx") * 1.0 * F.col("ny")))
+        ).alias("mi")
+    )
+    hx = (
+        cx.crossJoin(F.broadcast(n))
+        .agg(
+            (-F.sum((F.col("nx") * 1.0 / F.col("nt")) * F.log(F.col("nx") * 1.0 / F.col("nt"))))
+            .alias("h")
+        )
+        .select(F.col("h").alias("h_source"))
+    )
+    hy = (
+        cy.crossJoin(F.broadcast(n))
+        .agg(
+            (-F.sum((F.col("ny") * 1.0 / F.col("nt")) * F.log(F.col("ny") * 1.0 / F.col("nt"))))
+            .alias("h")
+        )
+        .select(F.col("h").alias("h_decile"))
+    )
+    return (
+        mi.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select(
+            F.round("mi", _R).alias("mi_nats"),
+            F.round("h_source", _R).alias("h_source"),
+            F.round("h_decile", _R).alias("h_decile"),
+            F.round(F.col("mi") / F.least(F.col("h_source"), F.col("h_decile")), _R).alias(
+                "nmi"
+            ),
+        )
     )
