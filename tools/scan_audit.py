@@ -61,6 +61,8 @@ BNLJ_ALLOWED = {
     "centroid_classifier_confusion": "broadcast side = |labels| centroid prototypes (10 rows)",
     "bitmap_set_algebra": "all joins over the KB-sized (type, bucket) bitmap state: type-pair self-join (|types| rows) + OR-membership tag (|pairs| rows)",
     "quality_logreg_classifier": "broadcast side = the 1-row weight vector each GD iteration (spark.range(1) seed, then groupBy over the single weight row — provably 1 row, but no keys=[] aggregate signature in the plan)",
+    "source_token_js_divergence": "broadcast side = the |sources|-row totals frame (20 rows) building the all-pairs matrix skeleton",
+    "mmr_diversified_topk": "broadcast sides = 3 query vectors (self-exclusion theta) + the bounded per-query candidate frames in the greedy rounds",
 }
 
 
