@@ -821,8 +821,9 @@ split AS (
   FROM ev
 ),
 binned AS (
-  SELECT least(CAST(floor((value - lo) / ((hi - lo) / 10.0)) AS BIGINT), 9)
-           AS bin,
+  SELECT CASE WHEN hi = lo THEN 0
+          ELSE least(CAST(floor((value - lo) / ((hi - lo) / 10.0)) AS BIGINT), 9)
+          END AS bin,
          CAST(CASE WHEN d <= mid THEN 1 ELSE 0 END AS BIGINT) AS is_ref
   FROM ev CROSS JOIN split
 ),
@@ -832,13 +833,16 @@ c AS (
   FROM binned GROUP BY 1
 ),
 tot AS (SELECT CAST(sum(nr) AS BIGINT) AS tr, CAST(sum(nc) AS BIGINT) AS tc FROM c),
+spine AS (SELECT unnest(range(10)) AS bin),
 p AS (
-  SELECT bin, (nr + 1.0) / (tr + 10.0) AS pr, (nc + 1.0) / (tc + 10.0) AS pc
-  FROM c CROSS JOIN tot
+  SELECT spine.bin,
+         (coalesce(c.nr, 0) + 1.0) / (tr + 10.0) AS pr,
+         (coalesce(c.nc, 0) + 1.0) / (tc + 10.0) AS pc
+  FROM spine LEFT JOIN c ON spine.bin = c.bin CROSS JOIN tot
 )
 SELECT CAST(count(*) AS BIGINT) AS n_bins,
        round(sum((pr - pc) * ln(pr / pc)), 6) AS psi,
-       sum((pr - pc) * ln(pr / pc)) > 0.2 AS drifted
+       round(sum((pr - pc) * ln(pr / pc)), 6) > 0.2 AS drifted
 FROM p""",
 )
 def value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -850,9 +854,14 @@ def value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Bins are 10 equal-width cuts of the GLOBAL [min, max] — min/max
     are associative aggregates (scale-safe where exact quantile edges
-    are not), and add-1 smoothing keeps empty bins finite exactly as
-    the scorecard literature prescribes. One scan to the (bin, half)
-    contingency (20 cells), broadcast totals, 10-row PSI fold."""
+    are not). The contingency is LEFT-joined onto a generated 0..9 bin
+    spine before smoothing, so bins empty in BOTH halves still carry
+    their nonzero add-1-smoothed contribution (and a degenerate
+    hi == lo feed maps everything to bin 0 instead of dividing by
+    zero); the drifted flag branches on the ROUNDED PSI so an
+    ulp-of-ln difference between engines can't flip the boolean. One
+    scan to the (bin, half) contingency (20 cells), broadcast totals,
+    10-row PSI fold."""
     ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
     ev = ev.select(F.to_date("ts").alias("d"), "value")
     split = ev.agg(
@@ -868,11 +877,16 @@ def value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("value").alias("hi"),
     )
     binned = ev.crossJoin(F.broadcast(split)).select(
-        F.least(
-            F.floor((F.col("value") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 10.0))
-            .cast("long"),
-            F.lit(9).cast("long"),
-        ).alias("bin"),
+        F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("long"))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 10.0)
+                ).cast("long"),
+                F.lit(9).cast("long"),
+            )
+        )
+        .alias("bin"),
         (F.col("d") <= F.col("mid")).cast("long").alias("is_ref"),
     )
     c = binned.groupBy("bin").agg(
@@ -882,15 +896,20 @@ def value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = c.agg(
         F.sum("nr").cast("long").alias("tr"), F.sum("nc").cast("long").alias("tc")
     )
-    p = c.crossJoin(F.broadcast(tot)).select(
-        ((F.col("nr") + 1.0) / (F.col("tr") + 10.0)).alias("pr"),
-        ((F.col("nc") + 1.0) / (F.col("tc") + 10.0)).alias("pc"),
+    spine = spark.range(10).select(F.col("id").alias("bin"))
+    p = (
+        spine.join(c, "bin", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            ((F.coalesce(F.col("nr"), F.lit(0)) + 1.0) / (F.col("tr") + 10.0)).alias("pr"),
+            ((F.coalesce(F.col("nc"), F.lit(0)) + 1.0) / (F.col("tc") + 10.0)).alias("pc"),
+        )
     )
     term = (F.col("pr") - F.col("pc")) * F.log(F.col("pr") / F.col("pc"))
     return p.agg(
         F.count(F.lit(1)).cast("long").alias("n_bins"),
         F.round(F.sum(term), _R).alias("psi"),
-        (F.sum(term) > 0.2).alias("drifted"),
+        (F.round(F.sum(term), _R) > 0.2).alias("drifted"),
     )
 
 

@@ -1,6 +1,7 @@
 """Known-value checks for the statistical evaluation pack
-(plans/eval_queries.py): the AUC / KS / CUSUM / Theil-Sen kernels are
-verified against tiny hand-computable datasets, independent of the
+(plans/eval_queries.py): the AUC / KS / CUSUM / Theil-Sen / Gini /
+Spearman / JS-divergence / ACF kernels are verified against tiny
+hand-computable datasets, independent of the
 documents/events tables the registered queries run on.  (The
 registered queries themselves are oracle-checked end-to-end by
 tools/check_oracle.py; these tests pin the *math* so a refactor of
@@ -267,3 +268,31 @@ def test_acf_alternating_series(spark):
             .collect()[0][0]
         )
         assert num / den == pytest.approx(want)
+
+
+def test_psi_empty_bins_still_contribute(spark):
+    # bins empty in BOTH halves must carry their add-1-smoothed mass:
+    # with unequal half sizes the absent bins' term is nonzero, so a
+    # PSI computed only over observed bins is biased. Mirror the
+    # registered query's spine + smoothing shape on a 2-observed-bin
+    # contingency and check against the closed-form 10-bin sum.
+    import math
+
+    c = spark.createDataFrame([(0, 3, 1), (9, 1, 2)], "bin long, nr long, nc long")
+    tr, tc = 4, 3
+    spine = spark.range(10).select(F.col("id").alias("bin"))
+    p = spine.join(c, "bin", "left").select(
+        ((F.coalesce(F.col("nr"), F.lit(0)) + 1.0) / (tr + 10.0)).alias("pr"),
+        ((F.coalesce(F.col("nc"), F.lit(0)) + 1.0) / (tc + 10.0)).alias("pc"),
+    )
+    term = (F.col("pr") - F.col("pc")) * F.log(F.col("pr") / F.col("pc"))
+    got_n, got_psi = p.agg(F.count(F.lit(1)), F.sum(term)).collect()[0]
+
+    def t(nr, nc):
+        pr, pc = (nr + 1.0) / (tr + 10.0), (nc + 1.0) / (tc + 10.0)
+        return (pr - pc) * math.log(pr / pc)
+
+    want = t(3, 1) + t(1, 2) + 8 * t(0, 0)
+    assert got_n == 10
+    assert got_psi == pytest.approx(want)
+    assert 8 * t(0, 0) != 0.0  # the absent-bin mass the spine preserves
