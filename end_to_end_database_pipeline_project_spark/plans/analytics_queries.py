@@ -2278,3 +2278,59 @@ def linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_channel.unionByName(direct)
+
+
+# ------------------------------------------------ sequential path mining
+
+
+@query(
+    "event_trigram_paths",
+    oracle="""WITH e AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+),
+paths AS (
+  SELECT event_type || ' > ' || t2 || ' > ' || t3 AS path
+  FROM e WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+),
+counted AS (
+  SELECT path, CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM paths GROUP BY 1
+)
+SELECT path, n_occurrences,
+       CAST(row_number() OVER (ORDER BY n_occurrences DESC, path)
+            AS BIGINT) AS rank
+FROM counted QUALIFY rank <= 20""",
+)
+def event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step behavioral paths (event-type trigrams per
+    user, ordered by time) — the sequential-pattern extension of
+    `event_transition_matrix`'s bigram Markov counts: which WHOLE
+    journeys (view > click > purchase vs view > error > view) dominate
+    the stream, the input to funnel redesign and to next-event LMs.
+
+    Scale shape: the lead() windows are PARTITIONED per user (state
+    bounded by one user's history — never a global sort), trigram
+    counting is one map-side-combined groupBy on the path string, and
+    the top-20 cut is a TakeOrderedAndProject on the counted frame
+    with a (count, path) tie-break so the cut is engine-portable.
+    Ordering ties on ts are broken by event_id (the oracle casts its
+    nanosecond ts to the same microsecond grain Spark reads)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).where(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+    counted = e.select(
+        F.concat_ws(" > ", "event_type", "t2", "t3").alias("path")
+    ).groupBy("path").agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+    wr = Window.orderBy(F.desc("n_occurrences"), F.asc("path"))
+    return (
+        counted.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .where(F.col("rank") <= 20)
+    )

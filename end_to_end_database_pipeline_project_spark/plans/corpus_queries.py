@@ -1554,3 +1554,108 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         selected = selected.unionByName(p.select("query_id", "cand_id"))
     return out
+
+
+# ------------------------------------ greedy submodular source coverage
+
+
+def _cov_round_sql(k: int) -> str:
+    """One unrolled greedy coverage round: marginal gain = tokens not
+    yet covered (ZERO for fully-covered sources — a saturated corpus
+    still yields a 4-row report), argmax with source-name tie-break,
+    covered set grows."""
+    prev = k - 1
+    return f""",
+u{k} AS (
+  SELECT st.source, CAST(count(*) AS BIGINT) AS gain
+  FROM st
+  WHERE NOT EXISTS (SELECT 1 FROM c{prev} WHERE c{prev}.token = st.token)
+  GROUP BY 1
+),
+g{k} AS (
+  SELECT srcs.source, CAST(coalesce(u{k}.gain, 0) AS BIGINT) AS gain
+  FROM srcs LEFT JOIN u{k} ON srcs.source = u{k}.source
+  WHERE NOT EXISTS (SELECT 1 FROM p{prev} WHERE p{prev}.source = srcs.source)
+),
+pick{k} AS (
+  SELECT source, gain FROM g{k} ORDER BY gain DESC, source LIMIT 1
+),
+p{k} AS (SELECT source FROM p{prev} UNION ALL SELECT source FROM pick{k}),
+c{k} AS (SELECT token FROM c{prev}
+         UNION SELECT st.token FROM st JOIN pick{k} USING (source))"""
+
+
+_COVERAGE_ORACLE = (
+    r"""WITH tok AS (
+  SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+  FROM documents
+),
+st AS (SELECT DISTINCT source, token FROM tok WHERE token <> ''),
+srcs AS (SELECT DISTINCT source FROM st),
+g1 AS (SELECT source, CAST(count(*) AS BIGINT) AS gain FROM st GROUP BY 1),
+pick1 AS (SELECT source, gain FROM g1 ORDER BY gain DESC, source LIMIT 1),
+p1 AS (SELECT source FROM pick1),
+c1 AS (SELECT st.token FROM st JOIN pick1 USING (source))"""
+    + _cov_round_sql(2)
+    + _cov_round_sql(3)
+    + _cov_round_sql(4)
+    + """
+SELECT CAST(1 AS INT) AS pick_rank, source, gain AS marginal_new_tokens
+FROM pick1
+UNION ALL SELECT 2, source, gain FROM pick2
+UNION ALL SELECT 3, source, gain FROM pick3
+UNION ALL SELECT 4, source, gain FROM pick4"""
+)
+
+
+@query("greedy_source_coverage", oracle=_COVERAGE_ORACLE)
+def greedy_source_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy submodular source selection by marginal vocabulary
+    coverage: pick 4 sources, each maximizing the number of token
+    types NOT covered by the already-picked set — the facility-
+    location objective data-mixing work optimizes when choosing which
+    domains to ingest first (greedy is (1-1/e)-optimal for coverage,
+    Nemhauser et al.), and the measured complement to the pairwise
+    `source_token_js_divergence` matrix.
+
+    Scale shape: ONE distinct over (source, token) (a shuffle bounded
+    by type counts, not token counts); each of the 4 unrolled rounds
+    is a token-keyed LEFT ANTI join against the covered-set frame plus
+    a <=|sources|-row argmax (exact integer gains, source-name
+    tie-break — engine-portable greedy chain, same discipline as
+    `mmr_diversified_topk`). The covered frame never exceeds the
+    corpus vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = fan_out(docs).select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
+    )
+    st = tok.where(F.col("token") != "").select("source", "token").distinct()
+    st = st.localCheckpoint(eager=False)
+    srcs = st.select("source").distinct()
+
+    picked = None  # DataFrame(source)
+    covered = None  # DataFrame(token)
+    out = None
+    for step in (1, 2, 3, 4):
+        uncov = st
+        if covered is not None:
+            uncov = uncov.join(covered, "token", "left_anti")
+        u = uncov.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("g0"))
+        g = srcs.join(u, "source", "left").select(
+            "source", F.coalesce(F.col("g0"), F.lit(0)).cast("long").alias("gain")
+        )
+        if picked is not None:
+            g = g.join(picked, "source", "left_anti")
+        pick = g.orderBy(F.desc("gain"), F.asc("source")).limit(1)
+        row = pick.select(
+            F.lit(step).cast("int").alias("pick_rank"),
+            "source",
+            F.col("gain").alias("marginal_new_tokens"),
+        )
+        out = row if out is None else out.unionByName(row)
+        psrc = pick.select("source")
+        picked = psrc if picked is None else picked.unionByName(psrc)
+        newly = st.join(psrc, "source").select("token")
+        covered = newly if covered is None else covered.unionByName(newly).distinct()
+    return out

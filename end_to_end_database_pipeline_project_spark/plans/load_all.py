@@ -152,11 +152,12 @@ _DRIVER_FIRST = [
     # 38 backlog slots below stay funded.  The statistical evaluation
     # pack (eval_queries: AUC / KS / calibration / CUSUM / Theil-Sen /
     # Gini / ACF / Spearman / JS-divergence / PSI / MI) plus
-    # linear_attribution, l_diversity_report, mmr_diversified_topk and
-    # ql_dirichlet_topk are likewise out-of-window for r05 — the rank
-    # statistics ride the slot-1 prefix operator and all fifteen are
-    # mirror-green at sf0.01 AND sf0.1 — and rotate in r06 with the
-    # rest.
+    # linear_attribution, l_diversity_report, mmr_diversified_topk,
+    # ql_dirichlet_topk, greedy_source_coverage and
+    # event_trigram_paths are likewise out-of-window for r05 — the
+    # rank statistics ride the slot-1 prefix operator and all
+    # seventeen are mirror-green at sf0.01 AND sf0.1 — and rotate in
+    # r06 with the rest.
     # (c) draining the never-driver-checked backlog (91 names after
     # r04), highest-traffic first — the verdict's named funding list
     "volume_shipping",
