@@ -2294,7 +2294,8 @@ def linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 ),
 paths AS (
   SELECT event_type || ' > ' || t2 || ' > ' || t3 AS path
-  FROM e WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+  FROM e
+  WHERE event_type IS NOT NULL AND t2 IS NOT NULL AND t3 IS NOT NULL
 ),
 counted AS (
   SELECT path, CAST(count(*) AS BIGINT) AS n_occurrences
@@ -2321,11 +2322,18 @@ def event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     nanosecond ts to the same microsecond grain Spark reads)."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # all three legs null-guarded: Spark's concat_ws SKIPS nulls while
+    # the oracle's || PROPAGATES them, so an unguarded NULL leading
+    # type would diverge between engines
     e = ev.select(
         "event_type",
         F.lead("event_type", 1).over(w).alias("t2"),
         F.lead("event_type", 2).over(w).alias("t3"),
-    ).where(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+    ).where(
+        F.col("event_type").isNotNull()
+        & F.col("t2").isNotNull()
+        & F.col("t3").isNotNull()
+    )
     counted = e.select(
         F.concat_ws(" > ", "event_type", "t2", "t3").alias("path")
     ).groupBy("path").agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
