@@ -32,6 +32,12 @@ these are the inferential forms a production curation stack adds).
 - ``source_quality_mutual_info`` — MI / NMI between source and
   quality decile (deciles from ``distributed_ntile``, MI from the
   exact-count contingency).
+- ``mann_kendall_trend_test`` — nonparametric trend significance
+  (exact integer S over rounded day values, tie-corrected variance,
+  continuity-corrected z) beside the Theil-Sen slope estimate.
+- ``weekday_seasonality_strength`` — STL-lite weekday decomposition
+  (range-join moving-average trend, per-ISO-weekday index, Hyndman
+  F_s strength).
 
 Determinism discipline shared by the pack: scores and test statistics
 are built from RATIONAL double arithmetic only (+, -, *, /, sqrt — all
@@ -1006,4 +1012,195 @@ def source_quality_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "nmi"
             ),
         )
+    )
+
+
+# ------------------------------------------------ Mann-Kendall trend test
+
+
+@query(
+    "mann_kendall_trend_test",
+    oracle="""WITH daily AS (
+  SELECT CAST(ts AS DATE) AS obs_date, round(sum(value), 6) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+pairs AS (
+  SELECT CAST(sum(CASE WHEN b.v > a.v THEN 1
+                       WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s
+  FROM daily a JOIN daily b ON a.obs_date < b.obs_date
+),
+ties AS (
+  SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS corr
+  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY v)
+  WHERE t > 1
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily),
+st AS (
+  SELECT s, n_days,
+         (n_days * (n_days - 1.0) * (2 * n_days + 5.0) - corr) / 18.0 AS var_s
+  FROM pairs CROSS JOIN ties CROSS JOIN n
+)
+SELECT n_days, s AS s_stat, round(var_s, 6) AS var_s,
+       round(CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+                  WHEN s < 0 THEN (s + 1) / sqrt(var_s)
+                  ELSE 0.0 END, 6) AS z_stat,
+       CASE WHEN s > 0 THEN 'increasing'
+            WHEN s < 0 THEN 'decreasing' ELSE 'none' END AS trend
+FROM st""",
+)
+def mann_kendall_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall nonparametric trend TEST over the daily
+    event-value series — the significance companion to the Theil-Sen
+    slope ESTIMATE (the pairing hydrology/monitoring practice ships
+    together): S = sum of sign(x_j - x_i) over ordered day pairs, the
+    tie-corrected variance, and the continuity-corrected z statistic.
+
+    Day values are ROUNDED to 6 decimals before any comparison (the
+    pack's discipline: sign() is a branch, and raw float sums differ
+    between engines by ulps), making tie structure engine-portable; S
+    and the tie correction are then exact integers, variance and z are
+    rational + one IEEE-exact sqrt. The pairwise join is O(days^2) on
+    the bounded day-grain rollup — the same documented class as
+    `theil_sen_trend`."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    daily = ev.groupBy(F.to_date("ts").alias("obs_date")).agg(
+        F.round(F.sum("value"), _R).alias("v")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(b, F.col("a.obs_date") < F.col("b.obs_date")).agg(
+        F.sum(
+            F.when(F.col("b.v") > F.col("a.v"), 1)
+            .when(F.col("b.v") < F.col("a.v"), -1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("s")
+    )
+    tg = daily.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("t"))
+    ties = tg.where(F.col("t") > 1).agg(
+        F.coalesce(
+            F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)), F.lit(0)
+        )
+        .cast("long")
+        .alias("corr")
+    )
+    n = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    st = (
+        pairs.crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "s",
+            "n_days",
+            (
+                (
+                    F.col("n_days") * (F.col("n_days") - 1.0) * (2 * F.col("n_days") + 5.0)
+                    - F.col("corr")
+                )
+                / 18.0
+            ).alias("var_s"),
+        )
+    )
+    z = (
+        F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt(F.col("var_s")))
+        .when(F.col("s") < 0, (F.col("s") + 1) / F.sqrt(F.col("var_s")))
+        .otherwise(F.lit(0.0))
+    )
+    return st.select(
+        "n_days",
+        F.col("s").alias("s_stat"),
+        F.round("var_s", _R).alias("var_s"),
+        F.round(z, _R).alias("z_stat"),
+        F.when(F.col("s") > 0, F.lit("increasing"))
+        .when(F.col("s") < 0, F.lit("decreasing"))
+        .otherwise(F.lit("none"))
+        .alias("trend"),
+    )
+
+
+# ------------------------------------------- weekday seasonality strength
+
+
+@query(
+    "weekday_seasonality_strength",
+    oracle="""WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, round(sum(value), 6) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+tr AS (
+  SELECT a.d, a.v, sum(b.v) / count(*) AS trend
+  FROM daily a JOIN daily b ON b.d BETWEEN a.d - 3 AND a.d + 3
+  GROUP BY 1, 2
+),
+det AS (SELECT d, v - trend AS detr FROM tr),
+seas AS (
+  SELECT CAST(isodow(d) AS INT) AS weekday,
+         CAST(count(*) AS BIGINT) AS n_days,
+         sum(detr) / count(*) AS sidx
+  FROM det GROUP BY 1
+),
+rem AS (
+  SELECT det.detr - seas.sidx AS r, det.detr AS detr
+  FROM det JOIN seas ON CAST(isodow(det.d) AS INT) = seas.weekday
+),
+strength AS (
+  SELECT greatest(0.0, 1.0 -
+           (sum(r * r) / count(*) - (sum(r) / count(*)) * (sum(r) / count(*)))
+         / (sum(detr * detr) / count(*)
+            - (sum(detr) / count(*)) * (sum(detr) / count(*)))) AS fs
+  FROM rem
+)
+SELECT weekday, n_days, round(sidx, 6) AS seasonal_index,
+       round(fs, 6) AS seasonality_strength
+FROM seas CROSS JOIN strength""",
+)
+def weekday_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite weekday decomposition of the daily value series: trend
+    from a +/-3-day moving average (spelled as a bounded date-range
+    self-join, not a sliding window, so both engines sum the identical
+    frame), per-ISO-weekday seasonal index from the detrended series,
+    and Hyndman's seasonality strength F_s = max(0, 1 -
+    Var(remainder)/Var(detrended)) — the one number that says whether
+    the lag-7 ACF peak is worth modeling.
+
+    Everything runs on the bounded day-grain rollup (day values
+    rounded to 6 before decomposition, per the pack's comparison
+    discipline); the weekday aggregate is 7 groups; the strength is a
+    one-row broadcast riding the output."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.round(F.sum("value"), _R).alias("v")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    tr = (
+        a.join(
+            b,
+            (F.col("b.d") >= F.date_add(F.col("a.d"), -3))
+            & (F.col("b.d") <= F.date_add(F.col("a.d"), 3)),
+        )
+        .groupBy(F.col("a.d").alias("d"), F.col("a.v").alias("v"))
+        .agg((F.sum("b.v") / F.count(F.lit(1))).alias("trend"))
+    )
+    det = tr.select("d", (F.col("v") - F.col("trend")).alias("detr"))
+    wd = (F.weekday(F.col("d")) + 1).cast("int")
+    seas = det.groupBy(wd.alias("weekday")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        (F.sum("detr") / F.count(F.lit(1))).alias("sidx"),
+    )
+    rem = det.join(
+        F.broadcast(seas), wd == F.col("weekday")
+    ).select((F.col("detr") - F.col("sidx")).alias("r"), "detr")
+    mean_r = F.sum("r") / F.count(F.lit(1))
+    mean_d = F.sum("detr") / F.count(F.lit(1))
+    var_r = F.sum(F.col("r") * F.col("r")) / F.count(F.lit(1)) - mean_r * mean_r
+    var_d = (
+        F.sum(F.col("detr") * F.col("detr")) / F.count(F.lit(1)) - mean_d * mean_d
+    )
+    strength = rem.agg(
+        F.greatest(F.lit(0.0), 1.0 - var_r / var_d).alias("fs")
+    )
+    return seas.crossJoin(F.broadcast(strength)).select(
+        "weekday",
+        "n_days",
+        F.round("sidx", _R).alias("seasonal_index"),
+        F.round("fs", _R).alias("seasonality_strength"),
     )

@@ -153,11 +153,11 @@ _DRIVER_FIRST = [
     # pack (eval_queries: AUC / KS / calibration / CUSUM / Theil-Sen /
     # Gini / ACF / Spearman / JS-divergence / PSI / MI) plus
     # linear_attribution, l_diversity_report, mmr_diversified_topk,
-    # ql_dirichlet_topk, greedy_source_coverage and
-    # event_trigram_paths are likewise out-of-window for r05 — the
-    # rank statistics ride the slot-1 prefix operator and all
-    # seventeen are mirror-green at sf0.01 AND sf0.1 — and rotate in
-    # r06 with the rest.
+    # ql_dirichlet_topk, greedy_source_coverage, event_trigram_paths,
+    # mann_kendall_trend_test and weekday_seasonality_strength are
+    # likewise out-of-window for r05 — the rank statistics ride the
+    # slot-1 prefix operator and all nineteen are mirror-green at
+    # sf0.01 AND sf0.1 — and rotate in r06 with the rest.
     # (c) draining the never-driver-checked backlog (91 names after
     # r04), highest-traffic first — the verdict's named funding list
     "volume_shipping",
