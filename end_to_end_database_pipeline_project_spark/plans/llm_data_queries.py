@@ -3479,3 +3479,131 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("r_dense", F.lit(-1)).cast("long").alias("r_dense"),
     )
     return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(10)
+
+
+# The CASE the doc_language_id oracle uses, shared by the
+# confusion-matrix evaluation below (one source of truth per engine:
+# TX.lang_id on the Spark side, this snippet on the DuckDB side).
+_LANG_PRED_SQL = r"""CASE
+  WHEN length(regexp_replace(text, '[^぀-ヿ]', '', 'g')) * 1.0
+       / greatest(length(text), 1) > 0.05 THEN 'ja'
+  WHEN length(regexp_replace(text, '[^가-힯]', '', 'g')) * 1.0
+       / greatest(length(text), 1) > 0.05 THEN 'ko'
+  WHEN length(regexp_replace(text, '[^一-鿿]', '', 'g')) * 1.0
+       / greatest(length(text), 1) > 0.05 THEN 'zh'
+  WHEN length(regexp_replace(text, '[^Ѐ-ӿ]', '', 'g')) * 1.0
+       / greatest(length(text), 1) > 0.05 THEN 'ru'
+  WHEN len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+       w -> list_contains(['the','a','and','of','to','in','is','it'], w))) * 1.0
+       / len(string_split_regex(lower(trim(text)), '\s+')) > 0.08 THEN 'en'
+  WHEN length(regexp_replace(text, '[^À-ɏ]', '', 'g')) * 1.0
+       / greatest(length(text), 1) > 0.02 THEN 'latin-other'
+  ELSE 'unknown' END"""
+
+
+@query(
+    "language_id_confusion",
+    oracle=f"""WITH p AS (
+  SELECT lang, {_LANG_PRED_SQL} AS lang_pred FROM documents
+),
+m AS (
+  SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+  FROM p GROUP BY 1, 2
+),
+r AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS n_lang FROM m GROUP BY 1)
+SELECT m.lang, m.lang_pred, m.n_docs,
+       round(m.n_docs * 1.0 / r.n_lang, 6) AS row_pct,
+       m.lang = m.lang_pred AS is_correct
+FROM m JOIN r ON m.lang = r.lang""",
+)
+def language_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the heuristic language identifier against
+    the table's ground-truth ``lang`` column — the evaluation
+    `doc_language_id` itself cannot provide (it only reports cohort
+    sizes): which true languages the character-class/stopword cascade
+    resolves (en, zh) and where the rest land (es/de/fr ->
+    latin-other/en/unknown), the exact table you read before trusting
+    a lang-ID gate in a curation funnel.
+
+    One corpus scan to the (true, predicted) contingency — at most
+    |langs| x |pred labels| rows (~35) — then per-true-language row
+    percentages off the broadcast row totals."""
+    docs = load_table(spark, sf_dir, "documents")
+    p = fan_out(docs).select("lang", TX.lang_id(F.col("text")).alias("lang_pred"))
+    m = p.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    r = m.groupBy("lang").agg(F.sum("n_docs").cast("long").alias("n_lang"))
+    return m.join(F.broadcast(r), "lang").select(
+        "lang",
+        "lang_pred",
+        "n_docs",
+        F.round(F.col("n_docs") * 1.0 / F.col("n_lang"), _R).alias("row_pct"),
+        (F.col("lang") == F.col("lang_pred")).alias("is_correct"),
+    )
+
+
+@query(
+    "doc_readability_scores",
+    oracle=r"""WITH m AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS words,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS sentences,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syllables
+  FROM documents
+)
+SELECT doc_id, CAST(words AS BIGINT) AS words,
+       CAST(sentences AS BIGINT) AS sentences,
+       CAST(syllables AS BIGINT) AS syllables,
+       round(206.835 - 1.015 * (words * 1.0 / sentences)
+             - 84.6 * (syllables * 1.0 / greatest(words, 1)), 6) AS flesch,
+       CASE WHEN 206.835 - 1.015 * (words * 1.0 / sentences)
+                 - 84.6 * (syllables * 1.0 / greatest(words, 1)) >= 60 THEN 'easy'
+            WHEN 206.835 - 1.015 * (words * 1.0 / sentences)
+                 - 84.6 * (syllables * 1.0 / greatest(words, 1)) >= 30 THEN 'medium'
+            ELSE 'hard' END AS band
+FROM m""",
+)
+def doc_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document (206.835 - 1.015*words/sentence
+    - 84.6*syllables/word, vowel-group syllable proxy) — the classic
+    readability gate FineWeb-Edu-style educational-quality filters
+    approximate, next to the ratio-based `doc_quality_scores`.
+
+    All three counts are native regexp aggregates (vowel-group runs,
+    sentence-ending punctuation runs, whitespace words) — integers, so
+    the formula is rational arithmetic on engine-identical operands
+    and even the band CASE cannot diverge. Scan -> project, one
+    codegen'd stage, no shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.when(F.trim(F.col("text")) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+    sentences = F.greatest(F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1))
+    syllables = F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+"))
+    flesch = (
+        206.835
+        - 1.015 * (F.col("words") * 1.0 / F.col("sentences"))
+        - 84.6 * (F.col("syllables") * 1.0 / F.greatest(F.col("words"), F.lit(1)))
+    )
+    return (
+        fan_out(docs)
+        .select(
+            "doc_id",
+            words.cast("long").alias("words"),
+            sentences.cast("long").alias("sentences"),
+            syllables.cast("long").alias("syllables"),
+        )
+        .select(
+            "doc_id",
+            "words",
+            "sentences",
+            "syllables",
+            F.round(flesch, _R).alias("flesch"),
+            F.when(flesch >= 60, F.lit("easy"))
+            .when(flesch >= 30, F.lit("medium"))
+            .otherwise(F.lit("hard"))
+            .alias("band"),
+        )
+    )
