@@ -38,6 +38,12 @@ these are the inferential forms a production curation stack adds).
 - ``weekday_seasonality_strength`` — STL-lite weekday decomposition
   (range-join moving-average trend, per-ISO-weekday index, Hyndman
   F_s strength).
+- ``click_purchase_ccf`` — cross-correlation between the two series
+  at lags -3..+3 (lead/lag screen).
+- ``quality_filter_kappa`` — Cohen's kappa between the two quality
+  gates (chance-corrected filter agreement).
+- ``score_decile_gains`` — cumulative gains / lift table over score
+  deciles from ``distributed_ntile``.
 
 Determinism discipline shared by the pack: scores and test statistics
 are built from RATIONAL double arithmetic only (+, -, *, /, sqrt — all
@@ -1203,4 +1209,258 @@ def weekday_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_days",
         F.round("sidx", _R).alias("seasonal_index"),
         F.round("fs", _R).alias("seasonality_strength"),
+    )
+
+
+# ------------------------------------------- cross-correlation (CCF)
+
+
+@query(
+    "click_purchase_ccf",
+    oracle="""WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         sum(CASE WHEN event_type = 'click' THEN value ELSE 0 END) AS cv,
+         sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS pv
+  FROM events WHERE value IS NOT NULL
+    AND event_type IN ('click', 'purchase')
+  GROUP BY 1
+),
+m AS (SELECT sum(cv) / count(*) AS mc, sum(pv) / count(*) AS mp FROM daily),
+c AS (
+  SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t,
+         cv - mc AS dc, pv - mp AS dp
+  FROM daily CROSS JOIN m
+),
+den AS (SELECT sqrt(sum(dc * dc)) * sqrt(sum(dp * dp)) AS s FROM c),
+lags AS (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS lag)
+SELECT CAST(lags.lag AS INT) AS lag,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(sum(a.dc * b.dp) / max(den.s), 6) AS ccf
+FROM lags
+JOIN c a ON TRUE
+JOIN c b ON b.t = a.t + lags.lag
+CROSS JOIN den
+GROUP BY 1""",
+)
+def click_purchase_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation between the daily click-value and
+    purchase-value series at lags -3..+3 — does click volume LEAD
+    purchase volume (positive-lag peak) or trail it: the lead/lag
+    screen that turns `daily_value_acf`'s single-series tool into the
+    two-series causality hint marketing/capacity pipelines act on.
+
+    Same shape as the ACF: day-grain collapse first (conditional sums
+    give both series in ONE scan), one bounded row-index window, 7
+    bounded lag-join probes, denominator as a one-row broadcast."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("event_type").isin("click", "purchase")
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "click", F.col("value")).otherwise(0.0)).alias("cv"),
+        F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)).alias("pv"),
+    )
+    m = daily.agg(
+        (F.sum("cv") / F.count(F.lit(1))).alias("mc"),
+        (F.sum("pv") / F.count(F.lit(1))).alias("mp"),
+    )
+    c = daily.crossJoin(F.broadcast(m)).select(
+        F.row_number().over(Window.orderBy("d")).cast("long").alias("t"),
+        (F.col("cv") - F.col("mc")).alias("dc"),
+        (F.col("pv") - F.col("mp")).alias("dp"),
+    )
+    den = c.agg(
+        (
+            F.sqrt(F.sum(F.col("dc") * F.col("dc")))
+            * F.sqrt(F.sum(F.col("dp") * F.col("dp")))
+        ).alias("s")
+    )
+    lags = spark.range(-3, 4).select(F.col("id").cast("int").alias("lag"))
+    a = c.alias("a").crossJoin(F.broadcast(lags))
+    b = c.alias("b")
+    return (
+        a.join(b, F.col("b.t") == F.col("a.t") + F.col("lag"))
+        .crossJoin(F.broadcast(den))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.sum(F.col("a.dc") * F.col("b.dp")) / F.max("s"), _R).alias("ccf"),
+        )
+    )
+
+
+# --------------------------------------- inter-filter agreement (kappa)
+
+
+@query(
+    "quality_filter_kappa",
+    oracle="""WITH s AS (
+  SELECT
+    (((length(text) - length(replace(text, ' ', ''))) * 1.0
+        / (length(text) + 1)
+      - 3.0 * (length(regexp_replace(text, '[a-zA-Z ]', '', 'g')) * 1.0
+        / (length(text) + 1)))
+     + length(text) / 10000.0) > 0.2 AS a,
+    round(CASE WHEN length(text) >= 100 AND length(text) <= 20000 THEN 1.0
+               WHEN length(text) > 0 THEN 0.5 ELSE 0.0 END * 0.4
+          + (1.0 - least(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+               * 1.0 / length(text) * 5, 1.0)) * 0.3
+          + least(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+              w -> list_contains(['the','a','and','of','to','in','is','it'], w)))
+              * 1.0
+              / len(string_split_regex(lower(trim(text)), '\\s+')) * 4, 1.0) * 0.3,
+          6) >= 0.5 AS b
+  FROM documents
+),
+c AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+         CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+         CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+         CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00
+  FROM s
+)
+SELECT n, n11, n10, n01, n00,
+       round((n11 + n00) * 1.0 / n, 6) AS p_observed,
+       round(((n11 + n10) * 1.0 * (n11 + n01)
+              + (n01 + n00) * 1.0 * (n10 + n00)) / (n * 1.0 * n), 6) AS p_chance,
+       round(((n11 + n00) * 1.0 / n
+              - ((n11 + n10) * 1.0 * (n11 + n01)
+                 + (n01 + n00) * 1.0 * (n10 + n00)) / (n * 1.0 * n))
+             / (1.0 - ((n11 + n10) * 1.0 * (n11 + n01)
+                 + (n01 + n00) * 1.0 * (n10 + n00)) / (n * 1.0 * n)), 6)
+         AS kappa
+FROM c""",
+)
+def quality_filter_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the repo's two document quality gates —
+    the linear score at threshold 0.2 (the calibration/AUC scorer) and
+    the composite length/punct/stopword score at 0.5
+    (`doc_quality_scores`'s formula): chance-corrected agreement, the
+    number that says whether running BOTH filters buys diversity or
+    just re-counts the same judgment (kappa near 1: redundant; near 0:
+    independent signals worth ensembling).
+
+    Both gates are rational-arithmetic branches on engine-identical
+    operands (the pack's discipline), so the 2x2 contingency is exact;
+    kappa = (po - pe)/(1 - pe) folds from the four counts in one
+    scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    ln = F.length("text")
+    space_ratio = (ln - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))) * 1.0 / (
+        ln + 1
+    )
+    nonalpha = F.length(F.regexp_replace("text", "[a-zA-Z ]", "")) * 1.0 / (ln + 1)
+    a = ((space_ratio - 3.0 * nonalpha) + ln / 10000.0) > 0.2
+    from ..functions import text as TX
+
+    # TX.quality_score returns the ROUNDED composite — branching on
+    # the rounded value is exactly the engine-portable form we want
+    b = TX.quality_score(F.col("text")) >= 0.5
+    s = fan_out(docs).select(a.alias("a"), b.alias("b"))
+    c = s.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("a") & F.col("b")).cast("long")).cast("long").alias("n11"),
+        F.sum((F.col("a") & ~F.col("b")).cast("long")).cast("long").alias("n10"),
+        F.sum((~F.col("a") & F.col("b")).cast("long")).cast("long").alias("n01"),
+        F.sum((~F.col("a") & ~F.col("b")).cast("long")).cast("long").alias("n00"),
+    )
+    po = (F.col("n11") + F.col("n00")) * 1.0 / F.col("n")
+    pe = (
+        (F.col("n11") + F.col("n10")) * 1.0 * (F.col("n11") + F.col("n01"))
+        + (F.col("n01") + F.col("n00")) * 1.0 * (F.col("n10") + F.col("n00"))
+    ) / (F.col("n") * 1.0 * F.col("n"))
+    return c.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(po, _R).alias("p_observed"),
+        F.round(pe, _R).alias("p_chance"),
+        F.round((po - pe) / (1.0 - pe), _R).alias("kappa"),
+    )
+
+
+# ---------------------------------------------- score-decile gains / lift
+
+
+@query(
+    "score_decile_gains",
+    oracle="WITH "
+    + _SCORED_DOCS_SQL
+    + """,
+d AS (
+  SELECT CAST(ntile(10) OVER (ORDER BY s DESC, doc_id) AS INT) AS decile, y
+  FROM feats
+),
+g AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(y) AS BIGINT) AS n_pos
+  FROM d GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tn, CAST(sum(n_pos) AS BIGINT) AS tp FROM g),
+cum AS (
+  SELECT a.decile, max(a.n_docs) AS n_docs, max(a.n_pos) AS n_pos,
+         CAST(sum(b.n_docs) AS BIGINT) AS cum_docs,
+         CAST(sum(b.n_pos) AS BIGINT) AS cum_pos
+  FROM g a JOIN g b ON b.decile <= a.decile
+  GROUP BY 1
+)
+SELECT cum.decile, cum.n_docs, cum.n_pos,
+       round(cum.cum_pos * 1.0 / tot.tp, 6) AS cum_gain,
+       round((cum.cum_pos * 1.0 / cum.cum_docs) / (tot.tp * 1.0 / tot.tn), 6)
+         AS cum_lift
+FROM cum CROSS JOIN tot""",
+)
+def score_decile_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift table for the quality scorer: docs
+    ranked into score deciles (best first), the fraction of all
+    positives captured by the top-k deciles and the lift over random —
+    the scorecard chart that says "keep the top 3 deciles and you keep
+    72% of the target" which is exactly how a token-budget curation
+    cut is chosen (`token_budget_selection` executes the cut; this
+    measures what it captures).
+
+    Deciles from ``distributed_ntile`` over (s DESC, doc_id) — no
+    global window; the cumulative fold is a triangular self-join over
+    the TEN decile rows (never the corpus), totals ride as a one-row
+    broadcast."""
+    from ..operators.scale import distributed_ntile
+
+    d = distributed_ntile(
+        _scored_docs(spark, sf_dir), [("s", "desc"), "doc_id"], 10, out_col="decile"
+    ).select(F.col("decile").cast("int").alias("decile"), "y")
+    g = d.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    tot = g.agg(
+        F.sum("n_docs").cast("long").alias("tn"), F.sum("n_pos").cast("long").alias("tp")
+    )
+    a = g.alias("a")
+    b = g.select(
+        F.col("decile").alias("bd"),
+        F.col("n_docs").alias("bn"),
+        F.col("n_pos").alias("bp"),
+    )
+    cum = (
+        a.join(F.broadcast(b), F.col("bd") <= F.col("a.decile"))
+        .groupBy("a.decile")
+        .agg(
+            F.max("a.n_docs").alias("n_docs"),
+            F.max("a.n_pos").alias("n_pos"),
+            F.sum("bn").cast("long").alias("cum_docs"),
+            F.sum("bp").cast("long").alias("cum_pos"),
+        )
+    )
+    return cum.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n_docs",
+        "n_pos",
+        F.round(F.col("cum_pos") * 1.0 / F.col("tp"), _R).alias("cum_gain"),
+        F.round(
+            (F.col("cum_pos") * 1.0 / F.col("cum_docs"))
+            / (F.col("tp") * 1.0 / F.col("tn")),
+            _R,
+        ).alias("cum_lift"),
     )

@@ -84,7 +84,7 @@ WINDOW_GLOBAL_ALLOWED = {
     "plans/corpus_queries.py": (1, "zipf rank over the 500-row term-frequency frame"),
     "plans/llm_data_queries.py": (2, "RRF rank windows over top-20 candidate frames"),
     "plans/analytics_queries.py": (3, "event-islands prefix windows over the day-grain series + trigram rank over the <=|event_types|^3-row path frame"),
-    "plans/eval_queries.py": (3, "CUSUM prefix + argmax rank + ACF row index over the day-grain series (<= #days rows)"),
+    "plans/eval_queries.py": (4, "CUSUM prefix + argmax rank + ACF/CCF row indexes over the day-grain series (<= #days rows)"),
     "plans/reference_queries.py": (1, "month-grain rollup series (<= #months rows)"),
     "plans/relational_queries.py": (1, "day-grain rolling average (<= #days rows)"),
     "operators/scale.py": (2, "offset windows over <= num_partitions subtotal rows"),
