@@ -66,6 +66,7 @@ from ..operators.scale import distributed_prefix_sum
 from ..session import fan_out
 from ..sources.catalog import load_table
 from .corpus_queries import _DSIR_TARGETS
+from .llm_data_queries import _QUALITY_SCORE_SQL
 from .registry import query
 
 _R = 6
@@ -78,31 +79,41 @@ _R = 6
 _POS_SOURCES = _DSIR_TARGETS
 
 
-def _scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, s, y): fixed-weight linear quality score + binary
-    label. Rational arithmetic only — see module docstring."""
-    docs = load_table(spark, sf_dir, "documents")
-    ln = F.length("text")
-    space_ratio = (ln - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))) * 1.0 / (
+def _linear_score(text) -> "F.Column":
+    """The fixed-weight linear quality score as a Column expression —
+    the single Spark-side source of truth for every query that scores
+    or gates on it (AUC, calibration, Spearman, kappa). Rational
+    arithmetic only — see module docstring."""
+    ln = F.length(text)
+    space_ratio = (ln - F.length(F.replace(text, F.lit(" "), F.lit("")))) * 1.0 / (
         ln + 1
     )
-    nonalpha_ratio = F.length(F.regexp_replace("text", "[a-zA-Z ]", "")) * 1.0 / (ln + 1)
-    s = (space_ratio - 3.0 * nonalpha_ratio) + ln / 10000.0
+    nonalpha_ratio = F.length(F.regexp_replace(text, "[a-zA-Z ]", "")) * 1.0 / (ln + 1)
+    return (space_ratio - 3.0 * nonalpha_ratio) + ln / 10000.0
+
+
+# the same score as one SQL expression over `text` (the oracle twin)
+_LINEAR_SCORE_SQL = """((length(text) - length(replace(text, ' ', ''))) * 1.0
+            / (length(text) + 1)
+          - 3.0 * (length(regexp_replace(text, '[a-zA-Z ]', '', 'g')) * 1.0
+            / (length(text) + 1)))
+         + length(text) / 10000.0"""
+
+
+def _scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_chars, s, y): linear quality score + binary label."""
+    docs = load_table(spark, sf_dir, "documents")
     return fan_out(docs).select(
         "doc_id",
         "n_chars",
-        s.alias("s"),
+        _linear_score(F.col("text")).alias("s"),
         F.col("source").isin(*_POS_SOURCES).cast("long").alias("y"),
     )
 
 
-_SCORED_DOCS_SQL = """feats AS (
+_SCORED_DOCS_SQL = f"""feats AS (
   SELECT doc_id, n_chars,
-         ((length(text) - length(replace(text, ' ', ''))) * 1.0
-            / (length(text) + 1)
-          - 3.0 * (length(regexp_replace(text, '[a-zA-Z ]', '', 'g')) * 1.0
-            / (length(text) + 1)))
-         + length(text) / 10000.0 AS s,
+         {_LINEAR_SCORE_SQL} AS s,
          CAST(CASE WHEN source IN ('src0','src1','src2','src3','src4')
               THEN 1 ELSE 0 END AS BIGINT) AS y
   FROM documents
@@ -1293,22 +1304,9 @@ def click_purchase_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "quality_filter_kappa",
-    oracle="""WITH s AS (
-  SELECT
-    (((length(text) - length(replace(text, ' ', ''))) * 1.0
-        / (length(text) + 1)
-      - 3.0 * (length(regexp_replace(text, '[a-zA-Z ]', '', 'g')) * 1.0
-        / (length(text) + 1)))
-     + length(text) / 10000.0) > 0.2 AS a,
-    round(CASE WHEN length(text) >= 100 AND length(text) <= 20000 THEN 1.0
-               WHEN length(text) > 0 THEN 0.5 ELSE 0.0 END * 0.4
-          + (1.0 - least(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-               * 1.0 / length(text) * 5, 1.0)) * 0.3
-          + least(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-              w -> list_contains(['the','a','and','of','to','in','is','it'], w)))
-              * 1.0
-              / len(string_split_regex(lower(trim(text)), '\\s+')) * 4, 1.0) * 0.3,
-          6) >= 0.5 AS b
+    oracle=f"""WITH s AS (
+  SELECT ({_LINEAR_SCORE_SQL}) > 0.2 AS a,
+         {_QUALITY_SCORE_SQL} >= 0.5 AS b
   FROM documents
 ),
 c AS (
@@ -1345,16 +1343,12 @@ def quality_filter_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     kappa = (po - pe)/(1 - pe) folds from the four counts in one
     scan."""
     docs = load_table(spark, sf_dir, "documents")
-    ln = F.length("text")
-    space_ratio = (ln - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))) * 1.0 / (
-        ln + 1
-    )
-    nonalpha = F.length(F.regexp_replace("text", "[a-zA-Z ]", "")) * 1.0 / (ln + 1)
-    a = ((space_ratio - 3.0 * nonalpha) + ln / 10000.0) > 0.2
     from ..functions import text as TX
 
-    # TX.quality_score returns the ROUNDED composite — branching on
-    # the rounded value is exactly the engine-portable form we want
+    # both gates come from the shared single-source-of-truth scorers
+    # (_linear_score / TX.quality_score — the latter returns the
+    # ROUNDED composite, so branching on it is engine-portable)
+    a = _linear_score(F.col("text")) > 0.2
     b = TX.quality_score(F.col("text")) >= 0.5
     s = fan_out(docs).select(a.alias("a"), b.alias("b"))
     c = s.agg(

@@ -693,23 +693,25 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The composite quality score as one SQL expression over `text` —
+# the single source of truth for every oracle that gates on it
+# (doc_quality_scores here, quality_filter_kappa in eval_queries);
+# TX.quality_score is the Spark-side twin.
+_QUALITY_SCORE_SQL = r"""round(
+    (CASE WHEN length(text) >= 100 AND length(text) <= 20000 THEN 1.0
+          WHEN length(text) > 0 THEN 0.5 ELSE 0.0 END) * 0.4
+    + (1.0 - least(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0
+              / length(text) * 5, 1.0)) * 0.3
+    + least(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+            w -> list_contains(['the','a','and','of','to','in','is','it'], w))) * 1.0
+            / len(string_split_regex(lower(trim(text)), '\s+')) * 4, 1.0) * 0.3,
+    6)"""
+
+
 @query(
     "doc_quality_scores",
-    oracle=r"""WITH s AS (
-  SELECT doc_id,
-    CASE WHEN length(text) >= 100 AND length(text) <= 20000 THEN 1.0
-         WHEN length(text) > 0 THEN 0.5 ELSE 0.0 END AS len_score,
-    1.0 - least(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0
-                / length(text) * 5, 1.0) AS punct_score,
-    least(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-          w -> list_contains(['the','a','and','of','to','in','is','it'], w))) * 1.0
-          / len(string_split_regex(lower(trim(text)), '\s+')) * 4, 1.0) AS stop_score
-  FROM documents
-)
-SELECT doc_id,
-       round(len_score * 0.4 + punct_score * 0.3 + stop_score * 0.3, 6)
-         AS quality_score
-FROM s""",
+    oracle=f"""SELECT doc_id, {_QUALITY_SCORE_SQL} AS quality_score
+FROM documents""",
 )
 def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality score (length band + punctuation noise +
@@ -720,37 +722,35 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The lang-ID cascade as one SQL expression over `text` — the single
+# source of truth for every oracle that predicts a language
+# (doc_language_id, tokenizer_fertility_report, language_id_confusion);
+# TX.lang_id is the Spark-side twin.
+_LANG_PRED_SQL = r"""CASE
+  WHEN length(regexp_replace(text, '[^぀-ヿ]', '', 'g')) * 1.0
+       / greatest(length(text), 1) > 0.05 THEN 'ja'
+  WHEN length(regexp_replace(text, '[^가-힯]', '', 'g')) * 1.0
+       / greatest(length(text), 1) > 0.05 THEN 'ko'
+  WHEN length(regexp_replace(text, '[^一-鿿]', '', 'g')) * 1.0
+       / greatest(length(text), 1) > 0.05 THEN 'zh'
+  WHEN length(regexp_replace(text, '[^Ѐ-ӿ]', '', 'g')) * 1.0
+       / greatest(length(text), 1) > 0.05 THEN 'ru'
+  WHEN len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+       w -> list_contains(['the','a','and','of','to','in','is','it'], w))) * 1.0
+       / len(string_split_regex(lower(trim(text)), '\s+')) > 0.08 THEN 'en'
+  WHEN length(regexp_replace(text, '[^À-ɏ]', '', 'g')) * 1.0
+       / greatest(length(text), 1) > 0.02 THEN 'latin-other'
+  ELSE 'unknown' END"""
+
+
 @query(
     "doc_language_id",
-    oracle=r"""WITH m AS (
-  SELECT doc_id,
-    length(regexp_replace(text, '[^぀-ヿ]', '', 'g')) AS kana,
-    length(regexp_replace(text, '[^가-힯]', '', 'g')) AS hangul,
-    length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk,
-    length(regexp_replace(text, '[^Ѐ-ӿ]', '', 'g')) AS cyr,
-    length(regexp_replace(text, '[^À-ɏ]', '', 'g')) AS accented,
-    greatest(length(text), 1) AS n,
-    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-        w -> list_contains(['the','a','and','of','to','in','is','it'], w))) * 1.0
-      / len(string_split_regex(lower(trim(text)), '\s+')) AS en_stops
-  FROM documents
+    oracle=f"""WITH p AS (
+  SELECT doc_id, {_LANG_PRED_SQL} AS lang_pred FROM documents
 )
-SELECT doc_id,
-  CASE WHEN kana * 1.0 / n > 0.05 THEN 'ja'
-       WHEN hangul * 1.0 / n > 0.05 THEN 'ko'
-       WHEN cjk * 1.0 / n > 0.05 THEN 'zh'
-       WHEN cyr * 1.0 / n > 0.05 THEN 'ru'
-       WHEN en_stops > 0.08 THEN 'en'
-       WHEN accented * 1.0 / n > 0.02 THEN 'latin-other'
-       ELSE 'unknown' END AS lang_pred,
-  count(*) OVER (PARTITION BY CASE WHEN kana * 1.0 / n > 0.05 THEN 'ja'
-       WHEN hangul * 1.0 / n > 0.05 THEN 'ko'
-       WHEN cjk * 1.0 / n > 0.05 THEN 'zh'
-       WHEN cyr * 1.0 / n > 0.05 THEN 'ru'
-       WHEN en_stops > 0.08 THEN 'en'
-       WHEN accented * 1.0 / n > 0.02 THEN 'latin-other'
-       ELSE 'unknown' END) AS lang_cohort_size
-FROM m""",
+SELECT doc_id, lang_pred,
+       count(*) OVER (PARTITION BY lang_pred) AS lang_cohort_size
+FROM p""",
 )
 def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID (character-class histograms + stopword
@@ -768,22 +768,9 @@ def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tokenizer_fertility_report",
-    oracle=r"""WITH m AS (
+    oracle=rf"""WITH m AS (
   SELECT
-    CASE WHEN length(regexp_replace(text, '[^぀-ヿ]', '', 'g')) * 1.0
-              / greatest(length(text), 1) > 0.05 THEN 'ja'
-         WHEN length(regexp_replace(text, '[^가-힯]', '', 'g')) * 1.0
-              / greatest(length(text), 1) > 0.05 THEN 'ko'
-         WHEN length(regexp_replace(text, '[^一-鿿]', '', 'g')) * 1.0
-              / greatest(length(text), 1) > 0.05 THEN 'zh'
-         WHEN length(regexp_replace(text, '[^Ѐ-ӿ]', '', 'g')) * 1.0
-              / greatest(length(text), 1) > 0.05 THEN 'ru'
-         WHEN len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-              w -> list_contains(['the','a','and','of','to','in','is','it'], w))) * 1.0
-              / len(string_split_regex(lower(trim(text)), '\s+')) > 0.08 THEN 'en'
-         WHEN length(regexp_replace(text, '[^À-ɏ]', '', 'g')) * 1.0
-              / greatest(length(text), 1) > 0.02 THEN 'latin-other'
-         ELSE 'unknown' END AS lang_pred,
+    {_LANG_PRED_SQL} AS lang_pred,
     len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^\sA-Za-z0-9_]')) AS tc,
     CASE WHEN trim(text) = '' THEN 0
          ELSE len(string_split_regex(trim(text), '\s+')) END AS wc
@@ -3481,26 +3468,6 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(10)
 
 
-# The CASE the doc_language_id oracle uses, shared by the
-# confusion-matrix evaluation below (one source of truth per engine:
-# TX.lang_id on the Spark side, this snippet on the DuckDB side).
-_LANG_PRED_SQL = r"""CASE
-  WHEN length(regexp_replace(text, '[^぀-ヿ]', '', 'g')) * 1.0
-       / greatest(length(text), 1) > 0.05 THEN 'ja'
-  WHEN length(regexp_replace(text, '[^가-힯]', '', 'g')) * 1.0
-       / greatest(length(text), 1) > 0.05 THEN 'ko'
-  WHEN length(regexp_replace(text, '[^一-鿿]', '', 'g')) * 1.0
-       / greatest(length(text), 1) > 0.05 THEN 'zh'
-  WHEN length(regexp_replace(text, '[^Ѐ-ӿ]', '', 'g')) * 1.0
-       / greatest(length(text), 1) > 0.05 THEN 'ru'
-  WHEN len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-       w -> list_contains(['the','a','and','of','to','in','is','it'], w))) * 1.0
-       / len(string_split_regex(lower(trim(text)), '\s+')) > 0.08 THEN 'en'
-  WHEN length(regexp_replace(text, '[^À-ɏ]', '', 'g')) * 1.0
-       / greatest(length(text), 1) > 0.02 THEN 'latin-other'
-  ELSE 'unknown' END"""
-
-
 @query(
     "language_id_confusion",
     oracle=f"""WITH p AS (
@@ -3577,9 +3544,7 @@ def doc_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     and even the band CASE cannot diverge. Scan -> project, one
     codegen'd stage, no shuffle at all."""
     docs = load_table(spark, sf_dir, "documents")
-    words = F.when(F.trim(F.col("text")) == "", F.lit(0)).otherwise(
-        F.size(F.split(F.trim(F.col("text")), r"\s+"))
-    )
+    words = TX.word_count(F.col("text"))
     sentences = F.greatest(F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1))
     syllables = F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+"))
     flesch = (

@@ -63,6 +63,8 @@ BNLJ_ALLOWED = {
     "quality_logreg_classifier": "broadcast side = the 1-row weight vector each GD iteration (spark.range(1) seed, then groupBy over the single weight row — provably 1 row, but no keys=[] aggregate signature in the plan)",
     "source_token_js_divergence": "broadcast side = the |sources|-row totals frame (20 rows) building the all-pairs matrix skeleton",
     "mmr_diversified_topk": "broadcast sides = 3 query vectors (self-exclusion theta) + the bounded per-query candidate frames in the greedy rounds",
+    "mann_kendall_trend_test": "O(days^2) pair theta-join on the bounded day-grain rollup (same documented class as theil_sen_trend)",
+    "weekday_seasonality_strength": "+/-3-day moving-average range self-join on the bounded day-grain rollup",
 }
 
 
