@@ -2342,3 +2342,125 @@ def event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         counted.withColumn("rank", F.row_number().over(wr).cast("long"))
         .where(F.col("rank") <= 20)
     )
+
+
+# ------------------------------------------------ growth accounting
+
+
+@query(
+    "growth_accounting_weekly",
+    oracle="""WITH uw AS (
+  SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS DATE)) AS wk
+  FROM events
+),
+firsts AS (SELECT user_id, min(wk) AS first_wk FROM uw GROUP BY 1),
+weeks AS (SELECT DISTINCT wk FROM uw),
+states AS (
+  SELECT a.wk, a.user_id,
+         CASE WHEN f.first_wk = a.wk THEN 'new'
+              WHEN p.user_id IS NOT NULL THEN 'retained'
+              ELSE 'resurrected' END AS state
+  FROM uw a
+  JOIN firsts f ON f.user_id = a.user_id
+  LEFT JOIN uw p ON p.user_id = a.user_id
+              AND p.wk = a.wk - INTERVAL 7 DAY
+),
+churned AS (
+  SELECT p.wk + INTERVAL 7 DAY AS wk, count(*) AS n_churned
+  FROM uw p
+  LEFT JOIN uw n ON n.user_id = p.user_id
+              AND n.wk = p.wk + INTERVAL 7 DAY
+  WHERE n.user_id IS NULL
+    AND p.wk + INTERVAL 7 DAY <= (SELECT max(wk) FROM weeks)
+  GROUP BY 1
+),
+counts AS (
+  SELECT wk,
+         CAST(sum(CASE WHEN state = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+         CAST(sum(CASE WHEN state = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_retained,
+         CAST(sum(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_resurrected,
+         CAST(count(*) AS BIGINT) AS n_active
+  FROM states GROUP BY 1
+)
+SELECT CAST(counts.wk AS DATE) AS week_start, n_new, n_retained, n_resurrected,
+       CAST(coalesce(churned.n_churned, 0) AS BIGINT) AS n_churned,
+       n_active,
+       round((n_retained + n_resurrected) * 1.0
+             / greatest(n_retained + n_resurrected
+                        + coalesce(churned.n_churned, 0), 1), 6)
+         AS quick_ratio_denomfree
+FROM counts LEFT JOIN churned ON counts.wk = churned.wk""",
+)
+def growth_accounting_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting over the event stream — every active
+    user classified as NEW (first-ever week), RETAINED (also active
+    the prior week) or RESURRECTED (active before, absent last week),
+    plus the users CHURNED out of each week — the standard
+    new/retained/resurrected/churned ledger (and a save-ratio column)
+    that `retention_cohorts`' triangle summarizes by cohort age.
+
+    Scale shape: one distinct to the (user, week) activity grain, then
+    every classification is a user-keyed equi-join of that grain with
+    itself shifted one week (first weeks are a user-keyed min) — no
+    windows, no week-over-week loop, each state from ONE join. The
+    churn anti-join is capped at the last observed week so the final
+    week doesn't mint phantom churners."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.date_trunc("week", F.to_date("ts")).cast("date").alias("wk")
+    ).distinct()
+    firsts = uw.groupBy("user_id").agg(F.min("wk").alias("first_wk"))
+    prev = uw.select(F.col("user_id").alias("p_user"), F.col("wk").alias("p_wk"))
+    states = (
+        uw.join(firsts, "user_id")
+        .join(
+            prev,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("p_wk") == F.date_sub(F.col("wk"), 7)),
+            "left",
+        )
+        .select(
+            "wk",
+            F.when(F.col("first_wk") == F.col("wk"), F.lit("new"))
+            .when(F.col("p_user").isNotNull(), F.lit("retained"))
+            .otherwise(F.lit("resurrected"))
+            .alias("state"),
+        )
+    )
+    max_wk = uw.agg(F.max("wk").alias("max_wk"))
+    nxt = uw.select(F.col("user_id").alias("n_user"), F.col("wk").alias("n_wk"))
+    churned = (
+        uw.join(
+            nxt,
+            (F.col("n_user") == F.col("user_id"))
+            & (F.col("n_wk") == F.date_add(F.col("wk"), 7)),
+            "left_anti",
+        )
+        .crossJoin(F.broadcast(max_wk))
+        .where(F.date_add(F.col("wk"), 7) <= F.col("max_wk"))
+        .groupBy(F.date_add(F.col("wk"), 7).alias("wk"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_churned"))
+    )
+    counts = states.groupBy("wk").agg(
+        F.sum((F.col("state") == "new").cast("long")).cast("long").alias("n_new"),
+        F.sum((F.col("state") == "retained").cast("long")).cast("long").alias("n_retained"),
+        F.sum((F.col("state") == "resurrected").cast("long"))
+        .cast("long")
+        .alias("n_resurrected"),
+        F.count(F.lit(1)).cast("long").alias("n_active"),
+    )
+    save_num = F.col("n_retained") + F.col("n_resurrected")
+    save_den = F.greatest(
+        save_num + F.coalesce(F.col("n_churned"), F.lit(0)), F.lit(1)
+    )
+    return counts.join(churned, "wk", "left").select(
+        F.col("wk").alias("week_start"),
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        F.coalesce(F.col("n_churned"), F.lit(0)).cast("long").alias("n_churned"),
+        "n_active",
+        F.round(save_num * 1.0 / save_den, _R).alias("quick_ratio_denomfree"),
+    )
