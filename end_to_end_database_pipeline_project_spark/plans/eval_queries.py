@@ -44,6 +44,8 @@ these are the inferential forms a production curation stack adds).
   gates (chance-corrected filter agreement).
 - ``score_decile_gains`` — cumulative gains / lift table over score
   deciles from ``distributed_ntile``.
+- ``brier_decomposition`` — Murphy decomposition of the Brier score
+  (reliability − resolution + uncertainty + within-bin residual).
 
 Determinism discipline shared by the pack: scores and test statistics
 are built from RATIONAL double arithmetic only (+, -, *, /, sqrt — all
@@ -1457,4 +1459,99 @@ def score_decile_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("tp") * 1.0 / F.col("tn")),
             _R,
         ).alias("cum_lift"),
+    )
+
+
+# ------------------------------------------- Brier decomposition (Murphy)
+
+
+@query(
+    "brier_decomposition",
+    oracle="WITH "
+    + _SCORED_DOCS_SQL
+    + """,
+p AS (
+  SELECT 0.5 + 0.5 * (((s - 0.2) * 40.0) / (1.0 + abs((s - 0.2) * 40.0))) AS p, y
+  FROM feats
+),
+b AS (
+  SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(p) AS sp, CAST(sum(y) AS BIGINT) AS sy
+  FROM p GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nt, sum(sy) * 1.0 / sum(n) AS ybar FROM b
+),
+bs AS (SELECT sum((p - y) * (p - y)) AS sse FROM p),
+terms AS (
+  SELECT max(bs.sse) / max(tot.nt) AS brier,
+         sum(b.n * (b.sp / b.n - b.sy * 1.0 / b.n)
+                 * (b.sp / b.n - b.sy * 1.0 / b.n)) / max(tot.nt) AS reliability,
+         sum(b.n * (b.sy * 1.0 / b.n - tot.ybar)
+                 * (b.sy * 1.0 / b.n - tot.ybar)) / max(tot.nt) AS resolution,
+         max(tot.ybar * (1.0 - tot.ybar)) AS uncertainty
+  FROM b CROSS JOIN tot CROSS JOIN bs
+)
+SELECT round(brier, 6) AS brier,
+       round(reliability, 6) AS reliability,
+       round(resolution, 6) AS resolution,
+       round(uncertainty, 6) AS uncertainty,
+       round(brier - (reliability - resolution + uncertainty), 6)
+         AS within_bin_residual
+FROM terms""",
+)
+def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the quality scorer's Brier score:
+    BS = REL - RES + UNC + within-bin residual — REL is the
+    calibration error `calibration_bins` plots, RES the discrimination
+    the AUC measures, UNC the base-rate floor; the residual (exactly
+    the within-bin variance of p that decile binning hides) is
+    reported rather than silently absorbed.
+
+    Same algebraic-sigmoid squash and decile bins as
+    `calibration_bins` (rational ops only); one scan to the 10-bin
+    sufficient statistics plus one (p-y)^2 aggregate, all folded over
+    broadcast one-row totals."""
+    z = (F.col("s") - 0.2) * 40.0
+    pcol = F.lit(0.5) + 0.5 * (z / (1.0 + F.abs(z)))
+    p = _scored_docs(spark, sf_dir).select(pcol.alias("p"), "y")
+    binc = F.least(F.floor(F.col("p") * 10).cast("long"), F.lit(9).cast("long"))
+    b = p.groupBy(binc.alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("p").alias("sp"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    tot = b.agg(
+        F.sum("n").cast("long").alias("nt"),
+        (F.sum("sy") * 1.0 / F.sum("n")).alias("ybar"),
+    )
+    bs = p.agg(F.sum((F.col("p") - F.col("y")) * (F.col("p") - F.col("y"))).alias("sse"))
+    pbar = F.col("sp") / F.col("n")
+    ybin = F.col("sy") * 1.0 / F.col("n")
+    terms = (
+        b.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(bs))
+        .agg(
+            (F.max("sse") / F.max("nt")).alias("brier"),
+            (F.sum(F.col("n") * (pbar - ybin) * (pbar - ybin)) / F.max("nt")).alias(
+                "reliability"
+            ),
+            (
+                F.sum(F.col("n") * (ybin - F.col("ybar")) * (ybin - F.col("ybar")))
+                / F.max("nt")
+            ).alias("resolution"),
+            F.max(F.col("ybar") * (1.0 - F.col("ybar"))).alias("uncertainty"),
+        )
+    )
+    return terms.select(
+        F.round("brier", _R).alias("brier"),
+        F.round("reliability", _R).alias("reliability"),
+        F.round("resolution", _R).alias("resolution"),
+        F.round("uncertainty", _R).alias("uncertainty"),
+        F.round(
+            F.col("brier")
+            - (F.col("reliability") - F.col("resolution") + F.col("uncertainty")),
+            _R,
+        ).alias("within_bin_residual"),
     )

@@ -156,11 +156,11 @@ _DRIVER_FIRST = [
     # ql_dirichlet_topk, greedy_source_coverage, event_trigram_paths,
     # mann_kendall_trend_test, weekday_seasonality_strength,
     # language_id_confusion, doc_readability_scores,
-    # click_purchase_ccf, quality_filter_kappa, score_decile_gains
-    # and growth_accounting_weekly are likewise out-of-window for r05
-    # — the rank statistics ride the slot-1 prefix operator and all
-    # twenty-five are mirror-green at sf0.01 AND sf0.1 — and rotate
-    # in r06 with the rest.
+    # click_purchase_ccf, quality_filter_kappa, score_decile_gains,
+    # growth_accounting_weekly and brier_decomposition are likewise
+    # out-of-window for r05 — the rank statistics ride the slot-1
+    # prefix operator and all twenty-six are mirror-green at sf0.01
+    # AND sf0.1 — and rotate in r06 with the rest.
     # (c) draining the never-driver-checked backlog (91 names after
     # r04), highest-traffic first — the verdict's named funding list
     "volume_shipping",
