@@ -1214,16 +1214,22 @@ fit AS (
   SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
          sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
   FROM ll
+),
+tot AS (
+  SELECT CAST(max(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(max(vocab) AS BIGINT) AS total_vocab
+  FROM pts
 )
-SELECT round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta,
+SELECT round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0 AS beta,
        round(exp((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n),
-             6) AS k,
+             6) + 0.0 AS k,
        round(CASE WHEN (n * syy - sy * sy) = 0 THEN 1.0
                   ELSE (n * sxy - sx * sy) * (n * sxy - sx * sy)
                        / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END,
-             6) AS r2,
-       CAST(n AS BIGINT) AS n_points
-FROM fit""",
+             6) + 0.0 AS r2,
+       CAST(n AS BIGINT) AS n_points,
+       total_tokens, total_vocab
+FROM fit, tot""",
 )
 def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps'-law fit V(N) = K * N^beta of vocabulary growth — the
@@ -1262,6 +1268,12 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ll = pts.where((F.col("n_tokens") > 0) & (F.col("vocab") > 0)).select(
         F.log("n_tokens").alias("x"), F.log("vocab").alias("y")
     )
+    totals = F.broadcast(
+        pts.agg(
+            F.max("n_tokens").cast("long").alias("total_tokens"),
+            F.max("vocab").cast("long").alias("total_vocab"),
+        )
+    )
     fit = ll.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum("x").alias("sx"),
@@ -1281,11 +1293,17 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     r2 = F.when(
         F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") == 0, F.lit(1.0)
     ).otherwise(num * num / denom)
-    return fit.select(
-        F.round(beta, _R).alias("beta"),
-        F.round(k, _R).alias("k"),
-        F.round(r2, _R).alias("r2"),
+    # `+ 0.0` normalizes IEEE negative zero: on a degenerate corpus (all
+    # cuts see the same vocab) beta is pure summation noise and F.round
+    # can emit -0.0 or 0.0 depending on aggregation order — numerically
+    # equal but distinct under a representation hash (driver-red r05).
+    return fit.crossJoin(totals).select(
+        (F.round(beta, _R) + F.lit(0.0)).alias("beta"),
+        (F.round(k, _R) + F.lit(0.0)).alias("k"),
+        (F.round(r2, _R) + F.lit(0.0)).alias("r2"),
         F.col("n").cast("long").alias("n_points"),
+        "total_tokens",
+        "total_vocab",
     )
 
 

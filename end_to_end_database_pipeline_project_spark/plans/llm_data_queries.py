@@ -2421,8 +2421,8 @@ placed AS (
 ),
 seqs AS (
   SELECT doc_id, n_tokens,
-         coalesce(cum_before, 0) // 512 AS seq_id,
-         (coalesce(cum_before, 0) + n_tokens - 1) // 512 AS end_seq
+         CAST(coalesce(cum_before, 0) // 512 AS BIGINT) AS seq_id,
+         CAST((coalesce(cum_before, 0) + n_tokens - 1) // 512 AS BIGINT) AS end_seq
   FROM placed
 )
 SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,

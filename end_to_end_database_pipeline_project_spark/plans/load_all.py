@@ -105,103 +105,74 @@ except ImportError:
 # Rounds 1-2 hard-verified the reference/relational surface twice;
 # round 3 promoted the LSH/text/ANN/BM25/curation/multimodal/streaming/
 # sources/scale/UDF families; round 4 rotated one representative per
-# never-checked family through (49/50 green, union r01-r04 = 146 of
-# 237 names).  Round 5 keeps the policy: (a) the one never-green name
-# stays slot 1 after the deterministic-binning root-cause fix,
-# (b) everything NEW or semantics-changed this round, then
-# (c) 44 slots drain the never-driver-checked backlog —
-# the verdict's named funding list first, then mechanisms ahead of
-# their `_pandas`/serving twins.  Names listed but not (yet)
-# registered are skipped harmlessly.
+# never-checked family; round 5 checked 49 new names (48/50 green —
+# both reds root-caused by the judge as REPRESENTATION bugs, fixed this
+# round: the sequence_packing_report oracle's un-CAST HUGEINT and
+# heaps_law_fit's -0.0).  Round 6 window: (a) the two fixed reds stay
+# in slots 1-2 so their re-green lands in CORRECTNESS_r06, then
+# (b) 48 slots drain the never-driver-checked backlog (85 after r05):
+# the SURVEY-§2-mapped mirror-only names first (so every §2 row gets a
+# driver-green primary), then the whole round-5 statistical-evaluation
+# pack and the other r05 out-of-window additions, then mechanisms.
+# Names listed but not (yet) registered are skipped harmlessly.
 
 _DRIVER_FIRST = [
-    # (a) the one name still red in a driver ledger (r03+r04) — its
-    # partition assignment is now a pure function of the data (zero
-    # sampling, zero checkpoint dependence; operators/scale.py
-    # _assign_order_bins) and the cross-session soak test pins it
+    # (a) the two r05 reds, re-verified after the representation fixes
     "sequence_packing_report",
-    # (b) NEW or semantics-changed this round: the un-gated
-    # typed-state streaming op (vendored protobuf runtime), the two
-    # lossy audio codecs (mu-law + predictive IMA ADPCM), the
-    # MJPEG/AVI video modality (clip + frame grain), and BPE
-    # tokenizer application
-    "stateful_user_totals_tws",
-    "multimodal_mulaw_decode",
-    "multimodal_adpcm_decode",
-    "ivfpq_topk",
-    "bloom_semijoin_pushdown",
-    "preference_pair_mining",
-    "suffix_duplicate_substrings",
-    "lsh_band_tuning_report",
-    "multimodal_mjpeg_decode",
-    "multimodal_video_frames",
-    "bpe_encode_docs",
-    # (b exception) pq_adc_topk and quality_logreg_classifier (wave-1
-    # additions whose certificate/recurrence mechanics are exercised by
-    # the in-window ivfpq_topk and the bench headliner set),
-    # tokenizer_fertility_report, k_anonymity_report,
-    # doremi_proxy_weights (a 20-row exp-weights reduction over the
-    # driver-benched bigram-LM scaffold) and
-    # training_shard_manifest are round-5 additions NOT in this window:
-    # the first two are aggregations of primitives with green driver
-    # rows (lang_id/token_count via doc_language_id pass-r4 +
-    # doc_text_stats in-window; customer groupBy via dozens of green
-    # rows), and the shard manifest is a 6th consumer of the same
-    # prefix-sum operator that slot 1 + the cross-session soak already
-    # pin (it joined the soak list) — all three rotate in r06 so the
-    # 38 backlog slots below stay funded.  The statistical evaluation
-    # pack (eval_queries: AUC / KS / calibration / CUSUM / Theil-Sen /
-    # Gini / ACF / Spearman / JS-divergence / PSI / MI) plus
-    # linear_attribution, l_diversity_report, mmr_diversified_topk,
-    # ql_dirichlet_topk, greedy_source_coverage, event_trigram_paths,
-    # mann_kendall_trend_test, weekday_seasonality_strength,
-    # language_id_confusion, doc_readability_scores,
-    # click_purchase_ccf, quality_filter_kappa, score_decile_gains,
-    # growth_accounting_weekly and brier_decomposition are likewise
-    # out-of-window for r05 — the rank statistics ride the slot-1
-    # prefix operator and all twenty-six are mirror-green at sf0.01
-    # AND sf0.1 — and rotate in r06 with the rest.
-    # (c) draining the never-driver-checked backlog (91 names after
-    # r04), highest-traffic first — the verdict's named funding list
-    "volume_shipping",
-    "heavy_hitter_users",
-    "count_min_estimates",
-    "bitmap_set_algebra",
-    "retraction_aggregate_maintenance",
-    "half_sample_bootstrap_ci",
-    "daily_ohlc_bars",
-    "daily_twap",
-    "benford_digit_audit",
-    "event_id_islands",
     "heaps_law_fit",
-    "zipf_law_fit",
-    "language_mix_rebalance",
-    "edit_distance_on_lsh_survivors",
-    "lsh_recall_report",
-    "neardup_cluster_size_histogram",
-    "hourly_linear_interpolation",
-    "retention_cohorts",
-    # (c cont.) never-checked mechanisms over twins
-    "fuzzy_nation_match",
-    "doc_text_stats",
-    "token_frequencies",
-    "doc_fingerprints",
-    "embedding_norms",
-    "multimodal_decode_quarantine",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "doc_token_preview",
-    "corpus_mix_by_source",
-    "temperature_mix_rates",
-    "ngram_containment_pairs",
-    "quality_weighted_sample",
-    "doc_repetition_scores",
-    "boilerplate_lines",
-    "curated_corpus_report",
-    "neardup_dedup_retention",
-    "stream_static_enrich",
-    "medallion_silver",
-    "medallion_serving",
+    # (b1) §2-mapped rows whose primary query was mirror-only
+    "json_source_stations",       # S3  GeoJSON station projection
+    "gold_partition_refresh",     # S14 targeted delete + re-insert
+    "pandas_scalar_log_value",    # §2.9 pandas scalar UDF
+    "pandas_udaf_geomean",        # §2.9 pandas UDAF
+    "udtf_sentence_split",        # §2.9 UDTF
+    "streaming_sliding_window",   # §2.10 sliding window
+    "streaming_session_window",   # §2.10 session window
+    # (b2) round-5 out-of-window additions named by the r05 verdict
+    "pq_adc_topk",
+    "quality_logreg_classifier",
+    "tokenizer_fertility_report",
+    "k_anonymity_report",
+    "doremi_proxy_weights",
+    "training_shard_manifest",
+    # (b3) the statistical evaluation pack (eval_queries)
+    "quality_classifier_auc",
+    "ks_two_sample_test",
+    "calibration_bins",
+    "cusum_changepoint",
+    "theil_sen_trend",
+    "revenue_gini_coefficient",
+    "daily_value_acf",
+    "doc_length_quality_spearman",
+    "source_token_js_divergence",
+    "value_psi_drift",
+    "source_quality_mutual_info",
+    "mann_kendall_trend_test",
+    "weekday_seasonality_strength",
+    "click_purchase_ccf",
+    "quality_filter_kappa",
+    "score_decile_gains",
+    "brier_decomposition",
+    "growth_accounting_weekly",
+    "linear_attribution",
+    "event_trigram_paths",
+    # (b4) the rest of the round-5 additions
+    "l_diversity_report",
+    "mmr_diversified_topk",
+    "ql_dirichlet_topk",
+    "greedy_source_coverage",
+    "language_id_confusion",
+    "doc_readability_scores",
+    # (b5) never-checked mechanisms over their checked twins
+    "simhash_collisions",
+    "ivf_topk",
+    "multimodal_wav_decode",
+    "salted_nation_join",
+    "binned_price_band_join",
+    "bpe_pair_stats",
+    "mlm_masked_corpus",
+    "doc_novelty_scores",
+    "source_overlap_matrix",
 ]
 
 

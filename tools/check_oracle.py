@@ -1,10 +1,26 @@
 """Local mirror of the driver's correctness gate.
 
 Runs every registered query on Spark and its DuckDB oracle on the same
-parquet tables, then compares row count, column names, dtypes and an
-order-insensitive value comparison (exact for non-floats; exact for
-floats too, since both sides round to 6 decimals — any diff is reported
-with the max abs error to distinguish real bugs from rounding flap).
+parquet tables, then compares row count, column names, and an
+order-insensitive REPRESENTATION-FAITHFUL value comparison: both sides
+are canonicalized (columns sorted by name, rows sorted by stringified
+values) and compared as dtype-faithful string forms, exactly like the
+driver's stringified value hash. That means int64 ``26`` differs from
+float64 ``26.0``, and ``-0.0`` differs from ``0.0`` — even though both
+are numerically equal. Round-5 driver reds proved the old numeric
+comparison (diff == 0, int/float coerced) masks exactly this class.
+
+When a string mismatch is numerically zero the failure is labeled
+REPR-ONLY so you know it is a dtype/rendering bug, not a math bug —
+but it still FAILS, because the driver's hash fails it.
+
+Extra proactive checks per oracle:
+- any HUGEINT/UHUGEINT column in the oracle's projection fails
+  immediately (pandas renders it float64 -> guaranteed repr diff with
+  Spark's int64; DuckDB returns HUGEINT from sum(BIGINT) and from
+  ``//`` over a HUGEINT operand);
+- a WARN for any -0.0 appearing on either side (summation-order noise
+  can flip it between runs even if this run matched).
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
@@ -24,12 +40,36 @@ from end_to_end_database_pipeline_project_spark.session import get_spark
 from end_to_end_database_pipeline_project_spark.sources.catalog import TABLES
 
 
+def _strfy(df: pd.DataFrame) -> pd.DataFrame:
+    """Dtype-faithful string form of every cell — the driver's hash input.
+
+    No numeric coercion: an int64 column prints ``26`` while a float64
+    column prints ``26.0``; ``-0.0`` prints with its sign. This is the
+    representation the driver hashes, so it is what the mirror compares.
+    """
+    return pd.DataFrame(
+        {c: df[c].map(lambda v: str(v)) for c in df.columns}, index=df.index
+    )
+
+
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # canonical row order: stringify everything, sort by all columns
-    s = df.astype(str)
+    s = _strfy(df)
     idx = s.sort_values(by=list(s.columns), kind="mergesort").index
     return df.loc[idx].reset_index(drop=True)
+
+
+def _neg_zero_cols(df: pd.DataFrame) -> list[str]:
+    out = []
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            v = df[c].to_numpy()
+            import numpy as np
+
+            if bool(((v == 0) & np.signbit(v)).any()):
+                out.append(c)
+    return out
 
 
 def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
@@ -43,28 +83,30 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
     if errs:
         return errs
     s, o = _canon(spark_df), _canon(oracle_df)
+    s_str, o_str = _strfy(s), _strfy(o)
     for col in s.columns:
-        sv, ov = s[col], o[col]
-        if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
-            sv_f = pd.to_numeric(sv, errors="coerce").astype(float)
-            ov_f = pd.to_numeric(ov, errors="coerce").astype(float)
-            both_nan = sv_f.isna() & ov_f.isna()
-            diff = (sv_f - ov_f).abs()
-            bad = ~both_nan & ~(diff == 0)
-            if bad.any():
-                mx = diff[bad].max()
-                errs.append(
-                    f"col {col}: {int(bad.sum())} value diffs (max abs {mx!r}); "
-                    f"first: spark={sv_f[bad].iloc[0]!r} oracle={ov_f[bad].iloc[0]!r}"
-                )
-        else:
-            sv_s, ov_s = sv.astype(str), ov.astype(str)
-            bad = sv_s != ov_s
-            if bad.any():
-                errs.append(
-                    f"col {col}: {int(bad.sum())} value diffs; "
-                    f"first: spark={sv_s[bad].iloc[0]!r} oracle={ov_s[bad].iloc[0]!r}"
-                )
+        sv_s, ov_s = s_str[col], o_str[col]
+        bad = (sv_s != ov_s).to_numpy()
+        if not bad.any():
+            continue
+        # classify: numerically equal (repr-only) vs real value diff
+        label, extra = "value", ""
+        try:
+            sv_f = pd.to_numeric(s[col], errors="raise").astype(float)
+            ov_f = pd.to_numeric(o[col], errors="raise").astype(float)
+            both_nan = (sv_f.isna() & ov_f.isna()).to_numpy()
+            diff = (sv_f - ov_f).abs().to_numpy()
+            if not (~both_nan & ~(diff == 0))[bad].any():
+                label = "REPR-ONLY (numerically equal — dtype/rendering)"
+            else:
+                extra = f" (max abs {diff[bad & ~both_nan].max()!r})"
+        except (ValueError, TypeError):
+            pass
+        i = int(bad.argmax())
+        errs.append(
+            f"col {col}: {int(bad.sum())} {label} diffs{extra}; "
+            f"first: spark={sv_s.iloc[i]!r} oracle={ov_s.iloc[i]!r}"
+        )
     return errs
 
 
@@ -97,12 +139,29 @@ def main() -> int:
             n_rows_only += 1
             continue
         try:
-            odf = con.sql(ORACLES[name]).df()
+            rel = con.sql(ORACLES[name])
+            hug = [
+                c
+                for c, t in zip(rel.columns, rel.types)
+                if "HUGEINT" in str(t).upper()
+            ]
+            odf = rel.df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: oracle raised {type(e).__name__}: {e}")
             n_fail += 1
             continue
         errs = compare(name, sdf, odf)
+        if hug:
+            errs.insert(
+                0,
+                f"oracle projects HUGEINT column(s) {hug} — pandas renders "
+                "float64, guaranteed repr mismatch vs Spark int64; add "
+                "CAST(... AS BIGINT)",
+            )
+        for side, df_ in (("spark", sdf), ("oracle", odf)):
+            nz = _neg_zero_cols(df_)
+            if nz:
+                print(f"WARN {name}: {side} emits -0.0 in {nz} (flaky repr)")
         if errs:
             n_fail += 1
             print(f"FAIL {name}:")
