@@ -1219,17 +1219,24 @@ tot AS (
   SELECT CAST(max(n_tokens) AS BIGINT) AS total_tokens,
          CAST(max(vocab) AS BIGINT) AS total_vocab
   FROM pts
+),
+sl AS (
+  SELECT n, sx, sy,
+         n * sxy - sx * sy AS num,
+         n * sxx - sx * sx AS xden,
+         n * syy - sy * sy AS yden,
+         CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+              ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS beta_raw
+  FROM fit
 )
-SELECT round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0 AS beta,
-       round(exp((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n),
-             6) + 0.0 AS k,
-       round(CASE WHEN (n * syy - sy * sy) = 0 THEN 1.0
-                  ELSE (n * sxy - sx * sy) * (n * sxy - sx * sy)
-                       / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END,
+SELECT round(beta_raw, 6) + 0.0 AS beta,
+       round(exp((sy - beta_raw * sx) / n), 6) + 0.0 AS k,
+       round(CASE WHEN xden = 0 OR yden = 0 THEN 1.0
+                  ELSE num * num / (xden * yden) END,
              6) + 0.0 AS r2,
        CAST(n AS BIGINT) AS n_points,
        total_tokens, total_vocab
-FROM fit, tot""",
+FROM sl, tot""",
 )
 def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps'-law fit V(N) = K * N^beta of vocabulary growth — the
@@ -1282,17 +1289,17 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("y") * F.col("y")).alias("syy"),
     )
-    beta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    )
+    # degenerate guard, mirrored in the oracle: identical cuts (xden=0)
+    # pin beta to 0.0 instead of an ANSI DIVIDE_BY_ZERO; constant vocab
+    # (yden=0) pins r2 to 1.0
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    xden = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    yden = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    beta = F.when(xden == 0, F.lit(0.0)).otherwise(num / xden)
     k = F.exp((F.col("sy") - beta * F.col("sx")) / F.col("n"))
-    denom = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * (
-        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    r2 = F.when((xden == 0) | (yden == 0), F.lit(1.0)).otherwise(
+        num * num / (xden * yden)
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-    r2 = F.when(
-        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") == 0, F.lit(1.0)
-    ).otherwise(num * num / denom)
     # `+ 0.0` normalizes IEEE negative zero: on a degenerate corpus (all
     # cuts see the same vocab) beta is pure summation noise and F.round
     # can emit -0.0 or 0.0 depending on aggregation order — numerically
@@ -1328,14 +1335,22 @@ fit AS (
   SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
          sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
   FROM ll
+),
+sl AS (
+  SELECT n, sx, sy,
+         n * sxy - sx * sy AS num,
+         n * sxx - sx * sx AS xden,
+         n * syy - sy * sy AS yden,
+         CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+              ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope_raw
+  FROM fit
 )
-SELECT round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
-       round(exp((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n),
-             6) AS c,
-       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
-             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2,
+SELECT round(slope_raw, 6) + 0.0 AS zipf_slope,
+       round(exp((sy - slope_raw * sx) / n), 6) + 0.0 AS c,
+       round(CASE WHEN xden = 0 OR yden = 0 THEN 1.0
+                  ELSE num * num / (xden * yden) END, 6) + 0.0 AS r2,
        CAST(n AS BIGINT) AS n_terms
-FROM fit""",
+FROM sl""",
 )
 def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf's-law fit freq(rank) ~ C * rank^s over the top-500 term
@@ -1369,17 +1384,16 @@ def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("y") * F.col("y")).alias("syy"),
     )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    )
+    # degenerate guard (matches the oracle's CASE and heaps_law_fit's
+    # convention): a single distinct rank -> slope 0, a constant y ->
+    # r2 1.0; without it a degenerate corpus hits ANSI DIVIDE_BY_ZERO
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    xden = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    yden = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = F.when(xden == 0, F.lit(0.0)).otherwise(num / xden)
     c = F.exp((F.col("sy") - slope * F.col("sx")) / F.col("n"))
-    r2 = (
-        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-        * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-        / (
-            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-            * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
-        )
+    r2 = F.when((xden == 0) | (yden == 0), F.lit(1.0)).otherwise(
+        num * num / (xden * yden)
     )
     return fit.select(
         F.round(slope, _R).alias("zipf_slope"),

@@ -596,7 +596,8 @@ den AS (SELECT sum(dev * dev) AS ss FROM c),
 lags AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS lag)
 SELECT CAST(lags.lag AS INT) AS lag,
        CAST(count(*) AS BIGINT) AS n_pairs,
-       round(sum(a.dev * b.dev) / max(den.ss), 6) AS acf
+       round(CASE WHEN max(den.ss) = 0 THEN 0.0
+                  ELSE sum(a.dev * b.dev) / max(den.ss) END, 6) AS acf
 FROM lags
 JOIN c a ON TRUE
 JOIN c b ON b.t = a.t + lags.lag
@@ -634,9 +635,14 @@ def daily_value_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lag")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_pairs"),
-            F.round(F.sum(F.col("a.dev") * F.col("b.dev")) / F.max("ss"), _R).alias(
-                "acf"
-            ),
+            # degenerate guard (constant series -> ss = 0): acf pinned
+            # to 0.0 on both engines instead of ANSI DIVIDE_BY_ZERO
+            F.round(
+                F.when(F.max("ss") == 0, F.lit(0.0)).otherwise(
+                    F.sum(F.col("a.dev") * F.col("b.dev")) / F.max("ss")
+                ),
+                _R,
+            ).alias("acf"),
         )
     )
 
@@ -678,8 +684,10 @@ agg AS (
   FROM j
 )
 SELECT n_docs,
-       round(CAST(sxy AS DOUBLE)
-             / (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(syy AS DOUBLE))),
+       round(CASE WHEN sxx = 0 OR syy = 0 THEN 0.0
+                  ELSE CAST(sxy AS DOUBLE)
+                       / (sqrt(CAST(sxx AS DOUBLE))
+                          * sqrt(CAST(syy AS DOUBLE))) END,
              6) AS spearman_rho
 FROM agg""",
 )
@@ -728,8 +736,11 @@ def doc_length_quality_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
         F.sum(F.col("dy") * F.col("dy")).alias("syy"),
     )
-    rho = F.col("sxy").cast("double") / (
-        F.sqrt(F.col("sxx").cast("double")) * F.sqrt(F.col("syy").cast("double"))
+    # degenerate guard (all lengths or all scores tie -> zero rank
+    # variance): rho pinned to 0.0 on both engines
+    rho = F.when((F.col("sxx") == 0) | (F.col("syy") == 0), F.lit(0.0)).otherwise(
+        F.col("sxy").cast("double")
+        / (F.sqrt(F.col("sxx").cast("double")) * F.sqrt(F.col("syy").cast("double")))
     )
     return agg.select("n_docs", F.round(rho, _R).alias("spearman_rho"))
 
@@ -1161,12 +1172,17 @@ rem AS (
   SELECT det.detr - seas.sidx AS r, det.detr AS detr
   FROM det JOIN seas ON CAST(isodow(det.d) AS INT) = seas.weekday
 ),
-strength AS (
-  SELECT greatest(0.0, 1.0 -
-           (sum(r * r) / count(*) - (sum(r) / count(*)) * (sum(r) / count(*)))
-         / (sum(detr * detr) / count(*)
-            - (sum(detr) / count(*)) * (sum(detr) / count(*)))) AS fs
+sums AS (
+  SELECT sum(r * r) / count(*) - (sum(r) / count(*)) * (sum(r) / count(*))
+           AS var_r,
+         sum(detr * detr) / count(*)
+           - (sum(detr) / count(*)) * (sum(detr) / count(*)) AS var_d
   FROM rem
+),
+strength AS (
+  SELECT greatest(0.0, CASE WHEN var_d = 0 THEN 0.0
+                            ELSE 1.0 - var_r / var_d END) AS fs
+  FROM sums
 )
 SELECT weekday, n_days, round(sidx, 6) AS seasonal_index,
        round(fs, 6) AS seasonality_strength
@@ -1214,8 +1230,13 @@ def weekday_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     var_d = (
         F.sum(F.col("detr") * F.col("detr")) / F.count(F.lit(1)) - mean_d * mean_d
     )
+    # degenerate guard (flat series -> zero detrended variance): F_s
+    # pinned to 0.0 on both engines instead of ANSI DIVIDE_BY_ZERO
     strength = rem.agg(
-        F.greatest(F.lit(0.0), 1.0 - var_r / var_d).alias("fs")
+        F.greatest(
+            F.lit(0.0),
+            F.when(var_d == 0, F.lit(0.0)).otherwise(1.0 - var_r / var_d),
+        ).alias("fs")
     )
     return seas.crossJoin(F.broadcast(strength)).select(
         "weekday",
@@ -1248,7 +1269,8 @@ den AS (SELECT sqrt(sum(dc * dc)) * sqrt(sum(dp * dp)) AS s FROM c),
 lags AS (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS lag)
 SELECT CAST(lags.lag AS INT) AS lag,
        CAST(count(*) AS BIGINT) AS n_pairs,
-       round(sum(a.dc * b.dp) / max(den.s), 6) AS ccf
+       round(CASE WHEN max(den.s) = 0 THEN 0.0
+                  ELSE sum(a.dc * b.dp) / max(den.s) END, 6) AS ccf
 FROM lags
 JOIN c a ON TRUE
 JOIN c b ON b.t = a.t + lags.lag
@@ -1296,7 +1318,14 @@ def click_purchase_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lag")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_pairs"),
-            F.round(F.sum(F.col("a.dc") * F.col("b.dp")) / F.max("s"), _R).alias("ccf"),
+            # degenerate guard (either series constant -> s = 0): ccf
+            # pinned to 0.0 on both engines
+            F.round(
+                F.when(F.max("s") == 0, F.lit(0.0)).otherwise(
+                    F.sum(F.col("a.dc") * F.col("b.dp")) / F.max("s")
+                ),
+                _R,
+            ).alias("ccf"),
         )
     )
 

@@ -34,18 +34,59 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
 
+def normalize_signed_zero(df: DataFrame) -> DataFrame:
+    """Normalize IEEE ``-0.0`` to ``0.0`` in every top-level float column.
+
+    A statistic that collapses to summation noise on a degenerate input
+    (e.g. an OLS slope over identical points) rounds to ``-0.0`` or
+    ``0.0`` depending on Spark's run-dependent aggregation order; the
+    two are numerically equal but DIFFER under the driver's stringified
+    value hash (`heaps_law_fit`, driver-red r05). ``x + 0.0`` maps
+    ``-0.0`` to ``+0.0`` and is the identity for every other value
+    (NaN, infinities and null included); Catalyst does not fold it away
+    (that would be unsound for exactly this reason — verified against
+    the physical plan). The oracle side needs no twin: single-threaded
+    DuckDB is deterministic and ``tools/oracle_audit.py`` proves no
+    registered oracle emits ``-0.0`` at the gate SF.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DoubleType, FloatType
+
+    cols, changed = [], False
+    for f in df.schema.fields:
+        if isinstance(f.dataType, DoubleType):
+            cols.append((df[f.name] + F.lit(0.0)).alias(f.name))
+            changed = True
+        elif isinstance(f.dataType, FloatType):
+            cols.append((df[f.name] + F.lit(0.0)).cast("float").alias(f.name))
+            changed = True
+        else:
+            cols.append(df[f.name])
+    return df.select(cols) if changed else df
+
+
 def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
     """Register a query builder and (optionally) its DuckDB oracle SQL.
 
     Queries without an oracle get the driver's weaker rows-only check —
     reserve that for genuinely non-SQL-expressible ops (hash-seeded LSH,
     streaming state, binary-column UDFs).
+
+    Every registered builder's output passes through
+    ``normalize_signed_zero`` so no plan can emit ``-0.0``.
     """
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
-        QUERIES[name] = fn
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return normalize_signed_zero(fn(spark, sf_dir))
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        wrapped.__wrapped__ = fn  # plan audits can reach the raw builder
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
         return fn

@@ -72,6 +72,24 @@ def test_duckdb_hugeint_projection_detected():
     assert not any("HUGEINT" in str(t).upper() for t in rel2.types)
 
 
+def test_registry_normalizes_signed_zero(spark):
+    from pyspark.sql import functions as F
+
+    from end_to_end_database_pipeline_project_spark.plans.registry import (
+        normalize_signed_zero,
+    )
+
+    df = spark.range(1).select(
+        F.lit(-0.0).alias("v"),
+        F.lit(1).alias("k"),
+        F.lit(float("nan")).alias("n"),
+        F.lit(None).cast("double").alias("z"),
+    )
+    row = normalize_signed_zero(df).collect()[0]
+    assert str(row.v) == "0.0" and row.k == 1 and str(row.n) == "nan"
+    assert row.z is None
+
+
 def test_plus_zero_normalizes_negative_zero():
     # the -0.0 fix applied in heaps_law_fit (both engines): x + 0.0
     assert str(np.float64(-0.0) + 0.0) == "0.0"

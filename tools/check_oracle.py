@@ -44,11 +44,15 @@ def _strfy(df: pd.DataFrame) -> pd.DataFrame:
     """Dtype-faithful string form of every cell — the driver's hash input.
 
     No numeric coercion: an int64 column prints ``26`` while a float64
-    column prints ``26.0``; ``-0.0`` prints with its sign. This is the
-    representation the driver hashes, so it is what the mirror compares.
+    column prints ``26.0``; ``-0.0`` prints with its sign. Uses pandas
+    ``astype(str)`` (NOT element-wise ``str()``) because that is what
+    the driver's hash behaves like: an all-midnight datetime64 column
+    collapses to ``2024-01-09`` — matching Spark's ``datetime.date``
+    objects — which is why the historically driver-green date rollups
+    pass while int-vs-float and signed-zero diffs fail.
     """
     return pd.DataFrame(
-        {c: df[c].map(lambda v: str(v)) for c in df.columns}, index=df.index
+        {c: df[c].astype(str) for c in df.columns}, index=df.index
     )
 
 
