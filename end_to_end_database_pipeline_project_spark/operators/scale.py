@@ -254,12 +254,18 @@ def _assign_order_bins(
     cands = keyed.groupBy(
         F.pmod(F.xxhash64(*hash_cols), F.lit(n_candidates)).alias("__b")
     ).agg(F.min("__k").alias("__ck"))
+    # `get()` (null on out-of-range), not `[...]`: an EMPTY input still
+    # produces the one agg row with __cs = [], and the strict subscript
+    # would raise INVALID_ARRAY_INDEX building the boundary array. For
+    # any non-empty input the indices are always in range (i*size/n <
+    # size for i < n), so this is behavior-identical off the empty path;
+    # on it, the boundaries are all NULL and there are no rows to bin.
     bnds = cands.agg(
         F.array_sort(F.collect_list("__ck")).alias("__cs")
     ).select(
         F.expr(
             f"transform(sequence(1, {n - 1}), "
-            f"i -> __cs[cast(i * size(__cs) / {n} AS INT)])"
+            f"i -> get(__cs, cast(i * size(__cs) / {n} AS INT)))"
         ).alias("__bs")
     )
     return (

@@ -173,6 +173,12 @@ def brute_force_topk_pandas(
     Python)."""
     import numpy as np
 
+    if queries_pdf.empty:
+        # empty probe set (empty corpus slice): nothing to score —
+        # np.vstack would raise on zero arrays
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank long"
+        )
     q_ids = queries_pdf[id_col].to_numpy()
     q_mat = np.vstack(queries_pdf[vec_col].to_numpy()).astype("float64")
     q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -228,6 +234,12 @@ def near_dup_pairs_pandas(
     each executor holds one slab."""
     import numpy as np
 
+    if left_pdf.empty:
+        # empty left slab (empty corpus slice): nothing to pair —
+        # np.vstack would raise on zero arrays
+        return corpus.sparkSession.createDataFrame(
+            [], "vec_a long, vec_b long, cosine double"
+        )
     l_ids = left_pdf[id_col].to_numpy()
     l_mat = np.vstack(left_pdf[vec_col].to_numpy()).astype("float64")
     l_norm = l_mat / np.linalg.norm(l_mat, axis=1, keepdims=True)
@@ -413,7 +425,13 @@ def srp_lsh_topk(
     trade is less adaptive bucket balance."""
     from ..session import fan_out
 
-    dim = len(corpus.select(vec_col).first()[0])
+    probe = corpus.select(vec_col).first()
+    if probe is None:
+        # empty corpus: no dimensionality to hash — nothing to search
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank long"
+        )
+    dim = len(probe[0])
     planes = srp_hyperplanes(n_planes, dim, seed)
     assigned = fan_out(corpus).withColumn(
         "bucket", srp_bucket_expr(vec_col, planes)

@@ -46,7 +46,8 @@ UNION ALL
 SELECT 'orders.o_orderstatus.domain',
        round(CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) AS DOUBLE)
              / count(*), 6),
-       sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) = count(*)
+       coalesce(sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END)
+                = count(*), TRUE)
 FROM orders
 UNION ALL
 SELECT 'orders.o_totalprice.complete',
@@ -55,7 +56,7 @@ SELECT 'orders.o_totalprice.complete',
 FROM orders
 UNION ALL
 SELECT 'orders.o_totalprice.non_negative',
-       round(min(o_totalprice), 6), min(o_totalprice) >= 0
+       round(min(o_totalprice), 6), coalesce(min(o_totalprice) >= 0, TRUE)
 FROM orders
 UNION ALL
 SELECT 'orders.row_count',
@@ -97,29 +98,40 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             passed.alias("passed"),
         )
 
+    def ratio(num, den):
+        # empty-table guard: NULL ratio (DuckDB's x/0) instead of an
+        # ANSI division-by-zero error
+        return F.when(F.col(den) == 0, F.lit(None).cast("double")).otherwise(
+            F.col(num).cast("double") / F.col(den)
+        )
+
     single = agg.select(
         F.explode(
             F.array(
                 chk("orders.row_count", F.col("n"), F.col("n") > 0),
                 chk(
                     "orders.o_orderkey.unique",
-                    F.col("n_key_d").cast("double") / F.col("n_key"),
+                    ratio("n_key_d", "n_key"),
                     F.col("n_key_d") == F.col("n_key"),
                 ),
                 chk(
                     "orders.o_totalprice.complete",
-                    F.col("n_price").cast("double") / F.col("n"),
+                    ratio("n_price", "n"),
                     F.col("n_price") == F.col("n"),
                 ),
                 chk(
                     "orders.o_totalprice.non_negative",
                     F.col("min_price"),
-                    F.col("min_price") >= 0,
+                    # vacuously true on an empty table (NULL min):
+                    # matches the oracle's coalesce(..., TRUE)
+                    F.coalesce(F.col("min_price") >= 0, F.lit(True)),
                 ),
                 chk(
                     "orders.o_orderstatus.domain",
-                    F.col("n_status_ok").cast("double") / F.col("n"),
-                    F.col("n_status_ok") == F.col("n"),
+                    ratio("n_status_ok", "n"),
+                    F.coalesce(
+                        F.col("n_status_ok") == F.col("n"), F.lit(True)
+                    ),
                 ),
             )
         ).alias("c")

@@ -1212,7 +1212,8 @@ ll AS (
 ),
 fit AS (
   SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
-         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy,
+         count(DISTINCT x) AS dx, count(DISTINCT y) AS dy
   FROM ll
 ),
 tot AS (
@@ -1221,17 +1222,17 @@ tot AS (
   FROM pts
 ),
 sl AS (
-  SELECT n, sx, sy,
+  SELECT n, sx, sy, dx, dy,
          n * sxy - sx * sy AS num,
          n * sxx - sx * sx AS xden,
          n * syy - sy * sy AS yden,
-         CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+         CASE WHEN dx <= 1 OR n * sxx - sx * sx = 0 THEN 0.0
               ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS beta_raw
   FROM fit
 )
 SELECT round(beta_raw, 6) + 0.0 AS beta,
        round(exp((sy - beta_raw * sx) / n), 6) + 0.0 AS k,
-       round(CASE WHEN xden = 0 OR yden = 0 THEN 1.0
+       round(CASE WHEN dx <= 1 OR dy <= 1 THEN 1.0
                   ELSE num * num / (xden * yden) END,
              6) + 0.0 AS r2,
        CAST(n AS BIGINT) AS n_points,
@@ -1288,18 +1289,31 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.countDistinct("x").alias("dx"),
+        F.countDistinct("y").alias("dy"),
     )
-    # degenerate guard, mirrored in the oracle: identical cuts (xden=0)
-    # pin beta to 0.0 instead of an ANSI DIVIDE_BY_ZERO; constant vocab
-    # (yden=0) pins r2 to 1.0
+    # degenerate guard, mirrored in the oracle. The degeneracy signal
+    # is the EXACT countDistinct of the fit inputs, not `variance ==
+    # 0`: over ten identical y's, n*syy - sy^2 is float summation
+    # noise whose sign and zeroness vary with aggregation order, so a
+    # float-zero branch can disagree between engines run-to-run (the
+    # flake this replaced); distinct-counting the doubles is
+    # order-insensitive and identical on both. dx<=1 pins beta to 0.0
+    # (also shielding the ANSI division), dy<=1 pins r2 to 1.0.
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     xden = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     yden = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    beta = F.when(xden == 0, F.lit(0.0)).otherwise(num / xden)
-    k = F.exp((F.col("sy") - beta * F.col("sx")) / F.col("n"))
-    r2 = F.when((xden == 0) | (yden == 0), F.lit(1.0)).otherwise(
-        num * num / (xden * yden)
+    beta = F.when((F.col("dx") <= 1) | (xden == 0), F.lit(0.0)).otherwise(
+        num / xden
     )
+    k = F.exp((F.col("sy") - beta * F.col("sx")) / F.col("n"))
+    r2 = F.when(
+        # the ==0 disjuncts are ANSI-crash shields only — with dx/dy>1
+        # the denominators are genuinely nonzero in any non-adversarial
+        # corpus
+        (F.col("dx") <= 1) | (F.col("dy") <= 1) | (xden == 0) | (yden == 0),
+        F.lit(1.0),
+    ).otherwise(num * num / (xden * yden))
     # `+ 0.0` normalizes IEEE negative zero: on a degenerate corpus (all
     # cuts see the same vocab) beta is pure summation noise and F.round
     # can emit -0.0 or 0.0 depending on aggregation order — numerically
@@ -1333,21 +1347,22 @@ ll AS (SELECT ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y
        FROM ranked),
 fit AS (
   SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
-         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy,
+         count(DISTINCT x) AS dx, count(DISTINCT y) AS dy
   FROM ll
 ),
 sl AS (
-  SELECT n, sx, sy,
+  SELECT n, sx, sy, dx, dy,
          n * sxy - sx * sy AS num,
          n * sxx - sx * sx AS xden,
          n * syy - sy * sy AS yden,
-         CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+         CASE WHEN dx <= 1 OR n * sxx - sx * sx = 0 THEN 0.0
               ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope_raw
   FROM fit
 )
 SELECT round(slope_raw, 6) + 0.0 AS zipf_slope,
        round(exp((sy - slope_raw * sx) / n), 6) + 0.0 AS c,
-       round(CASE WHEN xden = 0 OR yden = 0 THEN 1.0
+       round(CASE WHEN dx <= 1 OR dy <= 1 THEN 1.0
                   ELSE num * num / (xden * yden) END, 6) + 0.0 AS r2,
        CAST(n AS BIGINT) AS n_terms
 FROM sl""",
@@ -1383,18 +1398,25 @@ def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.countDistinct("x").alias("dx"),
+        F.countDistinct("y").alias("dy"),
     )
-    # degenerate guard (matches the oracle's CASE and heaps_law_fit's
-    # convention): a single distinct rank -> slope 0, a constant y ->
-    # r2 1.0; without it a degenerate corpus hits ANSI DIVIDE_BY_ZERO
+    # degenerate guard, same discipline as heaps_law_fit: the signal is
+    # the EXACT countDistinct of the fit inputs (order-insensitive,
+    # engine-identical), never `variance == 0` on float noise. One
+    # distinct rank -> slope 0.0; constant frequencies -> r2 1.0. The
+    # ==0 disjuncts only shield the ANSI division.
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     xden = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     yden = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    slope = F.when(xden == 0, F.lit(0.0)).otherwise(num / xden)
-    c = F.exp((F.col("sy") - slope * F.col("sx")) / F.col("n"))
-    r2 = F.when((xden == 0) | (yden == 0), F.lit(1.0)).otherwise(
-        num * num / (xden * yden)
+    slope = F.when((F.col("dx") <= 1) | (xden == 0), F.lit(0.0)).otherwise(
+        num / xden
     )
+    c = F.exp((F.col("sy") - slope * F.col("sx")) / F.col("n"))
+    r2 = F.when(
+        (F.col("dx") <= 1) | (F.col("dy") <= 1) | (xden == 0) | (yden == 0),
+        F.lit(1.0),
+    ).otherwise(num * num / (xden * yden))
     return fit.select(
         F.round(slope, _R).alias("zipf_slope"),
         F.round(c, _R).alias("c"),

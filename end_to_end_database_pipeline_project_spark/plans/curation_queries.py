@@ -412,9 +412,15 @@ element_at(transform(array(transform(split(text, ''), ch -> ascii(ch))), cs ->
         F.count(F.lit(1)).cast("long").alias("total_chunks"),
         F.countDistinct("chunk").cast("long").alias("distinct_chunks"),
         F.round(F.avg(F.char_length("chunk")), _R).alias("avg_chunk_len"),
-        F.round(
-            100.0 * (1 - F.countDistinct("chunk") / F.count(F.lit(1))), _R
-        ).alias("dup_pct"),
+        # empty-corpus guard: 0 chunks -> NULL (DuckDB's x/0), not a
+        # division-by-zero error under ANSI
+        F.when(F.count(F.lit(1)) == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                100.0 * (1 - F.countDistinct("chunk") / F.count(F.lit(1))), _R
+            )
+        )
+        .alias("dup_pct"),
     )
 
 

@@ -593,15 +593,17 @@ c AS (
   FROM daily CROSS JOIN m
 ),
 den AS (SELECT sum(dev * dev) AS ss FROM c),
+ndv AS (SELECT count(DISTINCT day_value) AS ndv FROM daily),
 lags AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS lag)
 SELECT CAST(lags.lag AS INT) AS lag,
        CAST(count(*) AS BIGINT) AS n_pairs,
-       round(CASE WHEN max(den.ss) = 0 THEN 0.0
+       round(CASE WHEN max(ndv.ndv) <= 1 OR max(den.ss) = 0 THEN 0.0
                   ELSE sum(a.dev * b.dev) / max(den.ss) END, 6) AS acf
 FROM lags
 JOIN c a ON TRUE
 JOIN c b ON b.t = a.t + lags.lag
 CROSS JOIN den
+CROSS JOIN ndv
 GROUP BY 1""",
 )
 def daily_value_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -626,19 +628,27 @@ def daily_value_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("day_value") - F.col("mean_all")).alias("dev"),
     )
     den = c.agg(F.sum(F.col("dev") * F.col("dev")).alias("ss"))
+    ndv = daily.agg(F.countDistinct("day_value").alias("ndv"))
     lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
     a = c.alias("a").crossJoin(F.broadcast(lags))
     b = c.alias("b")
     joined = a.join(b, F.col("b.t") == F.col("a.t") + F.col("lag"))
     return (
         joined.crossJoin(F.broadcast(den))
+        .crossJoin(F.broadcast(ndv))
         .groupBy("lag")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_pairs"),
-            # degenerate guard (constant series -> ss = 0): acf pinned
-            # to 0.0 on both engines instead of ANSI DIVIDE_BY_ZERO
+            # degenerate guard on the EXACT countDistinct of the INPUT
+            # day values, not `ss == 0`: a constant series whose mean
+            # carries last-bit summation noise makes ss a tiny nonzero
+            # value that differs by engine and run — the distinct count
+            # is order-insensitive. ss == 0 stays as the ANSI-division
+            # shield.
             F.round(
-                F.when(F.max("ss") == 0, F.lit(0.0)).otherwise(
+                F.when(
+                    (F.max("ndv") <= 1) | (F.max("ss") == 0), F.lit(0.0)
+                ).otherwise(
                     F.sum(F.col("a.dev") * F.col("b.dev")) / F.max("ss")
                 ),
                 _R,
@@ -878,7 +888,7 @@ p AS (
 )
 SELECT CAST(count(*) AS BIGINT) AS n_bins,
        round(sum((pr - pc) * ln(pr / pc)), 6) AS psi,
-       round(sum((pr - pc) * ln(pr / pc)), 6) > 0.2 AS drifted
+       coalesce(round(sum((pr - pc) * ln(pr / pc)), 6) > 0.2, FALSE) AS drifted
 FROM p""",
 )
 def value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -945,7 +955,11 @@ def value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.agg(
         F.count(F.lit(1)).cast("long").alias("n_bins"),
         F.round(F.sum(term), _R).alias("psi"),
-        (F.round(F.sum(term), _R) > 0.2).alias("drifted"),
+        # empty-history guard: NULL psi (no events at all) -> not
+        # drifted, matching the oracle's coalesce(..., FALSE)
+        F.coalesce(F.round(F.sum(term), _R) > 0.2, F.lit(False)).alias(
+            "drifted"
+        ),
     )
 
 
@@ -1179,10 +1193,11 @@ sums AS (
            - (sum(detr) / count(*)) * (sum(detr) / count(*)) AS var_d
   FROM rem
 ),
+ndv AS (SELECT count(DISTINCT v) AS ndv FROM daily),
 strength AS (
-  SELECT greatest(0.0, CASE WHEN var_d = 0 THEN 0.0
+  SELECT greatest(0.0, CASE WHEN ndv.ndv <= 1 OR var_d = 0 THEN 0.0
                             ELSE 1.0 - var_r / var_d END) AS fs
-  FROM sums
+  FROM sums CROSS JOIN ndv
 )
 SELECT weekday, n_days, round(sidx, 6) AS seasonal_index,
        round(fs, 6) AS seasonality_strength
@@ -1230,12 +1245,17 @@ def weekday_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     var_d = (
         F.sum(F.col("detr") * F.col("detr")) / F.count(F.lit(1)) - mean_d * mean_d
     )
-    # degenerate guard (flat series -> zero detrended variance): F_s
-    # pinned to 0.0 on both engines instead of ANSI DIVIDE_BY_ZERO
-    strength = rem.agg(
+    # degenerate guard on the EXACT countDistinct of the (rounded) day
+    # values — a flat series detrends to float noise whose variance is
+    # not reliably zero or engine-identical; var_d == 0 stays as the
+    # ANSI-division shield
+    ndv = daily.agg(F.countDistinct("v").alias("ndv"))
+    strength = rem.crossJoin(F.broadcast(ndv)).agg(
         F.greatest(
             F.lit(0.0),
-            F.when(var_d == 0, F.lit(0.0)).otherwise(1.0 - var_r / var_d),
+            F.when(
+                (F.max("ndv") <= 1) | (var_d == 0), F.lit(0.0)
+            ).otherwise(1.0 - var_r / var_d),
         ).alias("fs")
     )
     return seas.crossJoin(F.broadcast(strength)).select(
@@ -1266,15 +1286,18 @@ c AS (
   FROM daily CROSS JOIN m
 ),
 den AS (SELECT sqrt(sum(dc * dc)) * sqrt(sum(dp * dp)) AS s FROM c),
+ndv AS (SELECT least(count(DISTINCT cv), count(DISTINCT pv)) AS ndv
+        FROM daily),
 lags AS (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS lag)
 SELECT CAST(lags.lag AS INT) AS lag,
        CAST(count(*) AS BIGINT) AS n_pairs,
-       round(CASE WHEN max(den.s) = 0 THEN 0.0
+       round(CASE WHEN max(ndv.ndv) <= 1 OR max(den.s) = 0 THEN 0.0
                   ELSE sum(a.dc * b.dp) / max(den.s) END, 6) AS ccf
 FROM lags
 JOIN c a ON TRUE
 JOIN c b ON b.t = a.t + lags.lag
 CROSS JOIN den
+CROSS JOIN ndv
 GROUP BY 1""",
 )
 def click_purchase_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1309,19 +1332,29 @@ def click_purchase_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.sqrt(F.sum(F.col("dp") * F.col("dp")))
         ).alias("s")
     )
+    ndv = daily.agg(
+        F.least(
+            F.countDistinct("cv"), F.countDistinct("pv")
+        ).alias("ndv")
+    )
     lags = spark.range(-3, 4).select(F.col("id").cast("int").alias("lag"))
     a = c.alias("a").crossJoin(F.broadcast(lags))
     b = c.alias("b")
     return (
         a.join(b, F.col("b.t") == F.col("a.t") + F.col("lag"))
         .crossJoin(F.broadcast(den))
+        .crossJoin(F.broadcast(ndv))
         .groupBy("lag")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_pairs"),
-            # degenerate guard (either series constant -> s = 0): ccf
-            # pinned to 0.0 on both engines
+            # degenerate guard on the EXACT countDistinct of either
+            # INPUT series (see daily_value_acf — `s == 0` branches on
+            # float noise when a constant series meets an inexact
+            # mean); s == 0 stays as the ANSI-division shield
             F.round(
-                F.when(F.max("s") == 0, F.lit(0.0)).otherwise(
+                F.when(
+                    (F.max("ndv") <= 1) | (F.max("s") == 0), F.lit(0.0)
+                ).otherwise(
                     F.sum(F.col("a.dc") * F.col("b.dp")) / F.max("s")
                 ),
                 _R,

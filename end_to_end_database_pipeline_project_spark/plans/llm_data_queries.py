@@ -1715,7 +1715,7 @@ SELECT 'corrupt' AS status,
 UNION ALL
 SELECT 'ok' AS status,
        CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(pixel_sum) AS BIGINT) AS total_pixel_sum
+       CAST(coalesce(sum(pixel_sum), 0) AS BIGINT) AS total_pixel_sum
 FROM ok""",
 )
 def multimodal_decode_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1739,11 +1739,24 @@ def multimodal_decode_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("content")),
     )
     feats = MM.extract_bmp_features_safe(corrupted)
-    return feats.groupBy("status").agg(
+    counted = feats.groupBy("status").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.coalesce(F.sum("pixel_sum"), F.lit(0)).cast("long").alias(
             "total_pixel_sum"
         ),
+    )
+    # static status spine: the report always carries BOTH ledger rows
+    # (a quarantine consumer reads "corrupt: 0", not a missing row),
+    # matching the oracle's constant-branch UNION even when the corpus
+    # is empty; on any non-empty fixture both statuses occur and the
+    # left join is the identity
+    spine = spark.createDataFrame([("ok",), ("corrupt",)], "status string")
+    return spine.join(counted, "status", "left").select(
+        "status",
+        F.coalesce(F.col("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
+        F.coalesce(F.col("total_pixel_sum"), F.lit(0))
+        .cast("long")
+        .alias("total_pixel_sum"),
     )
 
 
@@ -2235,6 +2248,11 @@ def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.functions import array_to_vector
 
     emb = _emb(spark, sf_dir)
+    if emb.limit(1).count() == 0:
+        # empty corpus: k-means has nothing to fit; no buckets to probe
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank long"
+        )
     vecs = emb.select(
         "vec_id", array_to_vector(F.col("embedding")).alias("features")
     )
@@ -2895,9 +2913,11 @@ def ivf_kmeans_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     nq = q.agg(F.count(F.lit(1)).alias("n_queries"))
     return nq.crossJoin(hits).select(
         "n_queries",
-        (F.col("n_hits") / (3.0 * F.col("n_queries")) >= 0.2).alias(
-            "mean_recall_ge_020"
-        ),
+        # empty-corpus guard: zero queries -> vacuously true (matches
+        # the oracle's constant TRUE), not a division by zero
+        F.when(F.col("n_queries") == 0, F.lit(True))
+        .otherwise(F.col("n_hits") / (3.0 * F.col("n_queries")) >= 0.2)
+        .alias("mean_recall_ge_020"),
     )
 
 

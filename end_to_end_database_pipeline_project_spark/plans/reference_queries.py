@@ -413,7 +413,13 @@ def serving_json_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("total_rainfall_mm"),
                 F.col("avg_humidity_percent"),
                 F.col("period_months"),
-            )
+            ),
+            # keep null fields in the envelope (Spark's default drops
+            # them): a cache consumer needs the full key set, and the
+            # oracle's to_json(struct_pack(...)) always emits them —
+            # only observable when a summary field is NULL (empty
+            # history); byte-identical otherwise
+            {"ignoreNullFields": "false"},
         ).alias("payload"),
     )
 
@@ -497,7 +503,8 @@ def monthly_averages_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
   CAST(count(*) AS BIGINT) AS n_total,
   CAST(count(value) AS BIGINT) AS n_value_present,
   round(sum(coalesce(value, 0.0)), 6) AS total_with_defaults,
-  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_defaulted,
+  CAST(coalesce(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+    AS n_defaulted,
   round(avg(CASE WHEN value IS NOT NULL THEN value END), 6) AS avg_dropna
 FROM events""",
 )

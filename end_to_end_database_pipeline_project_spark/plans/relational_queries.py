@@ -859,11 +859,18 @@ def top_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_returnflag_status",
     oracle="""SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 6) AS sum_qty, count(*) AS n
-FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+HAVING count(*) > 0""",
 )
 def rollup_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets (superset of the reference's manual
-    hour→day→month hierarchy, computed in one pass)."""
+    hour→day→month hierarchy, computed in one pass).
+
+    The oracle's ``HAVING count(*) > 0`` pins one engine divergence:
+    standard SQL ROLLUP emits the grand-total grouping set even over an
+    EMPTY table (one all-NULL row with count 0, DuckDB's behavior),
+    while Spark's ``rollup`` emits no rows; the filter is the identity
+    on any non-empty input."""
     (li,) = _t(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), _R).alias("sum_qty"),
@@ -876,7 +883,8 @@ def rollup_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""SELECT o_orderstatus, o_orderpriority,
        round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
          AS total_price, count(*) AS n
-FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+HAVING count(*) > 0""",
 )
 def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping sets. The grand-total cell sums ALL orders (~5e9
@@ -1045,7 +1053,11 @@ def approx_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
     )
     within = lambda a, e: (  # noqa: E731
-        F.abs(F.col(a) - F.col(e)) / F.col(e) <= F.lit(0.05)
+        # empty-table guard: exact = 0 divides by zero under ANSI; a
+        # zero-cardinality sketch is "within bound" iff it also says 0
+        F.when(F.col(e) == 0, F.col(a) == F.col(e)).otherwise(
+            F.abs(F.col(a) - F.col(e)) / F.col(e) <= F.lit(0.05)
+        )
     )
     return out.select(
         "exact_orders",

@@ -48,6 +48,10 @@ def json_source_stations(spark: SparkSession, sf_dir: str) -> DataFrame:
     stations = ev.select(
         F.concat(F.lit("S"), F.col("user_id").cast("string")).alias("sid")
     ).distinct()
+    if stations.limit(1).count() == 0:
+        # empty-source guard: a zero-feature GeoJSON round-trips as an
+        # empty array whose element type can't be inferred on read-back
+        return spark.createDataFrame([], "stationIdentifier string")
     doc = stations.agg(
         F.collect_list(
             F.struct(
@@ -231,6 +235,15 @@ def http_api_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi = ev.agg(
         F.min(F.to_date("ts")), F.max(F.to_date("ts"))
     ).first()  # O(1) row to size the backfill window, as the reference does
+    if lo is None:
+        # empty-history guard: no observations -> nothing to backfill;
+        # return the aggregate's (empty) shape without issuing fetches
+        return ev.groupBy(F.lit("B0").alias("station")).agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.round(F.avg("value"), _R).alias("avg_value"),
+            F.min("ts").alias("first_obs"),
+            F.max("ts").alias("last_obs"),
+        )
     api = (
         spark.read.format("weather_api")
         .option("base_url", base_url)
@@ -483,6 +496,12 @@ def xml_roundtrip_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .save(tmp)
     )
     back = spark.read.format("xml").option("rowTag", "nation").load(tmp)
+    if not back.columns:
+        # empty-source guard: an XML file with zero <nation> rows
+        # infers no columns on read-back; the round-trip is vacuous
+        return spark.createDataFrame(
+            [], "n_name string, region_name string, n_customers bigint"
+        )
     region = load_table(spark, sf_dir, "region")
     customer = load_table(spark, sf_dir, "customer")
     return (

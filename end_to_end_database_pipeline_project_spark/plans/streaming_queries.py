@@ -501,6 +501,19 @@ def gold_partition_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .collect()
     ]
+    if not months:
+        # empty-history guard: nothing to refresh; emit the (empty)
+        # rollup with the serving schema rather than crashing on max()
+        return daily_rollup(
+            hourly_aggregate(silver, ts="timestamp", measure="temperature_c")
+        ).select(
+            "obs_date",
+            F.round("avg_value", _R).alias("avg_value"),
+            F.round("max_value", _R).alias("max_value"),
+            F.round("min_value", _R).alias("min_value"),
+            F.round("total_value", _R).alias("total_value"),
+            "observation_count",
+        )
     last = max(months)
     out_dir = tempfile.mkdtemp(prefix="gold_refresh_")
     stale = silver.where(
