@@ -1238,7 +1238,7 @@ SELECT event_type, obs_date,
        round(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
                   THEN (n * sxy - sx * sy)
                        / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
-             END, 6) AS corr_7d
+             END, 6) + 0.0 AS corr_7d
 FROM w""",
 )
 def rolling_value_volume_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1366,9 +1366,9 @@ def order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
   FROM events GROUP BY 1, 2
 )
 SELECT event_type,
-       round(regr_slope(y, datediff('day', DATE '2024-01-01', d)), 6)
+       round(regr_slope(y, datediff('day', DATE '2024-01-01', d)), 6) + 0.0
          AS slope,
-       round(regr_intercept(y, datediff('day', DATE '2024-01-01', d)), 6)
+       round(regr_intercept(y, datediff('day', DATE '2024-01-01', d)), 6) + 0.0
          AS intercept,
        round(regr_r2(y, datediff('day', DATE '2024-01-01', d)), 6) AS r2,
        CAST(count(*) AS BIGINT) AS n_days

@@ -1185,6 +1185,77 @@ def embedding_pca_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- corpus-growth laws
 
 
+# --- shared guarded log-log OLS (heaps_law_fit + zipf_law_fit) --------
+#
+# Single source of truth for the degeneracy-guarded power-law fit, in
+# BOTH dialects, so the four copies (2 queries x plan/oracle) cannot
+# drift (the r06 review caught exactly such a drift: the Spark r2
+# carried ANSI-division shields the oracle CASE lacked). Degeneracy
+# signal discipline: the EXACT countDistinct of the fit inputs (dx/dy),
+# never `variance == 0` on floats — over identical inputs the variance
+# is summation noise whose zeroness varies by engine and run; the ==0
+# disjuncts remain only as division shields (DuckDB yields NULL on /0,
+# Spark under ANSI would raise).
+
+# DuckDB fragment: consumes a `fit` CTE with (n, sx, sy, sxx, sxy, syy,
+# dx, dy); yields `sl` with (num, xden, yden, slope_raw) plus the three
+# guarded output expressions (interpolate with .format(slope=..)).
+_OLS_SL_CTE = """sl AS (
+  SELECT n, sx, sy, dx, dy,
+         n * sxy - sx * sy AS num,
+         n * sxx - sx * sx AS xden,
+         n * syy - sy * sy AS yden,
+         CASE WHEN dx <= 1 OR n * sxx - sx * sx = 0 THEN 0.0
+              ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope_raw
+  FROM fit
+)"""
+_OLS_SLOPE_SQL = "round(slope_raw, 6) + 0.0"
+_OLS_SCALE_SQL = "round(exp((sy - slope_raw * sx) / n), 6) + 0.0"
+_OLS_R2_SQL = (
+    "round(CASE WHEN dx <= 1 OR dy <= 1 OR xden = 0 OR yden = 0 THEN 1.0"
+    " ELSE num * num / (xden * yden) END, 6) + 0.0"
+)
+
+# the matching fit-CTE aggregate list (both engines aggregate the same
+# six sufficient statistics plus the two distinct counts)
+_OLS_FIT_SQL = """  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy,
+         count(DISTINCT x) AS dx, count(DISTINCT y) AS dy
+  FROM ll"""
+
+
+def _ols_fit_agg(ll):
+    """The Spark twin of ``_OLS_FIT_SQL``: one aggregate over an
+    (x, y) frame."""
+    return ll.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.countDistinct("x").alias("dx"),
+        F.countDistinct("y").alias("dy"),
+    )
+
+
+def _ols_guarded_columns():
+    """(slope, scale, r2) Column triple over ``_ols_fit_agg``'s output —
+    the Spark twin of ``_OLS_SL_CTE`` + the three output fragments."""
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    xden = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    yden = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = F.when((F.col("dx") <= 1) | (xden == 0), F.lit(0.0)).otherwise(
+        num / xden
+    )
+    scale = F.exp((F.col("sy") - slope * F.col("sx")) / F.col("n"))
+    r2 = F.when(
+        (F.col("dx") <= 1) | (F.col("dy") <= 1) | (xden == 0) | (yden == 0),
+        F.lit(1.0),
+    ).otherwise(num * num / (xden * yden))
+    return slope, scale, r2
+
+
 @query(
     "heaps_law_fit",
     oracle=r"""WITH toks AS (
@@ -1211,33 +1282,26 @@ ll AS (
   WHERE n_tokens > 0 AND vocab > 0
 ),
 fit AS (
-  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
-         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy,
-         count(DISTINCT x) AS dx, count(DISTINCT y) AS dy
-  FROM ll
+{fit}
 ),
 tot AS (
   SELECT CAST(max(n_tokens) AS BIGINT) AS total_tokens,
          CAST(max(vocab) AS BIGINT) AS total_vocab
   FROM pts
 ),
-sl AS (
-  SELECT n, sx, sy, dx, dy,
-         n * sxy - sx * sy AS num,
-         n * sxx - sx * sx AS xden,
-         n * syy - sy * sy AS yden,
-         CASE WHEN dx <= 1 OR n * sxx - sx * sx = 0 THEN 0.0
-              ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS beta_raw
-  FROM fit
-)
-SELECT round(beta_raw, 6) + 0.0 AS beta,
-       round(exp((sy - beta_raw * sx) / n), 6) + 0.0 AS k,
-       round(CASE WHEN dx <= 1 OR dy <= 1 THEN 1.0
-                  ELSE num * num / (xden * yden) END,
-             6) + 0.0 AS r2,
+{sl}
+SELECT {slope} AS beta,
+       {scale} AS k,
+       {r2} AS r2,
        CAST(n AS BIGINT) AS n_points,
        total_tokens, total_vocab
-FROM sl, tot""",
+FROM sl, tot""".format(
+        fit=_OLS_FIT_SQL,
+        sl=_OLS_SL_CTE,
+        slope=_OLS_SLOPE_SQL,
+        scale=_OLS_SCALE_SQL,
+        r2=_OLS_R2_SQL,
+    ),
 )
 def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps'-law fit V(N) = K * N^beta of vocabulary growth — the
@@ -1282,46 +1346,15 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("vocab").cast("long").alias("total_vocab"),
         )
     )
-    fit = ll.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.countDistinct("x").alias("dx"),
-        F.countDistinct("y").alias("dy"),
-    )
-    # degenerate guard, mirrored in the oracle. The degeneracy signal
-    # is the EXACT countDistinct of the fit inputs, not `variance ==
-    # 0`: over ten identical y's, n*syy - sy^2 is float summation
-    # noise whose sign and zeroness vary with aggregation order, so a
-    # float-zero branch can disagree between engines run-to-run (the
-    # flake this replaced); distinct-counting the doubles is
-    # order-insensitive and identical on both. dx<=1 pins beta to 0.0
-    # (also shielding the ANSI division), dy<=1 pins r2 to 1.0.
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    xden = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    yden = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    beta = F.when((F.col("dx") <= 1) | (xden == 0), F.lit(0.0)).otherwise(
-        num / xden
-    )
-    k = F.exp((F.col("sy") - beta * F.col("sx")) / F.col("n"))
-    r2 = F.when(
-        # the ==0 disjuncts are ANSI-crash shields only — with dx/dy>1
-        # the denominators are genuinely nonzero in any non-adversarial
-        # corpus
-        (F.col("dx") <= 1) | (F.col("dy") <= 1) | (xden == 0) | (yden == 0),
-        F.lit(1.0),
-    ).otherwise(num * num / (xden * yden))
-    # `+ 0.0` normalizes IEEE negative zero: on a degenerate corpus (all
-    # cuts see the same vocab) beta is pure summation noise and F.round
-    # can emit -0.0 or 0.0 depending on aggregation order — numerically
-    # equal but distinct under a representation hash (driver-red r05).
+    fit = _ols_fit_agg(ll)
+    beta, k, r2 = _ols_guarded_columns()
+    # signed-zero normalization is fleet-wide (registry.
+    # normalize_signed_zero); the oracle-side `+ 0.0` twins are the
+    # load-bearing half here
     return fit.crossJoin(totals).select(
-        (F.round(beta, _R) + F.lit(0.0)).alias("beta"),
-        (F.round(k, _R) + F.lit(0.0)).alias("k"),
-        (F.round(r2, _R) + F.lit(0.0)).alias("r2"),
+        F.round(beta, _R).alias("beta"),
+        F.round(k, _R).alias("k"),
+        F.round(r2, _R).alias("r2"),
         F.col("n").cast("long").alias("n_points"),
         "total_tokens",
         "total_vocab",
@@ -1346,26 +1379,20 @@ ranked AS (
 ll AS (SELECT ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y
        FROM ranked),
 fit AS (
-  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
-         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy,
-         count(DISTINCT x) AS dx, count(DISTINCT y) AS dy
-  FROM ll
+{fit}
 ),
-sl AS (
-  SELECT n, sx, sy, dx, dy,
-         n * sxy - sx * sy AS num,
-         n * sxx - sx * sx AS xden,
-         n * syy - sy * sy AS yden,
-         CASE WHEN dx <= 1 OR n * sxx - sx * sx = 0 THEN 0.0
-              ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope_raw
-  FROM fit
-)
-SELECT round(slope_raw, 6) + 0.0 AS zipf_slope,
-       round(exp((sy - slope_raw * sx) / n), 6) + 0.0 AS c,
-       round(CASE WHEN dx <= 1 OR dy <= 1 THEN 1.0
-                  ELSE num * num / (xden * yden) END, 6) + 0.0 AS r2,
+{sl}
+SELECT {slope} AS zipf_slope,
+       {scale} AS c,
+       {r2} AS r2,
        CAST(n AS BIGINT) AS n_terms
-FROM sl""",
+FROM sl""".format(
+        fit=_OLS_FIT_SQL,
+        sl=_OLS_SL_CTE,
+        slope=_OLS_SLOPE_SQL,
+        scale=_OLS_SCALE_SQL,
+        r2=_OLS_R2_SQL,
+    ),
 )
 def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf's-law fit freq(rank) ~ C * rank^s over the top-500 term
@@ -1391,32 +1418,8 @@ def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.log(F.col("rnk").cast("double")).alias("x"),
         F.log(F.col("freq").cast("double")).alias("y"),
     )
-    fit = ll.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.countDistinct("x").alias("dx"),
-        F.countDistinct("y").alias("dy"),
-    )
-    # degenerate guard, same discipline as heaps_law_fit: the signal is
-    # the EXACT countDistinct of the fit inputs (order-insensitive,
-    # engine-identical), never `variance == 0` on float noise. One
-    # distinct rank -> slope 0.0; constant frequencies -> r2 1.0. The
-    # ==0 disjuncts only shield the ANSI division.
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    xden = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    yden = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    slope = F.when((F.col("dx") <= 1) | (xden == 0), F.lit(0.0)).otherwise(
-        num / xden
-    )
-    c = F.exp((F.col("sy") - slope * F.col("sx")) / F.col("n"))
-    r2 = F.when(
-        (F.col("dx") <= 1) | (F.col("dy") <= 1) | (xden == 0) | (yden == 0),
-        F.lit(1.0),
-    ).otherwise(num * num / (xden * yden))
+    fit = _ols_fit_agg(ll)
+    slope, c, r2 = _ols_guarded_columns()
     return fit.select(
         F.round(slope, _R).alias("zipf_slope"),
         F.round(c, _R).alias("c"),

@@ -449,9 +449,10 @@ m AS (
   FROM slopes GROUP BY 1
 )
 SELECT d.event_type, CAST(count(*) AS BIGINT) AS n_days, max(m.n_pairs) AS n_pairs,
-       round(max(m.slope_med), 6) AS slope_per_day,
+       round(max(m.slope_med), 6) + 0.0 AS slope_per_day,
        round(median(d.daily_avg - m.slope_med
-             * date_diff('day', DATE '2024-01-01', d.obs_date)), 6) AS intercept
+             * date_diff('day', DATE '2024-01-01', d.obs_date)), 6) + 0.0
+         AS intercept
 FROM daily d JOIN m ON d.event_type = m.event_type
 GROUP BY d.event_type""",
 )
@@ -598,7 +599,7 @@ lags AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS lag)
 SELECT CAST(lags.lag AS INT) AS lag,
        CAST(count(*) AS BIGINT) AS n_pairs,
        round(CASE WHEN max(ndv.ndv) <= 1 OR max(den.ss) = 0 THEN 0.0
-                  ELSE sum(a.dev * b.dev) / max(den.ss) END, 6) AS acf
+                  ELSE sum(a.dev * b.dev) / max(den.ss) END, 6) + 0.0 AS acf
 FROM lags
 JOIN c a ON TRUE
 JOIN c b ON b.t = a.t + lags.lag
@@ -698,7 +699,7 @@ SELECT n_docs,
                   ELSE CAST(sxy AS DOUBLE)
                        / (sqrt(CAST(sxx AS DOUBLE))
                           * sqrt(CAST(syy AS DOUBLE))) END,
-             6) AS spearman_rho
+             6) + 0.0 AS spearman_rho
 FROM agg""",
 )
 def doc_length_quality_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1087,7 +1088,7 @@ st AS (
 SELECT n_days, s AS s_stat, round(var_s, 6) AS var_s,
        round(CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
                   WHEN s < 0 THEN (s + 1) / sqrt(var_s)
-                  ELSE 0.0 END, 6) AS z_stat,
+                  ELSE 0.0 END, 6) + 0.0 AS z_stat,
        CASE WHEN s > 0 THEN 'increasing'
             WHEN s < 0 THEN 'decreasing' ELSE 'none' END AS trend
 FROM st""",
@@ -1199,7 +1200,7 @@ strength AS (
                             ELSE 1.0 - var_r / var_d END) AS fs
   FROM sums CROSS JOIN ndv
 )
-SELECT weekday, n_days, round(sidx, 6) AS seasonal_index,
+SELECT weekday, n_days, round(sidx, 6) + 0.0 AS seasonal_index,
        round(fs, 6) AS seasonality_strength
 FROM seas CROSS JOIN strength""",
 )
@@ -1292,7 +1293,7 @@ lags AS (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS lag)
 SELECT CAST(lags.lag AS INT) AS lag,
        CAST(count(*) AS BIGINT) AS n_pairs,
        round(CASE WHEN max(ndv.ndv) <= 1 OR max(den.s) = 0 THEN 0.0
-                  ELSE sum(a.dc * b.dp) / max(den.s) END, 6) AS ccf
+                  ELSE sum(a.dc * b.dp) / max(den.s) END, 6) + 0.0 AS ccf
 FROM lags
 JOIN c a ON TRUE
 JOIN c b ON b.t = a.t + lags.lag
@@ -1390,7 +1391,7 @@ SELECT n, n11, n10, n01, n00,
                  + (n01 + n00) * 1.0 * (n10 + n00)) / (n * 1.0 * n))
              / (1.0 - ((n11 + n10) * 1.0 * (n11 + n01)
                  + (n01 + n00) * 1.0 * (n10 + n00)) / (n * 1.0 * n)), 6)
-         AS kappa
+         + 0.0 AS kappa
 FROM c""",
 )
 def quality_filter_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:

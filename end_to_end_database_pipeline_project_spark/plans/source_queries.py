@@ -48,9 +48,11 @@ def json_source_stations(spark: SparkSession, sf_dir: str) -> DataFrame:
     stations = ev.select(
         F.concat(F.lit("S"), F.col("user_id").cast("string")).alias("sid")
     ).distinct()
-    if stations.limit(1).count() == 0:
-        # empty-source guard: a zero-feature GeoJSON round-trips as an
-        # empty array whose element type can't be inferred on read-back
+    # empty-source guard on the RAW events (stations is empty iff events
+    # is — the concat never nulls): a zero-feature GeoJSON round-trips
+    # as an empty array whose element type can't be inferred on
+    # read-back. Probing ev avoids running the distinct twice.
+    if ev.limit(1).count() == 0:
         return spark.createDataFrame([], "stationIdentifier string")
     doc = stations.agg(
         F.collect_list(
