@@ -175,6 +175,30 @@ _DRIVER_FIRST = [
     "source_overlap_matrix",
 ]
 
+# r07 rotation backlog — the 37 names never driver-checked after this
+# window drains (union CORRECTNESS_r01..r05 + the 50 above). All are
+# mirror-green at the gate SF; most are `_pandas`/serving twins of
+# driver-green mechanisms, TPC-H variants of driver-green join shapes,
+# or certificate riders of driver-green search paths. Next round: put
+# these 37 first (37 + 13 re-check/new slots = one full window), which
+# closes the "every registered query has a driver ledger row" goal.
+#   knn_topk_pandas, ivf_kmeans_topk (rows-only), lsh_quality_certificate,
+#   ivf_kmeans_certificate, asof_last_purchase_pandas,
+#   csv_roundtrip_pricing, sql_interface_pricing, parquet_schema_evolution,
+#   masked_customer_export, zorder_events_roundtrip,
+#   idw_station_interpolation, forecast_revenue_change,
+#   customer_order_distribution, small_quantity_revenue,
+#   large_volume_customers, disjunctive_predicate_revenue,
+#   dormant_high_balance_customers, top_supplier_revenue,
+#   sql_udf_weather_display, collated_event_types, udtf_dynamic_stats,
+#   status_priority_profile, order_value_distribution,
+#   doc_keyword_extraction, quantile_normalized_scores,
+#   embedding_pca_certificate (rows-only), climatology_forecast_eval,
+#   part_association_rules, order_price_histogram,
+#   climatology_anomaly_hours, trading_communities, shipments_by_weekday,
+#   benford_first_digit, rolling_value_volume_corr,
+#   order_total_reconciliation, event_weekday_chi2, event_transition_matrix
+
 
 def _apply_driver_order() -> None:
     from .registry import ORACLES, QUERIES
