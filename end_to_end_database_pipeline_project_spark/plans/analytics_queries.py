@@ -1401,21 +1401,34 @@ def ols_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(x * F.col("y")).alias("sxy"),
         F.sum(x * x).alias("sxx"),
         F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.countDistinct(x).alias("dx"),
     )
     vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
     cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    slope = cov / vx
+    # single-x degenerate guard (one day of history): the fit is
+    # undefined — NULL for all three, exactly DuckDB's regr_* semantics
+    # (verified: regr_slope/intercept/r2 return NULL when x has no
+    # variance). Signal is the EXACT countDistinct, vx==0 only shields
+    # the ANSI division.
+    undef = (F.col("dx") <= 1) | (vx == 0)
+    slope = F.when(undef, F.lit(None).cast("double")).otherwise(cov / vx)
     return s.select(
         "event_type",
         F.round(slope, _R).alias("slope"),
-        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), _R).alias(
-            "intercept"
-        ),
+        F.round(
+            F.when(undef, F.lit(None).cast("double")).otherwise(
+                (F.col("sy") - slope * F.col("sx")) / F.col("n")
+            ),
+            _R,
+        ).alias("intercept"),
         # regr_r2 semantics: a constant dependent variable (vy = 0) is a
         # perfect fit (1.0), not 0/0 — matches DuckDB's streaming impl
         F.round(
-            F.when(vy == 0, F.lit(1.0)).otherwise(cov * cov / (vx * vy)), _R
+            F.when(undef, F.lit(None).cast("double"))
+            .when(vy == 0, F.lit(1.0))
+            .otherwise(cov * cov / (vx * vy)),
+            _R,
         ).alias("r2"),
         F.col("n").cast("long").alias("n_days"),
     )
@@ -1482,8 +1495,13 @@ def event_weekday_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.agg(
         F.round(chi2, _R).alias("chi2"),
         (r1 * c1).cast("long").alias("dof"),
+        # 1xC / Rx1 table guard (a tiny slice with one event type or
+        # one weekday): V is undefined — NULL, matching DuckDB's x/0
         F.round(
-            F.sqrt(chi2 / (F.any_value("n") * F.least(r1, c1))), _R
+            F.when(F.least(r1, c1) == 0, F.lit(None).cast("double")).otherwise(
+                F.sqrt(chi2 / (F.any_value("n") * F.least(r1, c1)))
+            ),
+            _R,
         ).alias("cramers_v"),
         F.any_value("n").cast("long").alias("n_events"),
     )
@@ -1883,9 +1901,16 @@ def ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("cb"),
     )
-    pa, pb = F.col("ca") / F.col("na"), F.col("cb") / F.col("nb")
+    # one-empty-variant guard (tiny slice where every user hashes to
+    # the same arm): rates/SE are undefined — NULL, matching DuckDB's
+    # x/0; the z CASE below then falls to its 0.0 branch on both sides
+    null_d = F.lit(None).cast("double")
+    pa = F.when(F.col("na") == 0, null_d).otherwise(F.col("ca") / F.col("na"))
+    pb = F.when(F.col("nb") == 0, null_d).otherwise(F.col("cb") / F.col("nb"))
     pool = (F.col("ca") + F.col("cb")) / (F.col("na") + F.col("nb"))
-    se = F.sqrt(pool * (1 - pool) * (1 / F.col("na") + 1 / F.col("nb")))
+    se = F.when((F.col("na") == 0) | (F.col("nb") == 0), null_d).otherwise(
+        F.sqrt(pool * (1 - pool) * (1 / F.col("na") + 1 / F.col("nb")))
+    )
     # degenerate pooled variance (0% or 100% conversion overall) carries
     # no information: define z = 0 / not-significant rather than letting
     # ANSI mode throw on the zero divisor

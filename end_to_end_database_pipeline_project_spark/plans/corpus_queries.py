@@ -365,13 +365,19 @@ def sq8_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w_exact).alias("exact_rk"),
         F.row_number().over(w_approx).alias("approx_rk"),
     ).where((F.col("exact_rk") <= 10) | (F.col("approx_rk") <= 10))
+    # recall denominator = number of TRUE top-10 neighbors, not a flat
+    # 10: on a corpus with fewer than 11 vectors a query has < 10
+    # candidates and dividing by 10 fails the certificate vacuously
+    # (identical on any fixture with >= 11 vectors, where the exact
+    # top-10 always has 10 rows)
+    n_true = F.sum(F.when(F.col("exact_rk") <= 10, 1).otherwise(0))
     return ranked.groupBy("query_id").agg(
         F.max(F.when(F.col("exact_rk") == 1, F.col("vec_id"))).alias("exact_top1"),
         (
             F.sum(
                 F.when((F.col("exact_rk") <= 10) & (F.col("approx_rk") <= 10), 1).otherwise(0)
             )
-            / 10.0
+            / n_true.cast("double")
             >= 0.7
         ).alias("recall_ge_07"),
     )
@@ -539,10 +545,15 @@ def _pq_encode(emb: DataFrame, m: int = 16, sub: int = 4, k: int = 256) -> DataF
             ).alias("cands")
         )
         .select(
+            # slice(cands, 1, k), not element_at over sequence(0, k-1):
+            # slice caps at the actual candidate count, so a corpus
+            # with fewer than k vectors yields a min(k, n)-codeword
+            # book instead of an out-of-bounds element_at (identical
+            # output whenever n >= k)
             F.expr(
                 f"transform(sequence(0, {m - 1}), s -> "
-                f"transform(sequence(0, {k - 1}), j -> "
-                f"slice(element_at(cands, j + 1), s * {sub} + 1, {sub})))"
+                f"transform(slice(cands, 1, {k}), c -> "
+                f"slice(c, s * {sub} + 1, {sub})))"
             ).alias("cb")
         )
     )
@@ -639,6 +650,9 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w_exact).alias("exact_rk"),
         F.row_number().over(w_approx).alias("approx_rk"),
     ).where((F.col("exact_rk") <= 10) | (F.col("approx_rk") <= 10))
+    # recall denominator = actual exact-top-10 size (see sq8_ann_topk):
+    # flat /10 vacuously fails the certificate on a sub-11-vector corpus
+    n_true = F.sum(F.when(F.col("exact_rk") <= 10, 1).otherwise(0))
     return ranked.groupBy("query_id").agg(
         F.max(F.when(F.col("exact_rk") == 1, F.col("vec_id"))).alias(
             "exact_top1"
@@ -649,7 +663,7 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("exact_rk") <= 10) & (F.col("approx_rk") <= 10), 1
                 ).otherwise(0)
             )
-            / 10.0
+            / n_true.cast("double")
             >= 0.4
         ).alias("recall_ge_04"),
     )

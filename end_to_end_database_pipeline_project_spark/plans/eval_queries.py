@@ -195,10 +195,18 @@ def quality_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("npos").cast("long").alias("n_pos"),
         F.sum(F.col("n") - F.col("npos")).cast("long").alias("n_neg"),
     )
-    auc = (
-        F.col("twice_ranksum").cast("double") / 2.0
-        - F.col("n_pos") * 1.0 * (F.col("n_pos") + 1.0) / 2.0
-    ) / (F.col("n_pos") * 1.0 * F.col("n_neg"))
+    # one-class guard (tiny corpus slice with no positives or no
+    # negatives): AUC is undefined — NULL, matching DuckDB's x/0
+    auc = F.when(
+        (F.col("n_pos") == 0) | (F.col("n_neg") == 0),
+        F.lit(None).cast("double"),
+    ).otherwise(
+        (
+            F.col("twice_ranksum").cast("double") / 2.0
+            - F.col("n_pos") * 1.0 * (F.col("n_pos") + 1.0) / 2.0
+        )
+        / (F.col("n_pos") * 1.0 * F.col("n_neg"))
+    )
     return t.select(
         "n_pos",
         "n_neg",
@@ -236,7 +244,8 @@ d AS (
 )
 SELECT n1, n2, round(d_stat, 6) AS d_stat,
        round(d_stat * sqrt(n1 * 1.0 * n2 / (n1 + n2)), 6) AS ks_lambda,
-       d_stat * sqrt(n1 * 1.0 * n2 / (n1 + n2)) > 1.358 AS reject_05
+       coalesce(d_stat * sqrt(n1 * 1.0 * n2 / (n1 + n2)) > 1.358, FALSE)
+         AS reject_05
 FROM d""",
 )
 def ks_two_sample_test(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -278,7 +287,17 @@ def ks_two_sample_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n1", "n2")
         .agg(
             F.max(
-                F.abs(F.col("f1") * 1.0 / F.col("n1") - F.col("f2") * 1.0 / F.col("n2"))
+                # one-empty-population guard: the ECDF (and so D) is
+                # undefined — NULL, matching DuckDB's x/0
+                F.when(
+                    (F.col("n1") == 0) | (F.col("n2") == 0),
+                    F.lit(None).cast("double"),
+                ).otherwise(
+                    F.abs(
+                        F.col("f1") * 1.0 / F.col("n1")
+                        - F.col("f2") * 1.0 / F.col("n2")
+                    )
+                )
             ).alias("d_stat")
         )
     )
@@ -288,7 +307,9 @@ def ks_two_sample_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n2",
         F.round("d_stat", _R).alias("d_stat"),
         F.round(lam, _R).alias("ks_lambda"),
-        (lam > 1.358).alias("reject_05"),
+        # an undefined test (one population empty -> NULL lambda) does
+        # not reject; non-null on both engines
+        F.coalesce(lam > 1.358, F.lit(False)).alias("reject_05"),
     )
 
 
