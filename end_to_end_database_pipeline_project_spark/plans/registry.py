@@ -34,8 +34,74 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
 
+def _type_has_float(dtype) -> bool:
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        FloatType,
+        MapType,
+        StructType,
+    )
+
+    if isinstance(dtype, (DoubleType, FloatType)):
+        return True
+    if isinstance(dtype, ArrayType):
+        return _type_has_float(dtype.elementType)
+    if isinstance(dtype, MapType):
+        return _type_has_float(dtype.valueType)
+    if isinstance(dtype, StructType):
+        return any(_type_has_float(f.dataType) for f in dtype.fields)
+    return False
+
+
+def _norm_zero_expr(col, dtype):
+    """Expression normalizing ``-0.0`` anywhere in ``dtype``.
+
+    Recurses through arrays, maps and structs so nested float payloads
+    (``array<double>`` embeddings, metric structs) get the same
+    guarantee as top-level columns.  Callers must pre-check
+    ``_type_has_float`` so unaffected columns pass through untouched
+    (no plan-shape change for the common case).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        FloatType,
+        MapType,
+        StructType,
+    )
+
+    if isinstance(dtype, DoubleType):
+        return col + F.lit(0.0)
+    if isinstance(dtype, FloatType):
+        return (col + F.lit(0.0)).cast("float")
+    if isinstance(dtype, ArrayType):
+        return F.transform(col, lambda x: _norm_zero_expr(x, dtype.elementType))
+    if isinstance(dtype, MapType):
+        return F.transform_values(
+            col, lambda _, v: _norm_zero_expr(v, dtype.valueType)
+        )
+    if isinstance(dtype, StructType):
+        rebuilt = F.struct(
+            *[
+                (
+                    _norm_zero_expr(col[f.name], f.dataType)
+                    if _type_has_float(f.dataType)
+                    else col[f.name]
+                ).alias(f.name)
+                for f in dtype.fields
+            ]
+        )
+        # F.struct of a null struct's fields yields a non-null struct
+        # of nulls; preserve outer nullness explicitly.
+        return F.when(col.isNull(), F.lit(None)).otherwise(rebuilt)
+    return col
+
+
 def normalize_signed_zero(df: DataFrame) -> DataFrame:
-    """Normalize IEEE ``-0.0`` to ``0.0`` in every top-level float column.
+    """Normalize IEEE ``-0.0`` to ``0.0`` in every float column, nested
+    float array/map/struct payloads included.
 
     A statistic that collapses to summation noise on a degenerate input
     (e.g. an OLS slope over identical points) rounds to ``-0.0`` or
@@ -49,16 +115,10 @@ def normalize_signed_zero(df: DataFrame) -> DataFrame:
     DuckDB is deterministic and ``tools/oracle_audit.py`` proves no
     registered oracle emits ``-0.0`` at the gate SF.
     """
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import DoubleType, FloatType
-
     cols, changed = [], False
     for f in df.schema.fields:
-        if isinstance(f.dataType, DoubleType):
-            cols.append((df[f.name] + F.lit(0.0)).alias(f.name))
-            changed = True
-        elif isinstance(f.dataType, FloatType):
-            cols.append((df[f.name] + F.lit(0.0)).cast("float").alias(f.name))
+        if _type_has_float(f.dataType):
+            cols.append(_norm_zero_expr(df[f.name], f.dataType).alias(f.name))
             changed = True
         else:
             cols.append(df[f.name])

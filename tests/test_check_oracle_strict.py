@@ -90,6 +90,53 @@ def test_registry_normalizes_signed_zero(spark):
     assert row.z is None
 
 
+def test_registry_normalizes_nested_signed_zero(spark):
+    # ADVICE r06: the wrapper must reach float payloads inside arrays,
+    # structs and maps, not just top-level columns — a query projecting
+    # an embedding array must not escape the -0.0 guarantee.
+    from pyspark.sql import functions as F
+
+    from end_to_end_database_pipeline_project_spark.plans.registry import (
+        normalize_signed_zero,
+    )
+
+    df = spark.range(1).select(
+        F.array(F.lit(-0.0), F.lit(1.5), F.lit(None).cast("double")).alias("arr"),
+        F.struct(
+            F.lit(-0.0).alias("x"), F.lit(7).alias("i"), F.lit("s").alias("t")
+        ).alias("st"),
+        F.create_map(F.lit("a"), F.lit(-0.0)).alias("m"),
+        F.array(F.array(F.lit(-0.0))).alias("nested"),
+        F.lit(None).cast("struct<x:double>").alias("null_st"),
+        F.array(F.lit("plain")).alias("untouched"),
+    )
+    row = normalize_signed_zero(df).collect()[0]
+    assert [str(v) for v in row.arr] == ["0.0", "1.5", "None"]
+    assert str(row.st.x) == "0.0" and row.st.i == 7 and row.st.t == "s"
+    assert str(row.m["a"]) == "0.0"
+    assert str(row.nested[0][0]) == "0.0"
+    assert row.null_st is None  # outer null struct preserved, not struct-of-nulls
+    assert row.untouched == ["plain"]
+
+
+def test_driver_stringification_assumptions_pinned():
+    # ADVICE r06: the strict mirror assumes pandas astype(str) renders
+    # exactly these forms (the driver's hash input). A pandas upgrade
+    # that changes any of them must fail here loudly, not silently
+    # shift the mirror's semantics.
+    s = pd.Series(
+        pd.to_datetime(["2024-01-09", "2024-02-29"])
+    )  # all-midnight datetime64
+    assert list(s.astype(str)) == ["2024-01-09", "2024-02-29"]
+    s2 = pd.Series(pd.to_datetime(["2024-01-09 00:00:00", "2024-01-09 12:30:00"]))
+    assert list(s2.astype(str)) == ["2024-01-09 00:00:00", "2024-01-09 12:30:00"]
+    assert list(pd.Series(np.array([26], dtype=np.int64)).astype(str)) == ["26"]
+    assert list(pd.Series(np.array([26.0])).astype(str)) == ["26.0"]
+    assert list(pd.Series(np.array([-0.0])).astype(str)) == ["-0.0"]
+    assert list(pd.Series([None], dtype="object").astype(str)) == ["None"]
+    assert list(pd.Series([np.nan]).astype(str)) == ["nan"]
+
+
 def test_plus_zero_normalizes_negative_zero():
     # the -0.0 fix applied in heaps_law_fit (both engines): x + 0.0
     assert str(np.float64(-0.0) + 0.0) == "0.0"

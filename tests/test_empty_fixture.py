@@ -26,7 +26,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tools.check_oracle import compare  # noqa: E402
 
-SRC_SF = "/root/testdata/sf0.001"
+SRC_SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+if not os.path.isdir(SRC_SF):  # pragma: no cover - machine without fixtures
+    pytest.skip(f"fixture dir {SRC_SF} missing", allow_module_level=True)
 TABLES = (
     "region",
     "nation",

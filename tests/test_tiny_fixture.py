@@ -26,7 +26,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tools.check_oracle import compare  # noqa: E402
 
-SRC_SF = "/root/testdata/sf0.001"
+SRC_SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+if not os.path.isdir(SRC_SF):  # pragma: no cover - machine without fixtures
+    pytest.skip(f"fixture dir {SRC_SF} missing", allow_module_level=True)
 TABLES = (
     "region",
     "nation",
@@ -97,3 +100,37 @@ def test_tiny_input_runs(spark, tiny_dir, name):
     from end_to_end_database_pipeline_project_spark.plans.registry import QUERIES
 
     QUERIES[name](spark, tiny_dir).count()  # must not raise
+
+
+@pytest.fixture(scope="module")
+def mid_dir(tmp_path_factory):
+    # ADVICE r06: a 9-40 vector corpus sits between the tiny fixture
+    # (3 rows) and the gate SFs; ivf_kmeans_certificate's vacuous
+    # branch must cover it (cells hold ~1-4 vectors, nprobe=1 can
+    # structurally miss neighbors, so the real recall bound is noise).
+    d = tmp_path_factory.mktemp("sf_mid")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"COPY (SELECT * FROM '{SRC_SF}/{t}.parquet' LIMIT 24)"
+            f" TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    return str(d)
+
+
+def test_ivf_kmeans_certificate_midrange_vacuous(spark, mid_dir):
+    from end_to_end_database_pipeline_project_spark.plans import load_all  # noqa
+    from end_to_end_database_pipeline_project_spark.plans.registry import (
+        ORACLES,
+        QUERIES,
+    )
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{mid_dir}/{t}.parquet'")
+    name = "ivf_kmeans_certificate"
+    sdf = QUERIES[name](spark, mid_dir).toPandas()
+    odf = con.sql(ORACLES[name]).df()
+    errs = compare(name, sdf, odf)
+    assert not errs, f"{name} on 24-row corpus: {errs}"
+    assert bool(sdf["mean_recall_ge_020"].iloc[0]) is True
