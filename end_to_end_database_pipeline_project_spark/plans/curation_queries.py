@@ -2152,3 +2152,201 @@ def ql_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= 5)
     )
+
+
+# ------------------------------------- fused ingest->packing pipeline run
+
+
+@query(
+    "incremental_curation_packing",
+    oracle=r"""WITH incoming AS (
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text || ' updated edition' AS text
+  FROM documents WHERE doc_id % 7 = 0
+),
+tok AS (
+  SELECT doc_id, text,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(string_split_regex(trim(text), '\s+')) END
+              AS BIGINT) AS n_tokens,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(list_distinct(string_split_regex(lower(trim(text)),
+                                                             '\s+'))) END
+              AS BIGINT) AS n_distinct
+  FROM incoming
+),
+new AS (
+  SELECT t.* FROM tok t
+  WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE md5(d.text) = md5(t.text))
+),
+qual AS (
+  SELECT * FROM new
+  WHERE round(
+    (CASE WHEN length(text) >= 100 AND length(text) <= 20000 THEN 1.0
+          WHEN length(text) > 0 THEN 0.5 ELSE 0.0 END) * 0.4
+    + (1.0 - least(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0
+                   / length(text) * 5, 1.0)) * 0.3
+    + least(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+            w -> list_contains(['the','a','and','of','to','in','is','it'], w))) * 1.0
+            / len(string_split_regex(lower(trim(text)), '\s+')) * 4, 1.0) * 0.3,
+    6) >= 0.5
+),
+q AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN n_tokens = 0 THEN 0
+              ELSE n_distinct * 1000 // n_tokens END AS qp
+  FROM qual
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY qp DESC, doc_id) AS BIGINT) AS ct
+  FROM q
+),
+adm AS (SELECT doc_id, n_tokens FROM cum WHERE ct <= 2048),
+placed AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS pb
+  FROM adm
+),
+ea AS (
+  SELECT CAST(count(*) AS BIGINT) AS nd,
+         CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS nt,
+         CAST(coalesce(sum(CASE WHEN pb % 512 + n_tokens > 512
+                                THEN 1 ELSE 0 END), 0) AS BIGINT) AS str
+  FROM placed
+)
+SELECT 'a_incoming' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens,
+       CAST(0 AS BIGINT) AS n_seqs, CAST(0 AS BIGINT) AS n_straddling
+FROM tok
+UNION ALL SELECT 'b_new', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(n_tokens), 0) AS BIGINT),
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM new
+UNION ALL SELECT 'c_quality', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(n_tokens), 0) AS BIGINT),
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM qual
+UNION ALL SELECT 'd_budget', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(n_tokens), 0) AS BIGINT),
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM adm
+UNION ALL SELECT 'e_packed', nd, nt,
+       CAST((nt + 511) // 512 AS BIGINT), str FROM ea""",
+)
+def incremental_curation_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE continuous-ingest pipeline as ONE DAG — the 100 TB
+    per-batch curation run, fused: an incoming batch (re-delivered
+    docs + genuinely updated editions, the `bloom_incremental_dedup`
+    delivery mix generalizing the reference's per-batch DELETE+INSERT,
+    postgres_dwh.py:175-210) flows through
+
+      Bloom-prefiltered exact dedup vs the standing corpus
+      -> quality gate (`functions.text.quality_score` >= 0.5)
+      -> quality-greedy token-budget rebalance (admit best docs while
+         the running token total fits the batch budget —
+         `token_budget_selection`'s cut, prefix sums distributed)
+      -> 512-token sequence packing (`sequence_packing_report` layout)
+
+    and emits the per-stage audit ledger (docs/tokens surviving each
+    gate, final sequence count + straddle count) that a training-data
+    batch job publishes per sync. Every stage is the operator already
+    certified standalone; each intermediate is localCheckpoint'd so
+    the five ledger branches read materialized stages rather than
+    re-running the funnel. Per-batch cost is bounded by the batch:
+    the corpus appears only through the <=16K-row broadcast Bloom
+    words table, both global orderings (budget cut, packing offsets)
+    run through `distributed_prefix_sum`, never a global window."""
+    from ..functions.text import quality_score, word_count
+    from ..operators.scale import distributed_prefix_sum
+
+    BUDGET_TOKENS = 2048
+    SEQ_LEN = 512
+    docs = load_table(spark, sf_dir, "documents")
+    redelivered = docs.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    updated = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat("text", F.lit(" updated edition")).alias("text"),
+    )
+    t = F.trim(F.col("text"))
+    batch = (
+        redelivered.unionByName(updated)
+        .select(
+            "doc_id",
+            "text",
+            F.md5("text").alias("content_hash"),
+            word_count(F.col("text")).cast("long").alias("n_tokens"),
+            F.when(F.length(t) == 0, F.lit(0))
+            .otherwise(F.size(F.array_distinct(F.split(F.lower(t), r"\s+"))))
+            .cast("long")
+            .alias("n_distinct"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    corpus_keys = docs.select(F.md5("text").alias("content_hash"))
+    new = BLOOM.incremental_dedup(
+        corpus_keys, batch, "content_hash", "doc_id"
+    ).localCheckpoint(eager=False)
+    qual = new.where(quality_score(F.col("text")) >= 0.5).localCheckpoint(
+        eager=False
+    )
+    q = qual.select(
+        "doc_id",
+        "n_tokens",
+        F.when(F.col("n_tokens") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("n_distinct * 1000 div n_tokens"))
+        .alias("qp"),
+    )
+    cum = distributed_prefix_sum(q, [("qp", "desc"), "doc_id"], "n_tokens")
+    adm = (
+        cum.where(F.col("cum_before") + F.col("n_tokens") <= BUDGET_TOKENS)
+        .select("doc_id", "n_tokens")
+        .localCheckpoint(eager=False)
+    )
+    placed = distributed_prefix_sum(adm, "doc_id", "n_tokens", out_col="pb")
+
+    zero = F.lit(0).cast("long")
+
+    def ledger(df, stage):
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        ).select(
+            F.lit(stage).alias("stage"),
+            "n_docs",
+            "n_tokens",
+            zero.alias("n_seqs"),
+            zero.alias("n_straddling"),
+        )
+
+    packed = placed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("pb") % SEQ_LEN + F.col("n_tokens") > SEQ_LEN, 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_straddling"),
+    ).select(
+        F.lit("e_packed").alias("stage"),
+        "n_docs",
+        "n_tokens",
+        F.expr(f"CAST((n_tokens + {SEQ_LEN - 1}) div {SEQ_LEN} AS BIGINT)").alias(
+            "n_seqs"
+        ),
+        "n_straddling",
+    )
+    return (
+        ledger(batch, "a_incoming")
+        .unionByName(ledger(new, "b_new"))
+        .unionByName(ledger(qual, "c_quality"))
+        .unionByName(ledger(adm, "d_budget"))
+        .unionByName(packed)
+    )

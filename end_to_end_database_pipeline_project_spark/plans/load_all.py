@@ -109,9 +109,9 @@ _DRIVER_FIRST = [
     "daily_weather_rollup",
     "pricing_summary",
     "minhash_lsh_pairs",
-    "suffix_duplicate_substrings",
-    "cdc_chunk_dedup",
-    "pq_adc_topk",
+    "incremental_curation_packing",
+    "streaming_psi_monitor",
+    "streaming_ks_monitor",
     "regional_revenue",
     "bloom_incremental_dedup",
     "ivfpq_topk",

@@ -534,3 +534,149 @@ def gold_partition_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "observation_count",
     )
 
+
+
+# ---------------------------------------------------------- drift monitors
+
+
+def _events_ref_batch(spark: SparkSession, sf_dir: str):
+    """Shared split for the drift monitors: reference = the first 7
+    event days, batches = each later day (the per-day slices stand in
+    for the micro-batches `streaming.incremental` lands; the streaming
+    twin in tests/test_streaming_drift_monitor.py feeds the SAME day
+    slices through foreachBatch and must reproduce these rows)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(F.to_date("ts").alias("d"), "value", "event_id")
+    )
+    d0 = ev.agg(F.min("d").alias("d0"))
+    ev2 = ev.crossJoin(F.broadcast(d0))
+    ref = ev2.where(F.col("d") <= F.date_add("d0", 6)).select("value", "event_id")
+    batch = ev2.where(F.col("d") > F.date_add("d0", 6)).select(
+        F.col("d").alias("batch_day"), "value"
+    )
+    return ref, batch
+
+
+_DRIFT_EV_CTE = """ev AS (
+  SELECT CAST(ts AS DATE) AS d, value, event_id
+  FROM events WHERE value IS NOT NULL
+),
+d0 AS (SELECT min(d) AS d0 FROM ev),
+ref AS (SELECT value, event_id FROM ev CROSS JOIN d0 WHERE d <= d0 + 6),
+bt AS (SELECT d AS batch_day, value FROM ev CROSS JOIN d0 WHERE d > d0 + 6)"""
+
+
+@query(
+    "streaming_psi_monitor",
+    oracle=f"""WITH {_DRIFT_EV_CTE},
+st AS (SELECT min(value) AS lo, max(value) AS hi,
+              CAST(count(*) AS BIGINT) AS tr FROM ref),
+rh AS (
+  SELECT CASE WHEN hi = lo THEN 0
+          ELSE greatest(0, least(CAST(floor((value - lo) / ((hi - lo) / 10.0))
+                                      AS BIGINT), 9)) END AS bin,
+         CAST(count(*) AS BIGINT) AS ref_n
+  FROM ref CROSS JOIN st GROUP BY 1
+),
+bb AS (
+  SELECT batch_day,
+         CASE WHEN hi = lo THEN 0
+          ELSE greatest(0, least(CAST(floor((value - lo) / ((hi - lo) / 10.0))
+                                      AS BIGINT), 9)) END AS bin
+  FROM bt CROSS JOIN st
+),
+bc AS (SELECT batch_day, bin, CAST(count(*) AS BIGINT) AS nd FROM bb GROUP BY 1, 2),
+ndt AS (SELECT batch_day, CAST(count(*) AS BIGINT) AS td FROM bb GROUP BY 1),
+spine AS (
+  SELECT batch_day, td, bin
+  FROM ndt CROSS JOIN (SELECT unnest(range(10)) AS bin)
+),
+p AS (
+  SELECT s.batch_day, s.td,
+         (coalesce(rh.ref_n, 0) + 1.0) / (st.tr + 10.0) AS pr,
+         (coalesce(bc.nd, 0) + 1.0) / (s.td + 10.0) AS pc
+  FROM spine s
+  LEFT JOIN rh ON s.bin = rh.bin
+  LEFT JOIN bc ON bc.batch_day = s.batch_day AND bc.bin = s.bin
+  CROSS JOIN st
+)
+SELECT batch_day, CAST(td AS BIGINT) AS n_events,
+       round(sum((pr - pc) * ln(pr / pc)), 6) AS psi,
+       coalesce(round(sum((pr - pc) * ln(pr / pc)), 6) > 0.2, FALSE) AS drifted
+FROM p GROUP BY 1, 2""",
+)
+def streaming_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-batch PSI drift monitor over the incremental ingest path:
+    each post-reference event day (the micro-batch grain
+    `streaming.incremental` lands) is scored against the first-week
+    reference histogram — the monitor a production version of the
+    reference's periodic re-sync loop (scheduler.py:45-73) runs beside
+    every load. `value_psi_drift` answers "did the WHOLE history
+    shift"; this is the operational per-batch form whose reference
+    artifact is a 10-row broadcast built ONCE per epoch
+    (`streaming/drift.reference_histogram`), so monitoring a batch
+    costs one pass over the batch — the only shape that survives
+    continuous ingest at 100 TB. The streaming twin (foreachBatch over
+    a file-landing stream, tests/test_streaming_drift_monitor.py) runs
+    the SAME `psi_against_reference` code per micro-batch and must
+    emit these exact rows (batch-equivalence, §2.10)."""
+    from ..streaming.drift import psi_against_reference, reference_histogram
+
+    ref, batch = _events_ref_batch(spark, sf_dir)
+    hist = reference_histogram(ref).localCheckpoint(eager=False)
+    return psi_against_reference(batch, hist, group_cols=["batch_day"])
+
+
+@query(
+    "streaming_ks_monitor",
+    oracle=f"""WITH {_DRIFT_EV_CTE},
+nr AS (SELECT CAST(count(*) AS BIGINT) AS tr FROM ref),
+ranked AS (
+  SELECT value, row_number() OVER (ORDER BY value, event_id) AS rk FROM ref
+),
+tgt AS (
+  SELECT k, greatest(1, CAST(ceil(k * tr / 20.0) AS BIGINT)) AS trk
+  FROM (SELECT unnest(range(1, 20)) AS k) CROSS JOIN nr
+),
+grid AS (SELECT t.k, r.value AS g FROM tgt t JOIN ranked r ON r.rk = t.trk),
+refle AS (
+  SELECT g.k, g.g,
+         CAST(sum(CASE WHEN ref.value <= g.g THEN 1 ELSE 0 END) AS BIGINT) AS ref_le
+  FROM grid g CROSS JOIN ref GROUP BY 1, 2
+),
+ndt AS (SELECT batch_day, CAST(count(*) AS BIGINT) AS td FROM bt GROUP BY 1),
+ble AS (
+  SELECT b.batch_day, r.k, r.ref_le,
+         CAST(sum(CASE WHEN b.value <= r.g THEN 1 ELSE 0 END) AS BIGINT) AS le
+  FROM bt b CROSS JOIN refle r GROUP BY 1, 2, 3
+),
+dif AS (
+  SELECT bl.batch_day, nd.td, nr.tr,
+         abs(bl.ref_le * 1.0 / nr.tr - bl.le * 1.0 / nd.td) AS adiff
+  FROM ble bl JOIN ndt nd ON nd.batch_day = bl.batch_day CROSS JOIN nr
+)
+SELECT batch_day, CAST(td AS BIGINT) AS n_events,
+       round(max(adiff), 6) AS ks_d,
+       round(1.36 * sqrt((tr + td) * 1.0 / (tr * td)), 6) AS ks_crit,
+       coalesce(round(max(adiff), 6)
+                > round(1.36 * sqrt((tr + td) * 1.0 / (tr * td)), 6),
+                FALSE) AS drifted
+FROM dif GROUP BY batch_day, td, tr""",
+)
+def streaming_ks_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-batch grid-anchored KS drift monitor, PSI's nonparametric
+    sibling: max ECDF gap between each post-reference day and the
+    reference, evaluated on the reference's exact 19-point ventile
+    grid (`streaming/drift.reference_grid` — ranks via
+    distributed_prefix_sum, never a global window; the grid + its CDF
+    is a 19-row broadcast, so per-batch cost is one batch pass, unlike
+    the classical union-points D whose state grows with the
+    reference). Alert at the classical 5% two-sample critical value.
+    Same streaming twin contract as `streaming_psi_monitor`."""
+    from ..streaming.drift import ks_against_reference, reference_grid
+
+    ref, batch = _events_ref_batch(spark, sf_dir)
+    grid = reference_grid(ref).localCheckpoint(eager=False)
+    return ks_against_reference(batch, grid, group_cols=["batch_day"])

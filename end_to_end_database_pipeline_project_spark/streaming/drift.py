@@ -1,0 +1,223 @@
+"""Distribution-drift monitors for the incremental ingest path.
+
+The reference's whole point is periodic re-sync (scheduler.py:45-73 —
+re-run the warehouse load every 30-60 minutes); a production version of
+that loop also needs to know when the NEW data stopped looking like the
+old data. These are the two standard scorecard monitors, built so the
+SAME code runs batch (registered queries `streaming_psi_monitor` /
+`streaming_ks_monitor`) and streaming (``run_drift_monitor``'s
+``foreachBatch`` hook over the landing stream):
+
+- **PSI** (Population Stability Index) of each batch's value
+  distribution against a 10-bin equal-width reference histogram
+  (add-1 smoothing; PSI > 0.2 = significant shift — the same
+  construction as the whole-history ``value_psi_drift``).
+- **Grid-anchored KS**: max ECDF gap between batch and reference,
+  evaluated on the reference's exact 19-point ventile grid. The grid
+  (not the full reference sample) is what rides along at scale: the
+  classical sup over the *union* of both samples needs every reference
+  value per batch — unbounded state — while the ventile grid is a
+  19-row broadcast with the reference CDF precomputed, so per batch
+  the cost is one pass over the batch. The grid statistic lower-bounds
+  the classical D (it evaluates the same step functions on a subset of
+  points) and is the standard binned-KS drift monitor; the
+  significance cutoff keeps the classical large-sample form
+  ``1.36 * sqrt((nr+nb)/(nr*nb))``.
+
+Scale shape: both reference artifacts are metadata-sized (10 / 19
+rows) and built in one corpus pass each — the histogram from
+associative min/max + one groupBy, the grid from
+``distributed_prefix_sum`` ranks (never a global window over the
+reference). Monitoring a batch costs one pass over the batch joined
+against the broadcast artifact.
+
+Determinism: bin ids and grid memberships are integer comparisons on
+exact counts; ``ln`` appears only in the final PSI value (rounded to
+6, the eval-pack convention), never in anything grouped or joined on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.scale import distributed_prefix_sum
+
+_R = 6
+N_BINS = 10
+N_GRID = 20  # ventiles: grid points k = 1..19
+PSI_ALERT = 0.2
+KS_COEFF = 1.36  # alpha = 0.05 two-sample Kolmogorov coefficient
+
+
+def _bin_expr(value, lo, hi):
+    """Equal-width bin id in [0, N_BINS) with out-of-reference-range
+    values clamped to the edge bins (a batch can exceed the reference's
+    min/max — the monitor must still bin it, unlike the whole-history
+    PSI where lo/hi are global)."""
+    raw = F.floor((value - lo) / ((hi - lo) / float(N_BINS))).cast("long")
+    return F.when(hi == lo, F.lit(0).cast("long")).otherwise(
+        F.greatest(F.lit(0).cast("long"), F.least(raw, F.lit(N_BINS - 1).cast("long")))
+    )
+
+
+def reference_histogram(ref: DataFrame, value_col: str = "value") -> DataFrame:
+    """10-row reference histogram ``(bin, ref_n, lo, hi, ref_total)``
+    — the broadcastable PSI artifact, built once per reference epoch.
+    Every row carries the scalar stats so the artifact is one
+    self-contained table (persist it; re-use across batches)."""
+    spark = ref.sparkSession
+    stats = ref.agg(
+        F.min(value_col).alias("lo"),
+        F.max(value_col).alias("hi"),
+        F.count(F.lit(1)).alias("ref_total"),
+    )
+    binned = ref.crossJoin(F.broadcast(stats)).select(
+        _bin_expr(F.col(value_col), F.col("lo"), F.col("hi")).alias("bin")
+    )
+    counts = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("ref_n"))
+    spine = spark.range(N_BINS).select(F.col("id").alias("bin"))
+    return (
+        spine.join(counts, "bin", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "bin",
+            F.coalesce("ref_n", F.lit(0)).cast("long").alias("ref_n"),
+            "lo",
+            "hi",
+            F.col("ref_total").cast("long").alias("ref_total"),
+        )
+    )
+
+
+def psi_against_reference(
+    batch: DataFrame,
+    hist: DataFrame,
+    value_col: str = "value",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """PSI of ``batch``'s value distribution vs the reference
+    histogram, per ``group_cols`` (one row per group; pass the
+    batch-id / day column). Returns ``group_cols + (n_events, psi,
+    drifted)``. Empty-group-impossible by construction (groups come
+    from the batch rows themselves); an empty reference yields an
+    empty histogram stats row — callers gate on ``ref_total > 0``."""
+    gcols = list(group_cols or [])
+    stats = hist.agg(
+        F.first("lo").alias("lo"),
+        F.first("hi").alias("hi"),
+        F.first("ref_total").alias("ref_total"),
+    )
+    b = (
+        batch.where(F.col(value_col).isNotNull())
+        .crossJoin(F.broadcast(stats))
+        .select(
+            *gcols,
+            _bin_expr(F.col(value_col), F.col("lo"), F.col("hi")).alias("bin"),
+        )
+    )
+    cnts = b.groupBy(*gcols, "bin").agg(F.count(F.lit(1)).alias("nd"))
+    totals = b.groupBy(*gcols).agg(F.count(F.lit(1)).alias("td"))
+    full = totals.crossJoin(
+        F.broadcast(hist.select("bin", "ref_n", "ref_total"))
+    ).join(cnts, [*gcols, "bin"], "left")
+    pr = (F.col("ref_n") + 1.0) / (F.col("ref_total") + float(N_BINS))
+    pc = (F.coalesce("nd", F.lit(0)) + 1.0) / (F.col("td") + float(N_BINS))
+    term = (pr - pc) * F.log(pr / pc)
+    out = full.groupBy(*gcols, "td").agg(F.round(F.sum(term), _R).alias("psi"))
+    return out.select(
+        *gcols,
+        F.col("td").cast("long").alias("n_events"),
+        "psi",
+        F.coalesce(F.col("psi") > PSI_ALERT, F.lit(False)).alias("drifted"),
+    )
+
+
+def reference_grid(
+    ref: DataFrame, value_col: str = "value", tiebreak_col: str = "event_id"
+) -> DataFrame:
+    """19-row exact-ventile grid ``(k, g, ref_le, ref_total)`` of the
+    reference: ``g`` is the value at rank ``ceil(k * n / 20)`` (ranks
+    from ``distributed_prefix_sum`` — no global window), ``ref_le`` the
+    exact reference CDF count at ``g``. The broadcastable KS artifact."""
+    spark = ref.sparkSession
+    r = ref.select(
+        F.col(value_col).alias("value"), F.col(tiebreak_col).alias("tb")
+    ).withColumn("one", F.lit(1).cast("long"))
+    nr = r.agg(F.count(F.lit(1)).alias("ref_total"))
+    ranked = distributed_prefix_sum(r, ["value", "tb"], "one", out_col="rk0")
+    targets = (
+        spark.range(1, N_GRID)
+        .select(F.col("id").alias("k"))
+        .crossJoin(F.broadcast(nr))
+        .select(
+            "k",
+            "ref_total",
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.ceil(F.col("k") * F.col("ref_total") / float(N_GRID)).cast("long"),
+            ).alias("target_rank"),
+        )
+    )
+    grid = (
+        ranked.select("value", (F.col("rk0") + 1).alias("rk"))
+        .join(F.broadcast(targets), F.col("rk") == F.col("target_rank"))
+        .select("k", F.col("value").alias("g"), "ref_total")
+    )
+    ref_le = (
+        r.crossJoin(F.broadcast(grid))
+        .groupBy("k", "g", "ref_total")
+        .agg(
+            F.sum(F.when(F.col("value") <= F.col("g"), 1).otherwise(0))
+            .cast("long")
+            .alias("ref_le")
+        )
+    )
+    return ref_le.select("k", "g", "ref_le", F.col("ref_total").cast("long").alias("ref_total"))
+
+
+def ks_against_reference(
+    batch: DataFrame,
+    grid: DataFrame,
+    value_col: str = "value",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Grid-anchored two-sample KS of ``batch`` vs the reference, per
+    ``group_cols``: ``ks_d = max_k |F_ref(g_k) - F_batch(g_k)|`` with
+    the classical 5% critical value. Returns ``group_cols +
+    (n_events, ks_d, ks_crit, drifted)``."""
+    gcols = list(group_cols or [])
+    b = batch.where(F.col(value_col).isNotNull())
+    totals = b.groupBy(*gcols).agg(F.count(F.lit(1)).alias("td"))
+    le = (
+        b.crossJoin(F.broadcast(grid))
+        .groupBy(*gcols, "k", "ref_le", "ref_total")
+        .agg(
+            F.sum(F.when(F.col(value_col) <= F.col("g"), 1).otherwise(0))
+            .cast("long")
+            .alias("le")
+        )
+    )
+    j = le.join(totals, gcols) if gcols else le.crossJoin(totals)
+    adiff = F.abs(
+        F.col("ref_le") / F.col("ref_total").cast("double")
+        - F.col("le") / F.col("td").cast("double")
+    )
+    crit = F.round(
+        F.lit(KS_COEFF)
+        * F.sqrt(
+            (F.col("ref_total") + F.col("td"))
+            / (F.col("ref_total").cast("double") * F.col("td"))
+        ),
+        _R,
+    )
+    out = j.groupBy(*gcols, "td", "ref_total").agg(
+        F.round(F.max(adiff), _R).alias("ks_d")
+    )
+    return out.select(
+        *gcols,
+        F.col("td").cast("long").alias("n_events"),
+        "ks_d",
+        crit.alias("ks_crit"),
+        F.coalesce(F.col("ks_d") > crit, F.lit(False)).alias("drifted"),
+    )
