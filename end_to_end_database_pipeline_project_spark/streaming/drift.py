@@ -221,3 +221,63 @@ def ks_against_reference(
         crit.alias("ks_crit"),
         F.coalesce(F.col("ks_d") > crit, F.lit(False)).alias("drifted"),
     )
+
+
+def run_drift_monitor(
+    spark,
+    landing_dir: str,
+    out_dir: str,
+    hist: DataFrame,
+    grid: DataFrame,
+    value_col: str = "value",
+) -> str:
+    """Consume the landing stream to completion (availableNow), scoring
+    every micro-batch against the precomputed reference artifacts and
+    appending one monitor row per (batch, day) to ``out_dir/monitor``:
+    ``(batch_id, batch_day, n_events, psi, drifted, ks_d, ks_crit,
+    ks_drifted)``. The foreachBatch body runs the SAME
+    ``psi_against_reference`` / ``ks_against_reference`` code as the
+    registered batch queries — batch-equivalence is pinned by
+    tests/test_streaming_drift_monitor.py. Artifacts are built once per
+    reference epoch and reused across every batch (persist them; they
+    are 10 / 19 rows). Returns the monitor table path."""
+    import os
+
+    from .incremental import EVENT_SCHEMA
+
+    monitor_path = os.path.join(out_dir, "monitor")
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        b = (
+            batch.where(F.col(value_col).isNotNull())
+            .select(
+                F.lit(batch_id).cast("long").alias("batch_id"),
+                F.to_date("ts").alias("batch_day"),
+                value_col,
+            )
+        )
+        if not b.take(1):
+            return
+        gcols = ["batch_id", "batch_day"]
+        psi = psi_against_reference(b, hist, value_col, gcols)
+        ks = ks_against_reference(b, grid, value_col, gcols).select(
+            *gcols, "ks_d", "ks_crit", F.col("drifted").alias("ks_drifted")
+        )
+        psi.join(ks, gcols).write.mode("append").parquet(monitor_path)
+
+    q = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "part-*")
+        .parquet(landing_dir)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        if q.isActive:
+            q.stop()
+    return monitor_path
