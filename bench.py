@@ -96,6 +96,11 @@ HEADLINE = [
     "quality_classifier_auc",
     "source_token_js_divergence",
     "linear_attribution",
+    # round 7: per-batch drift monitors (broadcast reference artifacts)
+    # and the fused ingest->dedup->budget->packing pipeline run
+    "streaming_psi_monitor",
+    "streaming_ks_monitor",
+    "incremental_curation_packing",
 ]
 
 
