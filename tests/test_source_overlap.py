@@ -68,3 +68,18 @@ def test_synthetic_overlap_matrix(spark, overlap_dir):
         ("books", "code"): (1, round(1 / (3 + 2 - 1), 6)),
         ("code", "web"): (1, round(1 / (2 + 3 - 1), 6)),
     }
+
+
+SF01 = "/root/testdata/sf0.1"
+
+
+@pytest.mark.skipif(not __import__("os").path.isdir(SF01), reason="sf0.1 missing")
+def test_sf01_overlap_is_nonempty(spark):
+    # the r06 verdict's ask: the sf0.01 gate row is vacuously green
+    # (0 == 0 rows); prove the query is non-degenerate one SF up, so
+    # the oracle check exercises the join somewhere real
+    from end_to_end_database_pipeline_project_spark.plans import load_all  # noqa
+    from end_to_end_database_pipeline_project_spark.plans.registry import QUERIES
+
+    n = QUERIES["source_overlap_matrix"](spark, SF01).count()
+    assert n > 0, "sf0.1 corpus lost its cross-source duplicates"
