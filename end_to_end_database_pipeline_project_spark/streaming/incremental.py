@@ -140,3 +140,75 @@ def run_cdc_apply(
     finally:
         if q.isActive:
             q.stop()
+
+
+def run_monitored_incremental_pipeline(
+    spark: SparkSession,
+    landing_dir: str,
+    out_dir: str,
+    hist: DataFrame,
+    grid: DataFrame,
+    max_files_per_trigger: int = 1,
+) -> str:
+    """The reference's periodic-sync loop WITH observability: one
+    ``foreachBatch`` hook that (1) appends the normalized micro-batch
+    to silver, (2) refreshes only the touched gold month partitions,
+    and (3) scores the batch's raw value distribution against the
+    reference drift artifacts (``streaming.drift``), appending one
+    monitor row per batch to ``out_dir/monitor``. This is the
+    composition a production deployment runs: every sync also answers
+    "did this batch stop looking like the corpus" for the cost of one
+    extra batch pass against two broadcast-sized artifacts. Returns
+    the monitor table path.
+
+    tests/test_streaming_drift_monitor.py asserts gold still equals
+    the full-history batch rollup (the maintenance is untouched by the
+    monitoring) and the monitor rows equal the standalone monitor's.
+    """
+    from .drift import ks_against_reference, psi_against_reference
+
+    silver_path = os.path.join(out_dir, "silver")
+    monitor_path = os.path.join(out_dir, "monitor")
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.localCheckpoint()  # consumed by 2 branches + monitor
+        silver = normalize_batch(batch)
+        silver.write.mode("append").parquet(silver_path)
+        months = [
+            r["m"]
+            for r in silver.select(
+                F.date_format(F.to_date("timestamp"), "yyyy-MM").alias("m")
+            )
+            .distinct()
+            .collect()
+        ]
+        if months:
+            full_silver = spark.read.parquet(silver_path)
+            refresh_gold_daily_months(full_silver, out_dir, months)
+        b = batch.where(F.col("value").isNotNull()).select(
+            F.lit(batch_id).cast("long").alias("batch_id"), "value"
+        )
+        if not b.take(1):
+            return
+        psi = psi_against_reference(b, hist, group_cols=["batch_id"])
+        ks = ks_against_reference(b, grid, group_cols=["batch_id"]).select(
+            "batch_id", "ks_d", "ks_crit", F.col("drifted").alias("ks_drifted")
+        )
+        psi.join(ks, ["batch_id"]).write.mode("append").parquet(monitor_path)
+
+    q = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "part-*")
+        .parquet(landing_dir)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        if q.isActive:
+            q.stop()
+    return monitor_path

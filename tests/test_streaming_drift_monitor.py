@@ -116,3 +116,80 @@ def test_shifted_batch_trips_both_alerts(monitor_run):
     assert len(alert) == 1
     assert alert[0]["drifted"] is True, f"PSI alert missed: {alert[0]}"
     assert alert[0]["ks_drifted"] is True, f"KS alert missed: {alert[0]}"
+
+
+def test_monitored_pipeline_maintains_gold_and_monitors(spark, tmp_path):
+    """The composed sync-with-observability hook: gold must equal the
+    full-history batch rollup (monitoring must not perturb the
+    maintenance path) and every batch must get a monitor row whose PSI
+    equals the standalone computation on the same slice."""
+    from end_to_end_database_pipeline_project_spark.operators.rollup import (
+        daily_rollup,
+        hourly_aggregate,
+    )
+    from end_to_end_database_pipeline_project_spark.pipeline.medallion import (
+        read_gold_daily,
+    )
+    from end_to_end_database_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+    from end_to_end_database_pipeline_project_spark.streaming.drift import (
+        psi_against_reference,
+        reference_grid,
+        reference_histogram,
+    )
+    from end_to_end_database_pipeline_project_spark.streaming.incremental import (
+        normalize_batch,
+        run_monitored_incremental_pipeline,
+    )
+
+    ev = load_table(spark, SF, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    mid = lo + (hi - lo) / 2
+    ref = ev.where(
+        (F.col("ts") < F.lit(mid)) & F.col("value").isNotNull()
+    ).select("value", "event_id")
+    hist = reference_histogram(ref).localCheckpoint()
+    grid = reference_grid(ref).localCheckpoint()
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "warehouse")
+    import time as _t
+
+    for cond in [F.col("ts") < F.lit(mid), F.col("ts") >= F.lit(mid)]:
+        ev.where(cond).coalesce(1).write.mode("append").parquet(landing)
+        _t.sleep(1.1)
+
+    path = run_monitored_incremental_pipeline(spark, landing, out, hist, grid)
+
+    gold = {
+        r["obs_date"]: (round(r["avg_value"], 9), r["observation_count"])
+        for r in read_gold_daily(spark, out).collect()
+    }
+    expected = {
+        r["obs_date"]: (round(r["avg_value"], 9), r["observation_count"])
+        for r in daily_rollup(
+            hourly_aggregate(
+                normalize_batch(ev), ts="timestamp", measure="temperature_c"
+            )
+        ).collect()
+    }
+    assert gold == expected
+
+    monitor = spark.read.parquet(path)
+    assert monitor.count() == 2
+    # cross-check one batch's PSI against the standalone computation
+    # over the identical slice (batch ids follow landing-file mtime
+    # order: 0 = first half)
+    first_half = (
+        ev.where((F.col("ts") < F.lit(mid)) & F.col("value").isNotNull())
+        .select(F.lit(0).cast("long").alias("batch_id"), "value")
+    )
+    standalone = psi_against_reference(
+        first_half, hist, group_cols=["batch_id"]
+    ).collect()[0]
+    streamed = [r for r in monitor.collect() if r["batch_id"] == 0][0]
+    assert streamed["psi"] == standalone["psi"]
+    assert streamed["n_events"] == standalone["n_events"]
