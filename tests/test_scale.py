@@ -197,6 +197,12 @@ _SOAK_QUERIES = [
     "token_budget_selection",
     "event_id_islands",
     "training_shard_manifest",
+    # round-7 prefix-sum consumers: the fused pipeline chains TWO
+    # prefix sums behind a Bloom probe; the KS monitor ranks the
+    # reference by a DOUBLE key (value, event_id) for its ventile grid
+    "incremental_curation_packing",
+    "streaming_ks_monitor",
+    "streaming_psi_monitor",
 ]
 
 _SOAK_SCRIPT = r"""
