@@ -54,9 +54,9 @@ _PACKS = [
 # re-verified green by the r06 judge's strict-mirror runs; the two
 # rows-only names (ivf_kmeans_topk, embedding_pca_certificate) carry
 # in-query certificates and take the driver's weaker rows-only check.
-# After this window drains green, the union is 283/283 (the backlog,
-# everything previously checked, plus the three round-7 additions in
-# slots 43-45) — every registered query has a driver ledger row.
+# After this window drains green, the union is 284/284 (the backlog,
+# everything previously checked, plus the four round-7 additions in
+# slots 43-45 and 50) — every registered query has a driver ledger row.
 #
 # Slots 38-50 are re-checks: the two r05-red representation fixes
 # (their r06 re-green gets a second confirmation), then the
@@ -117,7 +117,7 @@ _DRIVER_FIRST = [
     "bloom_incremental_dedup",
     "ivfpq_topk",
     "bm25_retrieval",
-    "semantic_dedup_report",
+    "binaryfile_corpus_ingest",
 ]
 
 

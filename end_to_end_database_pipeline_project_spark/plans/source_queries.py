@@ -561,3 +561,64 @@ def masked_customer_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("acctbal_bucket"),
         "c_mktsegment",
     )
+
+
+@query(
+    "binaryfile_corpus_ingest",
+    oracle=r"""SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS file_name,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5,
+       CAST(CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(string_split_regex(trim(text), '\s+')) END
+            AS BIGINT) AS n_tokens
+FROM documents WHERE doc_id % 10 = 0""",
+)
+def binaryfile_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-file landing ingestion through Spark's ``binaryFile``
+    source — the standard first hop of a multimodal pipeline, where
+    media/documents arrive as FILES on shared storage, not rows in a
+    table: a corpus drop (one UTF-8 file per document, written
+    partition-parallel from the executors — no driver collect) is
+    ingested back as ``(path, modificationTime, length, content)``,
+    and per-file metadata is derived from the opaque bytes: size,
+    content hash (the exact-dedup key at ingest time) and the token
+    count of the decoded payload. Byte-exactness through the
+    write→land→ingest→decode loop is the point — md5(content) must
+    equal the oracle's md5 of the source text. At 100 TB the landing
+    dir is an object-store prefix and ``binaryFile`` splits the
+    listing across the cluster; per-file cost is one read + one hash,
+    and the downstream is exactly `operators/multimodal`'s
+    binary-column kernels (this query is their missing FILE-source
+    front end; the reference's equivalent hop is its raw-payload
+    landing into Mongo, mongodb_ingest.py)."""
+    import os
+
+    from ..functions.text import word_count
+
+    tmp = tempfile.mkdtemp(prefix="blob_land_")
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 10 == 0
+    ).select("doc_id", "text")
+
+    def _land(rows) -> None:
+        for r in rows:
+            with open(os.path.join(tmp, f"doc_{r['doc_id']}.txt"), "wb") as fh:
+                fh.write(r["text"].encode("utf-8"))
+
+    docs.foreachPartition(_land)
+    if not os.listdir(tmp):  # empty corpus: nothing landed
+        return spark.createDataFrame(
+            [],
+            "file_name string, n_bytes long, content_md5 string, n_tokens long",
+        )
+    back = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .load(tmp)
+    )
+    return back.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+        word_count(F.col("content").cast("string")).cast("long").alias("n_tokens"),
+    )

@@ -64,6 +64,7 @@ FIXED_ON_EMPTY = [
     # schema inference over empty round-trip files
     "json_source_stations",
     "xml_roundtrip_nations",
+    "binaryfile_corpus_ingest",  # empty landing dir -> typed empty frame
     # NULL-rendering / empty-aggregate semantics aligned with oracle
     "multimodal_decode_quarantine",
     "value_psi_drift",
