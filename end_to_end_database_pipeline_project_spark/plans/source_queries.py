@@ -590,7 +590,7 @@ def binaryfile_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the downstream is exactly `operators/multimodal`'s
     binary-column kernels (this query is their missing FILE-source
     front end; the reference's equivalent hop is its raw-payload
-    landing into Mongo, mongodb_ingest.py)."""
+    landing into the Mongo raw collection, mongodb_etl.py:18,100)."""
     import os
 
     from ..functions.text import word_count
