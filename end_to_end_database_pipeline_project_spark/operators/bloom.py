@@ -23,7 +23,7 @@ round-trip):
   present" iff all ``k`` probed bits are set.
 
 Reference parity: the reference dedups re-delivered observations with
-a full DELETE+INSERT per batch (postgres_dwh.py:175-210); this is the
+a full DELETE+INSERT per batch (clickhouse_etl.py:340-356); this is the
 sublinear-ingest generalization of that path.
 """
 

@@ -65,7 +65,7 @@ def bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The result is EXACT (bloom false positives are re-verified), which
     is what makes this oracle-checkable against a plain NOT EXISTS.
     Generalizes the reference's per-batch DELETE+INSERT re-delivery
-    handling (postgres_dwh.py:175-210) to sublinear ingest."""
+    handling (clickhouse_etl.py:340-356) to sublinear ingest."""
     docs = load_table(spark, sf_dir, "documents")
     redelivered = docs.where(F.col("doc_id") % 3 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
@@ -2239,7 +2239,7 @@ def incremental_curation_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-batch curation run, fused: an incoming batch (re-delivered
     docs + genuinely updated editions, the `bloom_incremental_dedup`
     delivery mix generalizing the reference's per-batch DELETE+INSERT,
-    postgres_dwh.py:175-210) flows through
+    clickhouse_etl.py:340-356) flows through
 
       Bloom-prefiltered exact dedup vs the standing corpus
       -> quality gate (`functions.text.quality_score` >= 0.5)
