@@ -45,9 +45,9 @@ def _tokens(docs: DataFrame) -> DataFrame:
 @query(
     "bloom_incremental_dedup",
     oracle="""WITH incoming AS (
-  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+  SELECT doc_id * 10 + 1 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
   UNION ALL
-  SELECT doc_id + 200000 AS doc_id, text || ' updated edition' AS text
+  SELECT doc_id * 10 + 2 AS doc_id, text || ' updated edition' AS text
   FROM documents WHERE doc_id % 7 = 0
 )
 SELECT i.doc_id, md5(i.text) AS content_hash
@@ -65,13 +65,19 @@ def bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The result is EXACT (bloom false positives are re-verified), which
     is what makes this oracle-checkable against a plain NOT EXISTS.
     Generalizes the reference's per-batch DELETE+INSERT re-delivery
-    handling (clickhouse_etl.py:340-356) to sublinear ingest."""
+    handling (clickhouse_etl.py:340-356) to sublinear ingest.
+
+    Synthetic batch ids use ``doc_id*10 + {1,2}`` — injective per
+    stream with disjoint residues, so the two delivery streams can
+    never collide WITHIN the batch for any corpus id span (additive
+    offsets collide once ids exceed the offset gap, corrupting the
+    per-id bool_and probe verdict — r07 review finding)."""
     docs = load_table(spark, sf_dir, "documents")
     redelivered = docs.where(F.col("doc_id") % 3 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        (F.col("doc_id") * 10 + 1).alias("doc_id"), "text"
     )
     updated = docs.where(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 200000).alias("doc_id"),
+        (F.col("doc_id") * 10 + 2).alias("doc_id"),
         F.concat("text", F.lit(" updated edition")).alias("text"),
     )
     batch = (
@@ -2160,9 +2166,9 @@ def ql_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "incremental_curation_packing",
     oracle=r"""WITH incoming AS (
-  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+  SELECT doc_id * 10 + 1 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
   UNION ALL
-  SELECT doc_id + 200000 AS doc_id, text || ' updated edition' AS text
+  SELECT doc_id * 10 + 2 AS doc_id, text || ' updated edition' AS text
   FROM documents WHERE doc_id % 7 = 0
 ),
 tok AS (
@@ -2264,10 +2270,10 @@ def incremental_curation_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     SEQ_LEN = 512
     docs = load_table(spark, sf_dir, "documents")
     redelivered = docs.where(F.col("doc_id") % 3 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        (F.col("doc_id") * 10 + 1).alias("doc_id"), "text"
     )
     updated = docs.where(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 200000).alias("doc_id"),
+        (F.col("doc_id") * 10 + 2).alias("doc_id"),
         F.concat("text", F.lit(" updated edition")).alias("text"),
     )
     t = F.trim(F.col("text"))

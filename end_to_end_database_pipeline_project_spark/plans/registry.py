@@ -48,7 +48,7 @@ def _type_has_float(dtype) -> bool:
     if isinstance(dtype, ArrayType):
         return _type_has_float(dtype.elementType)
     if isinstance(dtype, MapType):
-        return _type_has_float(dtype.valueType)
+        return _type_has_float(dtype.keyType) or _type_has_float(dtype.valueType)
     if isinstance(dtype, StructType):
         return any(_type_has_float(f.dataType) for f in dtype.fields)
     return False
@@ -79,9 +79,19 @@ def _norm_zero_expr(col, dtype):
     if isinstance(dtype, ArrayType):
         return F.transform(col, lambda x: _norm_zero_expr(x, dtype.elementType))
     if isinstance(dtype, MapType):
-        return F.transform_values(
-            col, lambda _, v: _norm_zero_expr(v, dtype.valueType)
-        )
+        out = col
+        if _type_has_float(dtype.keyType):
+            # -0.0 and +0.0 never coexist as keys of one map (Spark's
+            # map key equality already treats them as duplicates), so
+            # key normalization cannot collide entries
+            out = F.transform_keys(
+                out, lambda k, _: _norm_zero_expr(k, dtype.keyType)
+            )
+        if _type_has_float(dtype.valueType):
+            out = F.transform_values(
+                out, lambda _, v: _norm_zero_expr(v, dtype.valueType)
+            )
+        return out
     if isinstance(dtype, StructType):
         rebuilt = F.struct(
             *[

@@ -605,8 +605,20 @@ def binaryfile_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             with open(os.path.join(tmp, f"doc_{r['doc_id']}.txt"), "wb") as fh:
                 fh.write(r["text"].encode("utf-8"))
 
+    n_expected = docs.count()
     docs.foreachPartition(_land)
-    if not os.listdir(tmp):  # empty corpus: nothing landed
+    landed = [f for f in os.listdir(tmp) if f.endswith(".txt")]
+    if len(landed) != n_expected:
+        # executors landed files the reader can't see: the landing dir
+        # MUST be shared storage (object store / NFS). Fail loudly —
+        # a silent empty/partial ingest is a wrong result, not a
+        # degenerate input (r07 review finding).
+        raise RuntimeError(
+            f"binaryFile landing dir has {len(landed)} of {n_expected} "
+            f"expected files at {tmp}: executors and the reader must "
+            "share the landing filesystem (local[all] or object store)"
+        )
+    if not landed:  # empty corpus: nothing landed, typed empty frame
         return spark.createDataFrame(
             [],
             "file_name string, n_bytes long, content_md5 string, n_tokens long",

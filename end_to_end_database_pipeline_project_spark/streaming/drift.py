@@ -100,9 +100,14 @@ def psi_against_reference(
     histogram, per ``group_cols`` (one row per group; pass the
     batch-id / day column). Returns ``group_cols + (n_events, psi,
     drifted)``. Empty-group-impossible by construction (groups come
-    from the batch rows themselves); an empty reference yields an
-    empty histogram stats row — callers gate on ``ref_total > 0``."""
+    from the batch rows themselves). An EMPTY reference (``ref_total
+    == 0``) yields an empty result, enforced here: a histogram built
+    from zero rows carries NULL lo/hi, under which every batch value
+    would clamp into one bin and the PSI would confidently score the
+    batch against a fabricated all-zero reference — no reference, no
+    verdict."""
     gcols = list(group_cols or [])
+    hist = hist.where(F.col("ref_total") > 0)
     stats = hist.agg(
         F.first("lo").alias("lo"),
         F.first("hi").alias("hi"),
@@ -185,7 +190,10 @@ def ks_against_reference(
     """Grid-anchored two-sample KS of ``batch`` vs the reference, per
     ``group_cols``: ``ks_d = max_k |F_ref(g_k) - F_batch(g_k)|`` with
     the classical 5% critical value. Returns ``group_cols +
-    (n_events, ks_d, ks_crit, drifted)``."""
+    (n_events, ks_d, ks_crit, drifted)``. An empty reference yields an
+    empty result by construction (no ranks -> no grid rows -> the
+    grid join produces nothing) — same no-reference-no-verdict
+    contract as ``psi_against_reference``."""
     gcols = list(group_cols or [])
     b = batch.where(F.col(value_col).isNotNull())
     totals = b.groupBy(*gcols).agg(F.count(F.lit(1)).alias("td"))

@@ -16,11 +16,17 @@ Per sync the work is O(batch + touched-partition history), not
 O(full history). ``availableNow`` + ``maxFilesPerTrigger`` gives the
 catch-up batch cadence; ``processingTime`` gives the reference's
 interval scheduling — the batch hook is identical either way.
+
+All landing-stream consumers share one runner (``_run_landing_stream``)
+and one maintenance body (``_maintain_silver_gold``) so the batch
+pipeline, the CDC apply, and the monitored pipeline cannot silently
+diverge (r07 review: the maintenance body existed in two copies).
 """
 
 from __future__ import annotations
 
 import os
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -45,36 +51,23 @@ def normalize_batch(batch: DataFrame) -> DataFrame:
     ).where(F.col("timestamp").isNotNull())
 
 
-def run_incremental_pipeline(
-    spark: SparkSession, landing_dir: str, out_dir: str, max_files_per_trigger: int = 1
+def _run_landing_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    checkpoint_dir: str,
+    hook: Callable[[DataFrame, int], None],
+    max_files_per_trigger: int = 1,
 ) -> None:
-    """Consume the landing directory to completion, maintaining silver
-    (append) and gold daily (partition-scoped refresh) per micro-batch."""
-    silver_path = os.path.join(out_dir, "silver")
-
-    def process_batch(batch: DataFrame, batch_id: int) -> None:
-        silver = normalize_batch(batch)
-        silver.write.mode("append").parquet(silver_path)
-        months = [
-            r["m"]
-            for r in silver.select(
-                F.date_format(F.to_date("timestamp"), "yyyy-MM").alias("m")
-            )
-            .distinct()
-            .collect()
-        ]
-        if not months:
-            return
-        full_silver = spark.read.parquet(silver_path)
-        refresh_gold_daily_months(full_silver, out_dir, months)
-
+    """Consume the parquet landing directory to completion
+    (availableNow semantics) through ``hook`` — the one place the
+    landing-stream source/sink plumbing is spelled."""
     q = (
         spark.readStream.schema(EVENT_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .option("pathGlobFilter", "part-*")
         .parquet(landing_dir)
-        .writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+        .writeStream.foreachBatch(hook)
+        .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
@@ -83,6 +76,46 @@ def run_incremental_pipeline(
     finally:
         if q.isActive:
             q.stop()
+
+
+def _maintain_silver_gold(
+    spark: SparkSession, out_dir: str, batch: DataFrame
+) -> None:
+    """The per-batch maintenance body: silver append + partition-scoped
+    gold refresh of exactly the months the batch touched."""
+    silver_path = os.path.join(out_dir, "silver")
+    silver = normalize_batch(batch)
+    silver.write.mode("append").parquet(silver_path)
+    months = [
+        r["m"]
+        for r in silver.select(
+            F.date_format(F.to_date("timestamp"), "yyyy-MM").alias("m")
+        )
+        .distinct()
+        .collect()
+    ]
+    if not months:
+        return
+    full_silver = spark.read.parquet(silver_path)
+    refresh_gold_daily_months(full_silver, out_dir, months)
+
+
+def run_incremental_pipeline(
+    spark: SparkSession, landing_dir: str, out_dir: str, max_files_per_trigger: int = 1
+) -> None:
+    """Consume the landing directory to completion, maintaining silver
+    (append) and gold daily (partition-scoped refresh) per micro-batch."""
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        _maintain_silver_gold(spark, out_dir, batch)
+
+    _run_landing_stream(
+        spark,
+        landing_dir,
+        os.path.join(out_dir, "_checkpoint"),
+        process_batch,
+        max_files_per_trigger,
+    )
 
 
 def run_cdc_apply(
@@ -123,23 +156,13 @@ def run_cdc_apply(
             shutil.rmtree(snapshot_dir)
         os.replace(tmp, snapshot_dir)
 
-    q = (
-        spark.readStream.schema(EVENT_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .option("pathGlobFilter", "part-*")
-        .parquet(landing_dir)
-        .writeStream.foreachBatch(apply_batch)
-        .option(
-            "checkpointLocation", snapshot_dir.rstrip("/") + "_checkpoint"
-        )
-        .trigger(availableNow=True)
-        .start()
+    _run_landing_stream(
+        spark,
+        landing_dir,
+        snapshot_dir.rstrip("/") + "_checkpoint",
+        apply_batch,
+        max_files_per_trigger,
     )
-    try:
-        q.awaitTermination()
-    finally:
-        if q.isActive:
-            q.stop()
 
 
 def run_monitored_incremental_pipeline(
@@ -151,11 +174,12 @@ def run_monitored_incremental_pipeline(
     max_files_per_trigger: int = 1,
 ) -> str:
     """The reference's periodic-sync loop WITH observability: one
-    ``foreachBatch`` hook that (1) appends the normalized micro-batch
-    to silver, (2) refreshes only the touched gold month partitions,
-    and (3) scores the batch's raw value distribution against the
-    reference drift artifacts (``streaming.drift``), appending one
-    monitor row per batch to ``out_dir/monitor``. This is the
+    ``foreachBatch`` hook that composes the SAME maintenance body as
+    ``run_incremental_pipeline`` (``_maintain_silver_gold`` — shared,
+    not copied, so the two pipelines cannot drift) with a
+    drift-monitoring step scoring the batch's raw value distribution
+    against the reference artifacts (``streaming.drift``), appending
+    one monitor row per batch to ``out_dir/monitor``. This is the
     composition a production deployment runs: every sync also answers
     "did this batch stop looking like the corpus" for the cost of one
     extra batch pass against two broadcast-sized artifacts. Returns
@@ -167,24 +191,11 @@ def run_monitored_incremental_pipeline(
     """
     from .drift import ks_against_reference, psi_against_reference
 
-    silver_path = os.path.join(out_dir, "silver")
     monitor_path = os.path.join(out_dir, "monitor")
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
-        batch = batch.localCheckpoint()  # consumed by 2 branches + monitor
-        silver = normalize_batch(batch)
-        silver.write.mode("append").parquet(silver_path)
-        months = [
-            r["m"]
-            for r in silver.select(
-                F.date_format(F.to_date("timestamp"), "yyyy-MM").alias("m")
-            )
-            .distinct()
-            .collect()
-        ]
-        if months:
-            full_silver = spark.read.parquet(silver_path)
-            refresh_gold_daily_months(full_silver, out_dir, months)
+        batch = batch.localCheckpoint()  # consumed by maintenance + monitor
+        _maintain_silver_gold(spark, out_dir, batch)
         b = batch.where(F.col("value").isNotNull()).select(
             F.lit(batch_id).cast("long").alias("batch_id"), "value"
         )
@@ -196,19 +207,11 @@ def run_monitored_incremental_pipeline(
         )
         psi.join(ks, ["batch_id"]).write.mode("append").parquet(monitor_path)
 
-    q = (
-        spark.readStream.schema(EVENT_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .option("pathGlobFilter", "part-*")
-        .parquet(landing_dir)
-        .writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
-        .trigger(availableNow=True)
-        .start()
+    _run_landing_stream(
+        spark,
+        landing_dir,
+        os.path.join(out_dir, "_checkpoint"),
+        process_batch,
+        max_files_per_trigger,
     )
-    try:
-        q.awaitTermination()
-    finally:
-        if q.isActive:
-            q.stop()
     return monitor_path

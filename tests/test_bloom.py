@@ -103,3 +103,44 @@ def test_scan_probe_adds_no_fact_side_exchange(spark):
     # would imply a fact-side exchange)
     assert plan.count("BroadcastHashJoin") == BLOOM.K_HASHES
     assert "SortMergeJoin" not in plan
+
+
+def test_delivery_stream_ids_never_collide(spark, tmp_path):
+    """r07 review regression: the two synthetic delivery streams used
+    by bloom_incremental_dedup / incremental_curation_packing must
+    stay disjoint for ANY corpus id span. Under the old additive
+    offsets (+100000/+200000), doc_id 14 (14%7==0 -> 200014) and
+    doc_id 100014 (100014%3==0 -> 200014) collided, merging two rows'
+    probe verdicts in probe_bloom's per-id bool_and. The injective
+    residue scheme (doc_id*10+{1,2}) cannot collide; this pins it on
+    exactly the old counterexample."""
+    import duckdb
+
+    from end_to_end_database_pipeline_project_spark.plans import load_all  # noqa
+    from end_to_end_database_pipeline_project_spark.plans.registry import (
+        ORACLES,
+        QUERIES,
+    )
+    from tools.check_oracle import compare
+
+    rows = [
+        (14, "the quick brown fox jumps over the lazy dog", "en", "web", 44),
+        (100014, "a completely different document body here", "en", "web", 41),
+        (3, "third doc delivered once and redelivered", "en", "books", 40),
+    ]
+    d = tmp_path / "wide_ids"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+
+    sdf = QUERIES["bloom_incremental_dedup"](spark, str(d)).toPandas()
+    assert sdf["doc_id"].is_unique, "synthetic batch ids collided"
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{d}/documents.parquet/*.parquet'"
+    )
+    assert not compare(
+        "bloom_incremental_dedup", sdf, con.sql(ORACLES["bloom_incremental_dedup"]).df()
+    )

@@ -106,6 +106,7 @@ def test_registry_normalizes_nested_signed_zero(spark):
             F.lit(-0.0).alias("x"), F.lit(7).alias("i"), F.lit("s").alias("t")
         ).alias("st"),
         F.create_map(F.lit("a"), F.lit(-0.0)).alias("m"),
+        F.create_map(F.lit(-0.0), F.lit("k")).alias("mk"),  # float KEY
         F.array(F.array(F.lit(-0.0))).alias("nested"),
         F.lit(None).cast("struct<x:double>").alias("null_st"),
         F.array(F.lit("plain")).alias("untouched"),
@@ -114,6 +115,7 @@ def test_registry_normalizes_nested_signed_zero(spark):
     assert [str(v) for v in row.arr] == ["0.0", "1.5", "None"]
     assert str(row.st.x) == "0.0" and row.st.i == 7 and row.st.t == "s"
     assert str(row.m["a"]) == "0.0"
+    assert [str(k) for k in row.mk.keys()] == ["0.0"]
     assert str(row.nested[0][0]) == "0.0"
     assert row.null_st is None  # outer null struct preserved, not struct-of-nulls
     assert row.untouched == ["plain"]

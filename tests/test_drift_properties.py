@@ -142,6 +142,27 @@ def test_grid_ks_matches_python_bounded_by_exact(drift_data):
         assert got <= _py_exact_ks(ref_vals, vals) + 1e-9, name
 
 
+def test_empty_reference_yields_no_verdicts(spark):
+    # no reference, no verdict: a histogram/grid built from ZERO
+    # reference rows must produce an EMPTY monitor result, never a
+    # confident PSI/KS against a fabricated all-zero reference
+    from end_to_end_database_pipeline_project_spark.streaming.drift import (
+        ks_against_reference,
+        psi_against_reference,
+        reference_grid,
+        reference_histogram,
+    )
+
+    empty_ref = spark.createDataFrame([], "event_id long, value double")
+    hist = reference_histogram(empty_ref)
+    grid = reference_grid(empty_ref)
+    batch = spark.createDataFrame(
+        [("b1", 1.0), ("b1", 2.0)], "batch string, value double"
+    )
+    assert psi_against_reference(batch, hist, group_cols=["batch"]).count() == 0
+    assert ks_against_reference(batch, grid, group_cols=["batch"]).count() == 0
+
+
 def test_ks_zero_on_identical_sample_and_alerts_on_wild(drift_data):
     _, _, _, _, ks = drift_data
     assert ks["same"]["ks_d"] == 0.0

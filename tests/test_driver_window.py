@@ -28,8 +28,8 @@ EXPECTED_ORACLES = 282
 # Rows-only queries allowed to burn a checked window slot.  Normally
 # zero, but the r07 window intentionally carries the two certificate-
 # backed rows-only names so the "every registered query has a driver
-# ledger row" goal closes at 280/280 (the driver records a weaker
-# rows-only check for them).
+# ledger row" goal closes at the full registry size (284/284 — the
+# driver records a weaker rows-only check for them).
 ROWS_ONLY_WINDOW_ALLOWED = {"ivf_kmeans_topk", "embedding_pca_certificate"}
 
 
