@@ -2336,6 +2336,11 @@ def boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import fan_out
 
     docs = load_table(spark, sf_dir, "documents")
+    # synthetic-fixture construction: the +1000000 shift assumes the
+    # corpus id span stays below the offset (true for the fixture
+    # family; a real corpus drop would carry its own distinct ids and
+    # skip this doubling entirely — unlike the delivery-stream ids in
+    # curation_queries, which are injective for ANY span)
     corpus = docs.select("doc_id", "text").unionByName(
         docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
     )
