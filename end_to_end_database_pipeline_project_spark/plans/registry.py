@@ -81,9 +81,16 @@ def _norm_zero_expr(col, dtype):
     if isinstance(dtype, MapType):
         out = col
         if _type_has_float(dtype.keyType):
-            # -0.0 and +0.0 never coexist as keys of one map (Spark's
-            # map key equality already treats them as duplicates), so
-            # key normalization cannot collide entries
+            # -0.0 and +0.0 never coexist as keys of one SPARK-built
+            # map (ArrayBasedMapBuilder normalizes at construction), so
+            # key normalization cannot collide entries for anything
+            # this engine constructs. Caveat: a map column read from
+            # parquet WRITTEN BY ANOTHER ENGINE can carry both keys, and
+            # transform_keys would then fail with DUPLICATED_MAP_KEY
+            # under the default EXCEPTION dedup policy — the right
+            # failure (the input violates Spark's map-key invariant;
+            # silently merging the entries would pick an arbitrary
+            # value). No registered query reads external map columns.
             out = F.transform_keys(
                 out, lambda k, _: _norm_zero_expr(k, dtype.keyType)
             )

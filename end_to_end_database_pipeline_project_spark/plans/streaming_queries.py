@@ -604,7 +604,8 @@ p AS (
 )
 SELECT batch_day, CAST(td AS BIGINT) AS n_events,
        round(sum((pr - pc) * ln(pr / pc)), 6) AS psi,
-       coalesce(round(sum((pr - pc) * ln(pr / pc)), 6) > 0.2, FALSE) AS drifted
+       coalesce(round(sum((pr - pc) * ln(pr / pc)), 6) > 0.2, FALSE) AS drifted,
+       coalesce((SELECT hi = lo FROM st), FALSE) AS ref_degenerate
 FROM p GROUP BY 1, 2""",
 )
 def streaming_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -65,8 +65,15 @@ def reference_histogram(ref: DataFrame, value_col: str = "value") -> DataFrame:
     """10-row reference histogram ``(bin, ref_n, lo, hi, ref_total)``
     — the broadcastable PSI artifact, built once per reference epoch.
     Every row carries the scalar stats so the artifact is one
-    self-contained table (persist it; re-use across batches)."""
+    self-contained table (persist it; re-use across batches).
+
+    NULL values are excluded HERE, not by caller convention: an
+    unfiltered reference would otherwise count NULLs into ``ref_total``
+    while binning them to NULL (dropped by the bin spine join),
+    silently deflating every reference proportion and biasing the PSI
+    (r07 advice)."""
     spark = ref.sparkSession
+    ref = ref.where(F.col(value_col).isNotNull())
     stats = ref.agg(
         F.min(value_col).alias("lo"),
         F.max(value_col).alias("hi"),
@@ -99,13 +106,18 @@ def psi_against_reference(
     """PSI of ``batch``'s value distribution vs the reference
     histogram, per ``group_cols`` (one row per group; pass the
     batch-id / day column). Returns ``group_cols + (n_events, psi,
-    drifted)``. Empty-group-impossible by construction (groups come
-    from the batch rows themselves). An EMPTY reference (``ref_total
-    == 0``) yields an empty result, enforced here: a histogram built
-    from zero rows carries NULL lo/hi, under which every batch value
-    would clamp into one bin and the PSI would confidently score the
-    batch against a fabricated all-zero reference — no reference, no
-    verdict."""
+    drifted, ref_degenerate)``. Empty-group-impossible by construction
+    (groups come from the batch rows themselves). An EMPTY reference
+    (``ref_total == 0``) yields an empty result, enforced here: a
+    histogram built from zero rows carries NULL lo/hi, under which
+    every batch value would clamp into one bin and the PSI would
+    confidently score the batch against a fabricated all-zero
+    reference — no reference, no verdict. A CONSTANT reference
+    (``hi == lo``) is a different regime: it is real data, so a
+    verdict is still emitted, but ``_bin_expr`` clamps every batch
+    value to bin 0 and the PSI is structurally 0 for ANY batch — the
+    monitor is blind, and ``ref_degenerate = true`` says so instead of
+    letting that regime read as "no drift" (r07 advice)."""
     gcols = list(group_cols or [])
     hist = hist.where(F.col("ref_total") > 0)
     stats = hist.agg(
@@ -130,12 +142,15 @@ def psi_against_reference(
     pc = (F.coalesce("nd", F.lit(0)) + 1.0) / (F.col("td") + float(N_BINS))
     term = (pr - pc) * F.log(pr / pc)
     out = full.groupBy(*gcols, "td").agg(F.round(F.sum(term), _R).alias("psi"))
+    deg = stats.select(
+        F.coalesce(F.col("lo") == F.col("hi"), F.lit(False)).alias("ref_degenerate")
+    )
     return out.select(
         *gcols,
         F.col("td").cast("long").alias("n_events"),
         "psi",
         F.coalesce(F.col("psi") > PSI_ALERT, F.lit(False)).alias("drifted"),
-    )
+    ).crossJoin(F.broadcast(deg))
 
 
 def reference_grid(
@@ -144,8 +159,12 @@ def reference_grid(
     """19-row exact-ventile grid ``(k, g, ref_le, ref_total)`` of the
     reference: ``g`` is the value at rank ``ceil(k * n / 20)`` (ranks
     from ``distributed_prefix_sum`` — no global window), ``ref_le`` the
-    exact reference CDF count at ``g``. The broadcastable KS artifact."""
+    exact reference CDF count at ``g``. The broadcastable KS artifact.
+    NULL values are excluded here (not by caller convention) — they
+    would otherwise occupy ranks in the ventile grid and shift every
+    quantile (r07 advice; same contract as ``reference_histogram``)."""
     spark = ref.sparkSession
+    ref = ref.where(F.col(value_col).isNotNull())
     r = ref.select(
         F.col(value_col).alias("value"), F.col(tiebreak_col).alias("tb")
     ).withColumn("one", F.lit(1).cast("long"))
@@ -271,7 +290,14 @@ def run_drift_monitor(
         ks = ks_against_reference(b, grid, value_col, gcols).select(
             *gcols, "ks_d", "ks_crit", F.col("drifted").alias("ks_drifted")
         )
-        psi.join(ks, gcols).write.mode("append").parquet(monitor_path)
+        # idempotent per batch: a replayed batch (failure between sink
+        # write and checkpoint commit) overwrites its OWN batch_id
+        # partition instead of appending duplicate monitor rows, so the
+        # one-row-per-(batch, day) invariant survives at-least-once
+        # delivery (r07 advice)
+        psi.join(ks, gcols).write.partitionBy("batch_id").option(
+            "partitionOverwriteMode", "dynamic"
+        ).mode("overwrite").parquet(monitor_path)
 
     q = (
         spark.readStream.schema(EVENT_SCHEMA)

@@ -85,6 +85,15 @@ def _maintain_silver_gold(
     gold refresh of exactly the months the batch touched."""
     silver_path = os.path.join(out_dir, "silver")
     silver = normalize_batch(batch)
+    # AT-LEAST-ONCE by design: a failure between this append and the
+    # streaming checkpoint commit replays the batch, appending its
+    # silver rows twice (and gold, recomputed FROM silver, inherits the
+    # duplicates). Where the sink has a key this pipeline uses the
+    # idempotent form instead — `run_cdc_apply`'s latest-wins MERGE,
+    # the monitor sinks' per-batch_id dynamic partition overwrite; a
+    # keyless fact append has no such handle short of writing
+    # batch_id-partitioned silver, which would fragment the table the
+    # gold refresh scans.
     silver.write.mode("append").parquet(silver_path)
     months = [
         r["m"]
@@ -205,7 +214,11 @@ def run_monitored_incremental_pipeline(
         ks = ks_against_reference(b, grid, group_cols=["batch_id"]).select(
             "batch_id", "ks_d", "ks_crit", F.col("drifted").alias("ks_drifted")
         )
-        psi.join(ks, ["batch_id"]).write.mode("append").parquet(monitor_path)
+        # per-batch_id dynamic overwrite: replayed batches rewrite
+        # their own partition, never duplicate monitor rows (r07 advice)
+        psi.join(ks, ["batch_id"]).write.partitionBy("batch_id").option(
+            "partitionOverwriteMode", "dynamic"
+        ).mode("overwrite").parquet(monitor_path)
 
     _run_landing_stream(
         spark,

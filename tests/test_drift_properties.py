@@ -163,6 +163,59 @@ def test_empty_reference_yields_no_verdicts(spark):
     assert ks_against_reference(batch, grid, group_cols=["batch"]).count() == 0
 
 
+def test_reference_builders_exclude_nulls(spark):
+    # an UNFILTERED reference with NULL values must produce the same
+    # artifacts as the pre-filtered reference: reference_histogram
+    # must not count NULLs into ref_total (deflated proportions ->
+    # biased PSI) and reference_grid must not rank them into the
+    # ventile grid (r07 advice)
+    from end_to_end_database_pipeline_project_spark.streaming.drift import (
+        reference_grid,
+        reference_histogram,
+    )
+
+    clean_rows = [(i, float(i % 50)) for i in range(200)]
+    null_rows = [(1000 + i, None) for i in range(60)]
+    clean = spark.createDataFrame(clean_rows, "event_id long, value double")
+    dirty = spark.createDataFrame(
+        clean_rows + null_rows, "event_id long, value double"
+    )
+    h_clean = sorted(map(tuple, reference_histogram(clean).collect()))
+    h_dirty = sorted(map(tuple, reference_histogram(dirty).collect()))
+    assert h_clean == h_dirty
+    assert h_dirty[0][-1] == 200  # ref_total excludes the 60 NULLs
+    g_clean = sorted(map(tuple, reference_grid(clean).collect()))
+    g_dirty = sorted(map(tuple, reference_grid(dirty).collect()))
+    assert g_clean == g_dirty
+
+
+def test_constant_reference_flags_degenerate(spark):
+    # a CONSTANT reference clamps every batch value to bin 0, so PSI is
+    # structurally 0 for ANY batch — the verdict must carry
+    # ref_degenerate=true so blindness doesn't read as "no drift"
+    from end_to_end_database_pipeline_project_spark.streaming.drift import (
+        psi_against_reference,
+        reference_histogram,
+    )
+
+    const_ref = spark.createDataFrame(
+        [(i, 5.0) for i in range(100)], "event_id long, value double"
+    )
+    hist = reference_histogram(const_ref)
+    batch = spark.createDataFrame(
+        [("b1", float(v)) for v in range(100)], "batch string, value double"
+    )
+    [row] = psi_against_reference(batch, hist, group_cols=["batch"]).collect()
+    assert row["psi"] == 0.0  # blind by construction
+    assert row["ref_degenerate"] is True
+    assert not row["drifted"]
+
+
+def test_healthy_reference_not_flagged_degenerate(drift_data):
+    _, _, _, psi, _ = drift_data
+    assert all(r["ref_degenerate"] is False for r in psi.values())
+
+
 def test_ks_zero_on_identical_sample_and_alerts_on_wild(drift_data):
     _, _, _, _, ks = drift_data
     assert ks["same"]["ks_d"] == 0.0

@@ -77,11 +77,11 @@ def monitor_run(spark, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("monitor_out"))
     path = run_drift_monitor(spark, landing, out, hist, grid)
     rows = spark.read.parquet(path)
-    return rows, batch_days
+    return rows, batch_days, landing, out, hist, grid
 
 
 def test_one_monitor_row_per_batch(spark, monitor_run):
-    rows, batch_days = monitor_run
+    rows, batch_days = monitor_run[:2]
     assert rows.count() == N_DAYS + 1
     assert rows.select("batch_id").distinct().count() == N_DAYS + 1
 
@@ -90,7 +90,7 @@ def test_streaming_rows_equal_batch_query_rows(spark, monitor_run):
     from end_to_end_database_pipeline_project_spark.plans import load_all  # noqa
     from end_to_end_database_pipeline_project_spark.plans.registry import QUERIES
 
-    rows, batch_days = monitor_run
+    rows, batch_days = monitor_run[:2]
     psi_batch = {
         r["batch_day"]: r
         for r in QUERIES["streaming_psi_monitor"](spark, SF).collect()
@@ -111,11 +111,31 @@ def test_streaming_rows_equal_batch_query_rows(spark, monitor_run):
 
 
 def test_shifted_batch_trips_both_alerts(monitor_run):
-    rows, batch_days = monitor_run
+    rows, batch_days = monitor_run[:2]
     alert = [r for r in rows.collect() if r["batch_day"] not in set(batch_days)]
     assert len(alert) == 1
     assert alert[0]["drifted"] is True, f"PSI alert missed: {alert[0]}"
     assert alert[0]["ks_drifted"] is True, f"KS alert missed: {alert[0]}"
+
+
+def test_replayed_batches_never_duplicate_monitor_rows(spark, monitor_run):
+    """At-least-once replay safety (r07 advice): wiping the streaming
+    checkpoint and re-consuming the SAME landing dir replays every
+    batch — the per-batch_id dynamic partition overwrite must rewrite
+    each batch's own rows, leaving the one-row-per-(batch, day)
+    invariant intact instead of doubling the monitor table."""
+    import shutil
+
+    from end_to_end_database_pipeline_project_spark.streaming.drift import (
+        run_drift_monitor,
+    )
+
+    rows, _, landing, out, hist, grid = monitor_run
+    before = sorted(map(tuple, rows.collect()))
+    shutil.rmtree(os.path.join(out, "_checkpoint"))
+    path = run_drift_monitor(spark, landing, out, hist, grid)
+    after = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert after == before
 
 
 def test_monitored_pipeline_maintains_gold_and_monitors(spark, tmp_path):
