@@ -639,7 +639,7 @@ _SNAPSHOT_B_CTE = """b AS (
   SELECT doc_id, text || ' rev2' AS text FROM documents
   WHERE doc_id % 7 = 0 AND doc_id % 11 <> 0
   UNION ALL
-  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 13 = 0
+  SELECT -doc_id - 1 AS doc_id, text FROM documents WHERE doc_id % 13 = 0
 )"""
 
 
@@ -665,7 +665,11 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     input to incremental re-embedding (only 'added'+'changed' need new
     vectors). One co-partitioned full outer join on doc_id; content
     equality compared in-join (at scale: compare md5s from footer-stat
-    pruned scans instead of full text columns)."""
+    pruned scans instead of full text columns). Snapshot B's synthetic
+    'added' docs take ids ``-doc_id - 1`` — injective and disjoint
+    from the real (non-negative) id space for ANY corpus span, the
+    same collision-free construction class as the delivery-stream
+    residues (tests/test_bloom.py pins all three sites)."""
     docs = load_table(spark, sf_dir, "documents")
     b = (
         docs.where((F.col("doc_id") % 11 != 0) & (F.col("doc_id") % 7 != 0))
@@ -677,7 +681,7 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             docs.where(F.col("doc_id") % 13 == 0).select(
-                (F.col("doc_id") + 10000).alias("doc_id"), "text"
+                (-F.col("doc_id") - 1).alias("doc_id"), "text"
             )
         )
     )
@@ -1041,7 +1045,10 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
   FROM orders WHERE o_orderkey % 13 <> 0
 ),
 ins AS (
-  SELECT o_orderkey + 100000000 AS o_orderkey, o_orderpriority,
+  -- synthetic insert keys: -o_orderkey is injective and disjoint from
+  -- the real (positive) key space for any span; the key itself is
+  -- never grouped or joined downstream
+  SELECT -o_orderkey AS o_orderkey, o_orderpriority,
          CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
   FROM orders WHERE o_orderkey % 19 = 0
 ),

@@ -2307,9 +2307,9 @@ def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "boilerplate_lines",
     oracle=r"""WITH corpus AS (
-  SELECT doc_id, text FROM documents
+  SELECT doc_id * 2 AS doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 1000000, text FROM documents
+  SELECT doc_id * 2 + 1 AS doc_id, text FROM documents
 ),
 lines AS (
   SELECT doc_id, trim(line) AS line
@@ -2336,13 +2336,13 @@ def boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import fan_out
 
     docs = load_table(spark, sf_dir, "documents")
-    # synthetic-fixture construction: the +1000000 shift assumes the
-    # corpus id span stays below the offset (true for the fixture
-    # family; a real corpus drop would carry its own distinct ids and
-    # skip this doubling entirely — unlike the delivery-stream ids in
-    # curation_queries, which are injective for ANY span)
-    corpus = docs.select("doc_id", "text").unionByName(
-        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    # synthetic-fixture doubling via the injective disjoint-residue
+    # scheme (doc_id*2 and doc_id*2+1): the two copies cannot collide
+    # for ANY corpus id span, unlike an additive offset which merges
+    # ids once the span exceeds the gap (the r07 delivery-stream bug
+    # class, pinned by tests/test_bloom.py)
+    corpus = docs.select((F.col("doc_id") * 2).alias("doc_id"), "text").unionByName(
+        docs.select((F.col("doc_id") * 2 + 1).alias("doc_id"), "text")
     )
     lines = (
         fan_out(corpus)
@@ -3116,9 +3116,9 @@ def full_curation_run(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "incremental_neardup_batch",
     oracle=r"""WITH inc AS (
-  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+  SELECT doc_id * 10 + 1 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
   UNION ALL
-  SELECT doc_id + 200000 AS doc_id, text || ' updated edition' AS text
+  SELECT doc_id * 10 + 2 AS doc_id, text || ' updated edition' AS text
   FROM documents WHERE doc_id % 7 = 0
 ),
 uni AS (
@@ -3197,12 +3197,16 @@ def incremental_neardup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
+    # injective disjoint-residue delivery ids (doc_id*10+{1,2}): the two
+    # synthetic streams cannot collide for ANY corpus id span, unlike
+    # the additive offsets this replaced (r07 review bug class; all
+    # sites pinned by tests/test_bloom.py)
     inc = (
         docs.where(F.col("doc_id") % 3 == 0)
-        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        .select((F.col("doc_id") * 10 + 1).alias("doc_id"), "text")
         .unionByName(
             docs.where(F.col("doc_id") % 7 == 0).select(
-                (F.col("doc_id") + 200000).alias("doc_id"),
+                (F.col("doc_id") * 10 + 2).alias("doc_id"),
                 F.concat(F.col("text"), F.lit(" updated edition")).alias("text"),
             )
         )

@@ -106,14 +106,17 @@ def test_scan_probe_adds_no_fact_side_exchange(spark):
 
 
 def test_delivery_stream_ids_never_collide(spark, tmp_path):
-    """r07 review regression: the two synthetic delivery streams used
-    by bloom_incremental_dedup / incremental_curation_packing must
-    stay disjoint for ANY corpus id span. Under the old additive
-    offsets (+100000/+200000), doc_id 14 (14%7==0 -> 200014) and
-    doc_id 100014 (100014%3==0 -> 200014) collided, merging two rows'
-    probe verdicts in probe_bloom's per-id bool_and. The injective
-    residue scheme (doc_id*10+{1,2}) cannot collide; this pins it on
-    exactly the old counterexample."""
+    """r07 review regression, extended r08 to EVERY fleet site that
+    manufactures synthetic ids: the synthetic streams must stay
+    disjoint (from each other and, where they coexist with real ids,
+    from the corpus id space) for ANY corpus id span. Under the old
+    additive offsets (+100000/+200000), doc_id 14 (14%7==0 -> 200014)
+    and doc_id 100014 (100014%3==0 -> 200014) collided, merging two
+    rows' probe verdicts in probe_bloom's per-id bool_and. The
+    injective constructions (disjoint residues doc_id*10+{1,2} /
+    doc_id*2+{0,1}; negated ids -doc_id-1) cannot collide; this pins
+    them on exactly the old counterexample by running each query on a
+    wide-id-span fixture against its oracle."""
     import duckdb
 
     from end_to_end_database_pipeline_project_spark.plans import load_all  # noqa
@@ -127,20 +130,32 @@ def test_delivery_stream_ids_never_collide(spark, tmp_path):
         (14, "the quick brown fox jumps over the lazy dog", "en", "web", 44),
         (100014, "a completely different document body here", "en", "web", 41),
         (3, "third doc delivered once and redelivered", "en", "books", 40),
+        (13, "a thirteenth document to exercise the added branch", "en", "web", 50),
     ]
     d = tmp_path / "wide_ids"
     d.mkdir()
     spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
     ).coalesce(1).write.parquet(str(d / "documents.parquet"))
-
-    sdf = QUERIES["bloom_incremental_dedup"](spark, str(d)).toPandas()
-    assert sdf["doc_id"].is_unique, "synthetic batch ids collided"
     con = duckdb.connect()
     con.sql(
         "CREATE VIEW documents AS SELECT * FROM "
         f"'{d}/documents.parquet/*.parquet'"
     )
-    assert not compare(
-        "bloom_incremental_dedup", sdf, con.sql(ORACLES["bloom_incremental_dedup"]).df()
-    )
+
+    sdf = QUERIES["bloom_incremental_dedup"](spark, str(d)).toPandas()
+    assert sdf["doc_id"].is_unique, "synthetic batch ids collided"
+
+    # every query that manufactures synthetic ids, vs its oracle on the
+    # wide-span fixture (a collision shows up as a value mismatch)
+    synthetic_id_sites = [
+        "bloom_incremental_dedup",
+        "incremental_curation_packing",
+        "incremental_neardup_batch",
+        "boilerplate_lines",
+        "corpus_snapshot_diff",
+    ]
+    for name in synthetic_id_sites:
+        got = compare(name, QUERIES[name](spark, str(d)).toPandas(),
+                      con.sql(ORACLES[name]).df())
+        assert not got, f"{name} diverged from oracle on wide-id fixture: {got}"
