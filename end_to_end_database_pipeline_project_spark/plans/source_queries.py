@@ -590,12 +590,23 @@ def binaryfile_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the downstream is exactly `operators/multimodal`'s
     binary-column kernels (this query is their missing FILE-source
     front end; the reference's equivalent hop is its raw-payload
-    landing into the Mongo raw collection, mongodb_etl.py:18,100)."""
+    landing into the Mongo raw collection, mongodb_etl.py:18,100).
+
+    The landing prefix is injectable via ``SPARK_GRAFT_LANDING_DIR``
+    (a fresh subdirectory is created under it per run) so a cluster
+    deployment points it at shared storage — an object-store mount or
+    NFS — without editing the query; the default is a local tempdir,
+    correct for local[all] where executors and reader share a
+    filesystem. Either way the count guard below fails loudly if the
+    landing isn't actually shared."""
     import os
 
     from ..functions.text import word_count
 
-    tmp = tempfile.mkdtemp(prefix="blob_land_")
+    land_base = os.environ.get("SPARK_GRAFT_LANDING_DIR")
+    if land_base:
+        os.makedirs(land_base, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix="blob_land_", dir=land_base or None)
     docs = load_table(spark, sf_dir, "documents").where(
         F.col("doc_id") % 10 == 0
     ).select("doc_id", "text")
