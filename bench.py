@@ -101,6 +101,10 @@ HEADLINE = [
     "streaming_psi_monitor",
     "streaming_ks_monitor",
     "incremental_curation_packing",
+    # round 8: epoch-artifact persist-and-probe lifecycle (versioned
+    # bloom epochs; committed IVF centroids + occupancy drift trigger)
+    "bloom_artifact_lifecycle",
+    "ivf_centroid_maintenance",
 ]
 
 

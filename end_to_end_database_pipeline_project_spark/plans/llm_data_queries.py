@@ -3620,3 +3620,91 @@ def doc_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("band"),
         )
     )
+
+
+@query(
+    "ivf_centroid_maintenance",
+    oracle="""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cent AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < 8),
+ra AS (
+  SELECT cell_id FROM (
+    SELECT r.vec_id, c.cell_id,
+           row_number() OVER (PARTITION BY r.vec_id
+             ORDER BY list_cosine_similarity(r.v, c.cv) DESC, c.cell_id) AS rn
+    FROM e r CROSS JOIN cent c WHERE r.vec_id % 2 = 0
+  ) WHERE rn = 1
+),
+ba AS (
+  SELECT cell_id FROM (
+    SELECT b.vec_id, c.cell_id,
+           row_number() OVER (PARTITION BY b.vec_id
+             ORDER BY list_cosine_similarity(b.v, c.cv) DESC, c.cell_id) AS rn
+    FROM e b CROSS JOIN cent c WHERE b.vec_id % 2 = 1
+  ) WHERE rn = 1
+),
+rc AS (SELECT cell_id, CAST(count(*) AS BIGINT) AS ref_n FROM ra GROUP BY cell_id),
+bc AS (SELECT cell_id, CAST(count(*) AS BIGINT) AS batch_n FROM ba GROUP BY cell_id),
+cells AS (
+  SELECT c.cell_id, coalesce(rc.ref_n, 0) AS ref_n,
+         coalesce(bc.batch_n, 0) AS batch_n
+  FROM cent c LEFT JOIN rc ON rc.cell_id = c.cell_id
+              LEFT JOIN bc ON bc.cell_id = c.cell_id
+),
+tot AS (SELECT coalesce(sum(ref_n), 0) AS rt, coalesce(sum(batch_n), 0) AS bt,
+               count(*) AS ncells FROM cells),
+psi AS (
+  SELECT round(sum(((ref_n + 1.0) / (rt + ncells)
+                    - (batch_n + 1.0) / (bt + ncells))
+               * ln(((ref_n + 1.0) / (rt + ncells))
+                    / ((batch_n + 1.0) / (bt + ncells)))), 6) + 0.0
+           AS occupancy_psi
+  FROM cells CROSS JOIN tot
+)
+SELECT cell_id, CAST(ref_n AS BIGINT) AS ref_n,
+       CAST(batch_n AS BIGINT) AS batch_n,
+       CAST(ref_n + batch_n AS BIGINT) AS total_n,
+       CAST(1 AS BIGINT) AS artifact_version,
+       occupancy_psi,
+       coalesce(occupancy_psi > 0.2, FALSE) AS rebuild_recommended
+FROM cells CROSS JOIN psi""",
+)
+def ivf_centroid_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance against a PERSISTED centroid
+    epoch (`pipeline.artifacts`): the reference half of the corpus
+    (even vec_ids) is assigned to the deterministic seed centroids
+    once and COMMITTED as the epoch artifact — one row per cell with
+    the centroid vector and reference occupancy count, published
+    through the `sources.versioned` manifest swap. The new batch (odd
+    vec_ids) is then assigned to the EXISTING committed centroids
+    (broadcast argmax — no re-fit, no reference rescan; the reference
+    enters the probe plan only as the artifact's 8 count rows) and the
+    per-cell report merges occupancies and scores the batch's cell
+    histogram against the epoch's with add-1-smoothed PSI:
+
+      (cell_id, ref_n, batch_n, total_n, artifact_version,
+       occupancy_psi, rebuild_recommended)
+
+    ``rebuild_recommended`` fires at PSI > 0.2 — when new vectors stop
+    landing where the reference did, the Voronoi partition no longer
+    balances the IVF scan and the centroids need re-fitting; until
+    then every batch reuses the epoch artifact. This is the
+    build-once/probe-many split `ivf_kmeans_topk` notes the production
+    form needs, with the occupancy drift signal riding along for free
+    (the batch needed the assignment anyway). Assignment parity with a
+    full rebuild and the drift trigger are pinned by
+    tests/test_artifact_lifecycle.py."""
+    from ..pipeline.artifacts import (
+        centroid_maintenance_report,
+        publish_centroid_epoch,
+        scratch_artifact_dir,
+    )
+
+    emb = _emb(spark, sf_dir)
+    ref = emb.where(F.col("vec_id") % 2 == 0)
+    batch = emb.where(F.col("vec_id") % 2 == 1)
+    centroids = emb.where(F.col("vec_id") < 8)
+    path = scratch_artifact_dir("ivf_epoch_")
+    publish_centroid_epoch(ref, centroids, path)
+    return centroid_maintenance_report(spark, path, batch)

@@ -45,79 +45,78 @@ _PACKS = [
 #
 # The round driver verifies the FIRST 50 entries of ``queries()`` against
 # their DuckDB oracles.  Registration order is therefore the
-# *verification budget allocator*: the front of the dict should hold
-# every name that has not yet earned a driver ledger row.
+# *verification budget allocator*.  The r07 window drained the backlog,
+# so the ledger union is 284/284 — every registered query has a driver
+# row; from r08 on the window is freshness-driven.
 #
-# Round-7 window: slots 1-37 drain the full never-driver-checked backlog
-# (union of CORRECTNESS_r01..r06 = 243 of 280; the remaining 37 are
-# below).  Every oracle-backed name in the backlog was independently
-# re-verified green by the r06 judge's strict-mirror runs; the two
-# rows-only names (ivf_kmeans_topk, embedding_pca_certificate) carry
-# in-query certificates and take the driver's weaker rows-only check.
-# After this window drains green, the union is 284/284 (the backlog,
-# everything previously checked, plus the four round-7 additions in
-# slots 43-45 and 50) — every registered query has a driver ledger row.
-#
-# Slots 38-50 are re-checks: the two r05-red representation fixes
-# (their r06 re-green gets a second confirmation), then the
-# highest-traffic flagship paths so the freshest ledger rows cover the
-# most-used queries.  New r07 queries displace tail re-checks as they
-# land (keeping add-rate <= window-drain-rate).
+# Round-8 window (add-rate <= drain-rate, r07 verdict policy):
+# - slots 1-2: the two r08 additions (epoch-artifact lifecycle pair)
+# - slots 3-13: every query whose code or shared operator changed this
+#   round — the drift monitors (psi schema gained ref_degenerate), the
+#   four injective-id conversions, the injectable-landing binaryFile
+#   ingest, and the bloom/prefix-sum consumers the artifact work leans
+#   on (bloom_incremental_dedup, incremental_curation_packing,
+#   sequence_packing_report, token_budget_selection)
+# - slots 14-50: the 37 stalest ledger rows (last driver row r02 —
+#   6 rounds old).  The seven r02-era names that didn't fit
+#   (station_enrichment, top_orders_global, top_orders_per_customer,
+#   unit_conversions, user_sessionization, value_outlier_counts,
+#   weather_buckets) are first in line for the r09 window.
 
 _DRIVER_FIRST = [
-    # (a) slots 1-37: the never-driver-checked backlog
-    "knn_topk_pandas",
-    "ivf_kmeans_topk",            # rows-only (in-query certificate)
-    "lsh_quality_certificate",
-    "ivf_kmeans_certificate",
-    "asof_last_purchase_pandas",
-    "csv_roundtrip_pricing",
-    "sql_interface_pricing",
-    "parquet_schema_evolution",
-    "masked_customer_export",
-    "zorder_events_roundtrip",
-    "idw_station_interpolation",
-    "forecast_revenue_change",
-    "customer_order_distribution",
-    "small_quantity_revenue",
-    "large_volume_customers",
-    "disjunctive_predicate_revenue",
-    "dormant_high_balance_customers",
-    "top_supplier_revenue",
-    "sql_udf_weather_display",
-    "collated_event_types",
-    "udtf_dynamic_stats",
-    "status_priority_profile",
-    "order_value_distribution",
-    "doc_keyword_extraction",
-    "quantile_normalized_scores",
-    "embedding_pca_certificate",  # rows-only (in-query certificate)
-    "climatology_forecast_eval",
-    "part_association_rules",
-    "order_price_histogram",
-    "climatology_anomaly_hours",
-    "trading_communities",
-    "shipments_by_weekday",
-    "benford_first_digit",
-    "rolling_value_volume_corr",
-    "order_total_reconciliation",
-    "event_weekday_chi2",
-    "event_transition_matrix",
-    # (b) slots 38-39: the r05-red representation fixes, re-confirmed
-    "sequence_packing_report",
-    "heaps_law_fit",
-    # (c) slots 40-50: flagship re-checks / new r07 queries
-    "daily_weather_rollup",
-    "pricing_summary",
-    "minhash_lsh_pairs",
-    "incremental_curation_packing",
+    # (a) slots 1-2: new r08 queries
+    "bloom_artifact_lifecycle",
+    "ivf_centroid_maintenance",
+    # (b) slots 3-13: changed code / changed shared operators
     "streaming_psi_monitor",
     "streaming_ks_monitor",
-    "regional_revenue",
-    "bloom_incremental_dedup",
-    "ivfpq_topk",
-    "bm25_retrieval",
+    "boilerplate_lines",
+    "corpus_snapshot_diff",
+    "incremental_neardup_batch",
+    "retraction_aggregate_maintenance",
     "binaryfile_corpus_ingest",
+    "bloom_incremental_dedup",
+    "incremental_curation_packing",
+    "sequence_packing_report",
+    "token_budget_selection",
+    # (c) slots 14-50: stalest driver rows (r02-era)
+    "above_average_customers",
+    "cube_status_priority",
+    "customers_with_open_orders",
+    "customers_without_orders",
+    "daily_averages_serving",
+    "dashboard_display",
+    "distinct_counts",
+    "exact_dedup_docs",
+    "heterogeneous_format_union",
+    "hourly_dedup_agg",
+    "json_props_extract",
+    "late_shipment_orders",
+    "latest_record",
+    "latest_value_by_station",
+    "monthly_averages_serving",
+    "monthly_value_change",
+    "monthly_weather_rollup",
+    "nation_customer_supplier_balance",
+    "nation_region_join",
+    "nations_customers_only",
+    "nations_with_both",
+    "null_handling_defaults",
+    "order_gap_days",
+    "order_priority_checking",
+    "order_status_pivot",
+    "overall_summary",
+    "price_band_join",
+    "promo_revenue_share",
+    "props_map_stats",
+    "quantity_quantiles",
+    "rainfall_gradient_colors",
+    "returned_item_report",
+    "rolling_7day_avg",
+    "rollup_returnflag_status",
+    "running_supplier_quantity",
+    "serving_json_envelope",
+    "shipping_priority",
 ]
 
 

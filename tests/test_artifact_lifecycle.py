@@ -1,0 +1,196 @@
+"""Build-once / probe-many epoch artifacts (`pipeline.artifacts`).
+
+The properties the registered queries can't pin alone:
+
+- **No re-fit**: a probe reads the COMMITTED artifact, never the
+  corpus that built it — proven by replacing the corpus after publish
+  and observing unchanged probe verdicts.
+- **Assignment parity**: incremental maintenance (assign only the new
+  batch to the epoch centroids, merge counts) equals a full rebuild
+  over reference + batch — the invariant that makes probing instead
+  of re-fitting sound while the trigger stays quiet.
+- **Drift trigger**: a batch that collapses onto one cell trips
+  ``rebuild_recommended``; a batch distributed like the reference
+  does not.
+- **Time travel**: pinned-version probes reproduce the old epoch's
+  admission decisions after a newer epoch is committed.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _emb_df(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+@pytest.fixture(scope="module")
+def vectors():
+    # 4 well-separated directions in R^4; 24 reference vectors cycle
+    # through them with small deterministic jitter
+    import numpy as np
+
+    rng = np.random.default_rng(8)
+    base = np.eye(4)
+    rows = []
+    for i in range(24):
+        v = base[i % 4] + rng.normal(0, 0.05, 4)
+        rows.append((i, [float(x) for x in v]))
+    return rows
+
+
+def test_bloom_probe_reads_artifact_not_corpus(spark, tmp_path):
+    from end_to_end_database_pipeline_project_spark.pipeline.artifacts import (
+        probe_bloom_epoch,
+        publish_bloom_epoch,
+    )
+
+    corpus = spark.createDataFrame([("a",), ("b",), ("c",)], "k string")
+    path = str(tmp_path / "bloom")
+    assert publish_bloom_epoch(corpus, "k", path) == 1
+
+    # the corpus frame is gone / different now; verdicts must still
+    # reflect the PUBLISHED epoch {a,b,c}
+    batch = spark.createDataFrame(
+        [(1, "a"), (2, "z")], "doc_id long, k string"
+    )
+    got = {
+        r["doc_id"]: r["maybe_dup"]
+        for r in probe_bloom_epoch(spark, path, batch, "k", "doc_id").collect()
+    }
+    assert got[1] is True  # 'a' is in the epoch (no false negatives)
+    assert got[2] is False or got[2] is True  # 'z': FP possible but...
+    # ...with 5 probes in 2^20 bits over 3 keys, an FP here would be
+    # astronomically unlikely; pin the exact expected verdict
+    assert got[2] is False
+
+
+def test_bloom_time_travel_reproduces_old_epoch(spark, tmp_path):
+    from end_to_end_database_pipeline_project_spark.pipeline.artifacts import (
+        probe_bloom_epoch,
+        publish_bloom_epoch,
+    )
+
+    path = str(tmp_path / "bloom_tt")
+    publish_bloom_epoch(
+        spark.createDataFrame([("a",)], "k string"), "k", path
+    )  # v1
+    publish_bloom_epoch(
+        spark.createDataFrame([("a",), ("q",)], "k string"), "k", path
+    )  # v2
+    batch = spark.createDataFrame([(1, "q")], "doc_id long, k string")
+    v1 = probe_bloom_epoch(spark, path, batch, "k", "doc_id", version=1)
+    v2 = probe_bloom_epoch(spark, path, batch, "k", "doc_id", version=2)
+    assert v1.collect()[0]["maybe_dup"] is False  # 'q' unknown to epoch 1
+    assert v2.collect()[0]["maybe_dup"] is True  # known to epoch 2
+
+
+def test_centroid_report_reads_persisted_occupancy(spark, tmp_path, vectors):
+    """ref_n must come from the artifact, not a reference rescan:
+    publish from ref R, then probe — the report's ref_n equals R's
+    occupancy even though R never enters the probe call."""
+    from end_to_end_database_pipeline_project_spark.pipeline.artifacts import (
+        centroid_maintenance_report,
+        publish_centroid_epoch,
+    )
+
+    ref = _emb_df(spark, vectors)
+    centroids = _emb_df(spark, vectors[:4])
+    path = str(tmp_path / "ivf")
+    assert publish_centroid_epoch(ref, centroids, path) == 1
+
+    batch = _emb_df(spark, [(100 + i, v) for i, (_, v) in enumerate(vectors[:8])])
+    rep = centroid_maintenance_report(spark, path, batch).collect()
+    assert sum(r["ref_n"] for r in rep) == len(vectors)
+    assert sum(r["batch_n"] for r in rep) == 8
+    assert all(r["total_n"] == r["ref_n"] + r["batch_n"] for r in rep)
+    assert all(r["artifact_version"] == 1 for r in rep)
+
+
+def test_incremental_assignment_parity_with_full_rebuild(
+    spark, tmp_path, vectors
+):
+    from end_to_end_database_pipeline_project_spark.pipeline.artifacts import (
+        centroid_maintenance_report,
+        publish_centroid_epoch,
+    )
+    from end_to_end_database_pipeline_project_spark.sources.versioned import (
+        read_version,
+    )
+
+    ref = _emb_df(spark, vectors[:16])
+    batch = _emb_df(spark, vectors[16:])
+    centroids = _emb_df(spark, vectors[:4])
+
+    inc_path = str(tmp_path / "inc")
+    publish_centroid_epoch(ref, centroids, inc_path)
+    inc = {
+        r["cell_id"]: r["total_n"]
+        for r in centroid_maintenance_report(spark, inc_path, batch).collect()
+    }
+
+    # full rebuild over ref + batch with the SAME centroids
+    full_path = str(tmp_path / "full")
+    publish_centroid_epoch(ref.unionByName(batch), centroids, full_path)
+    full = {
+        r["cell_id"]: r["ref_n"]
+        for r in read_version(spark, full_path).collect()
+    }
+    assert inc == full
+
+
+def test_drift_trigger_fires_on_collapsed_batch(spark, tmp_path, vectors):
+    from end_to_end_database_pipeline_project_spark.pipeline.artifacts import (
+        centroid_maintenance_report,
+        publish_centroid_epoch,
+    )
+
+    ref = _emb_df(spark, vectors)
+    centroids = _emb_df(spark, vectors[:4])
+    path = str(tmp_path / "drift")
+    publish_centroid_epoch(ref, centroids, path)
+
+    # balanced batch = the reference itself -> cell histogram matches
+    balanced = centroid_maintenance_report(
+        spark, path, _emb_df(spark, [(100 + i, v) for i, (_, v) in enumerate(vectors)])
+    ).collect()
+    assert all(r["rebuild_recommended"] is False for r in balanced)
+    assert all(r["occupancy_psi"] < 0.05 for r in balanced)
+
+    # collapsed batch: every vector lands in centroid 0's cell
+    collapsed = centroid_maintenance_report(
+        spark,
+        path,
+        _emb_df(spark, [(200 + i, vectors[0][1]) for i in range(12)]),
+    ).collect()
+    assert all(r["rebuild_recommended"] is True for r in collapsed)
+    assert all(r["occupancy_psi"] > 0.2 for r in collapsed)
+
+
+def test_probe_before_any_publish_fails_loudly(spark, tmp_path):
+    from end_to_end_database_pipeline_project_spark.pipeline.artifacts import (
+        centroid_maintenance_report,
+        probe_bloom_epoch,
+    )
+
+    batch = spark.createDataFrame([(1, "a")], "doc_id long, k string")
+    with pytest.raises(FileNotFoundError):
+        probe_bloom_epoch(spark, str(tmp_path / "nope"), batch, "k", "doc_id")
+    with pytest.raises(FileNotFoundError):
+        centroid_maintenance_report(
+            spark,
+            str(tmp_path / "nope2"),
+            spark.createDataFrame([], "vec_id long, embedding array<double>"),
+        )
+
+
+def test_artifact_dir_injection(spark, tmp_path, monkeypatch):
+    from end_to_end_database_pipeline_project_spark.pipeline.artifacts import (
+        scratch_artifact_dir,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", str(tmp_path / "store"))
+    d = scratch_artifact_dir("ep_")
+    assert d.startswith(str(tmp_path / "store"))

@@ -22,15 +22,15 @@ from end_to_end_database_pipeline_project_spark.plans.load_all import _DRIVER_FI
 # The declared fleet size.  Bump BOTH numbers in the same commit that
 # registers a new query; a mismatch here means a pack import silently
 # lost (or double-registered) names.
-EXPECTED_QUERIES = 284
-EXPECTED_ORACLES = 282
+EXPECTED_QUERIES = 286
+EXPECTED_ORACLES = 284
 
-# Rows-only queries allowed to burn a checked window slot.  Normally
-# zero, but the r07 window intentionally carries the two certificate-
-# backed rows-only names so the "every registered query has a driver
-# ledger row" goal closes at the full registry size (284/284 — the
-# driver records a weaker rows-only check for them).
-ROWS_ONLY_WINDOW_ALLOWED = {"ivf_kmeans_topk", "embedding_pca_certificate"}
+# Rows-only queries allowed to burn a checked window slot.  Zero from
+# r08 on: the r07 window closed the ledger at the full registry size
+# (every query has a driver row, including the two certificate-backed
+# rows-only names), so freshness windows carry only oracle-backed
+# names.
+ROWS_ONLY_WINDOW_ALLOWED: set[str] = set()
 
 
 def test_registry_size_is_pinned():
