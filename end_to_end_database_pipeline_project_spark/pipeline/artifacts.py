@@ -85,6 +85,52 @@ def probe_bloom_epoch(
     return probe_bloom(batch, read_version(spark, path, version), key_col, id_col)
 
 
+# -------------------------------------------------- minhash/LSH epochs
+
+
+def publish_minhash_epoch(
+    corpus: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> int:
+    """Commit the standing corpus's LSH BUCKET table as an epoch
+    artifact — the near-dup analog of the Bloom epoch. The bucket
+    table (``bands`` rows per doc), not the raw signatures, is what a
+    batch probe joins against; the signature build is the expensive
+    corpus pass this artifact amortizes across every batch probed
+    until the next epoch."""
+    from ..operators.dedup import lsh_buckets, minhash_signatures
+
+    return write_version(lsh_buckets(minhash_signatures(corpus, text_col, id_col)), path)
+
+
+def probe_minhash_epoch(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    version: int | None = None,
+) -> DataFrame:
+    """Near-dup candidate pairs of ``batch`` against a COMMITTED
+    bucket epoch: batch-sized signature build + one equi-join on
+    (band, bucket) whose right side is the persisted bucket TABLE —
+    the corpus itself is never rescanned, so per-batch cost is
+    O(|batch| + collisions). Returns distinct ``(new_id, old_id)``
+    candidates (verify survivors with the exact-Jaccard pass, as in
+    `incremental_neardup_batch`)."""
+    from ..operators.dedup import lsh_buckets, minhash_signatures
+
+    old_b = read_version(spark, path, version).select(
+        F.col(id_col).alias("old_id"), "band", "bucket"
+    )
+    new_b = lsh_buckets(minhash_signatures(batch, text_col, id_col)).select(
+        F.col(id_col).alias("new_id"), "band", "bucket"
+    )
+    return new_b.join(old_b, ["band", "bucket"]).select("new_id", "old_id").distinct()
+
+
 # ----------------------------------------------------- ivf centroid epochs
 
 
@@ -158,6 +204,9 @@ def centroid_maintenance_report(
             "ref_n",
             F.coalesce("batch_n", F.lit(0)).cast("long").alias("batch_n"),
         )
+        # three consumers (totals, psi, final report) — materialize the
+        # batch assignment once instead of re-running it per branch
+        .localCheckpoint(eager=False)
     )
     # scalar totals BEFORE any crossJoin (empty-fixture totality
     # discipline): one row each even over zero cells

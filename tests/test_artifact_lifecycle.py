@@ -169,6 +169,61 @@ def test_drift_trigger_fires_on_collapsed_batch(spark, tmp_path, vectors):
     assert all(r["occupancy_psi"] > 0.2 for r in collapsed)
 
 
+def test_minhash_probe_reads_committed_buckets(spark, tmp_path):
+    """Near-dup candidates must come from the PUBLISHED bucket epoch:
+    identical text -> identical signature -> same buckets in every
+    band, so a redelivered doc is a candidate against the epoch even
+    though the corpus frame is gone; a novel doc collides with
+    nothing. Parity: the persisted-probe candidates equal the in-plan
+    bucket join over the same frames."""
+    from end_to_end_database_pipeline_project_spark.operators.dedup import (
+        lsh_buckets,
+        minhash_signatures,
+    )
+    from end_to_end_database_pipeline_project_spark.pipeline.artifacts import (
+        probe_minhash_epoch,
+        publish_minhash_epoch,
+    )
+
+    corpus_rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "a completely different document body with its own words"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    path = str(tmp_path / "mh")
+    assert publish_minhash_epoch(corpus, path) == 1
+
+    batch = spark.createDataFrame(
+        [
+            (11, corpus_rows[0][1]),  # redelivery of doc 1
+            (12, "entirely novel text that shares no shingles with anything"),
+        ],
+        "doc_id long, text string",
+    )
+    cands = {
+        (r["new_id"], r["old_id"])
+        for r in probe_minhash_epoch(spark, path, batch).collect()
+    }
+    assert (11, 1) in cands
+    assert not any(n == 12 for n, _ in cands)
+
+    # parity with the in-plan join the registered query runs
+    old_b = lsh_buckets(minhash_signatures(corpus)).select(
+        F.col("doc_id").alias("old_id"), "band", "bucket"
+    )
+    new_b = lsh_buckets(minhash_signatures(batch)).select(
+        F.col("doc_id").alias("new_id"), "band", "bucket"
+    )
+    inplan = {
+        (r["new_id"], r["old_id"])
+        for r in new_b.join(old_b, ["band", "bucket"])
+        .select("new_id", "old_id")
+        .distinct()
+        .collect()
+    }
+    assert cands == inplan
+
+
 def test_probe_before_any_publish_fails_loudly(spark, tmp_path):
     from end_to_end_database_pipeline_project_spark.pipeline.artifacts import (
         centroid_maintenance_report,
