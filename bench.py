@@ -105,6 +105,7 @@ HEADLINE = [
     # bloom epochs; committed IVF centroids + occupancy drift trigger)
     "bloom_artifact_lifecycle",
     "ivf_centroid_maintenance",
+    "pq_codebook_lifecycle",
 ]
 
 

@@ -131,6 +131,111 @@ def probe_minhash_epoch(
     return new_b.join(old_b, ["band", "bucket"]).select("new_id", "old_id").distinct()
 
 
+# ------------------------------------------------------ pq codebook epochs
+
+
+def publish_pq_epoch(
+    ref: DataFrame, path: str, m: int = 16, sub: int = 4, k: int = 256
+) -> int:
+    """Commit a product-quantization epoch artifact: the sampled
+    codebook NORMALIZED to one row per (subspace, codeword) —
+    ``(s, j, cw, ref_recon_cos)`` — plus the epoch's own quality
+    baseline (the reference corpus's mean reconstruction cosine under
+    this codebook) riding on every row, so the artifact is one
+    self-contained table like `streaming/drift.reference_histogram`.
+    ≤ m*k rows (4096 at the defaults) — broadcast-sized forever."""
+    from ..functions.vector import cosine
+    from ..operators.similarity import pq_apply, pq_codebook
+
+    cb = pq_codebook(ref, m, sub, k).localCheckpoint(eager=False)
+    baseline = (
+        pq_apply(ref, cb, m, sub)
+        .select(cosine(F.col("embedding"), F.col("dq")).alias("c"))
+        .agg(F.round(F.avg("c"), _R).alias("ref_recon_cos"))
+    )
+    rows = (
+        cb.select(
+            F.posexplode("cb").alias("s", "sub_cb")
+        )
+        .select("s", F.posexplode("sub_cb").alias("j", "cw"))
+        .crossJoin(F.broadcast(baseline))
+        .select(
+            F.col("s").cast("int").alias("s"),
+            F.col("j").cast("int").alias("j"),
+            "cw",
+            "ref_recon_cos",
+        )
+    )
+    return write_version(rows, path)
+
+
+def _nest_pq_rows(rows: DataFrame) -> DataFrame:
+    """Reassemble the committed (s, j, cw) rows into the one-row
+    nested ``cb`` frame `operators.similarity.pq_apply` consumes —
+    exact inverse of the publish-side posexplode (struct array_sort
+    orders by the leading int field, so codeword and subspace order
+    are restored bit-identically)."""
+    return (
+        rows.groupBy("s")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "cw"))), lambda x: x.cw
+            ).alias("sub_cb")
+        )
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "sub_cb"))),
+                lambda x: x.sub_cb,
+            ).alias("cb")
+        )
+    )
+
+
+def pq_quantization_report(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    m: int = 16,
+    sub: int = 4,
+    version: int | None = None,
+) -> DataFrame:
+    """Encode ``batch`` with a COMMITTED codebook epoch (no
+    re-derivation — the reference corpus never enters the plan) and
+    report the batch's quantization quality against the epoch's own
+    baseline:
+
+    ``(artifact_version, n_batch, batch_recon_cos, ref_recon_cos,
+    degraded)``
+
+    ``degraded`` fires when the batch reconstructs > 0.1 cosine worse
+    than the epoch's reference did — the batch distribution has moved
+    off the codebook's support and the codebook needs re-sampling (the
+    PQ analog of `centroid_maintenance_report`'s occupancy trigger).
+    Per-batch cost: one batch pass against the broadcast codebook."""
+    from ..functions.vector import cosine
+    from ..operators.similarity import pq_apply
+
+    rows = read_version(spark, path, version)
+    ver = version if version is not None else versions(path)[-1]["version"]
+    cb = _nest_pq_rows(rows)
+    baseline = rows.agg(F.first("ref_recon_cos").alias("ref_recon_cos"))
+    enc = pq_apply(batch, cb, m, sub)
+    stats = enc.select(cosine(F.col("embedding"), F.col("dq")).alias("c")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_batch"),
+        F.round(F.avg("c"), _R).alias("batch_recon_cos"),
+    )
+    return stats.crossJoin(F.broadcast(baseline)).select(
+        F.lit(ver).cast("long").alias("artifact_version"),
+        "n_batch",
+        "batch_recon_cos",
+        "ref_recon_cos",
+        F.coalesce(
+            F.col("batch_recon_cos") < F.col("ref_recon_cos") - 0.1, F.lit(False)
+        ).alias("degraded"),
+    )
+
+
 # ----------------------------------------------------- ivf centroid epochs
 
 

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vector import cosine
+from ..operators import similarity as SIM_PQ
 from ..session import fan_out
 from ..sources.catalog import load_table
 from .registry import query
@@ -527,57 +528,13 @@ def quality_logreg_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_encode(emb: DataFrame, m: int = 16, sub: int = 4, k: int = 256) -> DataFrame:
-    """Product-quantize every embedding: split into ``m`` ``sub``-d
-    subvectors, encode each as its nearest of ``k`` per-subspace
-    codewords (deterministic sampled codebook: the first ``k`` corpus
-    vectors' subvectors), and return (vec_id, embedding, dq) where dq
-    is the PQ-reconstructed vector. The codebook is a one-row
-    broadcast; encoding is a single whole-stage-codegen'd expression
-    over the scan — no shuffle, no UDF. Shared by ``pq_adc_topk`` and
-    ``ivfpq_topk``."""
-    cb = (
-        emb.where(F.col("vec_id") < k)
-        .groupBy()
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("vec_id", "embedding"))),
-                lambda s: s.embedding,
-            ).alias("cands")
-        )
-        .select(
-            # slice(cands, 1, k), not element_at over sequence(0, k-1):
-            # slice caps at the actual candidate count, so a corpus
-            # with fewer than k vectors yields a min(k, n)-codeword
-            # book instead of an out-of-bounds element_at (identical
-            # output whenever n >= k)
-            F.expr(
-                f"transform(sequence(0, {m - 1}), s -> "
-                f"transform(slice(cands, 1, {k}), c -> "
-                f"slice(c, s * {sub} + 1, {sub})))"
-            ).alias("cb")
-        )
-    )
-    # unrolled over the sub dims (no aggregate-HOF lambda frames —
-    # measured ~1.3x on the K=64 encode vs the aggregate form)
-    dist = " + ".join(
-        f"(element_at(embedding, s * {sub} + {i + 1}) - element_at(cv, {i + 1}))"
-        f" * (element_at(embedding, s * {sub} + {i + 1}) - element_at(cv, {i + 1}))"
-        for i in range(sub)
-    )
-    # let-binding idiom (the cdc_chunk_dedup trick): bind the per-
-    # subspace distance array once via a one-element transform, so
-    # array_position and array_min share it instead of recomputing the
-    # k x sub distance sweep twice (2x on the K=64 encode)
-    dq_expr = (
-        f"flatten(transform(sequence(0, {m - 1}), s -> "
-        f"element_at(transform("
-        f"array(transform(element_at(cb, s + 1), cv -> {dist})), "
-        f"ds -> element_at(element_at(cb, s + 1), "
-        f"cast(array_position(ds, array_min(ds)) as int))), 1)))"
-    )
-    return emb.crossJoin(F.broadcast(cb)).select(
-        "vec_id", "embedding", F.expr(dq_expr).alias("dq")
-    )
+    """Build the sampled codebook from ``emb`` and encode ``emb`` with
+    it — the fused form shared by ``pq_adc_topk`` and ``ivfpq_topk``.
+    The primitives live in `operators.similarity` (``pq_codebook`` /
+    ``pq_apply``) so the codebook can also be BUILT once per corpus
+    epoch, persisted, and applied from a committed artifact
+    (`pipeline.artifacts.publish_pq_epoch`)."""
+    return SIM_PQ.pq_apply(emb, SIM_PQ.pq_codebook(emb, m, sub, k), m, sub)
 
 
 @query(
@@ -1730,3 +1687,79 @@ def greedy_source_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         newly = st.join(psrc, "source").select("token")
         covered = newly if covered is None else covered.unionByName(newly).distinct()
     return out
+
+
+@query(
+    "pq_codebook_lifecycle",
+    oracle="""WITH r AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_ref FROM embeddings WHERE vec_id % 2 = 0
+),
+b AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_batch FROM embeddings WHERE vec_id % 2 = 1
+)
+SELECT CAST(1 AS BIGINT) AS artifact_version, b.n_batch,
+       r.n_ref > 64 AS book_live,
+       TRUE AS recon_ok,
+       FALSE AS degraded_flag
+FROM r CROSS JOIN b""",
+)
+def pq_codebook_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persist-and-probe lifecycle for the PQ codebook — the fourth
+    epoch artifact family (`pipeline.artifacts.publish_pq_epoch` /
+    `pq_quantization_report`, next to the Bloom words, MinHash buckets
+    and IVF centroids): the reference half of the corpus samples a
+    64-codeword-per-subspace codebook, committed as one normalized
+    (subspace, codeword, centroid, ref_recon_cos) table through the
+    versioned manifest swap — the artifact carries its OWN quality
+    baseline, the reference's mean reconstruction cosine. The batch
+    half is then encoded against the COMMITTED book (re-nested from
+    the artifact rows; the reference never enters the probe plan) and
+    certified:
+
+      (artifact_version, n_batch, book_live, recon_ok, degraded_flag)
+
+    - ``book_live``: the baseline is meaningful only when the
+      reference EXCEEDS the book capacity (n_ref > 64 codewords) —
+      below that the book memorizes the reference, the baseline
+      saturates at 1.0, and any batch reads as degraded (the
+      `ivf_kmeans_certificate` vacuous-regime discipline; the fixture
+      family is live at all three SFs, vacuous only on the tiny/mid
+      test fixtures).
+    - ``recon_ok`` certifies batch mean reconstruction cosine >= 0.7
+      in the live regime (measured 0.82 at sf0.001/0.01/0.1 vs the
+      ~0.84 reference baseline; the oracle asserts the constant, so a
+      broken encode/re-nest/commit fails the value hash).
+    - ``degraded_flag`` = live AND batch reconstructs > 0.1 worse
+      than the epoch baseline — the recode/re-sample trigger, the PQ
+      analog of `ivf_centroid_maintenance`'s occupancy PSI (FALSE on
+      the stationary fixture; the firing path is pinned on a shifted
+      synthetic batch in tests/test_artifact_lifecycle.py).
+
+    Scale shape: publish = two reference passes (codebook sample +
+    baseline encode), once per epoch; probe = one batch pass against
+    the broadcast (<=1024-row) artifact."""
+    from ..pipeline.artifacts import (
+        pq_quantization_report,
+        publish_pq_epoch,
+        scratch_artifact_dir,
+    )
+
+    emb = _emb(spark, sf_dir)
+    ref = emb.where(F.col("vec_id") % 2 == 0)
+    batch = emb.where(F.col("vec_id") % 2 == 1)
+    path = scratch_artifact_dir("pq_epoch_")
+    publish_pq_epoch(ref, path, k=64)
+    rep = pq_quantization_report(spark, path, batch)
+    n_ref = ref.agg(F.count(F.lit(1)).cast("long").alias("n_ref"))
+    live = F.col("n_ref") > 64
+    return rep.crossJoin(F.broadcast(n_ref)).select(
+        "artifact_version",
+        "n_batch",
+        live.alias("book_live"),
+        F.coalesce(
+            ~live | (F.col("batch_recon_cos") >= 0.7), F.lit(True)
+        ).alias("recon_ok"),
+        F.coalesce(live & F.col("degraded"), F.lit(False)).alias(
+            "degraded_flag"
+        ),
+    )

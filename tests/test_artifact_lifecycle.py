@@ -224,6 +224,78 @@ def test_minhash_probe_reads_committed_buckets(spark, tmp_path):
     assert cands == inplan
 
 
+def test_pq_roundtrip_encode_identical_to_inplan(spark, tmp_path, vectors):
+    """publish -> commit -> re-nest must reproduce the in-plan encode
+    bit-identically: dq from the committed epoch == dq from the fused
+    in-plan codebook over the same reference."""
+    from end_to_end_database_pipeline_project_spark.operators.similarity import (
+        pq_apply,
+        pq_codebook,
+    )
+    from end_to_end_database_pipeline_project_spark.pipeline.artifacts import (
+        _nest_pq_rows,
+        publish_pq_epoch,
+    )
+    from end_to_end_database_pipeline_project_spark.sources.versioned import (
+        read_version,
+    )
+
+    ref = _emb_df(spark, vectors)
+    batch = _emb_df(spark, [(100 + i, v) for i, (_, v) in enumerate(vectors[:8])])
+    path = str(tmp_path / "pq")
+    assert publish_pq_epoch(ref, path, m=1, k=8) == 1
+
+    committed = _nest_pq_rows(read_version(spark, path))
+    from_artifact = {
+        r["vec_id"]: r["dq"]
+        for r in pq_apply(batch, committed, m=1).collect()
+    }
+    inplan = {
+        r["vec_id"]: r["dq"]
+        for r in pq_apply(batch, pq_codebook(ref, m=1, k=8), m=1).collect()
+    }
+    assert from_artifact == inplan
+
+
+def test_pq_report_reads_artifact_and_flags_shifted_batch(
+    spark, tmp_path, vectors
+):
+    """The committed epoch carries its own baseline; a batch drawn
+    from the reference distribution reconstructs comparably (no
+    degradation), while a batch shifted off the codebook's support
+    reconstructs > 0.1 worse and trips ``degraded`` — the re-sample
+    trigger."""
+    from end_to_end_database_pipeline_project_spark.pipeline.artifacts import (
+        pq_quantization_report,
+        publish_pq_epoch,
+    )
+
+    ref = _emb_df(spark, vectors)
+    path = str(tmp_path / "pq_drift")
+    publish_pq_epoch(ref, path, m=1, k=8)
+
+    same_dist = _emb_df(
+        spark, [(100 + i, v) for i, (_, v) in enumerate(vectors)]
+    )
+    [ok] = pq_quantization_report(spark, path, same_dist, m=1).collect()
+    assert ok["degraded"] is False
+    assert ok["n_batch"] == len(vectors)
+    assert ok["ref_recon_cos"] is not None
+
+    # shift every vector off the 4 reference directions: negate and
+    # swirl components so no codeword aligns
+    shifted = _emb_df(
+        spark,
+        [
+            (200 + i, [v[1], -v[0], v[3], -v[2]])
+            for i, (_, v) in enumerate(vectors)
+        ],
+    )
+    [bad] = pq_quantization_report(spark, path, shifted, m=1).collect()
+    assert bad["degraded"] is True
+    assert bad["batch_recon_cos"] < bad["ref_recon_cos"] - 0.1
+
+
 def test_probe_before_any_publish_fails_loudly(spark, tmp_path):
     from end_to_end_database_pipeline_project_spark.pipeline.artifacts import (
         centroid_maintenance_report,
