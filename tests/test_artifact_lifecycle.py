@@ -169,6 +169,60 @@ def test_drift_trigger_fires_on_collapsed_batch(spark, tmp_path, vectors):
     assert all(r["occupancy_psi"] > 0.2 for r in collapsed)
 
 
+def test_rebuild_loop_closes_after_trigger(spark, tmp_path, vectors):
+    """The full maintenance loop: probe fires the rebuild trigger ->
+    republish the epoch from reference + drifted batch (version bump
+    through the same manifest swap) -> re-probe of the same batch
+    against the NEW epoch is quiet. This is what a production operator
+    does when `rebuild_recommended` fires; the versioned store makes
+    it a one-call republish with the old epoch still addressable."""
+    from end_to_end_database_pipeline_project_spark.pipeline.artifacts import (
+        centroid_maintenance_report,
+        publish_centroid_epoch,
+    )
+    from end_to_end_database_pipeline_project_spark.sources.versioned import (
+        expire_versions,
+        versions,
+    )
+
+    ref = _emb_df(spark, vectors)
+    centroids = _emb_df(spark, vectors[:4])
+    path = str(tmp_path / "loop")
+    publish_centroid_epoch(ref, centroids, path)
+
+    # collapsed batch -> trigger fires against epoch 1
+    batch = _emb_df(spark, [(200 + i, vectors[0][1]) for i in range(12)])
+    fired = centroid_maintenance_report(spark, path, batch).collect()
+    assert all(r["rebuild_recommended"] is True for r in fired)
+
+    # rebuild: new epoch over reference + the drifted batch (same
+    # centroids here — the trigger is about OCCUPANCY baselines; a
+    # k-means re-fit would slot in identically)
+    v2 = publish_centroid_epoch(ref.unionByName(batch), centroids, path)
+    assert v2 == 2
+
+    # a NEXT batch drawn from the post-shift mixture (the union's own
+    # distribution, re-keyed) probes quiet against the new epoch —
+    # the baseline has absorbed the shift. (The collapsed batch alone
+    # would STILL alert, correctly: it is out-of-distribution even for
+    # the mixture.)
+    mixture = ref.unionByName(batch).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    calm = centroid_maintenance_report(spark, path, mixture).collect()
+    assert all(r["artifact_version"] == 2 for r in calm)
+    assert all(r["rebuild_recommended"] is False for r in calm)
+
+    # both epochs stay addressable until vacuumed; after retain_last=1
+    # the old epoch is gone and a pinned probe of it fails loudly
+    assert [v["version"] for v in versions(path)] == [1, 2]
+    old = centroid_maintenance_report(spark, path, batch, version=1)
+    assert all(r["rebuild_recommended"] for r in old.collect())
+    assert expire_versions(path, retain_last=1) == [1]
+    with pytest.raises(ValueError, match="version 1 not committed"):
+        centroid_maintenance_report(spark, path, batch, version=1)
+
+
 def test_minhash_probe_reads_committed_buckets(spark, tmp_path):
     """Near-dup candidates must come from the PUBLISHED bucket epoch:
     identical text -> identical signature -> same buckets in every
