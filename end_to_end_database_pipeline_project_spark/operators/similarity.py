@@ -74,14 +74,19 @@ def brute_force_topk(
 def pq_codebook(emb: DataFrame, m: int = 16, sub: int = 4, k: int = 256) -> DataFrame:
     """One-row nested product-quantization codebook
     ``cb: array<array<array<double>>>`` (m x <=k x sub) — the
-    deterministic sampled codebook: the first ``k`` corpus vectors'
-    subvectors (k-means init without iterations; a k-means refinement
-    drops in without changing the shape). Split from the encode so the
-    codebook can be BUILT once per corpus epoch and persisted
+    deterministic sampled codebook: the ``k`` lowest-id corpus
+    vectors' subvectors (k-means init without iterations; a k-means
+    refinement drops in without changing the shape). Sampling is a
+    distributed top-k on vec_id (TakeOrderedAndProject), not a
+    ``vec_id < k`` predicate: a sparse/filtered id space (e.g. the
+    even-id reference in `pq_codebook_lifecycle`) still yields
+    min(k, n) actual codewords instead of silently undersampling the
+    book (r08 review finding). Split from the encode so the codebook
+    can be BUILT once per corpus epoch and persisted
     (`pipeline.artifacts.publish_pq_epoch`) instead of re-derived
     in-plan per run."""
     return (
-        emb.where(F.col("vec_id") < k)
+        emb.orderBy("vec_id").limit(k)
         .groupBy()
         .agg(
             F.transform(

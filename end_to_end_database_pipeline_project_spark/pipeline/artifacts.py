@@ -43,20 +43,28 @@ _R = 6
 REBUILD_PSI = 0.2
 
 
+def env_scratch_dir(prefix: str, env_var: str) -> str:
+    """A fresh scratch directory whose PARENT is injectable via
+    ``env_var`` (shared storage on a real cluster; local tempdir
+    default, correct for local[all]) — the one copy of the
+    env-injected landing idiom, shared by the artifact stores here and
+    the binaryFile landing in `plans.source_queries`."""
+    import os
+    import tempfile
+
+    base = os.environ.get(env_var)
+    if base:
+        os.makedirs(base, exist_ok=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=base or None)
+
+
 def scratch_artifact_dir(prefix: str) -> str:
     """A fresh artifact-store directory for fixture-run lifecycle
     queries. ``SPARK_GRAFT_ARTIFACT_DIR`` injects the parent (shared
     storage on a real cluster — the artifact table must be readable by
-    every probing session); default is a local tempdir, correct for
-    local[all]. Production callers pass their own durable table path
-    to the publish/probe functions directly."""
-    import os
-    import tempfile
-
-    base = os.environ.get("SPARK_GRAFT_ARTIFACT_DIR")
-    if base:
-        os.makedirs(base, exist_ok=True)
-    return tempfile.mkdtemp(prefix=prefix, dir=base or None)
+    every probing session). Production callers pass their own durable
+    table path to the publish/probe functions directly."""
+    return env_scratch_dir(prefix, "SPARK_GRAFT_ARTIFACT_DIR")
 
 
 # ----------------------------------------------------- bloom dedup epochs
@@ -122,11 +130,14 @@ def probe_minhash_epoch(
     `incremental_neardup_batch`)."""
     from ..operators.dedup import lsh_buckets, minhash_signatures
 
+    # minhash_signatures/lsh_buckets normalize the id column to
+    # 'doc_id' regardless of id_col (which names the INPUT column), so
+    # both the committed artifact and the batch buckets carry 'doc_id'
     old_b = read_version(spark, path, version).select(
-        F.col(id_col).alias("old_id"), "band", "bucket"
+        F.col("doc_id").alias("old_id"), "band", "bucket"
     )
     new_b = lsh_buckets(minhash_signatures(batch, text_col, id_col)).select(
-        F.col(id_col).alias("new_id"), "band", "bucket"
+        F.col("doc_id").alias("new_id"), "band", "bucket"
     )
     return new_b.join(old_b, ["band", "bucket"]).select("new_id", "old_id").distinct()
 
@@ -216,8 +227,17 @@ def pq_quantization_report(
     from ..functions.vector import cosine
     from ..operators.similarity import pq_apply
 
+    # resolve the version label FIRST, then pin the read to it: a
+    # publish committing between a latest-read and a second manifest
+    # lookup would otherwise label the report with a version newer
+    # than the epoch actually probed (review finding, r08)
+    if version is None:
+        vs = versions(path)
+        if not vs:
+            raise FileNotFoundError(f"no committed versions at {path}")
+        version = vs[-1]["version"]
     rows = read_version(spark, path, version)
-    ver = version if version is not None else versions(path)[-1]["version"]
+    ver = version
     cb = _nest_pq_rows(rows)
     baseline = rows.agg(F.first("ref_recon_cos").alias("ref_recon_cos"))
     enc = pq_apply(batch, cb, m, sub)
@@ -290,8 +310,15 @@ def centroid_maintenance_report(
     The per-batch cost is one batch pass against a broadcast artifact
     (cells × (vector + count)); emitting the signal costs nothing more
     than the assignment the batch needed anyway."""
-    artifact = read_version(spark, path, version)  # raises if no epoch committed
-    ver = version if version is not None else versions(path)[-1]["version"]
+    # resolve-then-pin (same rationale as pq_quantization_report): the
+    # label must name the epoch actually read, even if a publish races
+    if version is None:
+        vs = versions(path)
+        if not vs:
+            raise FileNotFoundError(f"no committed versions at {path}")
+        version = vs[-1]["version"]
+    artifact = read_version(spark, path, version)
+    ver = version
     assigned = assign_clusters(
         batch,
         artifact.select(F.col("cell_id").alias(id_col), F.col("embedding").alias(vec_col)),
@@ -322,10 +349,19 @@ def centroid_maintenance_report(
     )
     pr = (F.col("ref_n") + 1.0) / (F.col("rt") + F.col("ncells"))
     pc = (F.col("batch_n") + 1.0) / (F.col("bt") + F.col("ncells"))
+    # no events, no verdict (the psi_against_reference contract): an
+    # EMPTY batch's add-1-smoothed histogram is uniform, so a skewed
+    # reference would read as PSI > 0.2 and recommend a rebuild on
+    # zero evidence — withhold the verdict (NULL psi, no flag) while
+    # still reporting the per-cell occupancy merge (review finding, r08)
     psi = (
         cells.crossJoin(F.broadcast(tot))
-        .select(((pr - pc) * F.log(pr / pc)).alias("term"))
-        .agg(F.round(F.sum("term"), _R).alias("occupancy_psi"))
+        .select(((pr - pc) * F.log(pr / pc)).alias("term"), "bt")
+        .agg(
+            F.when(
+                F.first("bt") > 0, F.round(F.sum("term"), _R)
+            ).alias("occupancy_psi")
+        )
     )
     return (
         cells.crossJoin(F.broadcast(psi))

@@ -603,10 +603,9 @@ def binaryfile_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.text import word_count
 
-    land_base = os.environ.get("SPARK_GRAFT_LANDING_DIR")
-    if land_base:
-        os.makedirs(land_base, exist_ok=True)
-    tmp = tempfile.mkdtemp(prefix="blob_land_", dir=land_base or None)
+    from ..pipeline.artifacts import env_scratch_dir
+
+    tmp = env_scratch_dir("blob_land_", "SPARK_GRAFT_LANDING_DIR")
     docs = load_table(spark, sf_dir, "documents").where(
         F.col("doc_id") % 10 == 0
     ).select("doc_id", "text")

@@ -166,9 +166,9 @@ def run_curation_stream(
     This is the "continuous 100 TB curation sync" composition: the
     corpus artifacts (Bloom words + key table) are built once per
     epoch and reused by every batch; per-sync cost is bounded by the
-    batch. (The event-landing runner in ``incremental`` is schema-bound
-    to EVENT_SCHEMA; this stream lands documents, so it spells its own
-    source with DOC_SCHEMA — the foreachBatch discipline is identical.)"""
+    batch."""
+    from .incremental import _run_landing_stream
+
     ledger_path = os.path.join(out_dir, "ledger")
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
@@ -181,19 +181,12 @@ def run_curation_stream(
             "partitionOverwriteMode", "dynamic"
         ).mode("overwrite").parquet(ledger_path)
 
-    q = (
-        spark.readStream.schema(DOC_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .option("pathGlobFilter", "part-*")
-        .parquet(landing_dir)
-        .writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
-        .trigger(availableNow=True)
-        .start()
+    _run_landing_stream(
+        spark,
+        landing_dir,
+        os.path.join(out_dir, "_checkpoint"),
+        process_batch,
+        max_files_per_trigger,
+        schema=DOC_SCHEMA,
     )
-    try:
-        q.awaitTermination()
-    finally:
-        if q.isActive:
-            q.stop()
     return ledger_path

@@ -260,17 +260,21 @@ def run_drift_monitor(
 ) -> str:
     """Consume the landing stream to completion (availableNow), scoring
     every micro-batch against the precomputed reference artifacts and
-    appending one monitor row per (batch, day) to ``out_dir/monitor``:
-    ``(batch_id, batch_day, n_events, psi, drifted, ks_d, ks_crit,
-    ks_drifted)``. The foreachBatch body runs the SAME
-    ``psi_against_reference`` / ``ks_against_reference`` code as the
-    registered batch queries — batch-equivalence is pinned by
+    writing one monitor row per (batch, day) to ``out_dir/monitor``
+    under the batch's own ``batch_id`` partition (dynamic overwrite —
+    replays rewrite their rows; note ``batch_id`` therefore reads back
+    as a partition column, inferred int, and the table layout is
+    partitioned from r08 on — point fresh runs at fresh dirs):
+    ``(batch_day, n_events, psi, drifted, ref_degenerate, ks_d,
+    ks_crit, ks_drifted, batch_id)``. The foreachBatch body runs the
+    SAME ``psi_against_reference`` / ``ks_against_reference`` code as
+    the registered batch queries — batch-equivalence is pinned by
     tests/test_streaming_drift_monitor.py. Artifacts are built once per
     reference epoch and reused across every batch (persist them; they
     are 10 / 19 rows). Returns the monitor table path."""
     import os
 
-    from .incremental import EVENT_SCHEMA
+    from .incremental import EVENT_SCHEMA, _run_landing_stream
 
     monitor_path = os.path.join(out_dir, "monitor")
 
@@ -299,19 +303,11 @@ def run_drift_monitor(
             "partitionOverwriteMode", "dynamic"
         ).mode("overwrite").parquet(monitor_path)
 
-    q = (
-        spark.readStream.schema(EVENT_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "part-*")
-        .parquet(landing_dir)
-        .writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
-        .trigger(availableNow=True)
-        .start()
+    _run_landing_stream(
+        spark,
+        landing_dir,
+        os.path.join(out_dir, "_checkpoint"),
+        process_batch,
+        schema=EVENT_SCHEMA,
     )
-    try:
-        q.awaitTermination()
-    finally:
-        if q.isActive:
-            q.stop()
     return monitor_path

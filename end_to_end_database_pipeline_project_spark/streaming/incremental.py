@@ -57,12 +57,19 @@ def _run_landing_stream(
     checkpoint_dir: str,
     hook: Callable[[DataFrame, int], None],
     max_files_per_trigger: int = 1,
+    schema: str = EVENT_SCHEMA,
 ) -> None:
     """Consume the parquet landing directory to completion
-    (availableNow semantics) through ``hook`` — the one place the
-    landing-stream source/sink plumbing is spelled."""
+    (availableNow semantics) through ``hook`` — the ONE place the
+    landing-stream source/sink plumbing is spelled, shared by every
+    landing-stream consumer (event maintenance/CDC/monitored
+    pipelines, the document curation stream, the embedding
+    index-maintenance stream, the drift monitor) so they cannot
+    silently diverge. ``schema`` picks the landing row shape; all
+    other plumbing (file trigger, glob, checkpoint, availableNow,
+    stop-on-exit) is identical by construction."""
     q = (
-        spark.readStream.schema(EVENT_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .option("pathGlobFilter", "part-*")
         .parquet(landing_dir)
@@ -187,8 +194,12 @@ def run_monitored_incremental_pipeline(
     ``run_incremental_pipeline`` (``_maintain_silver_gold`` — shared,
     not copied, so the two pipelines cannot drift) with a
     drift-monitoring step scoring the batch's raw value distribution
-    against the reference artifacts (``streaming.drift``), appending
-    one monitor row per batch to ``out_dir/monitor``. This is the
+    against the reference artifacts (``streaming.drift``), writing one
+    monitor row per batch to ``out_dir/monitor`` under its own
+    ``batch_id`` partition (dynamic overwrite — replay-idempotent;
+    ``batch_id`` reads back as an inferred-int partition column, and
+    the layout is partitioned from r08 on, so point fresh runs at
+    fresh monitor dirs). This is the
     composition a production deployment runs: every sync also answers
     "did this batch stop looking like the corpus" for the cost of one
     extra batch pass against two broadcast-sized artifacts. Returns

@@ -41,6 +41,8 @@ def run_index_maintenance_stream(
     centroid epoch and writing its per-cell report to
     ``out_dir/monitor`` under its own ``batch_id`` partition. Returns
     the monitor table path."""
+    from .incremental import _run_landing_stream
+
     monitor_path = os.path.join(out_dir, "monitor")
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
@@ -53,19 +55,12 @@ def run_index_maintenance_stream(
             "partitionOverwriteMode", "dynamic"
         ).mode("overwrite").parquet(monitor_path)
 
-    q = (
-        spark.readStream.schema(EMBEDDING_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .option("pathGlobFilter", "part-*")
-        .parquet(landing_dir)
-        .writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
-        .trigger(availableNow=True)
-        .start()
+    _run_landing_stream(
+        spark,
+        landing_dir,
+        os.path.join(out_dir, "_checkpoint"),
+        process_batch,
+        max_files_per_trigger,
+        schema=EMBEDDING_SCHEMA,
     )
-    try:
-        q.awaitTermination()
-    finally:
-        if q.isActive:
-            q.stop()
     return monitor_path
