@@ -106,6 +106,7 @@ HEADLINE = [
     "bloom_artifact_lifecycle",
     "ivf_centroid_maintenance",
     "pq_codebook_lifecycle",
+    "minhash_artifact_lifecycle",
 ]
 
 

@@ -2417,3 +2417,157 @@ def bloom_artifact_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return epoch_row(1, epoch1_keys).unionByName(epoch_row(2, full_keys))
+
+
+@query(
+    "minhash_artifact_lifecycle",
+    oracle=r"""WITH batch AS (
+  SELECT doc_id * 10 + 1 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id * 10 + 2 AS doc_id, text || ' fresh revision' AS text
+  FROM documents WHERE doc_id % 9 = 0
+),
+uni AS (
+  SELECT 0 AS grp, doc_id, text FROM documents WHERE doc_id % 2 = 0
+  UNION ALL SELECT 1, doc_id, text FROM documents
+  UNION ALL SELECT 2, doc_id, text FROM batch
+),
+w AS (
+  SELECT grp, doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM uni
+),
+sh AS (
+  SELECT grp, doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(ws) - 2, 1) + 1),
+           i -> array_to_string(list_slice(ws, i, i + 2), ' ')))) AS shingle
+  FROM w
+),
+seeded AS (
+  SELECT grp, doc_id, seed,
+         md5(CAST(seed AS VARCHAR) || '|' || shingle) AS h
+  FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
+),
+sigs AS (SELECT grp, doc_id, seed, min(h) AS sig
+         FROM seeded GROUP BY 1, 2, 3),
+banded AS (
+  SELECT grp, doc_id, seed // 4 AS band,
+         md5(string_agg(sig, '|' ORDER BY seed)) AS bucket
+  FROM sigs GROUP BY 1, 2, 3
+),
+c1 AS (
+  SELECT DISTINCT b.doc_id AS new_id, o.doc_id AS old_id
+  FROM banded b JOIN banded o
+    ON b.band = o.band AND b.bucket = o.bucket AND b.grp = 2 AND o.grp = 0
+),
+c2 AS (
+  SELECT DISTINCT b.doc_id AS new_id, o.doc_id AS old_id
+  FROM banded b JOIN banded o
+    ON b.band = o.band AND b.bucket = o.bucket AND b.grp = 2 AND o.grp = 1
+),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS n_batch FROM batch)
+SELECT CAST(1 AS BIGINT) AS artifact_version,
+       CAST(1 AS BIGINT) AS staleness_epochs,
+       nb.n_batch,
+       (SELECT CAST(count(*) AS BIGINT) FROM c1) AS n_candidate_pairs,
+       (SELECT CAST(count(DISTINCT new_id) AS BIGINT) FROM c1)
+         AS n_docs_with_candidates,
+       (SELECT CAST(count(*) AS BIGINT) FROM
+         (SELECT DISTINCT new_id FROM c2
+          EXCEPT SELECT DISTINCT new_id FROM c1)) AS n_missed_docs
+FROM nb
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(0 AS BIGINT), nb.n_batch,
+       (SELECT CAST(count(*) AS BIGINT) FROM c2),
+       (SELECT CAST(count(DISTINCT new_id) AS BIGINT) FROM c2),
+       (SELECT CAST(count(*) AS BIGINT) FROM
+         (SELECT DISTINCT new_id FROM c2
+          EXCEPT SELECT DISTINCT new_id FROM c2)) AS n_missed_docs
+FROM nb""",
+)
+def minhash_artifact_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persist-and-probe lifecycle for the NEAR-dup artifact — the
+    MinHash/LSH bucket table (`pipeline.artifacts.publish_minhash_epoch`
+    / `probe_minhash_epoch`), completing the registered lifecycle
+    quartet next to `bloom_artifact_lifecycle` (exact dedup),
+    `ivf_centroid_maintenance` and `pq_codebook_lifecycle`: two corpus
+    epochs of the band-bucket table are COMMITTED (epoch 1 = the
+    even-id half, epoch 2 = the full corpus), then ONE delivery batch
+    (re-deliveries + lightly-edited 'fresh revision' editions — the
+    near-misses exact hashing cannot catch) is probed against EACH
+    epoch. Per epoch:
+
+      (artifact_version, staleness_epochs, n_batch, n_candidate_pairs,
+       n_docs_with_candidates, n_missed_docs)
+
+    ``n_missed_docs`` counts batch docs that have near-dup candidates
+    against the CURRENT corpus but none against the stale epoch — the
+    near-dup recall cost of probing a lagging bucket table (odd-id
+    originals entered the corpus after epoch 1), the signal for
+    re-publishing. The fresh epoch's row shows staleness 0 / missed 0
+    by the same set algebra the oracle spells.
+
+    Scale shape: each publish is one corpus signature pass (once per
+    epoch, amortized over every batch probed until the next); each
+    probe is batch-sized signature work plus one (band, bucket)
+    equi-join against the COMMITTED table — O(|batch| + collisions),
+    the corpus is never rescanned (structural no-re-fit, pinned by
+    the corpus-swap test in tests/test_artifact_lifecycle.py)."""
+    from ..pipeline.artifacts import (
+        probe_minhash_epoch,
+        publish_minhash_epoch,
+        scratch_artifact_dir,
+    )
+    from ..sources.versioned import versions
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = scratch_artifact_dir("mh_epochs_")
+    publish_minhash_epoch(docs.where(F.col("doc_id") % 2 == 0), path)  # v1
+    publish_minhash_epoch(docs, path)  # v2
+    latest = versions(path)[-1]["version"]
+
+    batch = (
+        docs.where(F.col("doc_id") % 5 == 0)
+        .select((F.col("doc_id") * 10 + 1).alias("doc_id"), "text")
+        .unionByName(
+            docs.where(F.col("doc_id") % 9 == 0).select(
+                (F.col("doc_id") * 10 + 2).alias("doc_id"),
+                F.concat("text", F.lit(" fresh revision")).alias("text"),
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    n_batch = batch.agg(F.count(F.lit(1)).cast("long").alias("n_batch"))
+    cands = {
+        v: probe_minhash_epoch(spark, path, batch, version=v).localCheckpoint(
+            eager=False
+        )
+        for v in (1, 2)
+    }
+    latest_docs = cands[latest].select("new_id").distinct()
+
+    def epoch_row(v: int) -> DataFrame:
+        c = cands[v]
+        pairs = c.agg(F.count(F.lit(1)).cast("long").alias("n_candidate_pairs"))
+        ndocs = c.agg(
+            F.countDistinct("new_id").cast("long").alias("n_docs_with_candidates")
+        )
+        missed = (
+            latest_docs.join(c.select("new_id").distinct(), "new_id", "left_anti")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_missed_docs"))
+        )
+        return (
+            n_batch.crossJoin(pairs)
+            .crossJoin(ndocs)
+            .crossJoin(missed)
+            .select(
+                F.lit(v).cast("long").alias("artifact_version"),
+                F.lit(latest - v).cast("long").alias("staleness_epochs"),
+                "n_batch",
+                "n_candidate_pairs",
+                "n_docs_with_candidates",
+                "n_missed_docs",
+            )
+        )
+
+    return epoch_row(1).unionByName(epoch_row(2))

@@ -50,27 +50,28 @@ _PACKS = [
 # row; from r08 on the window is freshness-driven.
 #
 # Round-8 window (add-rate <= drain-rate, r07 verdict policy):
-# - slots 1-3: the three r08 additions (epoch-artifact lifecycle:
-#   bloom, IVF-centroid, PQ-codebook)
-# - slots 4-14: every query whose code or shared operator changed this
+# - slots 1-4: the four r08 additions (epoch-artifact lifecycle:
+#   bloom, IVF-centroid, PQ-codebook, MinHash-bucket)
+# - slots 5-15: every query whose code or shared operator changed this
 #   round — the drift monitors (psi schema gained ref_degenerate), the
 #   four injective-id conversions, the injectable-landing binaryFile
 #   ingest, and the bloom/prefix-sum consumers the artifact work leans
 #   on (bloom_incremental_dedup, incremental_curation_packing,
 #   sequence_packing_report, token_budget_selection)
-# - slots 15-50: the 36 stalest ledger rows (last driver row r02 —
-#   6 rounds old).  The eight r02-era names that didn't fit
-#   (shipping_priority, station_enrichment, top_orders_global,
-#   top_orders_per_customer, unit_conversions, user_sessionization,
-#   value_outlier_counts, weather_buckets) are first in line for the
-#   r09 window.
+# - slots 16-50: the 35 stalest ledger rows (last driver row r02 —
+#   6 rounds old).  The nine r02-era names that didn't fit
+#   (serving_json_envelope, shipping_priority, station_enrichment,
+#   top_orders_global, top_orders_per_customer, unit_conversions,
+#   user_sessionization, value_outlier_counts, weather_buckets) are
+#   first in line for the r09 window.
 
 _DRIVER_FIRST = [
-    # (a) slots 1-3: new r08 queries
+    # (a) slots 1-4: new r08 queries
     "bloom_artifact_lifecycle",
     "ivf_centroid_maintenance",
     "pq_codebook_lifecycle",
-    # (b) slots 4-14: changed code / changed shared operators
+    "minhash_artifact_lifecycle",
+    # (b) slots 5-15: changed code / changed shared operators
     "streaming_psi_monitor",
     "streaming_ks_monitor",
     "boilerplate_lines",
@@ -118,7 +119,6 @@ _DRIVER_FIRST = [
     "rolling_7day_avg",
     "rollup_returnflag_status",
     "running_supplier_quantity",
-    "serving_json_envelope",
 ]
 
 
