@@ -367,6 +367,50 @@ def test_probe_before_any_publish_fails_loudly(spark, tmp_path):
         )
 
 
+def test_probe_from_fresh_process(spark, tmp_path):
+    """The literal build-once/probe-many split: an epoch PUBLISHED by
+    this session is probed by a COMPLETELY SEPARATE process (its own
+    JVM, default SparkSession, no shared state) — the 'later session'
+    of the persist-artifact -> later-session-probe contract. The
+    committed manifest + parquet on shared storage is the entire
+    interface."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from end_to_end_database_pipeline_project_spark.pipeline.artifacts import (
+        publish_bloom_epoch,
+    )
+
+    path = str(tmp_path / "bloom_x")
+    corpus = spark.createDataFrame([("a",), ("b",)], "k string")
+    assert publish_bloom_epoch(corpus, "k", path) == 1
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = f"""
+import sys, json
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+spark = SparkSession.builder.master("local[2]").getOrCreate()
+from end_to_end_database_pipeline_project_spark.pipeline.artifacts import probe_bloom_epoch
+batch = spark.createDataFrame([(1, "a"), (2, "z")], "doc_id long, k string")
+out = {{r["doc_id"]: r["maybe_dup"]
+       for r in probe_bloom_epoch(spark, {path!r}, batch, "k", "doc_id").collect()}}
+print("RESULT=" + json.dumps({{str(k): v for k, v in out.items()}}))
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT=")][0]
+    got = json.loads(line[len("RESULT="):])
+    assert got == {"1": True, "2": False}
+
+
 def test_artifact_dir_injection(spark, tmp_path, monkeypatch):
     from end_to_end_database_pipeline_project_spark.pipeline.artifacts import (
         scratch_artifact_dir,
