@@ -107,6 +107,9 @@ HEADLINE = [
     "ivf_centroid_maintenance",
     "pq_codebook_lifecycle",
     "minhash_artifact_lifecycle",
+    # round 8: change-data-feed sync on the versioned table (append
+    # deltas + incremental scan reading only the delta files)
+    "versioned_incremental_scan",
 ]
 
 

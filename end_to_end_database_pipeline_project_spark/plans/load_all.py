@@ -50,28 +50,37 @@ _PACKS = [
 # row; from r08 on the window is freshness-driven.
 #
 # Round-8 window (add-rate <= drain-rate, r07 verdict policy):
-# - slots 1-4: the four r08 additions (epoch-artifact lifecycle:
-#   bloom, IVF-centroid, PQ-codebook, MinHash-bucket)
-# - slots 5-15: every query whose code or shared operator changed this
-#   round — the drift monitors (psi schema gained ref_degenerate), the
-#   four injective-id conversions, the injectable-landing binaryFile
-#   ingest, and the bloom/prefix-sum consumers the artifact work leans
-#   on (bloom_incremental_dedup, incremental_curation_packing,
-#   sequence_packing_report, token_budget_selection)
-# - slots 16-50: the 35 stalest ledger rows (last driver row r02 —
-#   6 rounds old).  The nine r02-era names that didn't fit
-#   (serving_json_envelope, shipping_priority, station_enrichment,
+# - slots 1-5: the five r08 additions (epoch-artifact lifecycle:
+#   bloom, IVF-centroid, PQ-codebook, MinHash-bucket; plus the
+#   versioned-table change-data-feed incremental scan)
+# - slots 6-17: every query whose code or shared operator changed this
+#   round — versioned_time_travel (sources/versioned.py gained the
+#   append/CDF layer), the drift monitors (psi schema gained
+#   ref_degenerate), the four injective-id conversions, the
+#   injectable-landing binaryFile ingest, and the bloom/prefix-sum
+#   consumers the artifact work leans on (bloom_incremental_dedup,
+#   incremental_curation_packing, sequence_packing_report,
+#   token_budget_selection)
+# - slots 18-50: the 33 stalest ledger rows (last driver row r02 —
+#   6 rounds old).  The eleven r02-era names that didn't fit
+#   (rollup_returnflag_status, running_supplier_quantity,
+#   serving_json_envelope, shipping_priority, station_enrichment,
 #   top_orders_global, top_orders_per_customer, unit_conversions,
 #   user_sessionization, value_outlier_counts, weather_buckets) are
 #   first in line for the r09 window.
 
 _DRIVER_FIRST = [
-    # (a) slots 1-4: new r08 queries
+    # (a) slots 1-5: new r08 queries
     "bloom_artifact_lifecycle",
     "ivf_centroid_maintenance",
     "pq_codebook_lifecycle",
     "minhash_artifact_lifecycle",
-    # (b) slots 5-15: changed code / changed shared operators
+    "versioned_incremental_scan",
+    # (b) slots 6-17: changed code / changed shared operators
+    # (versioned_time_travel: sources/versioned.py gained the
+    # append/incremental-scan layer this round — write_version now
+    # commits through the shared _commit with a mode field)
+    "versioned_time_travel",
     "streaming_psi_monitor",
     "streaming_ks_monitor",
     "boilerplate_lines",
@@ -83,7 +92,7 @@ _DRIVER_FIRST = [
     "incremental_curation_packing",
     "sequence_packing_report",
     "token_budget_selection",
-    # (c) slots 14-50: stalest driver rows (r02-era)
+    # (c) slots 18-50: stalest driver rows (r02-era)
     "above_average_customers",
     "cube_status_priority",
     "customers_with_open_orders",
@@ -117,8 +126,6 @@ _DRIVER_FIRST = [
     "rainfall_gradient_colors",
     "returned_item_report",
     "rolling_7day_avg",
-    "rollup_returnflag_status",
-    "running_supplier_quantity",
 ]
 
 

@@ -85,3 +85,114 @@ def test_vacuum_expires_old_versions_and_orphans(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         read_version(spark, path, 1)
+
+
+def test_append_chain_resolves_and_old_snapshots_stable(spark, tmp_path):
+    """An append version reads as base + every delta up to it; earlier
+    versions (full or append) are untouched by later commits."""
+    path = str(tmp_path / "cdf")
+    assert V.write_version(spark.range(5).withColumnRenamed("id", "x"), path) == 1
+    assert (
+        V.append_version(
+            spark.range(5, 8).withColumnRenamed("id", "x"), path
+        )
+        == 2
+    )
+    assert (
+        V.append_version(
+            spark.range(8, 10).withColumnRenamed("id", "x"), path
+        )
+        == 3
+    )
+    assert sorted(r.x for r in V.read_version(spark, path, 1).collect()) == list(
+        range(5)
+    )
+    assert sorted(r.x for r in V.read_version(spark, path, 2).collect()) == list(
+        range(8)
+    )
+    assert sorted(r.x for r in V.read_version(spark, path).collect()) == list(
+        range(10)
+    )
+    # manifest rows: full counts the snapshot, append counts the delta
+    assert [(v["version"], v["rows"], v.get("mode")) for v in V.versions(path)] == [
+        (1, 5, "full"),
+        (2, 3, "append"),
+        (3, 2, "append"),
+    ]
+
+
+def test_incremental_scan_reads_only_delta_files(spark, tmp_path):
+    """The CDF contract, structurally: the scan's input files all live
+    under the delta directories — the base snapshot is never re-read —
+    and each row is stamped with its commit version."""
+    path = str(tmp_path / "cdf")
+    V.write_version(spark.range(1000).withColumnRenamed("id", "x"), path)
+    V.append_version(spark.range(1000, 1003).withColumnRenamed("id", "x"), path)
+    V.append_version(spark.range(1003, 1005).withColumnRenamed("id", "x"), path)
+
+    inc = V.incremental_scan(spark, path, from_version=1)
+    rows = {(r.x, r._commit_version) for r in inc.collect()}
+    assert rows == {(1000, 2), (1001, 2), (1002, 2), (1003, 3), (1004, 3)}
+    files = inc.inputFiles()
+    assert files, "scan must report its input files"
+    assert all(("/v=2/" in f) or ("/v=3/" in f) for f in files), files
+    # bounded sync: only up to version 2
+    inc12 = V.incremental_scan(spark, path, from_version=1, to_version=2)
+    assert sorted(r.x for r in inc12.collect()) == [1000, 1001, 1002]
+    # caught-up consumer: empty delta, original schema + stamp column
+    empty = V.incremental_scan(spark, path, from_version=3)
+    assert empty.count() == 0
+    assert empty.columns == ["x", "_commit_version"]
+
+
+def test_incremental_scan_refuses_rewrite_boundary(spark, tmp_path):
+    """A full snapshot between from and to is a rewrite: the delta is
+    undefined, so the scan fails loudly instead of returning rows that
+    silently miss the rewrite's drops/changes."""
+    import pytest
+
+    path = str(tmp_path / "cdf")
+    V.write_version(spark.range(5).withColumnRenamed("id", "x"), path)
+    V.append_version(spark.range(5, 6).withColumnRenamed("id", "x"), path)
+    V.write_version(spark.range(3).withColumnRenamed("id", "x"), path)  # rewrite
+    V.append_version(spark.range(3, 4).withColumnRenamed("id", "x"), path)
+    with pytest.raises(ValueError, match="rewrite"):
+        V.incremental_scan(spark, path, from_version=1)
+    # within the new chain the scan is fine
+    assert sorted(
+        r.x for r in V.incremental_scan(spark, path, from_version=3).collect()
+    ) == [3]
+
+
+def test_append_requires_full_base(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="full snapshot"):
+        V.append_version(
+            spark.range(3).withColumnRenamed("id", "x"), str(tmp_path / "nobase")
+        )
+
+
+def test_vacuum_retains_append_chain_base(spark, tmp_path):
+    """Expiring with an append as the oldest retained version extends
+    retention to its chain base: a retained version must always stay
+    readable, so a chain expires only as a unit."""
+    import os
+
+    path = str(tmp_path / "cdf")
+    V.write_version(spark.range(4).withColumnRenamed("id", "x"), path)  # v1 full
+    V.append_version(spark.range(4, 6).withColumnRenamed("id", "x"), path)  # v2
+    V.append_version(spark.range(6, 7).withColumnRenamed("id", "x"), path)  # v3
+    V.write_version(spark.range(100).withColumnRenamed("id", "x"), path)  # v4 full
+    V.append_version(spark.range(100, 101).withColumnRenamed("id", "x"), path)  # v5
+
+    # retain_last=4 would cut into v2..v5: v2's chain needs v1 -> nothing expires
+    assert V.expire_versions(path, retain_last=4) == []
+    assert [v["version"] for v in V.versions(path)] == [1, 2, 3, 4, 5]
+
+    # retain_last=2 keeps v4,v5 (v4 is full: chain complete) and expires v1..v3
+    assert V.expire_versions(path, retain_last=2) == [1, 2, 3]
+    assert [v["version"] for v in V.versions(path)] == [4, 5]
+    dirs = {d for d in os.listdir(path) if d.startswith("v=")}
+    assert dirs == {"v=4", "v=5"}
+    assert V.read_version(spark, path).count() == 101
