@@ -108,8 +108,11 @@ HEADLINE = [
     "pq_codebook_lifecycle",
     "minhash_artifact_lifecycle",
     # round 8: change-data-feed sync on the versioned table (append
-    # deltas + incremental scan reading only the delta files)
+    # deltas + incremental scan reading only the delta files; merge-on-
+    # read tombstone deletes with typed change rows)
     "versioned_incremental_scan",
+    "versioned_delete_cdf",
+    "versioned_pruned_compaction",
 ]
 
 

@@ -50,10 +50,12 @@ _PACKS = [
 # row; from r08 on the window is freshness-driven.
 #
 # Round-8 window (add-rate <= drain-rate, r07 verdict policy):
-# - slots 1-5: the five r08 additions (epoch-artifact lifecycle:
+# - slots 1-7: the seven r08 additions (epoch-artifact lifecycle:
 #   bloom, IVF-centroid, PQ-codebook, MinHash-bucket; plus the
-#   versioned-table change-data-feed incremental scan)
-# - slots 6-17: every query whose code or shared operator changed this
+#   versioned-table change-data-feed incremental scan, the
+#   merge-on-read delete + typed CDF ledger, and the manifest-stats
+#   pruned read + compaction parity)
+# - slots 8-19: every query whose code or shared operator changed this
 #   round — versioned_time_travel (sources/versioned.py gained the
 #   append/CDF layer), the drift monitors (psi schema gained
 #   ref_degenerate), the four injective-id conversions, the
@@ -61,9 +63,10 @@ _PACKS = [
 #   consumers the artifact work leans on (bloom_incremental_dedup,
 #   incremental_curation_packing, sequence_packing_report,
 #   token_budget_selection)
-# - slots 18-50: the 33 stalest ledger rows (last driver row r02 —
-#   6 rounds old).  The eleven r02-era names that didn't fit
-#   (rollup_returnflag_status, running_supplier_quantity,
+# - slots 20-50: the 31 stalest ledger rows (last driver row r02 —
+#   6 rounds old).  The thirteen r02-era names that didn't fit
+#   (returned_item_report, rolling_7day_avg, rollup_returnflag_status,
+#   running_supplier_quantity,
 #   serving_json_envelope, shipping_priority, station_enrichment,
 #   top_orders_global, top_orders_per_customer, unit_conversions,
 #   user_sessionization, value_outlier_counts, weather_buckets) are
@@ -76,7 +79,9 @@ _DRIVER_FIRST = [
     "pq_codebook_lifecycle",
     "minhash_artifact_lifecycle",
     "versioned_incremental_scan",
-    # (b) slots 6-17: changed code / changed shared operators
+    "versioned_delete_cdf",
+    "versioned_pruned_compaction",
+    # (b) slots 8-19: changed code / changed shared operators
     # (versioned_time_travel: sources/versioned.py gained the
     # append/incremental-scan layer this round — write_version now
     # commits through the shared _commit with a mode field)
@@ -92,7 +97,7 @@ _DRIVER_FIRST = [
     "incremental_curation_packing",
     "sequence_packing_report",
     "token_budget_selection",
-    # (c) slots 18-50: stalest driver rows (r02-era)
+    # (c) slots 20-50: stalest driver rows (r02-era)
     "above_average_customers",
     "cube_status_priority",
     "customers_with_open_orders",
@@ -124,8 +129,6 @@ _DRIVER_FIRST = [
     "props_map_stats",
     "quantity_quantiles",
     "rainfall_gradient_colors",
-    "returned_item_report",
-    "rolling_7day_avg",
 ]
 
 

@@ -498,6 +498,200 @@ def versioned_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "versioned_delete_cdf",
+    oracle="""WITH f AS (SELECT DISTINCT o_orderkey FROM orders
+           WHERE o_custkey % 97 = 0 AND year(o_orderdate) <= 2000)
+SELECT CAST(2 AS BIGINT) AS to_version, 'append' AS commit_mode,
+       CAST((SELECT count(*) FROM orders WHERE year(o_orderdate) = 2000)
+            AS BIGINT) AS n_inserts,
+       CAST(0 AS BIGINT) AS n_deletes,
+       CAST((SELECT count(*) FROM orders WHERE year(o_orderdate) <= 2000)
+            AS BIGINT) AS visible_rows,
+       round(coalesce(CAST((SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                            FROM orders WHERE year(o_orderdate) <= 2000)
+                           AS DOUBLE), 0.0), 2) AS visible_revenue
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'delete',
+       CAST(0 AS BIGINT),
+       (SELECT CAST(count(*) AS BIGINT) FROM f),
+       (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        WHERE year(o.o_orderdate) <= 2000
+          AND NOT EXISTS (SELECT 1 FROM f WHERE f.o_orderkey = o.o_orderkey)),
+       round(coalesce(CAST((SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                            FROM orders o
+                            WHERE year(o.o_orderdate) <= 2000
+                              AND NOT EXISTS (SELECT 1 FROM f
+                                              WHERE f.o_orderkey = o.o_orderkey))
+                           AS DOUBLE), 0.0), 2)
+UNION ALL
+SELECT CAST(4 AS BIGINT), 'append',
+       CAST((SELECT count(*) FROM orders WHERE year(o_orderdate) >= 2001)
+            AS BIGINT),
+       CAST(0 AS BIGINT),
+       (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        WHERE NOT (year(o.o_orderdate) <= 2000
+                   AND EXISTS (SELECT 1 FROM f
+                               WHERE f.o_orderkey = o.o_orderkey))),
+       round(coalesce(CAST((SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                            FROM orders o
+                            WHERE NOT (year(o.o_orderdate) <= 2000
+                                       AND EXISTS (SELECT 1 FROM f
+                                                   WHERE f.o_orderkey = o.o_orderkey)))
+                           AS DOUBLE), 0.0), 2)""",
+)
+def versioned_delete_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read deletes + typed change-data-feed on the versioned
+    table: v1 = full order history (years < 2000), v2 = the year-2000
+    append, v3 = a GDPR forget-list TOMBSTONE (`delete_version`: the
+    order keys of flagged customers — an O(keys) commit against the
+    table, the physical rewrite deferred to the next full snapshot /
+    compaction, composing with `gdpr_erasure_report`'s anti-join
+    rewrite), v4 = the next year's append — including flagged
+    customers' LATER orders, which stay visible because a tombstone
+    hides only rows committed before it (fold order, pinned in
+    tests/test_versioned.py). Per commit the ledger reports the CDF
+    counts by change type (`incremental_scan` emits appends as
+    ``insert`` full rows and tombstones as ``delete`` key rows,
+    reading ONLY the delta files) and the chain-resolved visible
+    rows/exact-decimal revenue at that version — so the oracle checks
+    the typed delta stream AND that base + appends − tombstones
+    compose to exactly the right table at every version. The
+    reference's warehouse can only TRUNCATE+INSERT to forget
+    (clickhouse_etl.py:238-296); this is the delta-log alternative
+    that stays O(changes) at 100 TB."""
+    from ..pipeline.artifacts import scratch_artifact_dir
+    from ..sources import versioned as V
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    yr = F.year("o_orderdate")
+    store = scratch_artifact_dir("mor_orders_")
+    V.write_version(orders.where(yr < 2000), store)  # v1: history, full
+    V.append_version(orders.where(yr == 2000), store)  # v2
+    forget = orders.where((F.col("o_custkey") % 97 == 0) & (yr <= 2000)).select(
+        "o_orderkey"
+    )
+    V.delete_version(forget, store, "o_orderkey")  # v3: tombstone commit
+    V.append_version(orders.where(yr >= 2001), store)  # v4
+
+    def ledger_row(to_v: int, mode: str) -> DataFrame:
+        cdf = V.incremental_scan(
+            spark, store, from_version=to_v - 1, to_version=to_v
+        )
+        counts = cdf.agg(
+            F.coalesce(  # sum over an empty delta is NULL, not 0
+                F.sum(F.when(F.col("_change_type") == "insert", 1).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_inserts"),
+            F.coalesce(
+                F.sum(F.when(F.col("_change_type") == "delete", 1).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_deletes"),
+        )
+        vis = V.read_version(spark, store, to_v).agg(
+            F.count(F.lit(1)).cast("long").alias("visible_rows"),
+            F.round(
+                F.coalesce(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                        "double"
+                    ),
+                    F.lit(0.0),
+                ),
+                2,
+            ).alias("visible_revenue"),
+        )
+        return counts.crossJoin(vis).select(
+            F.lit(to_v).cast("long").alias("to_version"),
+            F.lit(mode).alias("commit_mode"),
+            "n_inserts",
+            "n_deletes",
+            "visible_rows",
+            "visible_revenue",
+        )
+
+    return (
+        ledger_row(2, "append")
+        .unionByName(ledger_row(3, "delete"))
+        .unionByName(ledger_row(4, "append"))
+    )
+
+
+@query(
+    "versioned_pruned_compaction",
+    oracle="""WITH y2000 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         round(coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                             AS DOUBLE), 0.0), 2) AS revenue
+  FROM orders WHERE year(o_orderdate) = 2000
+)
+SELECT 'chain' AS phase, n_rows, revenue FROM y2000
+UNION ALL
+SELECT 'compacted', n_rows, revenue FROM y2000""",
+)
+def versioned_pruned_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-stats data skipping + compaction on the versioned
+    table: the chain commits carry per-commit [min, max] of
+    ``o_orderdate`` (one extra aggregate at write time), so a reader
+    asking for one year's slice skips every other commit directory
+    WITHOUT listing or opening a file in it — data skipping from the
+    commit log, one level above parquet footer pruning (the
+    Delta/Iceberg stats-in-log design; the no-open guarantee is
+    pinned by inputFiles assertions in tests/test_versioned.py).
+    ``compact_chain`` then squashes base + appends into a fresh full
+    snapshot — ending the chain's merge-on-read debt and re-basing
+    CDF lineage — and the SAME pruned read over the compacted table
+    returns the identical slice: the two ledger rows (phase chain /
+    compacted) must be equal, which is exactly what the oracle
+    states. Pruning is a performance fact, never a correctness
+    input: the BETWEEN filter is always applied to whatever is read,
+    so a commit written without stats degrades to read+filter, not
+    to wrong answers. At 100 TB this is what makes a
+    time-sliced read of a long-history table O(slice), and
+    compaction O(live rows) on a schedule."""
+    from ..pipeline.artifacts import scratch_artifact_dir
+    from ..sources import versioned as V
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    yr = F.year("o_orderdate")
+    stats = ("o_orderdate",)
+    store = scratch_artifact_dir("pruned_orders_")
+    V.write_version(orders.where(yr < 2000), store, stats_cols=stats)
+    V.append_version(orders.where(yr == 2000), store, stats_cols=stats)
+    V.append_version(orders.where(yr >= 2001), store, stats_cols=stats)
+
+    prune = ("o_orderdate", "2000-01-01", "2000-12-31T23:59:59.999999")
+
+    def slice_row(phase: str) -> DataFrame:
+        return (
+            V.read_version(spark, store, prune=prune)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(
+                    F.coalesce(
+                        F.sum(
+                            F.col("o_totalprice").cast("decimal(18,2)")
+                        ).cast("double"),
+                        F.lit(0.0),
+                    ),
+                    2,
+                ).alias("revenue"),
+            )
+            .select(F.lit(phase).alias("phase"), "n_rows", "revenue")
+        )
+
+    chain_row = slice_row("chain").localCheckpoint(eager=True)
+    V.compact_chain(spark, store, stats_cols=stats)
+    return chain_row.unionByName(slice_row("compacted"))
+
+
+@query(
     "gdpr_erasure_report",
     oracle="""WITH forget AS (SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0)
 SELECT 'events' AS table_name,

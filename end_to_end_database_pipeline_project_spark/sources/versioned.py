@@ -13,24 +13,38 @@ travel / audit / reproducible training runs pinned to a data version).
 
 Two commit modes:
 
+Three commit modes:
+
 - ``write_version`` publishes a FULL snapshot (mode ``full``) — the
-  original truncate-and-load replacement;
+  original truncate-and-load replacement; it resets the chain;
 - ``append_version`` publishes only the DELTA rows (mode ``append``):
   the logical content of an append version is its chain — the nearest
-  preceding full snapshot plus every append since. ``read_version``
-  resolves the chain transparently, and ``incremental_scan`` reads
-  ONLY the delta directories between two committed versions. That is
-  the change-data-feed contract a downstream sync needs at 100 TB:
-  catching a consumer up from version A to B costs O(rows appended
-  between A and B) — the appended files and nothing else — never a
-  snapshot re-scan (Iceberg's incremental append scan semantics).
+  preceding full snapshot plus every append since;
+- ``delete_version`` publishes a KEY TOMBSTONE (mode ``delete``,
+  merge-on-read): the commit lands only the deleted keys — O(keys),
+  not O(table) — and readers apply it as an anti-join. The
+  GDPR-erasure shape at 100 TB: forgetting a subject is a tiny commit
+  now plus a physical rewrite deferred to the next full snapshot /
+  compaction.
 
-Kept deliberately minimal otherwise — no delete vectors or row-level
-merges (updates go through a new full snapshot, which also resets the
-chain), version number == generation — because the point is the
-commit/read protocol, not a format reimplementation. The data-version
-pinning is the same contract the serving envelope's ``data_version``
-exposes downstream (redis_cache.py envelope field).
+``read_version`` resolves a chain transparently (base, plus appends,
+minus later tombstones — a key re-inserted AFTER its tombstone
+survives, fold order), and ``incremental_scan`` reads ONLY the delta
+directories between two committed versions, emitting typed change
+rows (``_change_type`` insert/delete, ``_commit_version``). That is
+the change-data-feed contract a downstream sync needs at 100 TB:
+catching a consumer up from version A to B costs O(rows changed
+between A and B) — the delta files and nothing else — never a
+snapshot re-scan (Iceberg incremental scan / Delta CDF semantics;
+delete rows carry the key only, merge-on-read commits don't know
+matched full rows without a read).
+
+Kept deliberately minimal otherwise — no row-level updates (an update
+is delete + re-insert, or a new full snapshot), version number ==
+generation — because the point is the commit/read protocol, not a
+format reimplementation. The data-version pinning is the same
+contract the serving envelope's ``data_version`` exposes downstream
+(redis_cache.py envelope field).
 """
 
 from __future__ import annotations
@@ -60,16 +74,57 @@ def _mode(entry: dict) -> str:
     return entry.get("mode", "full")
 
 
-def _commit(df: DataFrame, path: str, mode: str) -> int:
+def _stat_value(v):
+    """JSON-serializable form of a min/max stat (dates/timestamps →
+    ISO strings, Decimals → str; orderable as strings per type)."""
+    import datetime
+    import decimal
+
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    return v
+
+
+def _commit(
+    df: DataFrame,
+    path: str,
+    mode: str,
+    stats_cols: tuple[str, ...] = (),
+    **meta,
+) -> int:
     """Shared commit protocol: land the COMPLETE data directory, then
     atomically publish the manifest. A failure at any point leaves the
-    previous manifest current and readable."""
+    previous manifest current and readable.
+
+    ``stats_cols`` records per-commit min/max for the named columns in
+    the manifest entry (one extra aggregate over the just-written
+    files) — the data-skipping index: a chain read or incremental scan
+    with a ``prune`` range can then skip whole commit directories
+    without listing or opening a file in them."""
+    from pyspark.sql import functions as F
+
     vs = versions(path)
     n = (vs[-1]["version"] + 1) if vs else 1
     vdir = os.path.join(path, f"v={n}")
     df.write.mode("overwrite").parquet(vdir)
-    rows = df.sparkSession.read.parquet(vdir).count()
-    vs = vs + [{"version": n, "dir": f"v={n}", "rows": rows, "mode": mode}]
+    written = df.sparkSession.read.parquet(vdir)
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in stats_cols:
+        aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
+    stat_row = written.agg(*aggs).collect()[0]
+    entry = {"version": n, "dir": f"v={n}", "rows": stat_row["__rows"], "mode": mode}
+    if stats_cols:
+        entry["stats"] = {
+            c: {
+                "min": _stat_value(stat_row[f"__min_{c}"]),
+                "max": _stat_value(stat_row[f"__max_{c}"]),
+            }
+            for c in stats_cols
+        }
+    entry.update(meta)
+    vs = vs + [entry]
     tmp = _manifest_path(path) + ".tmp"
     with open(tmp, "w", encoding="utf-8") as f:
         json.dump({"versions": vs}, f, sort_keys=True)
@@ -77,14 +132,19 @@ def _commit(df: DataFrame, path: str, mode: str) -> int:
     return n
 
 
-def write_version(df: DataFrame, path: str) -> int:
+def write_version(
+    df: DataFrame, path: str, stats_cols: tuple[str, ...] = ()
+) -> int:
     """Publish ``df`` as the next FULL snapshot. Starts a new append
     chain: versions before it never need re-reading to resolve any
-    version at or after it."""
-    return _commit(df, path, "full")
+    version at or after it. ``stats_cols`` records manifest min/max
+    for data skipping (see ``_commit``)."""
+    return _commit(df, path, "full", stats_cols=stats_cols)
 
 
-def append_version(df: DataFrame, path: str) -> int:
+def append_version(
+    df: DataFrame, path: str, stats_cols: tuple[str, ...] = ()
+) -> int:
     """Publish ``df`` as an APPEND delta on the current chain: the new
     version's logical content is the previous version's rows plus
     ``df``. Only the delta rows are written — the 100 TB point: a
@@ -99,7 +159,30 @@ def append_version(df: DataFrame, path: str) -> int:
             f"cannot append at {path}: no committed base snapshot — the "
             "first commit must be write_version (a full snapshot)"
         )
-    return _commit(df, path, "append")
+    return _commit(df, path, "append", stats_cols=stats_cols)
+
+
+def delete_version(keys: DataFrame, path: str, key_col: str) -> int:
+    """Publish a KEY TOMBSTONE (merge-on-read delete): every chain row
+    whose ``key_col`` appears in ``keys`` becomes invisible from this
+    version on. Only the distinct keys are written — a forget-list
+    commit is O(keys) against a 100 TB table; the physical rewrite is
+    deferred to the next full snapshot or compaction. A key
+    re-inserted by a LATER append is visible again (tombstones apply
+    to prior commits only — fold order in ``read_version``)."""
+    vs = versions(path)
+    if not vs:
+        raise ValueError(
+            f"cannot delete at {path}: no committed base snapshot — the "
+            "first commit must be write_version (a full snapshot)"
+        )
+    return _commit(
+        keys.select(key_col).distinct(),
+        path,
+        "delete",
+        stats_cols=(key_col,),  # key-range stats: prune-safe tombstone skip
+        key=key_col,
+    )
 
 
 def _chain(vs: list[dict], entry: dict, path: str) -> list[dict]:
@@ -128,16 +211,75 @@ def _entry(vs: list[dict], path: str, version: int | None) -> dict:
     return match[0]
 
 
+def _overlaps(entry: dict, col: str, lo, hi) -> bool:
+    """Can this commit contain a row with ``col`` in [lo, hi]?
+    Unknown (no stats for the column) → True: must read. Stats are
+    compared in their manifest (JSON-serialized) form — ISO strings
+    for dates/timestamps order correctly lexicographically."""
+    st = entry.get("stats", {}).get(col)
+    if st is None:
+        return True
+    mn, mx = st["min"], st["max"]
+    if mn is None or mx is None:  # empty commit: nothing to miss
+        return False
+    return not (mx < lo or mn > hi)
+
+
 def read_version(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    prune: tuple | None = None,
 ) -> DataFrame:
     """Time-travel read: the given committed version, or the latest.
-    An append version resolves to its full chain (base snapshot plus
-    every delta up to it)."""
+    An append/delete version resolves to its full chain — the base
+    snapshot plus every append, minus later tombstones, folded in
+    commit order (so a tombstone hides only rows committed BEFORE it:
+    a later re-insert of the same key survives). Tombstone anti-joins
+    are on the committed key column; forget-lists are small against
+    the table, so AQE broadcasts them.
+
+    ``prune=(col, lo, hi)`` is manifest-level data skipping: commit
+    directories whose recorded [min, max] for ``col`` cannot overlap
+    [lo, hi] are never listed or opened (pinned by an inputFiles test),
+    and the equivalent ``BETWEEN`` filter is ALSO applied to the rows
+    read — pruning is a performance fact, never a correctness input,
+    so a commit written without stats is simply read and filtered.
+    Tombstones are skipped only when their key-range stats prove it
+    safe (the pruned column IS the tombstone key and the ranges are
+    disjoint); otherwise they are always applied. Bounds are compared
+    in the manifest's serialized form (ISO strings for dates)."""
+    from pyspark.sql import functions as F
+
     vs = versions(path)
     entry = _entry(vs, path, version)
-    dirs = [os.path.join(path, e["dir"]) for e in _chain(vs, entry, path)]
-    return spark.read.parquet(*dirs)
+    out: DataFrame | None = None
+    for e in _chain(vs, entry, path):
+        is_delete = _mode(e) == "delete"
+        if prune is not None:
+            col, lo, hi = prune
+            if is_delete:
+                # safe to skip only if the tombstone's key IS the pruned
+                # column and its key range cannot touch [lo, hi]
+                if e["key"] == col and not _overlaps(e, col, lo, hi):
+                    continue
+            elif not _overlaps(e, col, lo, hi):
+                continue
+        df = spark.read.parquet(os.path.join(path, e["dir"]))
+        if is_delete:
+            # chain starts with a full snapshot; a pruned-empty chain
+            # prefix means nothing to delete from
+            if out is not None:
+                out = out.join(df, on=e["key"], how="left_anti")
+        else:
+            if prune is not None:
+                df = df.where(F.col(prune[0]).between(prune[1], prune[2]))
+            out = df if out is None else out.unionByName(df)
+    if out is None:
+        # every data commit pruned away: empty frame, table schema
+        base = _chain(vs, entry, path)[0]
+        out = spark.read.parquet(os.path.join(path, base["dir"])).limit(0)
+    return out
 
 
 def incremental_scan(
@@ -146,18 +288,21 @@ def incremental_scan(
     from_version: int,
     to_version: int | None = None,
 ) -> DataFrame:
-    """Change-data-feed read: exactly the rows committed AFTER
+    """Change-data-feed read: the typed change rows committed AFTER
     ``from_version`` up to and including ``to_version`` (default:
-    latest), with a ``_commit_version`` column stamping each row's
-    commit. Reads ONLY the delta directories — O(rows appended), never
-    a snapshot re-scan — which is what makes a downstream sync
+    latest) — appends as ``_change_type='insert'`` full rows,
+    tombstones as ``_change_type='delete'`` key rows (non-key columns
+    NULL: a merge-on-read commit doesn't know the matched full rows
+    without a table read), each stamped with its ``_commit_version``.
+    Reads ONLY the delta directories — O(rows changed), never a
+    snapshot re-scan — which is what makes a downstream sync
     affordable against a 100 TB table.
 
-    Every version in the range must be an append: a full snapshot in
-    between is a rewrite (rows may have been dropped or changed), so
-    the incremental lineage is broken and the consumer must resync
-    from that snapshot — this fails loudly rather than returning a
-    silently-wrong delta."""
+    Every version in the range must be an append or a delete: a full
+    snapshot in between is a rewrite (rows may have been dropped or
+    changed outside the delta log), so the incremental lineage is
+    broken and the consumer must resync from that snapshot — this
+    fails loudly rather than returning a silently-wrong delta."""
     from pyspark.sql import functions as F
 
     vs = versions(path)
@@ -171,26 +316,54 @@ def incremental_scan(
     rng = [
         e for e in vs if start["version"] < e["version"] <= end["version"]
     ]
-    rewrites = [e["version"] for e in rng if _mode(e) != "append"]
+    rewrites = [e["version"] for e in rng if _mode(e) == "full"]
     if rewrites:
         raise ValueError(
             f"incremental scan {start['version']}..{end['version']} at "
             f"{path} crosses full-snapshot rewrite(s) {rewrites}: "
             "incremental lineage is broken — resync from the rewrite"
         )
+
+    def stamp(df: DataFrame, e: dict, change: str) -> DataFrame:
+        return df.withColumn(
+            "_commit_version", F.lit(e["version"]).cast("long")
+        ).withColumn("_change_type", F.lit(change))
+
     if not rng:  # consumer already caught up: empty delta, same schema
+        base = spark.read.parquet(os.path.join(path, start["dir"]))
+        if _mode(start) == "delete":  # tombstone dir: key column only
+            base = read_version(spark, path, start["version"]).limit(0)
         return (
-            spark.read.parquet(os.path.join(path, start["dir"]))
-            .limit(0)
+            base.limit(0)
             .withColumn("_commit_version", F.lit(None).cast("long"))
+            .withColumn("_change_type", F.lit(None).cast("string"))
         )
     out = None
     for e in rng:
-        part = spark.read.parquet(os.path.join(path, e["dir"])).withColumn(
-            "_commit_version", F.lit(e["version"]).cast("long")
+        df = spark.read.parquet(os.path.join(path, e["dir"]))
+        part = stamp(df, e, "delete" if _mode(e) == "delete" else "insert")
+        out = (
+            part
+            if out is None
+            else out.unionByName(part, allowMissingColumns=True)
         )
-        out = part if out is None else out.unionByName(part)
     return out
+
+
+def compact_chain(
+    spark: SparkSession, path: str, stats_cols: tuple[str, ...] = ()
+) -> int:
+    """Squash the current chain into a new FULL snapshot: materialize
+    the latest visible content (base + appends − tombstones) and
+    commit it as the next full version. This ends the chain's
+    merge-on-read debt — readers of the new version touch one
+    snapshot, no anti-joins; tombstoned rows are now physically gone
+    (the deferred GDPR rewrite) — and re-bases CDF lineage (an
+    incremental scan across it correctly demands a resync). Old
+    versions stay addressable until ``expire_versions`` reclaims
+    them. The compaction itself is one chain read + one write —
+    O(live rows), run at the cadence the delta-log length warrants."""
+    return write_version(read_version(spark, path), path, stats_cols=stats_cols)
 
 
 def expire_versions(path: str, retain_last: int = 2) -> list[int]:

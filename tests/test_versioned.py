@@ -139,10 +139,10 @@ def test_incremental_scan_reads_only_delta_files(spark, tmp_path):
     # bounded sync: only up to version 2
     inc12 = V.incremental_scan(spark, path, from_version=1, to_version=2)
     assert sorted(r.x for r in inc12.collect()) == [1000, 1001, 1002]
-    # caught-up consumer: empty delta, original schema + stamp column
+    # caught-up consumer: empty delta, original schema + stamp columns
     empty = V.incremental_scan(spark, path, from_version=3)
     assert empty.count() == 0
-    assert empty.columns == ["x", "_commit_version"]
+    assert empty.columns == ["x", "_commit_version", "_change_type"]
 
 
 def test_incremental_scan_refuses_rewrite_boundary(spark, tmp_path):
@@ -196,3 +196,153 @@ def test_vacuum_retains_append_chain_base(spark, tmp_path):
     dirs = {d for d in os.listdir(path) if d.startswith("v=")}
     assert dirs == {"v=4", "v=5"}
     assert V.read_version(spark, path).count() == 101
+
+
+def test_delete_version_merge_on_read(spark, tmp_path):
+    """Tombstone semantics: a delete hides matching rows from prior
+    commits, a LATER re-insert of the same key survives (fold order),
+    and time travel to a pre-delete version still sees everything."""
+    path = str(tmp_path / "mor")
+    V.write_version(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, s string"),
+        path,
+    )  # v1 full
+    V.append_version(
+        spark.createDataFrame([(4, "d")], "k long, s string"), path
+    )  # v2
+    assert (
+        V.delete_version(
+            spark.createDataFrame([(2,), (4,), (99,)], "k long"), path, "k"
+        )
+        == 3
+    )  # v3: 99 matches nothing -- harmless
+    V.append_version(
+        spark.createDataFrame([(2, "b2")], "k long, s string"), path
+    )  # v4: re-insert of a deleted key
+    assert sorted((r.k, r.s) for r in V.read_version(spark, path, 3).collect()) == [
+        (1, "a"),
+        (3, "c"),
+    ]
+    assert sorted((r.k, r.s) for r in V.read_version(spark, path).collect()) == [
+        (1, "a"),
+        (2, "b2"),
+        (3, "c"),
+    ]
+    # pre-delete time travel is unaffected
+    assert sorted(r.k for r in V.read_version(spark, path, 2).collect()) == [
+        1,
+        2,
+        3,
+        4,
+    ]
+    # manifest: tombstone rows count the distinct keys, key col recorded
+    v3 = [v for v in V.versions(path) if v["version"] == 3][0]
+    assert (v3["mode"], v3["rows"], v3["key"]) == ("delete", 3, "k")
+
+
+def test_incremental_scan_typed_change_rows(spark, tmp_path):
+    """CDF emits inserts as full rows and deletes as key tombstone
+    rows (non-key columns NULL), each stamped with commit version."""
+    path = str(tmp_path / "mor")
+    V.write_version(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string"), path
+    )
+    V.append_version(spark.createDataFrame([(3, "c")], "k long, s string"), path)
+    V.delete_version(spark.createDataFrame([(1,)], "k long"), path, "k")
+
+    cdf = V.incremental_scan(spark, path, from_version=1)
+    rows = {(r.k, r.s, r._commit_version, r._change_type) for r in cdf.collect()}
+    assert rows == {(3, "c", 2, "insert"), (1, None, 3, "delete")}
+    # the scan reads only the delta dirs, never the base snapshot
+    assert all(("/v=2/" in f) or ("/v=3/" in f) for f in cdf.inputFiles())
+    # a caught-up consumer sitting ON a delete version gets the full
+    # table schema back, empty
+    empty = V.incremental_scan(spark, path, from_version=3)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"k", "s", "_commit_version", "_change_type"}
+
+
+def test_vacuum_retains_chain_through_delete(spark, tmp_path):
+    path = str(tmp_path / "mor")
+    V.write_version(spark.createDataFrame([(1,), (2,)], "k long"), path)  # v1
+    V.delete_version(spark.createDataFrame([(1,)], "k long"), path, "k")  # v2
+    V.append_version(spark.createDataFrame([(5,)], "k long"), path)  # v3
+    # oldest retained (v2) is a delete: chain base v1 must survive
+    assert V.expire_versions(path, retain_last=2) == []
+    assert sorted(r.k for r in V.read_version(spark, path).collect()) == [2, 5]
+
+
+def test_manifest_stats_prune_skips_commits(spark, tmp_path):
+    """Data skipping from the commit log: a pruned chain read never
+    lists or opens a commit directory whose recorded [min,max] cannot
+    overlap the range — and the BETWEEN filter still applies to what
+    IS read, so pruning is performance, never correctness."""
+    path = str(tmp_path / "stats")
+    mk = lambda lo, hi: spark.range(lo, hi).withColumnRenamed("id", "x")
+    V.write_version(mk(0, 100), path, stats_cols=("x",))  # v1: [0,99]
+    V.append_version(mk(100, 200), path, stats_cols=("x",))  # v2: [100,199]
+    V.append_version(mk(200, 300), path, stats_cols=("x",))  # v3: [200,299]
+
+    pruned = V.read_version(spark, path, prune=("x", 120, 180))
+    assert sorted(r.x for r in pruned.collect()) == list(range(120, 181))
+    files = pruned.inputFiles()
+    assert files and all("/v=2/" in f for f in files), files
+    # commit written without stats: read + filtered, not skipped
+    V.append_version(mk(300, 310), path)  # v4: no stats
+    pruned2 = V.read_version(spark, path, prune=("x", 120, 180))
+    assert sorted(r.x for r in pruned2.collect()) == list(range(120, 181))
+    assert any("/v=4/" in f for f in pruned2.inputFiles())
+    # range matching nothing: empty frame, table schema
+    none = V.read_version(spark, path, prune=("x", 10_000, 20_000))
+    assert none.count() == 0 and none.columns == ["x"]
+
+
+def test_prune_tombstone_skip_only_when_key_range_disjoint(spark, tmp_path):
+    """A tombstone is skipped under prune only when its KEY stats prove
+    it cannot touch the range; otherwise it must still apply."""
+    path = str(tmp_path / "statsdel")
+    mk = lambda lo, hi: spark.range(lo, hi).withColumnRenamed("id", "x")
+    V.write_version(mk(0, 100), path, stats_cols=("x",))
+    V.delete_version(
+        spark.createDataFrame([(5,), (50,)], "x long"), path, "x"
+    )  # keys [5,50]
+    # prune range [40,60] overlaps tombstone key range: 50 must be gone
+    got = sorted(
+        r.x for r in V.read_version(spark, path, prune=("x", 40, 60)).collect()
+    )
+    assert got == [v for v in range(40, 61) if v != 50]
+    # prune range [60,70] is disjoint from [5,50]: tombstone dir skipped
+    pr = V.read_version(spark, path, prune=("x", 60, 70))
+    assert sorted(r.x for r in pr.collect()) == list(range(60, 71))
+    assert all("/v=1/" in f for f in pr.inputFiles())
+
+
+def test_compact_chain_squashes_merge_on_read_debt(spark, tmp_path):
+    """Compaction materializes base + appends − tombstones as a new
+    full snapshot: same content, single-directory read, tombstoned
+    rows physically gone; CDF across it demands a resync; old
+    versions stay time-travelable."""
+    import pytest
+
+    path = str(tmp_path / "compact")
+    mk = lambda lo, hi: spark.range(lo, hi).withColumnRenamed("id", "x")
+    V.write_version(mk(0, 10), path, stats_cols=("x",))  # v1
+    V.append_version(mk(10, 15), path, stats_cols=("x",))  # v2
+    V.delete_version(spark.createDataFrame([(3,), (12,)], "x long"), path, "x")  # v3
+    before = sorted(r.x for r in V.read_version(spark, path).collect())
+
+    v4 = V.compact_chain(spark, path, stats_cols=("x",))
+    assert v4 == 4
+    after = V.read_version(spark, path)
+    assert sorted(r.x for r in after.collect()) == before
+    # single-directory read now, and the new full entry carries stats
+    assert all("/v=4/" in f for f in after.inputFiles())
+    e4 = [v for v in V.versions(path) if v["version"] == 4][0]
+    assert e4["mode"] == "full" and e4["stats"]["x"] == {"min": 0, "max": 14}
+    # CDF lineage re-based: scanning across the compaction fails loudly
+    with pytest.raises(ValueError, match="rewrite"):
+        V.incremental_scan(spark, path, from_version=2)
+    # pre-compaction time travel unaffected
+    assert sorted(r.x for r in V.read_version(spark, path, 2).collect()) == list(
+        range(15)
+    )
