@@ -113,6 +113,7 @@ HEADLINE = [
     "versioned_incremental_scan",
     "versioned_delete_cdf",
     "versioned_pruned_compaction",
+    "versioned_exactly_once_sink",
 ]
 
 

@@ -692,6 +692,86 @@ def versioned_pruned_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "versioned_exactly_once_sink",
+    oracle="""SELECT CAST(count(DISTINCT year(o_orderdate)) AS BIGINT) AS n_commits,
+       CAST(count(DISTINCT year(o_orderdate)) AS BIGINT)
+         AS commits_after_replay,
+       CAST(count(*) AS BIGINT) AS table_rows,
+       round(coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                           AS DOUBLE), 0.0), 2) AS revenue
+FROM orders""",
+)
+def versioned_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once KEYLESS ingestion into the versioned table: each
+    order-year delivery commits through
+    ``streaming.versioned_sink.append_batch_versioned`` (the ONE body
+    the foreachBatch streaming sink also calls —
+    tests/test_versioned_streaming.py runs the real landing stream,
+    restart, checkpoint-wipe and grown-landing cases), whose manifest
+    batch-id watermark skips a replayed batch BEFORE any write. The
+    query then REPLAYS the entire delivery history — the
+    wiped-checkpoint shape — and the ledger must show zero growth:
+    commits_after_replay == n_commits (== distinct years) and the
+    table's rows/exact-decimal revenue equal to the source, which is
+    exactly what the oracle states. This closes the at-least-once
+    hole `streaming/incremental._maintain_silver_gold` documents for
+    keyless fact appends: the transaction-log watermark (Delta's txn
+    appId/version trick) makes the append idempotent with no MERGE
+    key — at 100 TB the difference between an ingest that can be
+    safely retried and one that silently double-counts."""
+    from ..pipeline.artifacts import scratch_artifact_dir
+    from ..sources import versioned as V
+    from ..streaming.versioned_sink import append_batch_versioned
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    yr = F.year("o_orderdate")
+    store = scratch_artifact_dir("sink_orders_")
+    # bounded driver-side list (a handful of years), the same allowed
+    # pattern as the medallion month lists
+    years = sorted(
+        r["y"] for r in orders.select(yr.alias("y")).distinct().collect()
+    )
+
+    def deliver() -> None:
+        for i, y in enumerate(years):
+            append_batch_versioned(orders.where(yr == y), store, i)
+
+    deliver()
+    n_commits = len(V.versions(store))
+    deliver()  # full replay of the delivery history: must be a no-op
+    n_after = len(V.versions(store))
+
+    zeros = spark.range(1).select(
+        F.lit(0).cast("long").alias("table_rows"),
+        F.lit(0.0).alias("revenue"),
+    )
+    body = (
+        V.read_version(spark, store).agg(
+            F.count(F.lit(1)).cast("long").alias("table_rows"),
+            F.round(
+                F.coalesce(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                        "double"
+                    ),
+                    F.lit(0.0),
+                ),
+                2,
+            ).alias("revenue"),
+        )
+        if years
+        else zeros
+    )
+    return body.select(
+        F.lit(n_commits).cast("long").alias("n_commits"),
+        F.lit(n_after).cast("long").alias("commits_after_replay"),
+        "table_rows",
+        "revenue",
+    )
+
+
+@query(
     "gdpr_erasure_report",
     oracle="""WITH forget AS (SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0)
 SELECT 'events' AS table_name,

@@ -105,6 +105,9 @@ def _commit(
     without listing or opening a file in them."""
     from pyspark.sql import functions as F
 
+    reserved = {"version", "dir", "rows", "mode", "stats"} & set(meta)
+    if reserved:
+        raise ValueError(f"meta keys collide with manifest fields: {reserved}")
     vs = versions(path)
     n = (vs[-1]["version"] + 1) if vs else 1
     vdir = os.path.join(path, f"v={n}")
@@ -133,24 +136,33 @@ def _commit(
 
 
 def write_version(
-    df: DataFrame, path: str, stats_cols: tuple[str, ...] = ()
+    df: DataFrame,
+    path: str,
+    stats_cols: tuple[str, ...] = (),
+    meta: dict | None = None,
 ) -> int:
     """Publish ``df`` as the next FULL snapshot. Starts a new append
     chain: versions before it never need re-reading to resolve any
     version at or after it. ``stats_cols`` records manifest min/max
-    for data skipping (see ``_commit``)."""
-    return _commit(df, path, "full", stats_cols=stats_cols)
+    for data skipping (see ``_commit``); ``meta`` adds caller
+    key/values to the manifest entry (e.g. a streaming sink's
+    ``batch_id`` idempotency watermark)."""
+    return _commit(df, path, "full", stats_cols=stats_cols, **(meta or {}))
 
 
 def append_version(
-    df: DataFrame, path: str, stats_cols: tuple[str, ...] = ()
+    df: DataFrame,
+    path: str,
+    stats_cols: tuple[str, ...] = (),
+    meta: dict | None = None,
 ) -> int:
     """Publish ``df`` as an APPEND delta on the current chain: the new
     version's logical content is the previous version's rows plus
     ``df``. Only the delta rows are written — the 100 TB point: a
     committed append costs O(delta) storage and lets ``incremental_scan``
     sync a consumer in O(delta) reads. The manifest entry's ``rows``
-    counts the DELTA rows (a full entry's counts its snapshot).
+    counts the DELTA rows (a full entry's counts its snapshot);
+    ``meta`` adds caller key/values to the manifest entry.
     Requires an existing chain (a first commit must be a full snapshot
     so every version resolves to complete content)."""
     vs = versions(path)
@@ -159,7 +171,7 @@ def append_version(
             f"cannot append at {path}: no committed base snapshot — the "
             "first commit must be write_version (a full snapshot)"
         )
-    return _commit(df, path, "append", stats_cols=stats_cols)
+    return _commit(df, path, "append", stats_cols=stats_cols, **(meta or {}))
 
 
 def delete_version(keys: DataFrame, path: str, key_col: str) -> int:
