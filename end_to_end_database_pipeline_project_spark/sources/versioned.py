@@ -11,8 +11,6 @@ manifest first, so they always see exactly one fully-committed
 snapshot, and every historical snapshot stays addressable (time
 travel / audit / reproducible training runs pinned to a data version).
 
-Two commit modes:
-
 Three commit modes:
 
 - ``write_version`` publishes a FULL snapshot (mode ``full``) — the
@@ -59,14 +57,27 @@ def _manifest_path(path: str) -> str:
     return os.path.join(path, "_VERSIONS.json")
 
 
+def _read_manifest(path: str) -> dict:
+    """The full manifest document: ``versions`` plus table-level
+    fields that must survive entry expiry (``batch_watermark``)."""
+    mp = _manifest_path(path)
+    if not os.path.exists(mp):
+        return {"versions": []}
+    with open(mp, encoding="utf-8") as f:
+        return json.load(f)
+
+
+def _write_manifest(path: str, manifest: dict) -> None:
+    tmp = _manifest_path(path) + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(manifest, f, sort_keys=True)
+    os.replace(tmp, _manifest_path(path))
+
+
 def versions(path: str) -> list[dict]:
     """Committed snapshots, oldest first. Uncommitted ``v=N`` dirs
     (crashed writers) are invisible — they're not in the manifest."""
-    mp = _manifest_path(path)
-    if not os.path.exists(mp):
-        return []
-    with open(mp, encoding="utf-8") as f:
-        return json.load(f)["versions"]
+    return _read_manifest(path)["versions"]
 
 
 def _mode(entry: dict) -> str:
@@ -108,7 +119,8 @@ def _commit(
     reserved = {"version", "dir", "rows", "mode", "stats"} & set(meta)
     if reserved:
         raise ValueError(f"meta keys collide with manifest fields: {reserved}")
-    vs = versions(path)
+    manifest = _read_manifest(path)
+    vs = manifest["versions"]
     n = (vs[-1]["version"] + 1) if vs else 1
     vdir = os.path.join(path, f"v={n}")
     df.write.mode("overwrite").parquet(vdir)
@@ -127,11 +139,8 @@ def _commit(
             for c in stats_cols
         }
     entry.update(meta)
-    vs = vs + [entry]
-    tmp = _manifest_path(path) + ".tmp"
-    with open(tmp, "w", encoding="utf-8") as f:
-        json.dump({"versions": vs}, f, sort_keys=True)
-    os.replace(tmp, _manifest_path(path))
+    manifest["versions"] = vs + [entry]
+    _write_manifest(path, manifest)
     return n
 
 
@@ -199,8 +208,8 @@ def delete_version(keys: DataFrame, path: str, key_col: str) -> int:
 
 def _chain(vs: list[dict], entry: dict, path: str) -> list[dict]:
     """Manifest entries composing ``entry``'s logical content: the
-    nearest full snapshot at or before it plus every append between,
-    in commit order."""
+    nearest full snapshot at or before it plus every append and
+    tombstone between, in commit order."""
     i = vs.index(entry)
     for j in range(i, -1, -1):
         if _mode(vs[j]) == "full":
@@ -396,7 +405,8 @@ def expire_versions(path: str, retain_last: int = 2) -> list[int]:
             f"retain_last must be >= 1 (got {retain_last}): a table must "
             "keep at least its current snapshot"
         )
-    vs = versions(path)
+    manifest = _read_manifest(path)
+    vs = manifest["versions"]
     if len(vs) <= retain_last:
         return []
     drop, keep = vs[:-retain_last], vs[-retain_last:]
@@ -412,10 +422,15 @@ def expire_versions(path: str, retain_last: int = 2) -> list[int]:
         drop, keep = drop[:base_i], drop[base_i:] + keep
         if not drop:
             return []
-    tmp = _manifest_path(path) + ".tmp"
-    with open(tmp, "w", encoding="utf-8") as f:
-        json.dump({"versions": keep}, f, sort_keys=True)
-    os.replace(tmp, _manifest_path(path))
+    # expiring entries must never LOWER the streaming sink's batch
+    # watermark (a wiped-checkpoint replay after vacuum would re-commit
+    # old batches as duplicates) — carry it forward as a table-level
+    # manifest field
+    dropped_wm = max((e.get("batch_id", -1) for e in drop), default=-1)
+    if dropped_wm > manifest.get("batch_watermark", -1):
+        manifest["batch_watermark"] = dropped_wm
+    manifest["versions"] = keep
+    _write_manifest(path, manifest)
     # reclaim every dir strictly below the retention watermark that the
     # manifest no longer references (dropped entries + crash orphans);
     # dirs at/above the watermark may belong to an in-flight writer

@@ -29,13 +29,24 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..sources.versioned import append_version, versions, write_version
+from ..sources.versioned import (
+    _read_manifest,
+    append_version,
+    versions,
+    write_version,
+)
 
 
 def last_committed_batch(path: str) -> int:
     """The table's batch high-watermark: the largest ``batch_id`` any
-    committed manifest entry carries (-1 if none do)."""
-    return max((v.get("batch_id", -1) for v in versions(path)), default=-1)
+    committed manifest entry carries, or the table-level
+    ``batch_watermark`` that ``expire_versions`` carries forward when
+    it drops batch-stamped entries (-1 if neither exists)."""
+    manifest = _read_manifest(path)
+    entry_wm = max(
+        (v.get("batch_id", -1) for v in manifest["versions"]), default=-1
+    )
+    return max(entry_wm, manifest.get("batch_watermark", -1))
 
 
 def append_batch_versioned(

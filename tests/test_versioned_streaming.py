@@ -152,3 +152,31 @@ def test_out_of_band_commits_compose_with_watermark(spark, tmp_path):
         == 4
     )
     assert V.read_version(spark, table).count() == 6
+
+
+def test_vacuum_never_lowers_the_batch_watermark(spark, tmp_path):
+    """Expiring batch-stamped entries carries the watermark forward as
+    a table-level manifest field — otherwise a wiped-checkpoint replay
+    AFTER vacuum would re-commit old batches as duplicates."""
+    table = str(tmp_path / "table")
+    for i, (lo, hi) in enumerate(((0, 4), (4, 6), (6, 7))):
+        append_batch_versioned(
+            spark.range(lo, hi).withColumnRenamed("id", "x"), table, i
+        )
+    V.compact_chain(spark, table)  # v4 full, no batch_id
+    append_batch_versioned(
+        spark.range(7, 9).withColumnRenamed("id", "x"), table, 3
+    )  # v5
+    # expire everything below the compacted snapshot: the dropped
+    # entries carried batch ids 0..2
+    assert V.expire_versions(table, retain_last=2) == [1, 2, 3]
+    assert last_committed_batch(table) == 3
+    # the wiped-checkpoint shape: history re-delivers as batches 0..3
+    for i, (lo, hi) in enumerate(((0, 4), (4, 6), (6, 7), (7, 9))):
+        assert (
+            append_batch_versioned(
+                spark.range(lo, hi).withColumnRenamed("id", "x"), table, i
+            )
+            is None
+        ), f"replayed batch {i} must be skipped after vacuum"
+    assert V.read_version(spark, table).count() == 9
