@@ -114,6 +114,7 @@ HEADLINE = [
     "versioned_delete_cdf",
     "versioned_pruned_compaction",
     "versioned_exactly_once_sink",
+    "versioned_table_source_scan",
 ]
 
 

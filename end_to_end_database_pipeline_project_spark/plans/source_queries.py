@@ -772,6 +772,81 @@ def versioned_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "versioned_table_source_scan",
+    oracle="""WITH f AS (SELECT DISTINCT o_orderkey FROM orders
+           WHERE o_custkey % 97 = 0 AND year(o_orderdate) <= 2000),
+vis AS (SELECT * FROM orders o
+        WHERE NOT (year(o.o_orderdate) <= 2000
+                   AND EXISTS (SELECT 1 FROM f
+                               WHERE f.o_orderkey = o.o_orderkey)))
+SELECT CAST(count(*) AS BIGINT) AS visible_rows,
+       CAST(count(DISTINCT year(o_orderdate)) AS BIGINT) AS n_years,
+       round(coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                           AS DOUBLE), 0.0), 2) AS visible_revenue
+FROM vis""",
+)
+def versioned_table_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The versioned table consumed as a generic Spark FORMAT
+    (`sources/versioned_source.py`, a Spark 4 Python DataSource —
+    the same API surface as `http_api_source_scan`):
+    ``spark.read.format("versioned_table")`` resolves the manifest
+    chain in EXECUTORS, one input partition per committed parquet
+    file, tombstones applied as per-partition key filters (bounded
+    forget-lists shipped like a broadcast). The chain here is the
+    `versioned_delete_cdf` history — full base, append, GDPR
+    tombstone, append — and the format's latest-version scan must see
+    exactly base + appends − tombstone, which the oracle states
+    directly over orders. The streaming half of the same format
+    (offset = committed version, Delta streaming-source semantics,
+    restart-exactly-once, loud failure on mid-history rewrites,
+    ignoreDeletes opt-in) is pinned by tests/test_versioned_source.py.
+    The scale note lives in the module docstring: this format is the
+    plug-into-any-pipeline path; heavy scans use the library calls
+    that compile to native parquet reads."""
+    from ..pipeline.artifacts import scratch_artifact_dir
+    from ..sources import versioned as V
+    from ..sources.versioned_source import register as register_vt
+
+    register_vt(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    yr = F.year("o_orderdate")
+    store = scratch_artifact_dir("vt_source_")
+    V.write_version(orders.where(yr < 2000), store)
+    V.append_version(orders.where(yr == 2000), store)
+    forget = orders.where((F.col("o_custkey") % 97 == 0) & (yr <= 2000)).select(
+        "o_orderkey"
+    )
+    V.delete_version(forget, store, "o_orderkey")
+    V.append_version(orders.where(yr >= 2001), store)
+
+    ddl = (
+        "o_orderkey bigint, o_custkey bigint, "
+        "o_orderdate timestamp, o_totalprice double"
+    )
+    vt = (
+        spark.read.format("versioned_table")
+        .option("path", store)
+        .option("schema", ddl)
+        .load()
+    )
+    return vt.agg(
+        F.count(F.lit(1)).cast("long").alias("visible_rows"),
+        F.countDistinct(F.year("o_orderdate")).cast("long").alias("n_years"),
+        F.round(
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                F.lit(0.0),
+            ),
+            2,
+        ).alias("visible_revenue"),
+    )
+
+
+@query(
     "gdpr_erasure_report",
     oracle="""WITH forget AS (SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0)
 SELECT 'events' AS table_name,
