@@ -115,6 +115,7 @@ HEADLINE = [
     "versioned_pruned_compaction",
     "versioned_exactly_once_sink",
     "versioned_table_source_scan",
+    "versioned_upsert_cdf",
 ]
 
 

@@ -847,6 +847,81 @@ def versioned_table_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "versioned_upsert_cdf",
+    oracle="""SELECT CAST((SELECT count(*) FROM orders
+             WHERE year(o_orderdate) <= 2000) AS BIGINT) AS visible_rows,
+       CAST((SELECT count(*) FROM orders
+             WHERE (year(o_orderdate) < 2000 AND o_orderkey % 50 = 0)
+                OR year(o_orderdate) = 2000) AS BIGINT) AS n_upsert_rows,
+       round(coalesce(CAST((SELECT sum(CAST(CASE WHEN year(o_orderdate) < 2000
+                                                  AND o_orderkey % 50 = 0
+                                             THEN 100.0 ELSE o_totalprice END
+                                        AS DECIMAL(18,2)))
+                            FROM orders WHERE year(o_orderdate) <= 2000)
+                           AS DOUBLE), 0.0), 2) AS visible_revenue""",
+)
+def versioned_upsert_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins MERGE as ONE atomic commit (`upsert_version`, mode
+    ``replace``): corrections to historical orders (price restated to
+    a flat 100.00 for every 50th key) and the next year's new orders
+    land together as a single replace delta — the commit both
+    tombstones its keys in prior commits and inserts its rows, so
+    readers never see a delete-without-insert window (the two-commit
+    alternative has one), and the table needs no key-ordering
+    shuffle at read time beyond one anti-join per upsert commit. The
+    same latest-wins semantics `observation_upsert` computes with a
+    per-key argmax here costs O(delta) at commit time against a
+    100 TB table, with the physical rewrite deferred to
+    `compact_chain`. The CDF emits the commit as typed ``upsert``
+    full rows (consumers apply delete-by-key + insert); the ledger
+    checks the CDF row count AND that the visible table equals
+    restated-history + new-year exactly — which the oracle states
+    directly over orders. Corrected rows keep their count (replace,
+    not append): visible_rows is the plain ≤2000 count."""
+    from ..pipeline.artifacts import scratch_artifact_dir
+    from ..sources import versioned as V
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    yr = F.year("o_orderdate")
+    store = scratch_artifact_dir("upsert_orders_")
+    V.write_version(orders.where(yr < 2000), store)  # v1: history
+    corrections = orders.where(
+        (yr < 2000) & (F.col("o_orderkey") % 50 == 0)
+    ).withColumn("o_totalprice", F.lit(100.0))
+    new_year = orders.where(yr == 2000)
+    V.upsert_version(
+        corrections.unionByName(new_year), store, "o_orderkey"
+    )  # v2: one atomic replace delta
+
+    cdf = V.incremental_scan(spark, store, from_version=1, to_version=2)
+    n_upsert = cdf.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("_change_type") == "upsert", 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_upsert_rows")
+    )
+    vis = V.read_version(spark, store).agg(
+        F.count(F.lit(1)).cast("long").alias("visible_rows"),
+        F.round(
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                F.lit(0.0),
+            ),
+            2,
+        ).alias("visible_revenue"),
+    )
+    return vis.crossJoin(n_upsert).select(
+        "visible_rows", "n_upsert_rows", "visible_revenue"
+    )
+
+
+@query(
     "gdpr_erasure_report",
     oracle="""WITH forget AS (SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0)
 SELECT 'events' AS table_name,

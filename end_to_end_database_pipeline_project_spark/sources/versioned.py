@@ -23,7 +23,12 @@ Three commit modes:
   not O(table) — and readers apply it as an anti-join. The
   GDPR-erasure shape at 100 TB: forgetting a subject is a tiny commit
   now plus a physical rewrite deferred to the next full snapshot /
-  compaction.
+  compaction;
+- ``upsert_version`` publishes a REPLACE delta (mode ``replace``,
+  merge-on-read upsert): one atomic commit whose rows both tombstone
+  their keys in prior commits and insert themselves — latest-wins
+  MERGE at O(delta), with no window where readers could see the
+  delete without the insert (a delete+append pair would have one).
 
 ``read_version`` resolves a chain transparently (base, plus appends,
 minus later tombstones — a key re-inserted AFTER its tombstone
@@ -206,6 +211,35 @@ def delete_version(keys: DataFrame, path: str, key_col: str) -> int:
     )
 
 
+def upsert_version(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    stats_cols: tuple[str, ...] = (),
+) -> int:
+    """Publish a REPLACE delta (merge-on-read upsert): every chain row
+    whose ``key_col`` matches a row of ``df`` is superseded by that
+    row, and rows with new keys insert — latest-wins MERGE in ONE
+    atomic commit (a delete+append pair would expose a window where
+    readers see the delete without the insert). O(delta) commit
+    against a 100 TB table; physical rewrite deferred to compaction.
+    ``df`` must be unique per key (two same-key rows in one upsert
+    have no defined winner) — readers don't dedup for you."""
+    vs = versions(path)
+    if not vs:
+        raise ValueError(
+            f"cannot upsert at {path}: no committed base snapshot — the "
+            "first commit must be write_version (a full snapshot)"
+        )
+    return _commit(
+        df,
+        path,
+        "replace",
+        stats_cols=tuple(dict.fromkeys((key_col,) + tuple(stats_cols))),
+        key=key_col,
+    )
+
+
 def _chain(vs: list[dict], entry: dict, path: str) -> list[dict]:
     """Manifest entries composing ``entry``'s logical content: the
     nearest full snapshot at or before it plus every append and
@@ -276,26 +310,37 @@ def read_version(
     entry = _entry(vs, path, version)
     out: DataFrame | None = None
     for e in _chain(vs, entry, path):
-        is_delete = _mode(e) == "delete"
+        mode = _mode(e)
         if prune is not None:
             col, lo, hi = prune
-            if is_delete:
-                # safe to skip only if the tombstone's key IS the pruned
-                # column and its key range cannot touch [lo, hi]
+            if mode in ("delete", "replace"):
+                # a tombstone/upsert is skippable only when its KEY is
+                # the pruned column and its key range cannot touch
+                # [lo, hi]: then neither its deletes nor its (filtered)
+                # inserts can affect rows in the range
                 if e["key"] == col and not _overlaps(e, col, lo, hi):
                     continue
             elif not _overlaps(e, col, lo, hi):
                 continue
         df = spark.read.parquet(os.path.join(path, e["dir"]))
-        if is_delete:
+        if mode == "delete":
             # chain starts with a full snapshot; a pruned-empty chain
             # prefix means nothing to delete from
             if out is not None:
                 out = out.join(df, on=e["key"], how="left_anti")
-        else:
-            if prune is not None:
-                df = df.where(F.col(prune[0]).between(prune[1], prune[2]))
-            out = df if out is None else out.unionByName(df)
+            continue
+        if mode == "replace" and out is not None:
+            # supersede matched keys with the commit's rows (the
+            # anti-join uses ALL the commit's keys, even under prune:
+            # a replaced row's new image may fall outside the range —
+            # then the old image must vanish and the new one is
+            # filtered, exactly what filter(visible_table) would give)
+            out = out.join(
+                df.select(e["key"]).distinct(), on=e["key"], how="left_anti"
+            )
+        if prune is not None:
+            df = df.where(F.col(prune[0]).between(prune[1], prune[2]))
+        out = df if out is None else out.unionByName(df)
     if out is None:
         # every data commit pruned away: empty frame, table schema
         base = _chain(vs, entry, path)[0]
@@ -314,7 +359,9 @@ def incremental_scan(
     latest) — appends as ``_change_type='insert'`` full rows,
     tombstones as ``_change_type='delete'`` key rows (non-key columns
     NULL: a merge-on-read commit doesn't know the matched full rows
-    without a table read), each stamped with its ``_commit_version``.
+    without a table read), upserts as ``_change_type='upsert'`` full
+    rows (the consumer applies delete-by-key + insert), each stamped
+    with its ``_commit_version``.
     Reads ONLY the delta directories — O(rows changed), never a
     snapshot re-scan — which is what makes a downstream sync
     affordable against a 100 TB table.
@@ -359,10 +406,11 @@ def incremental_scan(
             .withColumn("_commit_version", F.lit(None).cast("long"))
             .withColumn("_change_type", F.lit(None).cast("string"))
         )
+    change_of = {"delete": "delete", "replace": "upsert", "append": "insert"}
     out = None
     for e in rng:
         df = spark.read.parquet(os.path.join(path, e["dir"]))
-        part = stamp(df, e, "delete" if _mode(e) == "delete" else "insert")
+        part = stamp(df, e, change_of[_mode(e)])
         out = (
             part
             if out is None

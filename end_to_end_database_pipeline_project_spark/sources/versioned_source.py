@@ -24,7 +24,8 @@ same manifest protocol as a *format*, so ANY Spark pipeline can say
 
 Options: ``path`` (table root), ``schema`` (DDL, must name the table's
 written columns), ``version`` (batch: pin a snapshot), ``ignoredeletes``
-(stream: skip tombstone commits).
+(stream: skip tombstone commits), ``ignorechanges`` (stream: emit
+upsert commits' rows as plain appends — Delta's ignoreChanges).
 
 Scale note: partitions map 1:1 to committed parquet files, so the read
 parallelizes like any file scan; rows cross Python here (Arrow batch
@@ -117,20 +118,23 @@ class _VersionedBatchReader(DataSourceReader):
         entry = _entry(vs, self.path, self.version)
         chain = _chain(vs, entry, self.path)
         parts = []
+        # delete AND replace entries both tombstone their keys in
+        # earlier commits (a replace additionally contributes its own
+        # rows as data)
         tomb_cache = {
             e["version"]: (e["key"], _tombstone_keys(self.path, e))
             for e in chain
-            if _mode(e) == "delete"
+            if _mode(e) in ("delete", "replace")
         }
         for i, e in enumerate(chain):
             if _mode(e) == "delete":
                 continue
-            # tombstones committed AFTER this data entry hide its rows;
-            # exclusions stay grouped per key column (tombstones on
-            # different keys must not be merged)
+            # tombstones/upserts committed AFTER this data entry hide
+            # its matched rows; exclusions stay grouped per key column
+            # (tombstones on different keys must not be merged)
             per_key: dict = {}
             for t in chain[i + 1 :]:
-                if _mode(t) == "delete":
+                if _mode(t) in ("delete", "replace"):
                     kc, keys = tomb_cache[t["version"]]
                     per_key[kc] = per_key.get(kc, frozenset()) | keys
             exclusions = tuple(per_key.items())
@@ -149,6 +153,9 @@ class _VersionedStreamReader(DataSourceStreamReader):
         self.cols = _schema_cols(options["schema"])
         self.ignore_deletes = (
             options.get("ignoredeletes", "false").lower() == "true"
+        )
+        self.ignore_changes = (
+            options.get("ignorechanges", "false").lower() == "true"
         )
 
     def initialOffset(self) -> dict:
@@ -184,6 +191,14 @@ class _VersionedStreamReader(DataSourceStreamReader):
                     "ignoredeletes=true to skip deletes (downstream "
                     "copy will retain deleted rows) or consume the CDF "
                     "via incremental_scan"
+                )
+            if m == "replace" and not self.ignore_changes:
+                raise ValueError(
+                    f"versioned_table stream at {self.path}: version "
+                    f"{e['version']} is an upsert commit; set "
+                    "ignorechanges=true to stream its rows as plain "
+                    "appends (downstream copy may duplicate replaced "
+                    "keys) or consume the CDF via incremental_scan"
                 )
             for f in _data_files(self.path, e):
                 parts.append(InputPartition((f,)))

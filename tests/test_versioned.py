@@ -346,3 +346,65 @@ def test_compact_chain_squashes_merge_on_read_debt(spark, tmp_path):
     assert sorted(r.x for r in V.read_version(spark, path, 2).collect()) == list(
         range(15)
     )
+
+
+def test_upsert_version_latest_wins_atomic(spark, tmp_path):
+    """One replace commit both tombstones its keys and inserts its
+    rows: latest-wins MERGE with no delete-without-insert window;
+    CDF emits the commit as typed 'upsert' full rows."""
+    path = str(tmp_path / "ups")
+    V.write_version(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, s string"),
+        path,
+    )  # v1
+    V.upsert_version(
+        spark.createDataFrame([(2, "B2"), (9, "new")], "k long, s string"),
+        path,
+        "k",
+    )  # v2: corrects 2, inserts 9
+    got = sorted((r.k, r.s) for r in V.read_version(spark, path).collect())
+    assert got == [(1, "a"), (2, "B2"), (3, "c"), (9, "new")]
+    # time travel to v1 unaffected
+    assert sorted(r.s for r in V.read_version(spark, path, 1).collect()) == [
+        "a",
+        "b",
+        "c",
+    ]
+    cdf = V.incremental_scan(spark, path, from_version=1)
+    rows = {(r.k, r.s, r._change_type) for r in cdf.collect()}
+    assert rows == {(2, "B2", "upsert"), (9, "new", "upsert")}
+    # a later upsert of the same key wins again
+    V.upsert_version(
+        spark.createDataFrame([(2, "B3")], "k long, s string"), path, "k"
+    )
+    got = sorted((r.k, r.s) for r in V.read_version(spark, path).collect())
+    assert got == [(1, "a"), (2, "B3"), (3, "c"), (9, "new")]
+    # manifest entry: mode replace, key recorded, key stats present
+    e2 = [v for v in V.versions(path) if v["version"] == 2][0]
+    assert (e2["mode"], e2["key"]) == ("replace", "k")
+    assert e2["stats"]["k"] == {"min": 2, "max": 9}
+
+
+def test_upsert_under_prune_moves_row_out_of_range(spark, tmp_path):
+    """A pruned read equals filter(visible_table) even when an upsert
+    moves a row's pruned column out of the range: the old image
+    vanishes, the new one is filtered."""
+    path = str(tmp_path / "upsp")
+    V.write_version(
+        spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k long, val long"),
+        path,
+        stats_cols=("val",),
+    )
+    V.upsert_version(
+        spark.createDataFrame([(2, 999)], "k long, val long"), path, "k"
+    )  # row k=2 leaves the [15, 35] value range
+    got = sorted(
+        (r.k, r.val)
+        for r in V.read_version(spark, path, prune=("val", 15, 35)).collect()
+    )
+    assert got == [(3, 30)]
+    # disjoint KEY range: the upsert commit is skippable under a prune
+    # on the key column itself
+    pr = V.read_version(spark, path, prune=("k", 0, 1))
+    assert sorted((r.k, r.val) for r in pr.collect()) == [(1, 10)]
+    assert all("/v=1/" in f for f in pr.inputFiles())

@@ -156,3 +156,45 @@ def test_batch_parallelism_is_per_committed_file(spark, tmp_path):
     )
     assert df.rdd.getNumPartitions() == n_files
     assert sorted(r.x for r in df.collect()) == [1, 2, 3]
+
+
+def test_batch_format_applies_upserts_and_stream_needs_ignorechanges(
+    spark, tmp_path
+):
+    register(spark)
+    path, ckpt, out = (str(tmp_path / d) for d in ("t", "ckpt", "out"))
+    V.write_version(_mk(spark, [(1, "a"), (2, "b")]), path)
+    V.upsert_version(_mk(spark, [(2, "B2"), (3, "c")]), path, "x")
+
+    got = sorted((r.x, r.s) for r in _batch_read(spark, path).collect())
+    assert got == [(1, "a"), (2, "B2"), (3, "c")]
+
+    def drain(**opts):
+        q = (
+            spark.readStream.format("versioned_table")
+            .option("path", path)
+            .option("schema", DDL)
+            .options(**opts)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        drain()
+        raise AssertionError("upsert commit must fail the plain stream")
+    except Exception as exc:
+        assert "upsert" in str(exc)
+    shutil.rmtree(ckpt)
+    drain(ignorechanges="true")
+    # ignoreChanges semantics: replaced keys appear twice downstream
+    assert sorted(r.x for r in spark.read.parquet(out).collect()) == [
+        1,
+        2,
+        2,
+        3,
+    ]
