@@ -116,6 +116,7 @@ HEADLINE = [
     "versioned_exactly_once_sink",
     "versioned_table_source_scan",
     "versioned_upsert_cdf",
+    "versioned_history",
 ]
 
 

@@ -50,14 +50,14 @@ _PACKS = [
 # row; from r08 on the window is freshness-driven.
 #
 # Round-8 window (add-rate <= drain-rate, r07 verdict policy):
-# - slots 1-10: the ten r08 additions (epoch-artifact lifecycle:
+# - slots 1-11: the eleven r08 additions (epoch-artifact lifecycle:
 #   bloom, IVF-centroid, PQ-codebook, MinHash-bucket; plus the
 #   versioned-table delta-log arc: change-data-feed incremental scan,
 #   merge-on-read delete + typed CDF ledger, manifest-stats pruned
 #   read + compaction parity, the exactly-once keyless sink, the
-#   versioned_table batch+streaming Spark format, and the atomic
-#   latest-wins upsert commit)
-# - slots 11-22: every query whose code or shared operator changed this
+#   versioned_table batch+streaming Spark format, the atomic
+#   latest-wins upsert commit, and the DESCRIBE-HISTORY manifest view)
+# - slots 12-23: every query whose code or shared operator changed this
 #   round — versioned_time_travel (sources/versioned.py gained the
 #   append/CDF layer), the drift monitors (psi schema gained
 #   ref_degenerate), the four injective-id conversions, the
@@ -65,9 +65,9 @@ _PACKS = [
 #   consumers the artifact work leans on (bloom_incremental_dedup,
 #   incremental_curation_packing, sequence_packing_report,
 #   token_budget_selection)
-# - slots 23-50: the 28 stalest ledger rows (last driver row r02 —
-#   6 rounds old).  The sixteen r02-era names that didn't fit
-#   (props_map_stats, quantity_quantiles, rainfall_gradient_colors,
+# - slots 24-50: the 27 stalest ledger rows (last driver row r02 —
+#   6 rounds old).  The seventeen r02-era names that didn't fit
+#   (promo_revenue_share, props_map_stats, quantity_quantiles, rainfall_gradient_colors,
 #   returned_item_report, rolling_7day_avg, rollup_returnflag_status,
 #   running_supplier_quantity,
 #   serving_json_envelope, shipping_priority, station_enrichment,
@@ -76,7 +76,7 @@ _PACKS = [
 #   first in line for the r09 window.
 
 _DRIVER_FIRST = [
-    # (a) slots 1-10: new r08 queries
+    # (a) slots 1-11: new r08 queries
     "bloom_artifact_lifecycle",
     "ivf_centroid_maintenance",
     "pq_codebook_lifecycle",
@@ -87,7 +87,8 @@ _DRIVER_FIRST = [
     "versioned_exactly_once_sink",
     "versioned_table_source_scan",
     "versioned_upsert_cdf",
-    # (b) slots 11-22: changed code / changed shared operators
+    "versioned_history",
+    # (b) slots 12-23: changed code / changed shared operators
     # (versioned_time_travel: sources/versioned.py gained the
     # append/incremental-scan layer this round — write_version now
     # commits through the shared _commit with a mode field)
@@ -103,7 +104,7 @@ _DRIVER_FIRST = [
     "incremental_curation_packing",
     "sequence_packing_report",
     "token_budget_selection",
-    # (c) slots 23-50: stalest driver rows (r02-era)
+    # (c) slots 24-50: stalest driver rows (r02-era)
     "above_average_customers",
     "cube_status_priority",
     "customers_with_open_orders",
@@ -131,7 +132,6 @@ _DRIVER_FIRST = [
     "order_status_pivot",
     "overall_summary",
     "price_band_join",
-    "promo_revenue_share",
 ]
 
 

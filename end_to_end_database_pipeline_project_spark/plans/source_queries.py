@@ -922,6 +922,55 @@ def versioned_upsert_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "versioned_history",
+    oracle="""WITH f AS (SELECT DISTINCT o_orderkey FROM orders
+           WHERE o_custkey % 97 = 0 AND year(o_orderdate) <= 2000)
+SELECT CAST(1 AS BIGINT) AS version, 'full' AS commit_mode,
+       CAST((SELECT count(*) FROM orders WHERE year(o_orderdate) < 2000)
+            AS BIGINT) AS n_rows
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'append',
+       CAST((SELECT count(*) FROM orders WHERE year(o_orderdate) = 2000)
+            AS BIGINT)
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'delete', (SELECT CAST(count(*) AS BIGINT) FROM f)
+UNION ALL
+SELECT CAST(4 AS BIGINT), 'append',
+       CAST((SELECT count(*) FROM orders WHERE year(o_orderdate) >= 2001)
+            AS BIGINT)""",
+)
+def versioned_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY on the versioned table (`sources.versioned
+    .history`): the committed manifest as a queryable DataFrame — one
+    row per commit with its mode and row count (full = snapshot rows,
+    append/replace = delta rows, delete = tombstone keys) — the audit
+    surface every table format exposes and the reference's warehouse
+    (TRUNCATE+INSERT, no log) cannot. The chain is the
+    `versioned_delete_cdf` history; each manifest count is
+    deterministic from orders, which is exactly what the oracle
+    states — so this also pins that the COMMITS recorded what they
+    claim (the delta-rows bookkeeping), not just that reads resolve
+    correctly. Manifest metadata is one row per commit: the
+    driver-side build is the right cost at any table size."""
+    from ..pipeline.artifacts import scratch_artifact_dir
+    from ..sources import versioned as V
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    yr = F.year("o_orderdate")
+    store = scratch_artifact_dir("hist_orders_")
+    V.write_version(orders.where(yr < 2000), store)
+    V.append_version(orders.where(yr == 2000), store)
+    forget = orders.where((F.col("o_custkey") % 97 == 0) & (yr <= 2000)).select(
+        "o_orderkey"
+    )
+    V.delete_version(forget, store, "o_orderkey")
+    V.append_version(orders.where(yr >= 2001), store)
+    return V.history(spark, store).select("version", "commit_mode", "n_rows")
+
+
+@query(
     "gdpr_erasure_report",
     oracle="""WITH forget AS (SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0)
 SELECT 'events' AS table_name,

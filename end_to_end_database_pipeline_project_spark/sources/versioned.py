@@ -178,7 +178,13 @@ def append_version(
     counts the DELTA rows (a full entry's counts its snapshot);
     ``meta`` adds caller key/values to the manifest entry.
     Requires an existing chain (a first commit must be a full snapshot
-    so every version resolves to complete content)."""
+    so every version resolves to complete content).
+
+    Schema evolution: an append may ADD columns — chain readers
+    resolve the union schema, earlier commits' rows reading NULL for
+    the new columns (and a prune on a column a commit predates skips
+    that commit: its rows are all NULL there, outside any range).
+    Dropping or retyping a column requires a new full snapshot."""
     vs = versions(path)
     if not vs:
         raise ValueError(
@@ -339,8 +345,19 @@ def read_version(
                 df.select(e["key"]).distinct(), on=e["key"], how="left_anti"
             )
         if prune is not None:
+            if prune[0] not in df.columns:
+                # schema evolution: this commit predates the pruned
+                # column — its rows are all NULL there, outside any
+                # range, so the whole commit drops out
+                continue
             df = df.where(F.col(prune[0]).between(prune[1], prune[2]))
-        out = df if out is None else out.unionByName(df)
+        # allowMissingColumns: appends may add columns (schema
+        # evolution) — earlier rows read NULL for them
+        out = (
+            df
+            if out is None
+            else out.unionByName(df, allowMissingColumns=True)
+        )
     if out is None:
         # every data commit pruned away: empty frame, table schema
         base = _chain(vs, entry, path)[0]
@@ -417,6 +434,29 @@ def incremental_scan(
             else out.unionByName(part, allowMissingColumns=True)
         )
     return out
+
+
+def history(spark: SparkSession, path: str) -> DataFrame:
+    """DESCRIBE HISTORY: the committed manifest as a DataFrame —
+    (version, commit_mode, n_rows, batch_id, key), oldest first. The
+    audit/debug surface every table format exposes; the manifest is
+    bounded metadata (one row per commit), so a driver-side build is
+    the right cost."""
+    rows = [
+        (
+            e["version"],
+            _mode(e),
+            e["rows"],
+            e.get("batch_id"),
+            e.get("key"),
+        )
+        for e in versions(path)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "version long, commit_mode string, n_rows long, "
+        "batch_id long, key string",
+    )
 
 
 def compact_chain(

@@ -87,9 +87,15 @@ def _read_file(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(file_path, columns=cols)
+    # schema evolution: a file written before a column was added just
+    # lacks it — read what exists, null-fill the rest
+    present = set(pq.read_schema(file_path).names)
+    tbl = pq.read_table(file_path, columns=[c for c in cols if c in present])
     columns = []
     for c in cols:
+        if c not in present:
+            columns.append([None] * tbl.num_rows)
+            continue
         a = tbl[c]
         t = a.type
         if pa.types.is_timestamp(t) and t.tz is None:

@@ -408,3 +408,32 @@ def test_upsert_under_prune_moves_row_out_of_range(spark, tmp_path):
     pr = V.read_version(spark, path, prune=("k", 0, 1))
     assert sorted((r.k, r.val) for r in pr.collect()) == [(1, 10)]
     assert all("/v=1/" in f for f in pr.inputFiles())
+
+
+def test_append_schema_evolution_union_and_prune(spark, tmp_path):
+    """An append may ADD columns: chain reads resolve the union schema
+    (old rows NULL for new columns), and a prune on a column a commit
+    predates skips that commit entirely — its rows are all NULL there."""
+    path = str(tmp_path / "evo")
+    V.write_version(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string"),
+        path,
+    )
+    V.append_version(
+        spark.createDataFrame(
+            [(3, "c", 7.5)], "k long, s string, score double"
+        ),
+        path,
+        stats_cols=("score",),
+    )
+    full = V.read_version(spark, path)
+    assert set(full.columns) == {"k", "s", "score"}
+    got = sorted((r.k, r.s, r.score) for r in full.collect())
+    assert got == [(1, "a", None), (2, "b", None), (3, "c", 7.5)]
+    # prune on the NEW column: the pre-evolution commit drops out
+    pr = V.read_version(spark, path, prune=("score", 5.0, 10.0))
+    assert [(r.k, r.score) for r in pr.collect()] == [(3, 7.5)]
+    assert all("/v=2/" in f for f in pr.inputFiles())
+    # CDF across the evolution keeps the union schema
+    cdf = V.incremental_scan(spark, path, from_version=1)
+    assert {(r.k, r.score) for r in cdf.collect()} == {(3, 7.5)}

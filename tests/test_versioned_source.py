@@ -198,3 +198,21 @@ def test_batch_format_applies_upserts_and_stream_needs_ignorechanges(
         2,
         3,
     ]
+
+
+def test_format_null_fills_pre_evolution_files(spark, tmp_path):
+    register(spark)
+    path = str(tmp_path / "evo")
+    V.write_version(_mk(spark, [(1, "a")]), path)  # no 'score' yet
+    V.append_version(
+        spark.createDataFrame([(2, "b", 9.0)], "x bigint, s string, score double"),
+        path,
+    )
+    df = (
+        spark.read.format("versioned_table")
+        .option("path", path)
+        .option("schema", "x bigint, s string, score double")
+        .load()
+    )
+    got = sorted((r.x, r.s, r.score) for r in df.collect())
+    assert got == [(1, "a", None), (2, "b", 9.0)]
