@@ -42,11 +42,18 @@ snapshot re-scan (Iceberg incremental scan / Delta CDF semantics;
 delete rows carry the key only, merge-on-read commits don't know
 matched full rows without a read).
 
-Kept deliberately minimal otherwise — no row-level updates (an update
-is delete + re-insert, or a new full snapshot), version number ==
-generation — because the point is the commit/read protocol, not a
-format reimplementation. The data-version pinning is the same
-contract the serving envelope's ``data_version`` exposes downstream
+Concurrent writers are safe: every manifest read-modify-write (commit
+and vacuum) runs under the table's commit lock (atomic O_EXCL create
+with dead-holder takeover, ``_acquire_commit_lock``), so commits
+serialize in version order and none are lost; readers never block.
+On object stores without atomic create, the lock step needs an
+external coordination service — the same boundary Delta's S3
+LogStore draws.
+
+Kept deliberately minimal otherwise — version number == generation —
+because the point is the commit/read protocol, not a format
+reimplementation. The data-version pinning is the same contract the
+serving envelope's ``data_version`` exposes downstream
 (redis_cache.py envelope field).
 """
 
@@ -103,16 +110,70 @@ def _stat_value(v):
     return v
 
 
+class CommitLockTimeout(TimeoutError):
+    pass
+
+
+def _acquire_commit_lock(path: str, timeout_s: float) -> str:
+    """Serialize commits across writers sharing one POSIX store:
+    O_CREAT|O_EXCL file creation is the atomic claim. A stale lock
+    (its recorded pid no longer alive on this node) is stolen, so a
+    crashed holder never wedges the table. Commits SERIALIZE — that is
+    the log contract, not a shortcut: version numbers must appear in
+    the manifest in commit order or a consumer cursor at version N
+    could silently miss a lower-numbered late commit. Object stores
+    without atomic create need an external coordination service for
+    this step — the same boundary Delta's S3 LogStore draws."""
+    import time
+
+    lock = os.path.join(path, "_COMMIT_LOCK")
+    deadline = time.monotonic() + timeout_s
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            return lock
+        except FileExistsError:
+            try:
+                pid = int(open(lock).read().strip() or 0)
+            except (OSError, ValueError):
+                pid = 0
+            if pid and pid != os.getpid():
+                try:
+                    os.kill(pid, 0)
+                except ProcessLookupError:
+                    # holder is dead: steal (unlink may race another
+                    # stealer — fine, exactly one wins the next O_EXCL)
+                    try:
+                        os.unlink(lock)
+                    except FileNotFoundError:
+                        pass
+                    continue
+                except PermissionError:
+                    pass  # alive under another uid: wait
+            if time.monotonic() > deadline:
+                raise CommitLockTimeout(
+                    f"could not acquire commit lock at {lock} within "
+                    f"{timeout_s}s (held by pid {pid or 'unknown'})"
+                )
+            time.sleep(0.05)
+
+
 def _commit(
     df: DataFrame,
     path: str,
     mode: str,
     stats_cols: tuple[str, ...] = (),
+    lock_timeout_s: float = 600.0,
     **meta,
 ) -> int:
-    """Shared commit protocol: land the COMPLETE data directory, then
-    atomically publish the manifest. A failure at any point leaves the
-    previous manifest current and readable.
+    """Shared commit protocol: under the table's commit lock, land the
+    COMPLETE data directory, then atomically publish the manifest. A
+    failure at any point leaves the previous manifest current and
+    readable (a crashed holder's lock is stolen by the next writer,
+    its half-landed directory invisible). Concurrent writers are safe
+    and serialize; readers never block (they only read the manifest).
 
     ``stats_cols`` records per-commit min/max for the named columns in
     the manifest entry (one extra aggregate over the just-written
@@ -124,29 +185,42 @@ def _commit(
     reserved = {"version", "dir", "rows", "mode", "stats"} & set(meta)
     if reserved:
         raise ValueError(f"meta keys collide with manifest fields: {reserved}")
-    manifest = _read_manifest(path)
-    vs = manifest["versions"]
-    n = (vs[-1]["version"] + 1) if vs else 1
-    vdir = os.path.join(path, f"v={n}")
-    df.write.mode("overwrite").parquet(vdir)
-    written = df.sparkSession.read.parquet(vdir)
-    aggs = [F.count(F.lit(1)).alias("__rows")]
-    for c in stats_cols:
-        aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
-    stat_row = written.agg(*aggs).collect()[0]
-    entry = {"version": n, "dir": f"v={n}", "rows": stat_row["__rows"], "mode": mode}
-    if stats_cols:
-        entry["stats"] = {
-            c: {
-                "min": _stat_value(stat_row[f"__min_{c}"]),
-                "max": _stat_value(stat_row[f"__max_{c}"]),
-            }
-            for c in stats_cols
+    os.makedirs(path, exist_ok=True)
+    lock = _acquire_commit_lock(path, lock_timeout_s)
+    try:
+        manifest = _read_manifest(path)
+        vs = manifest["versions"]
+        n = (vs[-1]["version"] + 1) if vs else 1
+        vdir = os.path.join(path, f"v={n}")
+        df.write.mode("overwrite").parquet(vdir)
+        written = df.sparkSession.read.parquet(vdir)
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for c in stats_cols:
+            aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
+        stat_row = written.agg(*aggs).collect()[0]
+        entry = {
+            "version": n,
+            "dir": f"v={n}",
+            "rows": stat_row["__rows"],
+            "mode": mode,
         }
-    entry.update(meta)
-    manifest["versions"] = vs + [entry]
-    _write_manifest(path, manifest)
-    return n
+        if stats_cols:
+            entry["stats"] = {
+                c: {
+                    "min": _stat_value(stat_row[f"__min_{c}"]),
+                    "max": _stat_value(stat_row[f"__max_{c}"]),
+                }
+                for c in stats_cols
+            }
+        entry.update(meta)
+        manifest["versions"] = vs + [entry]
+        _write_manifest(path, manifest)
+        return n
+    finally:
+        try:
+            os.unlink(lock)
+        except FileNotFoundError:
+            pass
 
 
 def write_version(
@@ -493,32 +567,46 @@ def expire_versions(path: str, retain_last: int = 2) -> list[int]:
             f"retain_last must be >= 1 (got {retain_last}): a table must "
             "keep at least its current snapshot"
         )
-    manifest = _read_manifest(path)
-    vs = manifest["versions"]
-    if len(vs) <= retain_last:
-        return []
-    drop, keep = vs[:-retain_last], vs[-retain_last:]
-    # a chain expires only as a unit: if the oldest retained version is
-    # an append, its content NEEDS the preceding full snapshot and the
-    # appends between — extend retention to the chain base (vacuum
-    # reclaims less, never a directory a retained version resolves to)
-    if _mode(keep[0]) != "full":
-        base_i = next(
-            (i for i in range(len(drop) - 1, -1, -1) if _mode(drop[i]) == "full"),
-            0,
-        )
-        drop, keep = drop[:base_i], drop[base_i:] + keep
-        if not drop:
+    # vacuum is a manifest read-modify-write like any commit: take the
+    # same lock so it can't drop an entry a racing writer just appended
+    lock = _acquire_commit_lock(path, 600.0)
+    try:
+        manifest = _read_manifest(path)
+        vs = manifest["versions"]
+        if len(vs) <= retain_last:
             return []
-    # expiring entries must never LOWER the streaming sink's batch
-    # watermark (a wiped-checkpoint replay after vacuum would re-commit
-    # old batches as duplicates) — carry it forward as a table-level
-    # manifest field
-    dropped_wm = max((e.get("batch_id", -1) for e in drop), default=-1)
-    if dropped_wm > manifest.get("batch_watermark", -1):
-        manifest["batch_watermark"] = dropped_wm
-    manifest["versions"] = keep
-    _write_manifest(path, manifest)
+        drop, keep = vs[:-retain_last], vs[-retain_last:]
+        # a chain expires only as a unit: if the oldest retained version
+        # is an append, its content NEEDS the preceding full snapshot and
+        # the appends between — extend retention to the chain base
+        # (vacuum reclaims less, never a directory a retained version
+        # resolves to)
+        if _mode(keep[0]) != "full":
+            base_i = next(
+                (
+                    i
+                    for i in range(len(drop) - 1, -1, -1)
+                    if _mode(drop[i]) == "full"
+                ),
+                0,
+            )
+            drop, keep = drop[:base_i], drop[base_i:] + keep
+            if not drop:
+                return []
+        # expiring entries must never LOWER the streaming sink's batch
+        # watermark (a wiped-checkpoint replay after vacuum would
+        # re-commit old batches as duplicates) — carry it forward as a
+        # table-level manifest field
+        dropped_wm = max((e.get("batch_id", -1) for e in drop), default=-1)
+        if dropped_wm > manifest.get("batch_watermark", -1):
+            manifest["batch_watermark"] = dropped_wm
+        manifest["versions"] = keep
+        _write_manifest(path, manifest)
+    finally:
+        try:
+            os.unlink(lock)
+        except FileNotFoundError:
+            pass
     # reclaim every dir strictly below the retention watermark that the
     # manifest no longer references (dropped entries + crash orphans);
     # dirs at/above the watermark may belong to an in-flight writer

@@ -19,10 +19,12 @@ batch is read exactly once, O(delta) per sync. Together: streaming
 ingest -> delta-log table -> incremental consumers, end-to-end
 exactly-once, no keys required.
 
-Single-writer per table path by design (version numbers and batch
-watermarks are allocated from the manifest read; concurrent writers
-would race the swap — same contract as every ``sources.versioned``
-writer).
+Concurrent writers serialize under the table's commit lock (see
+``sources.versioned._acquire_commit_lock``); the watermark check in
+``append_batch_versioned`` runs OUTSIDE that lock, so two streams
+writing the SAME table must still be distinct pipelines with distinct
+batch-id spaces — one streaming sink per table is the supported
+shape (Delta's per-appId txn watermark has the same contract).
 """
 
 from __future__ import annotations

@@ -437,3 +437,61 @@ def test_append_schema_evolution_union_and_prune(spark, tmp_path):
     # CDF across the evolution keeps the union schema
     cdf = V.incremental_scan(spark, path, from_version=1)
     assert {(r.k, r.score) for r in cdf.collect()} == {(3, 7.5)}
+
+
+def test_concurrent_writers_serialize_without_lost_commits(spark, tmp_path):
+    """Eight threads commit concurrently: every commit survives,
+    versions come out contiguous, and the table's content is the union
+    — the commit lock serializes manifest read-modify-write."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    path = str(tmp_path / "cc")
+    V.write_version(spark.range(0).withColumnRenamed("id", "x"), path)
+
+    def work(i: int) -> list[int]:
+        out = []
+        for j in range(3):
+            lo = 1000 * i + 10 * j
+            out.append(
+                V.append_version(
+                    spark.range(lo, lo + 5).withColumnRenamed("id", "x"), path
+                )
+            )
+        return out
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        got = [v for vs in ex.map(work, range(8)) for v in vs]
+    assert sorted(got) == list(range(2, 26)), "every commit claimed a unique version"
+    assert [v["version"] for v in V.versions(path)] == list(range(1, 26))
+    assert V.read_version(spark, path).count() == 8 * 3 * 5
+
+
+def test_stale_commit_lock_is_stolen(spark, tmp_path):
+    """A crashed writer's lock (dead pid) never wedges the table."""
+    import os
+
+    path = str(tmp_path / "stale")
+    os.makedirs(path)
+    with open(os.path.join(path, "_COMMIT_LOCK"), "w") as f:
+        f.write("999999999")  # beyond pid_max: guaranteed dead
+    assert V.write_version(spark.range(3).withColumnRenamed("id", "x"), path) == 1
+    assert not os.path.exists(os.path.join(path, "_COMMIT_LOCK"))
+
+
+def test_live_lock_times_out_loudly(spark, tmp_path):
+    import os
+
+    import pytest
+
+    path = str(tmp_path / "held")
+    os.makedirs(path)
+    # a LIVE holder (our own pid): not stealable, must time out loudly
+    with open(os.path.join(path, "_COMMIT_LOCK"), "w") as f:
+        f.write(str(os.getpid()))
+    with pytest.raises(V.CommitLockTimeout):
+        V._commit(
+            spark.range(1).withColumnRenamed("id", "x"),
+            path,
+            "full",
+            lock_timeout_s=0.3,
+        )
