@@ -367,12 +367,13 @@ def read_version(
     prune: tuple | None = None,
 ) -> DataFrame:
     """Time-travel read: the given committed version, or the latest.
-    An append/delete version resolves to its full chain — the base
-    snapshot plus every append, minus later tombstones, folded in
-    commit order (so a tombstone hides only rows committed BEFORE it:
-    a later re-insert of the same key survives). Tombstone anti-joins
-    are on the committed key column; forget-lists are small against
-    the table, so AQE broadcasts them.
+    An append/delete/upsert version resolves to its full chain — the
+    base snapshot plus every append/upsert, minus later tombstones and
+    superseded upsert keys, folded in commit order (so a tombstone
+    hides only rows committed BEFORE it: a later re-insert of the same
+    key survives). Tombstone anti-joins are on the committed key
+    column; forget-lists are small against the table, so AQE
+    broadcasts them.
 
     ``prune=(col, lo, hi)`` is manifest-level data skipping: commit
     directories whose recorded [min, max] for ``col`` cannot overlap
@@ -457,9 +458,9 @@ def incremental_scan(
     snapshot re-scan — which is what makes a downstream sync
     affordable against a 100 TB table.
 
-    Every version in the range must be an append or a delete: a full
-    snapshot in between is a rewrite (rows may have been dropped or
-    changed outside the delta log), so the incremental lineage is
+    Every version in the range must be an append, delete or upsert: a
+    full snapshot in between is a rewrite (rows may have been dropped
+    or changed outside the delta log), so the incremental lineage is
     broken and the consumer must resync from that snapshot — this
     fails loudly rather than returning a silently-wrong delta."""
     from pyspark.sql import functions as F
