@@ -495,3 +495,120 @@ def test_live_lock_times_out_loudly(spark, tmp_path):
             "full",
             lock_timeout_s=0.3,
         )
+
+
+def test_model_based_commit_sequences(spark, tmp_path):
+    """Model-based check of the whole delta-log fold: random commit
+    sequences (append / delete / upsert / compact) against a pure
+    Python multiset model — read_version must equal the model AT EVERY
+    VERSION (time travel included), and applying the typed CDF to a
+    cursor snapshot must reconstruct the latest table whenever no
+    rewrite breaks the range."""
+    import itertools
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    KEYS = list(range(6))
+    rows_st = st.lists(
+        st.tuples(st.sampled_from(KEYS), st.integers(0, 99)),
+        min_size=1,
+        max_size=4,
+    )
+    # an upsert's rows must be unique per key (documented contract)
+    uniq_rows_st = rows_st.map(lambda rs: list({k: (k, v) for k, v in rs}.values()))
+    op_st = st.one_of(
+        st.tuples(st.just("append"), rows_st),
+        st.tuples(st.just("delete"), st.lists(st.sampled_from(KEYS), min_size=1, max_size=3)),
+        st.tuples(st.just("upsert"), uniq_rows_st),
+        st.tuples(st.just("compact"), st.just(None)),
+    )
+    counter = itertools.count()
+
+    def run_sequence(ops):
+        path = str(tmp_path / f"mb{next(counter)}")
+        V.write_version(
+            spark.createDataFrame([(0, 1), (1, 2)], "k long, v long"), path
+        )
+        model = [(0, 1), (1, 2)]
+        model_at = {1: list(model)}
+        for op, arg in ops:
+            if op == "append":
+                V.append_version(
+                    spark.createDataFrame(arg, "k long, v long"), path
+                )
+                model = model + arg
+            elif op == "delete":
+                keys = sorted(set(arg))
+                V.delete_version(
+                    spark.createDataFrame([(k,) for k in keys], "k long"),
+                    path,
+                    "k",
+                )
+                model = [r for r in model if r[0] not in set(keys)]
+            elif op == "upsert":
+                V.upsert_version(
+                    spark.createDataFrame(arg, "k long, v long"), path, "k"
+                )
+                ks = {k for k, _ in arg}
+                model = [r for r in model if r[0] not in ks] + arg
+            else:
+                V.compact_chain(spark, path)
+            model_at[V.versions(path)[-1]["version"]] = list(model)
+
+        # every committed version still reads as its model snapshot
+        for ver, want in model_at.items():
+            got = sorted(
+                (r.k, r.v) for r in V.read_version(spark, path, ver).collect()
+            )
+            assert got == sorted(want), f"v{ver}: {got} != {sorted(want)}"
+
+        # CDF-apply reconstruction from the FIRST version, when legal
+        vs = V.versions(path)
+        modes = {e["version"]: e.get("mode", "full") for e in vs}
+        first, last = vs[0]["version"], vs[-1]["version"]
+        if first != last and not any(
+            m == "full" for v, m in modes.items() if first < v <= last
+        ):
+            snap = {
+                tuple(r): None
+                for r in [
+                    (r.k, r.v)
+                    for r in V.read_version(spark, path, first).collect()
+                ]
+            }
+            state = list(snap)
+            cdf = V.incremental_scan(spark, path, from_version=first)
+            by_ver: dict = {}
+            for r in cdf.collect():
+                by_ver.setdefault(r._commit_version, []).append(r)
+            for ver in sorted(by_ver):
+                rows = by_ver[ver]
+                kinds = {r._change_type for r in rows}
+                if kinds == {"delete"}:
+                    dead = {r.k for r in rows}
+                    state = [t for t in state if t[0] not in dead]
+                elif kinds == {"upsert"}:
+                    ks = {r.k for r in rows}
+                    state = [t for t in state if t[0] not in ks] + [
+                        (r.k, r.v) for r in rows
+                    ]
+                else:
+                    assert kinds == {"insert"}, kinds
+                    state = state + [(r.k, r.v) for r in rows]
+            want = sorted(
+                (r.k, r.v) for r in V.read_version(spark, path).collect()
+            )
+            assert sorted(state) == want, "CDF apply diverged from the table"
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+        derandomize=True,
+    )
+    @given(ops=st.lists(op_st, min_size=1, max_size=4))
+    def inner(ops):
+        run_sequence(ops)
+
+    inner()
