@@ -43,12 +43,12 @@ delete rows carry the key only, merge-on-read commits don't know
 matched full rows without a read).
 
 Concurrent writers are safe: every manifest read-modify-write (commit
-and vacuum) runs under the table's commit lock (atomic O_EXCL create
-with dead-holder takeover, ``_acquire_commit_lock``), so commits
-serialize in version order and none are lost; readers never block.
-On object stores without atomic create, the lock step needs an
-external coordination service — the same boundary Delta's S3
-LogStore draws.
+and vacuum) runs under the table's commit lock (``fcntl.flock`` on a
+persistent lock file — kernel-released on holder death, so no steal
+path exists, ``_acquire_commit_lock``), so commits serialize in
+version order and none are lost; readers never block. On stores
+without flock semantics, the lock step needs an external coordination
+service — the same boundary Delta's S3 LogStore draws.
 
 Kept deliberately minimal otherwise — version number == generation —
 because the point is the commit/read protocol, not a format
@@ -114,50 +114,62 @@ class CommitLockTimeout(TimeoutError):
     pass
 
 
-def _acquire_commit_lock(path: str, timeout_s: float) -> str:
+def _acquire_commit_lock(path: str, timeout_s: float) -> int:
     """Serialize commits across writers sharing one POSIX store:
-    O_CREAT|O_EXCL file creation is the atomic claim. A stale lock
-    (its recorded pid no longer alive on this node) is stolen, so a
-    crashed holder never wedges the table. Commits SERIALIZE — that is
+    ``fcntl.flock(LOCK_EX)`` on a PERSISTENT lock file. The kernel
+    releases the lock when the holder dies (fd closes), so a crashed
+    holder never wedges the table AND there is no steal path at all —
+    the unlink-and-retry takeover a pid-file lock needs is a TOCTOU
+    (two waiters can both observe a dead pid; the slower one's unlink
+    deletes the faster stealer's fresh lock and a third writer slips
+    in). The lock file is never unlinked: every waiter flocks the same
+    inode. Two open fds in one process also conflict under flock, so
+    same-process threads serialize too. Commits SERIALIZE — that is
     the log contract, not a shortcut: version numbers must appear in
     the manifest in commit order or a consumer cursor at version N
-    could silently miss a lower-numbered late commit. Object stores
-    without atomic create need an external coordination service for
-    this step — the same boundary Delta's S3 LogStore draws."""
+    could silently miss a lower-numbered late commit. On network
+    filesystems without flock semantics (some NFS/object-store
+    mounts), this step needs an external coordination service — the
+    same boundary Delta's S3 LogStore draws.
+
+    Returns the locked fd; release with ``_release_commit_lock``."""
+    import fcntl
     import time
 
     lock = os.path.join(path, "_COMMIT_LOCK")
+    fd = os.open(lock, os.O_CREAT | os.O_RDWR, 0o644)
     deadline = time.monotonic() + timeout_s
     while True:
         try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, str(os.getpid()).encode())
-            os.close(fd)
-            return lock
-        except FileExistsError:
-            try:
-                pid = int(open(lock).read().strip() or 0)
-            except (OSError, ValueError):
-                pid = 0
-            if pid and pid != os.getpid():
-                try:
-                    os.kill(pid, 0)
-                except ProcessLookupError:
-                    # holder is dead: steal (unlink may race another
-                    # stealer — fine, exactly one wins the next O_EXCL)
-                    try:
-                        os.unlink(lock)
-                    except FileNotFoundError:
-                        pass
-                    continue
-                except PermissionError:
-                    pass  # alive under another uid: wait
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except (BlockingIOError, PermissionError):
             if time.monotonic() > deadline:
+                os.close(fd)
                 raise CommitLockTimeout(
                     f"could not acquire commit lock at {lock} within "
-                    f"{timeout_s}s (held by pid {pid or 'unknown'})"
+                    f"{timeout_s}s"
                 )
             time.sleep(0.05)
+            continue
+        try:
+            # holder pid is a DIAGNOSTIC (who to blame in a timeout
+            # message), never a protocol input — the flock itself is
+            # the claim
+            os.ftruncate(fd, 0)
+            os.write(fd, str(os.getpid()).encode())
+        except OSError:
+            pass
+        return fd
+
+
+def _release_commit_lock(fd: int) -> None:
+    """Close the locked fd (the kernel drops the flock with it). The
+    lock FILE stays — unlinking it would let a late waiter flock a
+    dead inode while a new writer flocks a recreated one."""
+    try:
+        os.close(fd)
+    except OSError:
+        pass
 
 
 def _commit(
@@ -186,7 +198,7 @@ def _commit(
     if reserved:
         raise ValueError(f"meta keys collide with manifest fields: {reserved}")
     os.makedirs(path, exist_ok=True)
-    lock = _acquire_commit_lock(path, lock_timeout_s)
+    lock_fd = _acquire_commit_lock(path, lock_timeout_s)
     try:
         manifest = _read_manifest(path)
         vs = manifest["versions"]
@@ -217,10 +229,7 @@ def _commit(
         _write_manifest(path, manifest)
         return n
     finally:
-        try:
-            os.unlink(lock)
-        except FileNotFoundError:
-            pass
+        _release_commit_lock(lock_fd)
 
 
 def write_version(
@@ -489,13 +498,14 @@ def incremental_scan(
             "_commit_version", F.lit(e["version"]).cast("long")
         ).withColumn("_change_type", F.lit(change))
 
-    if not rng:  # consumer already caught up: empty delta, same schema
-        base = spark.read.parquet(os.path.join(path, start["dir"]))
-        if _mode(start) == "delete":  # tombstone dir: key column only
-            base = read_version(spark, path, start["version"]).limit(0)
+    if not rng:  # consumer already caught up: empty delta — but with
+        # the chain's UNION schema, not the start commit's physical
+        # files (a commit predating a schema-evolution column would
+        # yield an empty frame missing that column, breaking a
+        # consumer that unions successive syncs)
+        base = read_version(spark, path, start["version"]).limit(0)
         return (
-            base.limit(0)
-            .withColumn("_commit_version", F.lit(None).cast("long"))
+            base.withColumn("_commit_version", F.lit(None).cast("long"))
             .withColumn("_change_type", F.lit(None).cast("string"))
         )
     change_of = {"delete": "delete", "replace": "upsert", "append": "insert"}
@@ -570,7 +580,7 @@ def expire_versions(path: str, retain_last: int = 2) -> list[int]:
         )
     # vacuum is a manifest read-modify-write like any commit: take the
     # same lock so it can't drop an entry a racing writer just appended
-    lock = _acquire_commit_lock(path, 600.0)
+    lock_fd = _acquire_commit_lock(path, 600.0)
     try:
         manifest = _read_manifest(path)
         vs = manifest["versions"]
@@ -604,10 +614,7 @@ def expire_versions(path: str, retain_last: int = 2) -> list[int]:
         manifest["versions"] = keep
         _write_manifest(path, manifest)
     finally:
-        try:
-            os.unlink(lock)
-        except FileNotFoundError:
-            pass
+        _release_commit_lock(lock_fd)
     # reclaim every dir strictly below the retention watermark that the
     # manifest no longer references (dropped entries + crash orphans);
     # dirs at/above the watermark may belong to an in-flight writer

@@ -8,31 +8,42 @@ same manifest protocol as a *format*, so ANY Spark pipeline can say
     spark.readStream.format("versioned_table").option("path", p)...
 
 - **Batch read**: the pinned (or latest) version, chain-resolved in
-  EXECUTORS — one input partition per committed data file, tombstones
-  applied as a per-partition key filter (forget-lists are small and
-  bounded, shipped with the partition like a broadcast; the same
-  assumption `gdpr_erasure_report` broadcasts on).
+  EXECUTORS — one input partition per committed data file. Tombstone
+  commits ship as FILE PATHS in the partition (never materialized on
+  the driver), loaded executor-side and applied as a vectorized Arrow
+  ``is_in`` mask — a large erasure batch costs the executors one small
+  parquet read each, not the driver a giant pickled frozenset.
 - **Streaming read**: offset = committed version number (the Delta
   streaming-source contract). Each micro-batch is the append commits
   in (start, end]; the checkpoint holds the version cursor, so a
   restart resumes exactly where it stopped and every committed batch
-  is read once. A mid-history FULL snapshot (compaction/rewrite)
-  breaks append lineage and fails loudly — resync from it; tombstone
-  commits fail too unless ``ignoredeletes`` is set (Delta's
-  ignoreDeletes), because silently skipping deletes would diverge the
-  downstream copy.
+  is read once. A FULL snapshot (compaction/rewrite) anywhere in a
+  resumed cursor's range breaks append lineage and fails loudly —
+  including the post-compaction case where the rewrite has become the
+  FIRST manifest entry (a resumed consumer must never re-stream the
+  whole snapshot as if it were a delta); only a FRESH stream (cursor
+  0) may consume a leading full snapshot as its base. A cursor that no
+  longer resolves in the manifest (its commits were vacuumed) also
+  fails loudly. Tombstone commits fail too unless ``ignoredeletes`` is
+  set (Delta's ignoreDeletes), because silently skipping deletes would
+  diverge the downstream copy.
 
-Options: ``path`` (table root), ``schema`` (DDL, must name the table's
-written columns), ``version`` (batch: pin a snapshot), ``ignoredeletes``
-(stream: skip tombstone commits), ``ignorechanges`` (stream: emit
-upsert commits' rows as plain appends — Delta's ignoreChanges).
+Options: ``path`` (table root), ``schema`` (DDL — parsed by Spark
+itself, so parametrized/nested types like ``decimal(18,2)`` or
+``map<string,int>`` are handled), ``version`` (batch: pin a snapshot),
+``ignoredeletes`` (stream: skip tombstone commits), ``ignorechanges``
+(stream: emit upsert commits' rows as plain appends — Delta's
+ignoreChanges).
 
 Scale note: partitions map 1:1 to committed parquet files, so the read
-parallelizes like any file scan; rows cross Python here (Arrow batch
-reads), which is the honest cost of the pure-Python DataSource API —
-for JVM-speed scans of heavy tables use the library calls
-(``read_version``/``incremental_scan`` compile to native parquet
-scans); this format exists so the table plugs into generic
+parallelizes like any file scan, and rows cross the Python boundary as
+**Arrow RecordBatches** (the Spark 4 DataSource fast path) — the
+column data is never turned into Python row tuples; schema
+reconciliation (missing-column null fill, type widening, naive→UTC
+timestamps) and tombstone filtering are Arrow kernel ops on whole
+batches. For fully JVM-native scans of heavy tables the library calls
+(``read_version``/``incremental_scan``) compile to native parquet
+scans; this format exists so the table plugs into generic
 readStream/read pipelines. Cited reference behavior: the polling
 re-sync loop (scheduler.py:45-73) and the precomputed-gold reads
 (clickhouse_etl.py:301-456) — here both sides go through one committed
@@ -54,8 +65,14 @@ from pyspark.sql.datasource import (
 from .versioned import _chain, _entry, _mode, versions
 
 
-def _schema_cols(ddl: str) -> list[str]:
-    return [f.strip().split()[0] for f in ddl.split(",") if f.strip()]
+def _arrow_schema(schema):
+    """Driver-side StructType → Arrow schema (picklable; executors
+    never need a SparkSession). Spark hands ``reader(schema)`` the
+    parsed StructType, so parametrized/nested DDL is already handled
+    by the real parser — no string splitting."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(schema)
 
 
 def _data_files(path: str, entry: dict) -> list[str]:
@@ -67,56 +84,76 @@ def _data_files(path: str, entry: dict) -> list[str]:
     )
 
 
-def _tombstone_keys(path: str, entry: dict) -> frozenset:
-    """Driver-side load of one tombstone commit's keys (forget-lists
-    are small and bounded — the same size assumption every anti-join
-    in the repo broadcasts on)."""
-    import pyarrow.parquet as pq
-
-    keys: set = set()
-    for f in _data_files(path, entry):
-        keys.update(pq.read_table(f, columns=[entry["key"]])[0].to_pylist())
-    return frozenset(keys)
-
-
-def _read_file(
-    file_path: str,
-    cols: list[str],
-    exclusions: tuple,  # ((key_col, frozenset(keys)), ...)
-) -> Iterator[tuple]:
+def _tombstone_array(key_col: str, files: tuple, cast_to):
+    """Executor-side load of one exclusion's keys as an Arrow array
+    (cast to the probed column's type so ``is_in`` matches). Cached
+    per worker process — many file partitions share the same small
+    tombstone commits."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    # schema evolution: a file written before a column was added just
-    # lacks it — read what exists, null-fill the rest
+    cache = _tombstone_array.cache
+    k = (key_col, files, cast_to)
+    if k not in cache:
+        if len(cache) > 64:
+            cache.clear()
+        tbl = pa.concat_tables(
+            [pq.read_table(f, columns=[key_col]) for f in files]
+        )
+        cache[k] = tbl[key_col].combine_chunks().cast(cast_to)
+    return cache[k]
+
+
+_tombstone_array.cache = {}
+
+
+def _read_file_batches(
+    file_path: str,
+    schema,  # pyarrow.Schema (the declared read schema)
+    exclusions: tuple,  # ((key_col, (tombstone_file, ...)), ...)
+) -> Iterator:
+    """One committed parquet file → Arrow RecordBatches conforming to
+    the declared schema. Column pruning happens at the parquet read
+    (only declared columns are decoded); schema evolution is handled
+    by null-filling columns the file predates and casting the rest to
+    the declared types (int→long widening, decimal→double, naive
+    parquet timestamps → tz-aware UTC — the engine pins the session TZ
+    to UTC, see catalog.load_table). Tombstones are a vectorized
+    ``is_in`` + ``filter`` mask, never a Python row loop."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    cols = schema.names
     present = set(pq.read_schema(file_path).names)
     tbl = pq.read_table(file_path, columns=[c for c in cols if c in present])
-    columns = []
-    for c in cols:
-        if c not in present:
-            columns.append([None] * tbl.num_rows)
+    for field in schema:
+        if field.name not in present:
+            tbl = tbl.append_column(
+                field.name, pa.nulls(tbl.num_rows, field.type)
+            )
+    tbl = tbl.select(cols).cast(schema)
+    keep = None
+    for key_col, files in exclusions:
+        if key_col not in cols:
+            # the declared projection dropped the key column — the
+            # partition planner never ships such an exclusion; guard
+            # anyway so a stale pickle can't KeyError in an executor
             continue
-        a = tbl[c]
-        t = a.type
-        if pa.types.is_timestamp(t) and t.tz is None:
-            # parquet INT96/naive timestamps hold UTC instants (the
-            # engine pins the session TZ to UTC — see catalog.load_table);
-            # the DataSource serializer needs them tz-aware
-            a = a.cast(pa.timestamp(t.unit, tz="UTC"))
-        columns.append(a.to_pylist())
-    live = [(cols.index(kc), keys) for kc, keys in exclusions if keys]
-    if live:
-        for row in zip(*columns):
-            if not any(row[ki] in keys for ki, keys in live):
-                yield row
-    else:
-        yield from zip(*columns)
+        tomb = _tombstone_array(key_col, files, tbl[key_col].type)
+        hit = pc.fill_null(pc.is_in(tbl[key_col], value_set=tomb), False)
+        miss = pc.invert(hit)
+        keep = miss if keep is None else pc.and_(keep, miss)
+    if keep is not None:
+        tbl = tbl.filter(keep)
+    if tbl.num_rows:
+        yield from tbl.to_batches()
 
 
 class _VersionedBatchReader(DataSourceReader):
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, schema):
         self.path = options["path"]
-        self.cols = _schema_cols(options["schema"])
+        self.schema = _arrow_schema(schema)
         self.version = int(options["version"]) if "version" in options else None
 
     def partitions(self):
@@ -126,9 +163,10 @@ class _VersionedBatchReader(DataSourceReader):
         parts = []
         # delete AND replace entries both tombstone their keys in
         # earlier commits (a replace additionally contributes its own
-        # rows as data)
-        tomb_cache = {
-            e["version"]: (e["key"], _tombstone_keys(self.path, e))
+        # rows as data); only their FILE PATHS travel in the partition
+        # — keys load executor-side (driver memory stays O(manifest))
+        tomb_files = {
+            e["version"]: (e["key"], tuple(_data_files(self.path, e)))
             for e in chain
             if _mode(e) in ("delete", "replace")
         }
@@ -141,22 +179,22 @@ class _VersionedBatchReader(DataSourceReader):
             per_key: dict = {}
             for t in chain[i + 1 :]:
                 if _mode(t) in ("delete", "replace"):
-                    kc, keys = tomb_cache[t["version"]]
-                    per_key[kc] = per_key.get(kc, frozenset()) | keys
+                    kc, files = tomb_files[t["version"]]
+                    per_key[kc] = per_key.get(kc, ()) + files
             exclusions = tuple(per_key.items())
             for f in _data_files(self.path, e):
                 parts.append(InputPartition((f, exclusions)))
         return parts
 
-    def read(self, partition) -> Iterator[tuple]:
+    def read(self, partition) -> Iterator:
         f, exclusions = partition.value
-        yield from _read_file(f, self.cols, exclusions)
+        yield from _read_file_batches(f, self.schema, exclusions)
 
 
 class _VersionedStreamReader(DataSourceStreamReader):
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, schema):
         self.path = options["path"]
-        self.cols = _schema_cols(options["schema"])
+        self.schema = _arrow_schema(schema)
         self.ignore_deletes = (
             options.get("ignoredeletes", "false").lower() == "true"
         )
@@ -174,20 +212,35 @@ class _VersionedStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         vs = versions(self.path)
         lo, hi = start["version"], end["version"]
-        first_version = vs[0]["version"] if vs else None
+        if lo > 0 and vs and lo < vs[0]["version"]:
+            # the checkpointed cursor predates retained history: the
+            # commits it still owed were vacuumed — a silent catch-up
+            # would skip them (or re-deliver a compacted snapshot)
+            raise ValueError(
+                f"versioned_table stream at {self.path}: checkpointed "
+                f"cursor {lo} no longer resolves in the manifest "
+                f"(oldest retained version is {vs[0]['version']}) — "
+                "the chain was compacted/expired; resync the consumer "
+                "from the current snapshot with a fresh checkpoint"
+            )
         parts = []
         for e in vs:
             if not (lo < e["version"] <= hi):
                 continue
             m = _mode(e)
-            if m == "full" and e["version"] != first_version:
-                # a mid-history rewrite/compaction: append lineage is
-                # broken; replaying it would duplicate history
-                raise ValueError(
-                    f"versioned_table stream at {self.path}: version "
-                    f"{e['version']} is a full-snapshot rewrite — "
-                    "resync the consumer from it"
-                )
+            if m == "full":
+                # a full snapshot is a rewrite: append lineage breaks.
+                # Only a FRESH stream (cursor 0) may consume a LEADING
+                # full snapshot as its base; a resumed cursor must
+                # never re-stream a post-compaction snapshot as if it
+                # were a delta (silent duplication of every
+                # previously-delivered row)
+                if lo > 0 or e["version"] != vs[0]["version"]:
+                    raise ValueError(
+                        f"versioned_table stream at {self.path}: version "
+                        f"{e['version']} is a full-snapshot rewrite — "
+                        "resync the consumer from it"
+                    )
             if m == "delete":
                 if self.ignore_deletes:
                     continue
@@ -212,11 +265,11 @@ class _VersionedStreamReader(DataSourceStreamReader):
         # an empty range yields one no-op partition
         return parts or [InputPartition((None,))]
 
-    def read(self, partition) -> Iterator[tuple]:
+    def read(self, partition) -> Iterator:
         (f,) = partition.value
         if f is None:
             return
-        yield from _read_file(f, self.cols, ())
+        yield from _read_file_batches(f, self.schema, ())
 
     def commit(self, end: dict) -> None:
         pass  # the checkpoint holds the cursor; nothing to reclaim
@@ -231,10 +284,10 @@ class VersionedTableDataSource(DataSource):
         return self.options["schema"]
 
     def reader(self, schema) -> DataSourceReader:
-        return _VersionedBatchReader(self.options)
+        return _VersionedBatchReader(self.options, schema)
 
     def streamReader(self, schema) -> DataSourceStreamReader:
-        return _VersionedStreamReader(self.options)
+        return _VersionedStreamReader(self.options, schema)
 
 
 def register(spark) -> None:

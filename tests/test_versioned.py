@@ -466,35 +466,101 @@ def test_concurrent_writers_serialize_without_lost_commits(spark, tmp_path):
     assert V.read_version(spark, path).count() == 8 * 3 * 5
 
 
-def test_stale_commit_lock_is_stolen(spark, tmp_path):
-    """A crashed writer's lock (dead pid) never wedges the table."""
+def test_dead_holder_lock_released_by_kernel(spark, tmp_path):
+    """A crashed writer never wedges the table: the flock dies with
+    its holder process (kernel-released), so the next writer acquires
+    with no steal step at all — the TOCTOU a pid-file steal has (two
+    waiters both read the dead pid; the slower one's unlink deletes
+    the faster stealer's fresh lock) structurally cannot occur."""
     import os
+    import subprocess
+    import sys
 
     path = str(tmp_path / "stale")
     os.makedirs(path)
-    with open(os.path.join(path, "_COMMIT_LOCK"), "w") as f:
-        f.write("999999999")  # beyond pid_max: guaranteed dead
+    lock = os.path.join(path, "_COMMIT_LOCK")
+    # a real holder process takes the flock, then DIES without
+    # releasing; stale diagnostic content stays in the file
+    subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import fcntl, os, sys; "
+            f"fd = os.open({lock!r}, os.O_CREAT | os.O_RDWR); "
+            "fcntl.flock(fd, fcntl.LOCK_EX); "
+            "os.write(fd, b'999999999'); os._exit(0)",
+        ],
+        check=True,
+    )
+    assert os.path.exists(lock)
     assert V.write_version(spark.range(3).withColumnRenamed("id", "x"), path) == 1
-    assert not os.path.exists(os.path.join(path, "_COMMIT_LOCK"))
+    # the lock FILE persists by design (every waiter flocks one inode)
+    assert os.path.exists(lock)
 
 
 def test_live_lock_times_out_loudly(spark, tmp_path):
+    import fcntl
     import os
 
     import pytest
 
     path = str(tmp_path / "held")
     os.makedirs(path)
-    # a LIVE holder (our own pid): not stealable, must time out loudly
-    with open(os.path.join(path, "_COMMIT_LOCK"), "w") as f:
-        f.write(str(os.getpid()))
-    with pytest.raises(V.CommitLockTimeout):
-        V._commit(
-            spark.range(1).withColumnRenamed("id", "x"),
-            path,
-            "full",
-            lock_timeout_s=0.3,
-        )
+    # a LIVE holder: flock held on another fd (flock treats separate
+    # open file descriptions independently, even in one process) —
+    # not stealable, must time out loudly
+    fd = os.open(os.path.join(path, "_COMMIT_LOCK"), os.O_CREAT | os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX)
+    try:
+        with pytest.raises(V.CommitLockTimeout):
+            V._commit(
+                spark.range(1).withColumnRenamed("id", "x"),
+                path,
+                "full",
+                lock_timeout_s=0.3,
+            )
+    finally:
+        os.close(fd)
+
+
+def test_lock_primitive_serializes_across_processes(tmp_path):
+    """The lock primitive itself, raced by PROCESSES (not threads —
+    same-pid threads never exercised the old steal path): N workers
+    each do read-increment-write cycles on a shared counter under the
+    lock; no increment is lost. No Spark involved."""
+    import multiprocessing as mp
+    import os
+
+    path = str(tmp_path / "race")
+    os.makedirs(path)
+    counter = os.path.join(path, "counter.txt")
+    with open(counter, "w") as f:
+        f.write("0")
+
+    ctx = mp.get_context("fork")
+    procs = [
+        ctx.Process(target=_lock_race_worker, args=(path, counter, 25))
+        for _ in range(6)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(60)
+        assert p.exitcode == 0
+    with open(counter) as f:
+        assert int(f.read()) == 6 * 25
+
+
+def _lock_race_worker(path: str, counter: str, iters: int) -> None:
+    for _ in range(iters):
+        fd = V._acquire_commit_lock(path, 30.0)
+        try:
+            with open(counter) as f:
+                n = int(f.read())
+            with open(counter, "w") as f:
+                f.write(str(n + 1))
+        finally:
+            V._release_commit_lock(fd)
 
 
 def test_model_based_commit_sequences(spark, tmp_path):
@@ -612,3 +678,42 @@ def test_model_based_commit_sequences(spark, tmp_path):
         run_sequence(ops)
 
     inner()
+
+
+def test_caught_up_empty_delta_carries_union_schema(spark, tmp_path):
+    """ADVICE r08 (low): a caught-up incremental_scan's empty frame
+    must carry the chain's UNION schema — including columns added by
+    schema evolution AFTER the cursor commit's physical files — so a
+    consumer unioning successive syncs never breaks."""
+    path = str(tmp_path / "cu")
+    V.write_version(
+        spark.createDataFrame([(1, "a")], "x bigint, s string"), path
+    )  # v1: no 'score'
+    V.append_version(
+        spark.createDataFrame(
+            [(2, "b", 9.0)], "x bigint, s string, score double"
+        ),
+        path,
+    )  # v2 adds score
+    V.append_version(
+        spark.createDataFrame([(3, "c")], "x bigint, s string"), path
+    )  # v3: physical files again LACK score
+    # cursor caught up at v3: the empty delta's schema is the table's
+    # schema AS OF v3 (its chain's union — includes score), not v3's
+    # physical files
+    empty = V.incremental_scan(spark, path, 3, 3)
+    assert empty.count() == 0
+    assert set(empty.columns) >= {"x", "s", "score", "_commit_version", "_change_type"}
+    # a consumer unioning successive syncs never breaks
+    later = V.incremental_scan(spark, path, 2, 3)
+    assert set(empty.columns) >= set(later.columns)
+    assert (
+        empty.unionByName(later, allowMissingColumns=True).count()
+        == later.count()
+    )
+    # caught-up at a tombstone cursor behaves the same (delete entries'
+    # dirs hold only the key column)
+    V.delete_version(spark.createDataFrame([(1,)], "x bigint"), path, "x")  # v4
+    tomb_empty = V.incremental_scan(spark, path, 4, 4)
+    assert tomb_empty.count() == 0
+    assert set(tomb_empty.columns) >= {"x", "s", "score"}

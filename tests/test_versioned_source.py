@@ -216,3 +216,151 @@ def test_format_null_fills_pre_evolution_files(spark, tmp_path):
     )
     got = sorted((r.x, r.s, r.score) for r in df.collect())
     assert got == [(1, "a", None), (2, "b", 9.0)]
+
+
+def test_stream_resume_after_compact_vacuum_fails_loudly(spark, tmp_path):
+    """ADVICE r08 (high): a consumer resuming from a pre-compaction
+    checkpoint cursor must NOT silently re-stream the compacted full
+    snapshot as if it were a delta (that duplicates every
+    previously-delivered row downstream) — a full commit in a resumed
+    cursor's range fails loudly even when compaction + vacuum made it
+    the FIRST manifest entry."""
+    register(spark)
+    path, ckpt, out = (str(tmp_path / d) for d in ("t", "ckpt", "out"))
+    V.write_version(_mk(spark, [(1, "a"), (2, "b")]), path)  # v1
+    V.append_version(_mk(spark, [(3, "c")]), path)  # v2
+
+    def drain():
+        q = (
+            spark.readStream.format("versioned_table")
+            .option("path", path)
+            .option("schema", DDL)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()  # cursor now at v2
+    assert sorted(r.x for r in spark.read.parquet(out).collect()) == [1, 2, 3]
+    V.compact_chain(spark, path)  # v3 = full rewrite
+    V.expire_versions(path, retain_last=1)  # manifest now starts AT v3
+    V.append_version(_mk(spark, [(4, "d")]), path)  # v4
+    assert V.versions(path)[0]["version"] == 3  # compacted full is first
+    try:
+        drain()
+        raise AssertionError(
+            "resumed cursor across a compacted-to-first full snapshot "
+            "must fail, not re-deliver the snapshot"
+        )
+    except Exception as exc:
+        assert "rewrite" in str(exc) or "resync" in str(exc)
+    # nothing was duplicated downstream by the failed attempt
+    assert sorted(r.x for r in spark.read.parquet(out).collect()) == [1, 2, 3]
+
+
+def test_stream_cursor_expired_by_vacuum_fails_loudly(spark, tmp_path):
+    """A checkpointed cursor pointing BELOW the oldest retained
+    version means vacuum reclaimed commits the consumer never saw —
+    catch-up must fail loudly, not skip them."""
+    from end_to_end_database_pipeline_project_spark.sources.versioned_source import (
+        _VersionedStreamReader,
+    )
+
+    register(spark)
+    path = str(tmp_path / "t")
+    V.write_version(_mk(spark, [(1, "a")]), path)  # v1
+    V.append_version(_mk(spark, [(2, "b")]), path)  # v2
+    V.compact_chain(spark, path)  # v3
+    V.expire_versions(path, retain_last=1)  # only v3 retained
+    from pyspark.sql.types import StructType
+
+    rdr = _VersionedStreamReader(
+        {"path": path}, StructType.fromDDL(DDL)
+    )
+    try:
+        rdr.partitions({"version": 1}, {"version": 3})
+        raise AssertionError("expired cursor must fail loudly")
+    except ValueError as exc:
+        assert "no longer resolves" in str(exc)
+    # a FRESH stream (cursor 0) may consume the leading full snapshot
+    parts = rdr.partitions({"version": 0}, {"version": 3})
+    assert len(parts) >= 1 and parts[0].value[0] is not None
+
+
+def test_large_forget_list_applies_executor_side(spark, tmp_path):
+    """VERDICT r08 #4: tombstones travel as FILE PATHS in the input
+    partition, never driver-materialized key sets — a 100k-key erasure
+    batch stays O(manifest) on the driver and filters via one Arrow
+    is_in mask per file in executors."""
+    register(spark)
+    path = str(tmp_path / "big")
+    base = spark.range(0, 300_000).selectExpr("id AS x", "'r' AS s")
+    V.write_version(base, path)
+    forget = spark.range(0, 300_000).where("id % 3 = 0").selectExpr("id AS x")
+    V.delete_version(forget, path, "x")  # 100k keys
+
+    df = _batch_read(spark, path)
+    # the partition payload carries paths, not keys
+    from end_to_end_database_pipeline_project_spark.sources.versioned_source import (
+        _VersionedBatchReader,
+    )
+    from pyspark.sql.types import StructType
+
+    rdr = _VersionedBatchReader({"path": path}, StructType.fromDDL(DDL))
+    for p in rdr.partitions():
+        _, exclusions = p.value
+        for _, files in exclusions:
+            assert all(isinstance(f, str) and f.endswith(".parquet") for f in files)
+    got = df.agg({"x": "count"}).collect()[0][0]
+    assert got == 200_000
+    assert df.where("x % 3 = 0").count() == 0
+
+
+def test_format_reads_parametrized_and_nested_types(spark, tmp_path):
+    """ADVICE r08 (low): the schema option is parsed by Spark's real
+    DDL parser — decimal(18,2), map<string,int> and struct columns
+    survive the format round-trip (the old comma-split would shred
+    them into garbage column names)."""
+    register(spark)
+    path = str(tmp_path / "typed")
+    ddl = (
+        "k bigint, d decimal(18,2), m map<string,int>, "
+        "st struct<a:int,b:string>"
+    )
+    src = spark.createDataFrame(
+        [(1, __import__("decimal").Decimal("12.34"), {"u": 7}, (5, "z"))], ddl
+    )
+    V.write_version(src, path)
+    got = (
+        spark.read.format("versioned_table")
+        .option("path", path)
+        .option("schema", ddl)
+        .load()
+        .collect()
+    )
+    assert len(got) == 1
+    r = got[0]
+    assert (r.k, str(r.d), dict(r.m), (r.st.a, r.st.b)) == (
+        1,
+        "12.34",
+        {"u": 7},
+        (5, "z"),
+    )
+
+
+def test_format_widens_int_file_to_bigint_schema(spark, tmp_path):
+    """Type widening through the format: a commit written with int
+    columns reads cleanly under a bigint declared schema (Arrow cast
+    in the executor read path)."""
+    register(spark)
+    path = str(tmp_path / "widen")
+    V.write_version(
+        spark.createDataFrame([(1, "a")], "x int, s string"), path
+    )
+    got = _batch_read(spark, path).collect()  # DDL declares x bigint
+    assert [(r.x, r.s) for r in got] == [(1, "a")]
+    assert dict(_batch_read(spark, path).dtypes)["x"] == "bigint"
