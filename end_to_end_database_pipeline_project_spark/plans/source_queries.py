@@ -1197,3 +1197,100 @@ def binaryfile_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("content")).alias("content_md5"),
         word_count(F.col("content").cast("string")).cast("long").alias("n_tokens"),
     )
+
+
+@query(
+    "versioned_partition_pruned_read",
+    oracle="""WITH live AS (SELECT * FROM orders WHERE o_orderkey % 101 <> 0),
+y97 AS (SELECT * FROM live WHERE year(o_orderdate) = 1997)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       round(coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                           AS DOUBLE), 0.0), 2) AS revenue,
+       TRUE AS lib_files_pruned,
+       (SELECT CAST(count(*) AS BIGINT) FROM y97) AS format_rows
+FROM y97""",
+)
+def versioned_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITIONED commits + partition pruning on the versioned table
+    (``sources/versioned.py``): ``write_version(partition_by=
+    ("o_year",))`` lays each commit out hive-partitioned and records
+    the partition-dir list in the manifest — the MergeTree
+    ``ORDER BY (timestamp, station_id)`` analog
+    (clickhouse_etl.py:55-56) applied to the versioned path. A
+    ``prune`` on the partition column then reads ONE partition dir per
+    commit (never listing the rest — ``lib_files_pruned`` is computed
+    from the plan's actual inputFiles and must be TRUE), composed with
+    a merge-on-read tombstone that still applies to the surviving
+    slice. The same slice read through the ``versioned_table`` FORMAT
+    exercises pushFilters partition pruning: Spark pushes the
+    ``o_year = 1997`` comparison into the Python DataSource, which
+    skips non-matching files at planning while returning every filter
+    for Spark to re-apply (pruning is a performance fact, never a
+    correctness input). At 100 TB: a one-day read of a long-history
+    table costs one partition dir per commit, not every live file's
+    footer."""
+    from ..pipeline.artifacts import scratch_artifact_dir
+    from ..sources import versioned as V
+    from ..sources.versioned_source import register as register_vt
+
+    register_vt(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    )
+    store = scratch_artifact_dir("vt_part_")
+    pby = ("o_year",)
+    V.write_version(orders.where(F.col("o_year") < 2001), store, partition_by=pby)
+    V.append_version(orders.where(F.col("o_year") >= 2001), store, partition_by=pby)
+    V.delete_version(
+        orders.where(F.col("o_orderkey") % 101 == 0).select("o_orderkey"),
+        store,
+        "o_orderkey",
+    )
+
+    pruned = V.read_version(spark, store, prune=("o_year", 1997, 1997))
+    # the anti-join side legitimately reads the (tiny) tombstone dirs;
+    # the pruning claim is about DATA commits: every data file the plan
+    # touches must live under the matching partition dir
+    tomb_dirs = {e["dir"] for e in V.versions(store) if e.get("mode") == "delete"}
+    data_files = [
+        f
+        for f in pruned.inputFiles()
+        if not any(f"/{d}/" in f for d in tomb_dirs)
+    ]
+    lib_files_pruned = bool(data_files) and all(
+        "/o_year=1997/" in f for f in data_files
+    )
+
+    fmt = (
+        spark.read.format("versioned_table")
+        .option("path", store)
+        .option("schema", "o_orderkey bigint, o_totalprice double, o_year int")
+        .load()
+        .where(F.col("o_year") == 1997)
+    )
+    fmt_rows = fmt.agg(
+        F.count(F.lit(1)).cast("long").alias("format_rows")
+    )
+
+    return (
+        pruned.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(
+                F.coalesce(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                        "double"
+                    ),
+                    F.lit(0.0),
+                ),
+                2,
+            ).alias("revenue"),
+        )
+        .select(
+            "n_rows",
+            "revenue",
+            F.lit(lib_files_pruned).alias("lib_files_pruned"),
+        )
+        .crossJoin(F.broadcast(fmt_rows))
+    )

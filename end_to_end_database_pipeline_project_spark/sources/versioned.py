@@ -172,11 +172,66 @@ def _release_commit_lock(fd: int) -> None:
         pass
 
 
+def _partition_dirs(vdir: str) -> list[str]:
+    """Relative hive-layout leaf directories under a committed data
+    dir (e.g. ``["o_year=1998", "o_year=1999"]``; multi-level keys
+    join with ``/``). One os.walk at commit time; recorded in the
+    manifest so readers prune without listing the directory tree."""
+    out = []
+    for root, _dirs, files in os.walk(vdir):
+        if any(f.startswith("part-") and f.endswith(".parquet") for f in files):
+            rel = os.path.relpath(root, vdir)
+            if rel != ".":
+                out.append(rel.replace(os.sep, "/"))
+    return sorted(out)
+
+
+def _partition_value(rel_dir: str, col: str) -> str | None:
+    """The raw hive value of ``col`` in a relative partition dir, or
+    None if the dir doesn't carry that column."""
+    for comp in rel_dir.split("/"):
+        name, eq, raw = comp.partition("=")
+        if eq and name == col:
+            from urllib.parse import unquote
+
+            return unquote(raw)
+    return None
+
+
+def _partition_dir_overlaps(rel_dir: str, col: str, lo, hi) -> bool:
+    """Can files under this partition dir contain a row with ``col``
+    in [lo, hi]? The dir value is a hive STRING — coerce it to the
+    bound's type (int/float bounds parse the string; anything
+    unparseable keeps the dir: pruning is a performance fact, never a
+    correctness input). A NULL partition (__HIVE_DEFAULT_PARTITION__)
+    is outside every range — a BETWEEN filter drops NULLs anyway."""
+    raw = _partition_value(rel_dir, col)
+    if raw is None:
+        return True  # dir doesn't carry the column: must read
+    if raw == "__HIVE_DEFAULT_PARTITION__":
+        return False
+    val: object = raw
+    if isinstance(lo, bool) or isinstance(hi, bool):
+        return True  # no meaningful range on booleans: read
+    if isinstance(lo, int) and isinstance(hi, int):
+        try:
+            val = int(raw)
+        except ValueError:
+            return True
+    elif isinstance(lo, (int, float)) and isinstance(hi, (int, float)):
+        try:
+            val = float(raw)
+        except ValueError:
+            return True
+    return lo <= val <= hi  # type: ignore[operator]
+
+
 def _commit(
     df: DataFrame,
     path: str,
     mode: str,
     stats_cols: tuple[str, ...] = (),
+    partition_by: tuple[str, ...] = (),
     lock_timeout_s: float = 600.0,
     **meta,
 ) -> int:
@@ -191,10 +246,26 @@ def _commit(
     the manifest entry (one extra aggregate over the just-written
     files) — the data-skipping index: a chain read or incremental scan
     with a ``prune`` range can then skip whole commit directories
-    without listing or opening a file in them."""
+    without listing or opening a file in them.
+
+    ``partition_by`` lays the commit out hive-partitioned (the
+    MergeTree ``ORDER BY (timestamp, station_id)`` analog,
+    clickhouse_etl.py:55-56) and records the partition directory list
+    in the manifest entry: a prune on a partition column then selects
+    matching subdirectories WITHIN a commit — at 100 TB a time-travel
+    read of one day touches one partition dir per commit, not every
+    live file's footer."""
     from pyspark.sql import functions as F
 
-    reserved = {"version", "dir", "rows", "mode", "stats"} & set(meta)
+    reserved = {
+        "version",
+        "dir",
+        "rows",
+        "mode",
+        "stats",
+        "partition_by",
+        "partition_dirs",
+    } & set(meta)
     if reserved:
         raise ValueError(f"meta keys collide with manifest fields: {reserved}")
     os.makedirs(path, exist_ok=True)
@@ -204,7 +275,10 @@ def _commit(
         vs = manifest["versions"]
         n = (vs[-1]["version"] + 1) if vs else 1
         vdir = os.path.join(path, f"v={n}")
-        df.write.mode("overwrite").parquet(vdir)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(vdir)
         written = df.sparkSession.read.parquet(vdir)
         aggs = [F.count(F.lit(1)).alias("__rows")]
         for c in stats_cols:
@@ -216,6 +290,9 @@ def _commit(
             "rows": stat_row["__rows"],
             "mode": mode,
         }
+        if partition_by:
+            entry["partition_by"] = list(partition_by)
+            entry["partition_dirs"] = _partition_dirs(vdir)
         if stats_cols:
             entry["stats"] = {
                 c: {
@@ -237,14 +314,24 @@ def write_version(
     path: str,
     stats_cols: tuple[str, ...] = (),
     meta: dict | None = None,
+    partition_by: tuple[str, ...] = (),
 ) -> int:
     """Publish ``df`` as the next FULL snapshot. Starts a new append
     chain: versions before it never need re-reading to resolve any
     version at or after it. ``stats_cols`` records manifest min/max
-    for data skipping (see ``_commit``); ``meta`` adds caller
+    for data skipping (see ``_commit``); ``partition_by`` lays the
+    snapshot out hive-partitioned and records the partition-dir list
+    in the manifest for within-commit pruning; ``meta`` adds caller
     key/values to the manifest entry (e.g. a streaming sink's
     ``batch_id`` idempotency watermark)."""
-    return _commit(df, path, "full", stats_cols=stats_cols, **(meta or {}))
+    return _commit(
+        df,
+        path,
+        "full",
+        stats_cols=stats_cols,
+        partition_by=partition_by,
+        **(meta or {}),
+    )
 
 
 def append_version(
@@ -252,6 +339,7 @@ def append_version(
     path: str,
     stats_cols: tuple[str, ...] = (),
     meta: dict | None = None,
+    partition_by: tuple[str, ...] = (),
 ) -> int:
     """Publish ``df`` as an APPEND delta on the current chain: the new
     version's logical content is the previous version's rows plus
@@ -274,7 +362,14 @@ def append_version(
             f"cannot append at {path}: no committed base snapshot — the "
             "first commit must be write_version (a full snapshot)"
         )
-    return _commit(df, path, "append", stats_cols=stats_cols, **(meta or {}))
+    return _commit(
+        df,
+        path,
+        "append",
+        stats_cols=stats_cols,
+        partition_by=partition_by,
+        **(meta or {}),
+    )
 
 
 def delete_version(keys: DataFrame, path: str, key_col: str) -> int:
@@ -369,6 +464,32 @@ def _overlaps(entry: dict, col: str, lo, hi) -> bool:
     return not (mx < lo or mn > hi)
 
 
+def _entry_df(
+    spark: SparkSession, path: str, e: dict, prune: tuple | None
+) -> DataFrame | None:
+    """One commit's data as a DataFrame, with WITHIN-commit partition
+    pruning: if the commit is hive-partitioned and the pruned column
+    is a partition key, only the overlapping partition directories are
+    read (via basePath, so the partition column is reconstituted) —
+    non-matching dirs are never listed or opened. Returns None when
+    every partition dir prunes away."""
+    vdir = os.path.join(path, e["dir"])
+    if prune is not None and e.get("partition_by"):
+        col, lo, hi = prune
+        if col in e["partition_by"]:
+            dirs = e.get("partition_dirs", [])
+            keep = [
+                d for d in dirs if _partition_dir_overlaps(d, col, lo, hi)
+            ]
+            if not keep:
+                return None
+            if len(keep) < len(dirs):
+                return spark.read.option("basePath", vdir).parquet(
+                    *[os.path.join(vdir, d) for d in keep]
+                )
+    return spark.read.parquet(vdir)
+
+
 def read_version(
     spark: SparkSession,
     path: str,
@@ -412,22 +533,29 @@ def read_version(
                     continue
             elif not _overlaps(e, col, lo, hi):
                 continue
-        df = spark.read.parquet(os.path.join(path, e["dir"]))
         if mode == "delete":
             # chain starts with a full snapshot; a pruned-empty chain
             # prefix means nothing to delete from
             if out is not None:
+                df = spark.read.parquet(os.path.join(path, e["dir"]))
                 out = out.join(df, on=e["key"], how="left_anti")
             continue
         if mode == "replace" and out is not None:
             # supersede matched keys with the commit's rows (the
-            # anti-join uses ALL the commit's keys, even under prune:
-            # a replaced row's new image may fall outside the range —
-            # then the old image must vanish and the new one is
-            # filtered, exactly what filter(visible_table) would give)
+            # anti-join uses ALL the commit's keys — full read, no
+            # partition-dir pruning — even under prune: a replaced
+            # row's new image may fall outside the range — then the
+            # old image must vanish and the new one is filtered,
+            # exactly what filter(visible_table) would give)
+            keys = spark.read.parquet(os.path.join(path, e["dir"]))
             out = out.join(
-                df.select(e["key"]).distinct(), on=e["key"], how="left_anti"
+                keys.select(e["key"]).distinct(), on=e["key"], how="left_anti"
             )
+        # data side: within-commit partition pruning may drop the
+        # whole commit or read a subset of its partition dirs
+        df = _entry_df(spark, path, e, prune)
+        if df is None:
+            continue
         if prune is not None:
             if prune[0] not in df.columns:
                 # schema evolution: this commit predates the pruned
@@ -454,6 +582,7 @@ def incremental_scan(
     path: str,
     from_version: int,
     to_version: int | None = None,
+    prune: tuple | None = None,
 ) -> DataFrame:
     """Change-data-feed read: the typed change rows committed AFTER
     ``from_version`` up to and including ``to_version`` (default:
@@ -471,7 +600,18 @@ def incremental_scan(
     full snapshot in between is a rewrite (rows may have been dropped
     or changed outside the delta log), so the incremental lineage is
     broken and the consumer must resync from that snapshot — this
-    fails loudly rather than returning a silently-wrong delta."""
+    fails loudly rather than returning a silently-wrong delta.
+
+    ``prune=(col, lo, hi)`` scopes the feed to a consumer maintaining
+    only the [lo, hi] slice of the table: every change that could
+    affect an in-range row is still delivered. Append commits skip via
+    manifest stats / partition dirs and row-filter on ``col`` (rows
+    NULL there are outside any range). Delete and upsert commits
+    prune ONLY when ``col`` is their key column (a key is the same in
+    a row's old and new image, so out-of-range keys provably can't
+    touch the slice); on any other column they are delivered whole —
+    an upsert may move a row INTO or OUT OF the range, and the
+    consumer needs the key either way."""
     from pyspark.sql import functions as F
 
     vs = versions(path)
@@ -511,12 +651,38 @@ def incremental_scan(
     change_of = {"delete": "delete", "replace": "upsert", "append": "insert"}
     out = None
     for e in rng:
-        df = spark.read.parquet(os.path.join(path, e["dir"]))
-        part = stamp(df, e, change_of[_mode(e)])
+        m = _mode(e)
+        if prune is not None:
+            col, lo, hi = prune
+            if m in ("delete", "replace"):
+                # key-only pruning: safe because a key is identical in
+                # a row's old and new image
+                if e["key"] == col and not _overlaps(e, col, lo, hi):
+                    continue
+            elif not _overlaps(e, col, lo, hi):
+                continue
+        key_prunable = m == "append" or (
+            prune is not None and e.get("key") == prune[0]
+        )
+        df = _entry_df(spark, path, e, prune if key_prunable else None)
+        if df is None:
+            continue
+        if prune is not None and key_prunable:
+            if prune[0] not in df.columns:
+                continue  # commit predates the column: all NULL there
+            df = df.where(F.col(prune[0]).between(prune[1], prune[2]))
+        part = stamp(df, e, change_of[m])
         out = (
             part
             if out is None
             else out.unionByName(part, allowMissingColumns=True)
+        )
+    if out is None:  # every commit in range pruned away: empty delta
+        return (
+            read_version(spark, path, start["version"])
+            .limit(0)
+            .withColumn("_commit_version", F.lit(None).cast("long"))
+            .withColumn("_change_type", F.lit(None).cast("string"))
         )
     return out
 
@@ -545,7 +711,10 @@ def history(spark: SparkSession, path: str) -> DataFrame:
 
 
 def compact_chain(
-    spark: SparkSession, path: str, stats_cols: tuple[str, ...] = ()
+    spark: SparkSession,
+    path: str,
+    stats_cols: tuple[str, ...] = (),
+    partition_by: tuple[str, ...] = (),
 ) -> int:
     """Squash the current chain into a new FULL snapshot: materialize
     the latest visible content (base + appends − tombstones) and
@@ -557,7 +726,12 @@ def compact_chain(
     versions stay addressable until ``expire_versions`` reclaims
     them. The compaction itself is one chain read + one write —
     O(live rows), run at the cadence the delta-log length warrants."""
-    return write_version(read_version(spark, path), path, stats_cols=stats_cols)
+    return write_version(
+        read_version(spark, path),
+        path,
+        stats_cols=stats_cols,
+        partition_by=partition_by,
+    )
 
 
 def expire_versions(path: str, retain_last: int = 2) -> list[int]:

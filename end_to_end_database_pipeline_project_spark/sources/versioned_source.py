@@ -76,12 +76,34 @@ def _arrow_schema(schema):
 
 
 def _data_files(path: str, entry: dict) -> list[str]:
+    """All committed parquet files of one entry (recursive: a
+    hive-partitioned commit nests them under partition dirs)."""
+    return [f for f, _ in _data_files_with_parts(path, entry)]
+
+
+def _data_files_with_parts(path: str, entry: dict) -> list[tuple[str, tuple]]:
+    """(file, partition_values) pairs for one entry, where
+    partition_values is ``((col, raw_hive_string), ...)`` decoded from
+    the file's hive directory path (empty for unpartitioned commits).
+    Partition columns are NOT stored in the files — the reader
+    reconstitutes them from these values."""
+    from urllib.parse import unquote
+
     d = os.path.join(path, entry["dir"])
-    return sorted(
-        os.path.join(d, f)
-        for f in os.listdir(d)
-        if f.startswith("part-") and f.endswith(".parquet")
-    )
+    out = []
+    for root, _dirs, files in os.walk(d):
+        rel = os.path.relpath(root, d)
+        pvals = []
+        if rel != ".":
+            for comp in rel.replace(os.sep, "/").split("/"):
+                name, eq, raw = comp.partition("=")
+                if eq:
+                    pvals.append((name, unquote(raw)))
+        for f in sorted(files):
+            if f.startswith("part-") and f.endswith(".parquet"):
+                out.append((os.path.join(root, f), tuple(pvals)))
+    out.sort()
+    return out
 
 
 def _tombstone_array(key_col: str, files: tuple, cast_to):
@@ -111,6 +133,7 @@ def _read_file_batches(
     file_path: str,
     schema,  # pyarrow.Schema (the declared read schema)
     exclusions: tuple,  # ((key_col, (tombstone_file, ...)), ...)
+    pvals: tuple = (),  # ((partition_col, raw_hive_string), ...)
 ) -> Iterator:
     """One committed parquet file → Arrow RecordBatches conforming to
     the declared schema. Column pruning happens at the parquet read
@@ -118,8 +141,10 @@ def _read_file_batches(
     by null-filling columns the file predates and casting the rest to
     the declared types (int→long widening, decimal→double, naive
     parquet timestamps → tz-aware UTC — the engine pins the session TZ
-    to UTC, see catalog.load_table). Tombstones are a vectorized
-    ``is_in`` + ``filter`` mask, never a Python row loop."""
+    to UTC, see catalog.load_table). Hive partition columns are
+    reconstituted from ``pvals`` as constant arrays cast to the
+    declared type. Tombstones are a vectorized ``is_in`` + ``filter``
+    mask, never a Python row loop."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -127,11 +152,18 @@ def _read_file_batches(
     cols = schema.names
     present = set(pq.read_schema(file_path).names)
     tbl = pq.read_table(file_path, columns=[c for c in cols if c in present])
+    part_of = dict(pvals)
     for field in schema:
-        if field.name not in present:
-            tbl = tbl.append_column(
-                field.name, pa.nulls(tbl.num_rows, field.type)
+        if field.name in present:
+            continue
+        raw = part_of.get(field.name)
+        if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
+            col = pa.nulls(tbl.num_rows, field.type)
+        else:
+            col = pa.array([raw] * tbl.num_rows, type=pa.string()).cast(
+                field.type
             )
+        tbl = tbl.append_column(field.name, col)
     tbl = tbl.select(cols).cast(schema)
     keep = None
     for key_col, files in exclusions:
@@ -150,11 +182,98 @@ def _read_file_batches(
         yield from tbl.to_batches()
 
 
+def _raw_matches(raw: str, flt) -> bool:
+    """Does a hive partition value (raw string) satisfy one pushed
+    filter? Unknown/unparseable → True (pruning is performance, never
+    correctness: Spark re-applies every filter post-scan)."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        In,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    if raw == "__HIVE_DEFAULT_PARTITION__":
+        # NULL partition: every comparison filter is non-matching
+        return False
+
+    def coerce(ref):
+        if isinstance(ref, bool) or ref is None:
+            return None
+        if isinstance(ref, int):
+            try:
+                return int(raw)
+            except ValueError:
+                return None
+        if isinstance(ref, float):
+            try:
+                return float(raw)
+            except ValueError:
+                return None
+        if isinstance(ref, str):
+            return raw
+        return None  # dates/decimals: don't guess, keep the dir
+
+    if isinstance(flt, In):
+        for c in flt.value:
+            v = coerce(c)
+            if v is None or v == c:
+                return True
+        return False
+    v = coerce(flt.value)
+    if v is None:
+        return True
+    if isinstance(flt, EqualTo):
+        return v == flt.value
+    if isinstance(flt, GreaterThan):
+        return v > flt.value
+    if isinstance(flt, GreaterThanOrEqual):
+        return v >= flt.value
+    if isinstance(flt, LessThan):
+        return v < flt.value
+    if isinstance(flt, LessThanOrEqual):
+        return v <= flt.value
+    return True
+
+
 class _VersionedBatchReader(DataSourceReader):
     def __init__(self, options: dict, schema):
         self.path = options["path"]
         self.schema = _arrow_schema(schema)
         self.version = int(options["version"]) if "version" in options else None
+        self.part_filters: list = []
+
+    def pushFilters(self, filters):
+        """Partition pruning through the format: comparison filters on
+        hive partition columns are RECORDED for file skipping in
+        ``partitions()`` but ALL filters are returned to Spark (it
+        re-applies them post-scan), so pruning can only skip files,
+        never change results. At 100 TB a ``WHERE day = X`` through
+        the format then opens one partition dir per commit instead of
+        every live file."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        supported = (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+            In,
+        )
+        for f in filters:
+            if isinstance(f, supported) and len(f.attribute) == 1:
+                self.part_filters.append(f)
+        return filters  # Spark still applies everything
 
     def partitions(self):
         vs = versions(self.path)
@@ -182,13 +301,24 @@ class _VersionedBatchReader(DataSourceReader):
                     kc, files = tomb_files[t["version"]]
                     per_key[kc] = per_key.get(kc, ()) + files
             exclusions = tuple(per_key.items())
-            for f in _data_files(self.path, e):
-                parts.append(InputPartition((f, exclusions)))
+            # replace commits' DATA side may be partition-pruned (out-
+            # of-range rows fail the residual filter anyway); their
+            # tombstone side above always ships whole
+            for f, pvals in _data_files_with_parts(self.path, e):
+                part_of = dict(pvals)
+                pruned = False
+                for flt in self.part_filters:
+                    raw = part_of.get(flt.attribute[0])
+                    if raw is not None and not _raw_matches(raw, flt):
+                        pruned = True
+                        break
+                if not pruned:
+                    parts.append(InputPartition((f, exclusions, pvals)))
         return parts
 
     def read(self, partition) -> Iterator:
-        f, exclusions = partition.value
-        yield from _read_file_batches(f, self.schema, exclusions)
+        f, exclusions, pvals = partition.value
+        yield from _read_file_batches(f, self.schema, exclusions, pvals)
 
 
 class _VersionedStreamReader(DataSourceStreamReader):
@@ -259,17 +389,17 @@ class _VersionedStreamReader(DataSourceStreamReader):
                     "appends (downstream copy may duplicate replaced "
                     "keys) or consume the CDF via incremental_scan"
                 )
-            for f in _data_files(self.path, e):
-                parts.append(InputPartition((f,)))
+            for f, pvals in _data_files_with_parts(self.path, e):
+                parts.append(InputPartition((f, pvals)))
         # Spark requires at least one partition per micro-batch plan;
         # an empty range yields one no-op partition
-        return parts or [InputPartition((None,))]
+        return parts or [InputPartition((None, ()))]
 
     def read(self, partition) -> Iterator:
-        (f,) = partition.value
+        f, pvals = partition.value
         if f is None:
             return
-        yield from _read_file_batches(f, self.schema, ())
+        yield from _read_file_batches(f, self.schema, (), pvals)
 
     def commit(self, end: dict) -> None:
         pass  # the checkpoint holds the cursor; nothing to reclaim
@@ -291,4 +421,10 @@ class VersionedTableDataSource(DataSource):
 
 
 def register(spark) -> None:
+    # partition pruning via pushFilters needs the Python-DataSource
+    # pushdown flag (runtime SQL conf, default false) — set it here so
+    # externally-created sessions (the driver's default session) get
+    # the pruned plan; a reader that implements pushFilters with the
+    # flag off is an analysis error, so this is required, not tuning
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(VersionedTableDataSource)

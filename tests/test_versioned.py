@@ -717,3 +717,137 @@ def test_caught_up_empty_delta_carries_union_schema(spark, tmp_path):
     tomb_empty = V.incremental_scan(spark, path, 4, 4)
     assert tomb_empty.count() == 0
     assert set(tomb_empty.columns) >= {"x", "s", "score"}
+
+
+def test_partitioned_commit_prunes_partition_dirs(spark, tmp_path):
+    """VERDICT r08 #3: a hive-partitioned commit records its partition
+    dirs in the manifest; a prune on the partition column reads ONLY
+    the overlapping dirs (inputFiles-pinned) — one partition dir per
+    commit at 100 TB, not every live file's footer."""
+    path = str(tmp_path / "pt")
+    df = spark.range(100).selectExpr(
+        "id AS x", "CAST(id % 4 AS INT) AS bucket", "id * 2 AS val"
+    )
+    V.write_version(df, path, partition_by=("bucket",))
+    V.append_version(
+        spark.range(100, 120).selectExpr(
+            "id AS x", "CAST(id % 4 AS INT) AS bucket", "id * 2 AS val"
+        ),
+        path,
+        partition_by=("bucket",),
+    )
+    e = V.versions(path)[0]
+    assert e["partition_by"] == ["bucket"]
+    assert sorted(e["partition_dirs"]) == [f"bucket={i}" for i in range(4)]
+
+    pruned = V.read_version(spark, path, prune=("bucket", 2, 2))
+    got = sorted(r.x for r in pruned.collect())
+    assert got == [x for x in range(120) if x % 4 == 2]
+    files = pruned.inputFiles()
+    assert files and all("/bucket=2/" in f for f in files), files
+    # range prune across two buckets
+    rng = V.read_version(spark, path, prune=("bucket", 1, 2))
+    assert all(
+        "/bucket=1/" in f or "/bucket=2/" in f for f in rng.inputFiles()
+    )
+    # the partition column survives the basePath read with its value
+    assert {r.bucket for r in pruned.collect()} == {2}
+    # unpartitioned result parity: prune is a perf fact, not semantics
+    full = V.read_version(spark, path)
+    assert full.where("bucket = 2").count() == pruned.count()
+
+
+def test_partitioned_prune_fully_empty_and_tombstones(spark, tmp_path):
+    """All partition dirs pruned -> commit drops out entirely; a later
+    tombstone still applies to the surviving pruned slice."""
+    path = str(tmp_path / "pt2")
+    df = spark.range(40).selectExpr("id AS x", "CAST(id % 2 AS INT) AS b")
+    V.write_version(df, path, partition_by=("b",))
+    V.append_version(
+        spark.range(40, 50).selectExpr("id AS x", "CAST(0 AS INT) AS b"),
+        path,
+        partition_by=("b",),
+    )  # v2: only b=0 rows
+    V.delete_version(spark.createDataFrame([(0,), (41,)], "x long"), path, "x")
+    pruned = V.read_version(spark, path, prune=("b", 0, 0))
+    got = sorted(r.x for r in pruned.collect())
+    want = sorted(
+        x for x in list(range(0, 40, 2)) + list(range(40, 50)) if x not in (0, 41)
+    )
+    assert got == want
+    # prune to a value no commit has: empty, schema intact
+    none = V.read_version(spark, path, prune=("b", 7, 9))
+    assert none.count() == 0
+    assert set(none.columns) == {"x", "b"}
+
+
+def test_incremental_scan_prune_scopes_the_feed(spark, tmp_path):
+    """CDF prune contract: append rows filter/skip by the column;
+    delete and upsert commits prune ONLY on their key column (a key is
+    identical in old and new images), else they ship whole."""
+    path = str(tmp_path / "cdfp")
+    df = spark.range(20).selectExpr(
+        "id AS x", "CAST(id % 2 AS INT) AS b", "id * 1.0 AS v"
+    )
+    V.write_version(df, path, partition_by=("b",))
+    V.append_version(
+        spark.range(20, 30).selectExpr(
+            "id AS x", "CAST(id % 2 AS INT) AS b", "id * 1.0 AS v"
+        ),
+        path,
+        partition_by=("b",),
+    )  # v2
+    V.delete_version(spark.createDataFrame([(3,), (22,)], "x long"), path, "x")  # v3
+    V.upsert_version(
+        spark.createDataFrame([(4, 1, 99.0)], "x long, b int, v double"),
+        path,
+        "x",
+    )  # v4: moves x=4 from b=0 to b=1
+
+    # prune on the partition column b: append rows filtered; delete and
+    # upsert commits delivered WHOLE (b is not their key)
+    feed = V.incremental_scan(spark, path, 1, prune=("b", 0, 0))
+    by_type = {
+        ct: sorted(
+            r.x for r in feed.where(f"_change_type = '{ct}'").collect()
+        )
+        for ct in ("insert", "delete", "upsert")
+    }
+    assert by_type["insert"] == [20, 22, 24, 26, 28]
+    assert by_type["delete"] == [3, 22], "deletes ship whole on non-key prune"
+    assert by_type["upsert"] == [4], "upserts ship whole on non-key prune"
+    # prune on the KEY column: delete/upsert commits may skip/filter
+    keyed = V.incremental_scan(spark, path, 1, prune=("x", 20, 25))
+    kt = {
+        ct: sorted(
+            r.x for r in keyed.where(f"_change_type = '{ct}'").collect()
+        )
+        for ct in ("insert", "delete", "upsert")
+    }
+    assert kt["insert"] == [20, 21, 22, 23, 24, 25]
+    assert kt["delete"] == [22]
+    assert kt["upsert"] == []
+    # fully-pruned range: empty frame, stamped schema
+    empty = V.incremental_scan(spark, path, 1, prune=("x", 1000, 2000))
+    assert empty.count() == 0
+    assert "_change_type" in empty.columns
+
+
+def test_compact_chain_can_repartition(spark, tmp_path):
+    path = str(tmp_path / "cpt")
+    V.write_version(
+        spark.range(30).selectExpr("id AS x", "CAST(id % 3 AS INT) AS b"), path
+    )
+    V.append_version(
+        spark.range(30, 36).selectExpr("id AS x", "CAST(id % 3 AS INT) AS b"),
+        path,
+    )
+    v = V.compact_chain(spark, path, partition_by=("b",))
+    e = [x for x in V.versions(path) if x["version"] == v][0]
+    assert e["partition_by"] == ["b"]
+    assert len(e["partition_dirs"]) == 3
+    pruned = V.read_version(spark, path, prune=("b", 1, 1))
+    assert sorted(r.x for r in pruned.collect()) == [
+        x for x in range(36) if x % 3 == 1
+    ]
+    assert all("/b=1/" in f for f in pruned.inputFiles())

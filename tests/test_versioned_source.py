@@ -312,7 +312,7 @@ def test_large_forget_list_applies_executor_side(spark, tmp_path):
 
     rdr = _VersionedBatchReader({"path": path}, StructType.fromDDL(DDL))
     for p in rdr.partitions():
-        _, exclusions = p.value
+        _, exclusions, _pvals = p.value
         for _, files in exclusions:
             assert all(isinstance(f, str) and f.endswith(".parquet") for f in files)
     got = df.agg({"x": "count"}).collect()[0][0]
@@ -364,3 +364,96 @@ def test_format_widens_int_file_to_bigint_schema(spark, tmp_path):
     got = _batch_read(spark, path).collect()  # DDL declares x bigint
     assert [(r.x, r.s) for r in got] == [(1, "a")]
     assert dict(_batch_read(spark, path).dtypes)["x"] == "bigint"
+
+
+def test_format_reconstitutes_partition_columns(spark, tmp_path):
+    """Hive partition columns are not stored in the parquet files —
+    the format reader rebuilds them from the directory path, cast to
+    the declared type."""
+    register(spark)
+    path = str(tmp_path / "pf")
+    df = spark.range(20).selectExpr(
+        "id AS x", "CAST(id % 2 AS INT) AS b", "CONCAT('s', id) AS s"
+    )
+    V.write_version(df, path, partition_by=("b",))
+    got = (
+        spark.read.format("versioned_table")
+        .option("path", path)
+        .option("schema", "x bigint, b int, s string")
+        .load()
+    )
+    rows = sorted((r.x, r.b, r.s) for r in got.collect())
+    assert rows == [(i, i % 2, f"s{i}") for i in range(20)]
+    assert dict(got.dtypes)["b"] == "int"
+
+
+def test_format_pushdown_prunes_partition_files(spark, tmp_path):
+    """pushFilters records comparison filters on partition columns and
+    skips non-matching files at planning; all filters are returned to
+    Spark, so results are identical — only the file set shrinks."""
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual
+    from pyspark.sql.types import StructType
+
+    from end_to_end_database_pipeline_project_spark.sources.versioned_source import (
+        _VersionedBatchReader,
+    )
+
+    register(spark)
+    path = str(tmp_path / "pp")
+    df = spark.range(40).selectExpr("id AS x", "CAST(id % 4 AS INT) AS b")
+    V.write_version(df, path, partition_by=("b",))
+    V.append_version(
+        spark.range(40, 60).selectExpr("id AS x", "CAST(id % 4 AS INT) AS b"),
+        path,
+        partition_by=("b",),
+    )
+    st = StructType.fromDDL("x bigint, b int")
+    # unpruned: every partition dir of both commits
+    rdr = _VersionedBatchReader({"path": path}, st)
+    all_parts = rdr.partitions()
+    # pruned: only b=2 files survive planning
+    rdr2 = _VersionedBatchReader({"path": path}, st)
+    residual = list(rdr2.pushFilters([EqualTo(("b",), 2)]))
+    assert len(residual) == 1, "all filters returned for Spark to re-apply"
+    pruned_parts = rdr2.partitions()
+    assert 0 < len(pruned_parts) < len(all_parts)
+    assert all("/b=2/" in p.value[0] for p in pruned_parts)
+    # range filter prunes too
+    rdr3 = _VersionedBatchReader({"path": path}, st)
+    list(rdr3.pushFilters([GreaterThanOrEqual(("b",), 2)]))
+    assert all(
+        "/b=2/" in p.value[0] or "/b=3/" in p.value[0]
+        for p in rdr3.partitions()
+    )
+    # end-to-end through SQL: same rows as an unpruned read + filter
+    got = (
+        spark.read.format("versioned_table")
+        .option("path", path)
+        .option("schema", "x bigint, b int")
+        .load()
+        .where("b = 2")
+    )
+    assert sorted(r.x for r in got.collect()) == [
+        x for x in range(60) if x % 4 == 2
+    ]
+
+
+def test_format_partitioned_with_tombstones(spark, tmp_path):
+    """Partition pruning composes with executor-side tombstones."""
+    register(spark)
+    path = str(tmp_path / "pt")
+    df = spark.range(30).selectExpr("id AS x", "CAST(id % 3 AS INT) AS b")
+    V.write_version(df, path, partition_by=("b",))
+    V.delete_version(
+        spark.createDataFrame([(3,), (4,), (6,)], "x long"), path, "x"
+    )
+    got = (
+        spark.read.format("versioned_table")
+        .option("path", path)
+        .option("schema", "x bigint, b int")
+        .load()
+        .where("b = 0")
+    )
+    assert sorted(r.x for r in got.collect()) == [
+        x for x in range(30) if x % 3 == 0 and x not in (3, 6)
+    ]
