@@ -50,6 +50,14 @@ version order and none are lost; readers never block. On stores
 without flock semantics, the lock step needs an external coordination
 service — the same boundary Delta's S3 LogStore draws.
 
+Schema evolution: appends may ADD columns (chain readers resolve the
+union schema, older rows NULL there), ``rename_column`` publishes a
+METADATA-ONLY rename commit (readers fold the name map; time travel
+keeps pre-rename versions under their then-current names), and
+narrow-to-wide type changes (int→long, float→double) widen at the
+chain union / the format reader's Arrow cast. Drops and narrowing
+require a new full snapshot.
+
 Kept deliberately minimal otherwise — version number == generation —
 because the point is the commit/read protocol, not a format
 reimplementation. The data-version pinning is the same contract the
@@ -424,6 +432,78 @@ def upsert_version(
     )
 
 
+def rename_column(
+    spark: SparkSession, path: str, old: str, new: str
+) -> int:
+    """Publish a RENAME as a METADATA-ONLY commit: no data file moves
+    or rewrites — the manifest records ``{old: new}`` and every reader
+    maps commits written before the rename to the current name while
+    folding the chain (the Iceberg field-mapping idea expressed on the
+    name level this format actually uses). O(1) against a 100 TB
+    table; the physical names converge at the next full snapshot /
+    compaction, after which the chain no longer carries the map.
+
+    Constraints (checked here, loudly): ``old`` must exist and ``new``
+    must not in the current schema; and ``old`` must not have already
+    been a rename SOURCE in the current chain (re-renaming a REUSED
+    name within one chain would make the suffix-composition ambiguous
+    — compact to a full snapshot first, which resets the chain)."""
+    vs = versions(path)
+    if not vs:
+        raise ValueError(f"cannot rename at {path}: no committed versions")
+    cols = set(read_version(spark, path).limit(0).columns)
+    if old not in cols:
+        raise ValueError(f"cannot rename at {path}: no column {old!r}")
+    if new in cols:
+        raise ValueError(f"cannot rename at {path}: column {new!r} exists")
+    chain = _chain(vs, vs[-1], path)
+    for e in chain:
+        if _mode(e) == "rename" and old in e["renames"]:
+            raise ValueError(
+                f"cannot rename {old!r} at {path}: the name was already a "
+                "rename source in this chain (reused names are ambiguous "
+                "to fold) — compact_chain first, then rename"
+            )
+    lock_fd = _acquire_commit_lock(path, 600.0)
+    try:
+        manifest = _read_manifest(path)
+        mvs = manifest["versions"]
+        n = (mvs[-1]["version"] + 1) if mvs else 1
+        manifest["versions"] = mvs + [
+            {
+                "version": n,
+                "dir": None,  # metadata-only: no data directory
+                "rows": 0,
+                "mode": "rename",
+                "renames": {old: new},
+            }
+        ]
+        _write_manifest(path, manifest)
+        return n
+    finally:
+        _release_commit_lock(lock_fd)
+
+
+def _compose_renames(entries: list[dict]) -> dict:
+    """Fold rename entries (commit order) into one map
+    {name_at_suffix_start: current_name}. Sound because
+    ``rename_column`` rejects reusing a rename source within a chain."""
+    m: dict = {}
+    for e in entries:
+        if _mode(e) != "rename":
+            continue
+        for old, new in e["renames"].items():
+            hit = False
+            for k, v in m.items():
+                if v == old:
+                    m[k] = new
+                    hit = True
+                    break
+            if not hit:
+                m[old] = new
+    return m
+
+
 def _chain(vs: list[dict], entry: dict, path: str) -> list[dict]:
     """Manifest entries composing ``entry``'s logical content: the
     nearest full snapshot at or before it plus every append and
@@ -519,26 +599,40 @@ def read_version(
 
     vs = versions(path)
     entry = _entry(vs, path, version)
+    chain = _chain(vs, entry, path)
     out: DataFrame | None = None
-    for e in _chain(vs, entry, path):
+    for i, e in enumerate(chain):
         mode = _mode(e)
+        if mode == "rename":
+            continue  # metadata-only: no data of its own
+        # renames committed AFTER this entry map its at-commit column
+        # names to the chain's current names; prune bounds arrive in
+        # CURRENT names, so they translate back per commit
+        ren = _compose_renames(chain[i + 1 :])
+        inv = {new: old for old, new in ren.items()}
+        lprune = prune
         if prune is not None:
             col, lo, hi = prune
+            lcol = inv.get(col, col)
+            lprune = (lcol, lo, hi)
             if mode in ("delete", "replace"):
                 # a tombstone/upsert is skippable only when its KEY is
                 # the pruned column and its key range cannot touch
                 # [lo, hi]: then neither its deletes nor its (filtered)
                 # inserts can affect rows in the range
-                if e["key"] == col and not _overlaps(e, col, lo, hi):
+                if e["key"] == lcol and not _overlaps(e, lcol, lo, hi):
                     continue
-            elif not _overlaps(e, col, lo, hi):
+            elif not _overlaps(e, lcol, lo, hi):
                 continue
         if mode == "delete":
             # chain starts with a full snapshot; a pruned-empty chain
             # prefix means nothing to delete from
             if out is not None:
                 df = spark.read.parquet(os.path.join(path, e["dir"]))
-                out = out.join(df, on=e["key"], how="left_anti")
+                cur_key = ren.get(e["key"], e["key"])
+                if cur_key != e["key"]:
+                    df = df.withColumnRenamed(e["key"], cur_key)
+                out = out.join(df, on=cur_key, how="left_anti")
             continue
         if mode == "replace" and out is not None:
             # supersede matched keys with the commit's rows (the
@@ -548,14 +642,20 @@ def read_version(
             # old image must vanish and the new one is filtered,
             # exactly what filter(visible_table) would give)
             keys = spark.read.parquet(os.path.join(path, e["dir"]))
+            cur_key = ren.get(e["key"], e["key"])
+            if cur_key != e["key"]:
+                keys = keys.withColumnRenamed(e["key"], cur_key)
             out = out.join(
-                keys.select(e["key"]).distinct(), on=e["key"], how="left_anti"
+                keys.select(cur_key).distinct(), on=cur_key, how="left_anti"
             )
         # data side: within-commit partition pruning may drop the
         # whole commit or read a subset of its partition dirs
-        df = _entry_df(spark, path, e, prune)
+        df = _entry_df(spark, path, e, lprune)
         if df is None:
             continue
+        applicable = {o: n for o, n in ren.items() if o in df.columns}
+        if applicable:
+            df = df.withColumnsRenamed(applicable)
         if prune is not None:
             if prune[0] not in df.columns:
                 # schema evolution: this commit predates the pruned
@@ -564,7 +664,8 @@ def read_version(
                 continue
             df = df.where(F.col(prune[0]).between(prune[1], prune[2]))
         # allowMissingColumns: appends may add columns (schema
-        # evolution) — earlier rows read NULL for them
+        # evolution) — earlier rows read NULL for them; union type
+        # coercion widens mismatched commits (int→long, float→double)
         out = (
             df
             if out is None
@@ -572,8 +673,17 @@ def read_version(
         )
     if out is None:
         # every data commit pruned away: empty frame, table schema
-        base = _chain(vs, entry, path)[0]
+        # (current names: apply renames committed after the base)
+        base_i = 0
+        base = chain[base_i]
         out = spark.read.parquet(os.path.join(path, base["dir"])).limit(0)
+        ren = {
+            o: n
+            for o, n in _compose_renames(chain[base_i + 1 :]).items()
+            if o in out.columns
+        }
+        if ren:
+            out = out.withColumnsRenamed(ren)
     return out
 
 
@@ -650,23 +760,35 @@ def incremental_scan(
         )
     change_of = {"delete": "delete", "replace": "upsert", "append": "insert"}
     out = None
-    for e in rng:
+    for j, e in enumerate(rng):
         m = _mode(e)
+        if m == "rename":
+            continue  # metadata-only: no change rows (later entries'
+            # columns already carry the new names; earlier ones map)
+        # emit every change row in CURRENT (as-of-to_version) names
+        ren = _compose_renames(rng[j + 1 :])
+        inv = {new: old for old, new in ren.items()}
+        lprune = prune
         if prune is not None:
             col, lo, hi = prune
+            lcol = inv.get(col, col)
+            lprune = (lcol, lo, hi)
             if m in ("delete", "replace"):
                 # key-only pruning: safe because a key is identical in
                 # a row's old and new image
-                if e["key"] == col and not _overlaps(e, col, lo, hi):
+                if e["key"] == lcol and not _overlaps(e, lcol, lo, hi):
                     continue
-            elif not _overlaps(e, col, lo, hi):
+            elif not _overlaps(e, lcol, lo, hi):
                 continue
         key_prunable = m == "append" or (
-            prune is not None and e.get("key") == prune[0]
+            lprune is not None and e.get("key") == lprune[0]
         )
-        df = _entry_df(spark, path, e, prune if key_prunable else None)
+        df = _entry_df(spark, path, e, lprune if key_prunable else None)
         if df is None:
             continue
+        applicable = {o: n for o, n in ren.items() if o in df.columns}
+        if applicable:
+            df = df.withColumnsRenamed(applicable)
         if prune is not None and key_prunable:
             if prune[0] not in df.columns:
                 continue  # commit predates the column: all NULL there
@@ -677,9 +799,10 @@ def incremental_scan(
             if out is None
             else out.unionByName(part, allowMissingColumns=True)
         )
-    if out is None:  # every commit in range pruned away: empty delta
+    if out is None:  # every commit in range pruned away (or the range
+        # held only metadata commits): empty delta in as-of-end schema
         return (
-            read_version(spark, path, start["version"])
+            read_version(spark, path, end["version"])
             .limit(0)
             .withColumn("_commit_version", F.lit(None).cast("long"))
             .withColumn("_change_type", F.lit(None).cast("string"))

@@ -62,7 +62,7 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
-from .versioned import _chain, _entry, _mode, versions
+from .versioned import _chain, _compose_renames, _entry, _mode, versions
 
 
 def _arrow_schema(schema):
@@ -132,8 +132,9 @@ _tombstone_array.cache = {}
 def _read_file_batches(
     file_path: str,
     schema,  # pyarrow.Schema (the declared read schema)
-    exclusions: tuple,  # ((key_col, (tombstone_file, ...)), ...)
+    exclusions: tuple,  # ((probe_col, tomb_file_col, (tomb_file, ...)), ...)
     pvals: tuple = (),  # ((partition_col, raw_hive_string), ...)
+    renames: tuple = (),  # ((at_commit_name, current_name), ...)
 ) -> Iterator:
     """One committed parquet file → Arrow RecordBatches conforming to
     the declared schema. Column pruning happens at the parquet read
@@ -143,36 +144,51 @@ def _read_file_batches(
     parquet timestamps → tz-aware UTC — the engine pins the session TZ
     to UTC, see catalog.load_table). Hive partition columns are
     reconstituted from ``pvals`` as constant arrays cast to the
-    declared type. Tombstones are a vectorized ``is_in`` + ``filter``
-    mask, never a Python row loop."""
+    declared type. Renames committed after the file map its at-commit
+    column names to the declared (current) names. Tombstones are a
+    vectorized ``is_in`` + ``filter`` mask, never a Python row loop."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     cols = schema.names
+    ren = dict(renames)
+    inv = {new: old for old, new in renames}  # declared -> at-commit
+    part_of = {ren.get(k, k): v for k, v in pvals}
     present = set(pq.read_schema(file_path).names)
-    tbl = pq.read_table(file_path, columns=[c for c in cols if c in present])
-    part_of = dict(pvals)
+
+    def src_of(c: str):
+        if c in present:
+            return c
+        old = inv.get(c)
+        return old if old in present else None
+
+    read_cols = [s for s in (src_of(c) for c in cols) if s is not None]
+    tbl = pq.read_table(file_path, columns=read_cols)
+    arrays = []
     for field in schema:
-        if field.name in present:
+        src = src_of(field.name)
+        if src is not None:
+            arrays.append(tbl[src])
             continue
         raw = part_of.get(field.name)
         if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
-            col = pa.nulls(tbl.num_rows, field.type)
+            arrays.append(pa.nulls(tbl.num_rows, field.type))
         else:
-            col = pa.array([raw] * tbl.num_rows, type=pa.string()).cast(
-                field.type
+            arrays.append(
+                pa.array([raw] * tbl.num_rows, type=pa.string()).cast(
+                    field.type
+                )
             )
-        tbl = tbl.append_column(field.name, col)
-    tbl = tbl.select(cols).cast(schema)
+    tbl = pa.table(dict(zip(cols, arrays))).cast(schema)
     keep = None
-    for key_col, files in exclusions:
+    for key_col, tomb_col, files in exclusions:
         if key_col not in cols:
             # the declared projection dropped the key column — the
             # partition planner never ships such an exclusion; guard
             # anyway so a stale pickle can't KeyError in an executor
             continue
-        tomb = _tombstone_array(key_col, files, tbl[key_col].type)
+        tomb = _tombstone_array(tomb_col, files, tbl[key_col].type)
         hit = pc.fill_null(pc.is_in(tbl[key_col], value_set=tomb), False)
         miss = pc.invert(hit)
         keep = miss if keep is None else pc.and_(keep, miss)
@@ -290,22 +306,36 @@ class _VersionedBatchReader(DataSourceReader):
             if _mode(e) in ("delete", "replace")
         }
         for i, e in enumerate(chain):
-            if _mode(e) == "delete":
+            if _mode(e) in ("delete", "rename"):
                 continue
+            # renames committed AFTER this entry map its at-commit
+            # names to the declared (current) schema names
+            ren = _compose_renames(chain[i + 1 :])
             # tombstones/upserts committed AFTER this data entry hide
-            # its matched rows; exclusions stay grouped per key column
-            # (tombstones on different keys must not be merged)
+            # its matched rows; exclusions stay grouped per PROBE
+            # column — the tombstone's key mapped to current names
+            # (tombstones on different keys must not be merged); the
+            # tombstone FILE keeps its at-commit column name
             per_key: dict = {}
-            for t in chain[i + 1 :]:
+            for k, t in enumerate(chain[i + 1 :], start=i + 1):
                 if _mode(t) in ("delete", "replace"):
                     kc, files = tomb_files[t["version"]]
-                    per_key[kc] = per_key.get(kc, ()) + files
-            exclusions = tuple(per_key.items())
+                    probe = _compose_renames(chain[k + 1 :]).get(kc, kc)
+                    # keyed by (probe, at-commit name): two tombstones
+                    # whose keys were renamed differently each keep
+                    # their own file-column mapping
+                    per_key[(probe, kc)] = per_key.get((probe, kc), ()) + files
+            exclusions = tuple(
+                (probe, kc, files) for (probe, kc), files in per_key.items()
+            )
             # replace commits' DATA side may be partition-pruned (out-
             # of-range rows fail the residual filter anyway); their
             # tombstone side above always ships whole
+            renames = tuple(sorted(ren.items()))
             for f, pvals in _data_files_with_parts(self.path, e):
-                part_of = dict(pvals)
+                # pushed filters name CURRENT columns; partition dirs
+                # carry at-commit names
+                part_of = {ren.get(k, k): v for k, v in pvals}
                 pruned = False
                 for flt in self.part_filters:
                     raw = part_of.get(flt.attribute[0])
@@ -313,12 +343,16 @@ class _VersionedBatchReader(DataSourceReader):
                         pruned = True
                         break
                 if not pruned:
-                    parts.append(InputPartition((f, exclusions, pvals)))
+                    parts.append(
+                        InputPartition((f, exclusions, pvals, renames))
+                    )
         return parts
 
     def read(self, partition) -> Iterator:
-        f, exclusions, pvals = partition.value
-        yield from _read_file_batches(f, self.schema, exclusions, pvals)
+        f, exclusions, pvals, renames = partition.value
+        yield from _read_file_batches(
+            f, self.schema, exclusions, pvals, renames
+        )
 
 
 class _VersionedStreamReader(DataSourceStreamReader):
@@ -354,10 +388,15 @@ class _VersionedStreamReader(DataSourceStreamReader):
                 "from the current snapshot with a fresh checkpoint"
             )
         parts = []
-        for e in vs:
+        for i, e in enumerate(vs):
             if not (lo < e["version"] <= hi):
                 continue
             m = _mode(e)
+            if m == "rename":
+                # metadata-only commit: no rows to deliver (earlier
+                # rows were already delivered under the then-current
+                # names — a rename does not rewrite delivered data)
+                continue
             if m == "full":
                 # a full snapshot is a rewrite: append lineage breaks.
                 # Only a FRESH stream (cursor 0) may consume a LEADING
@@ -389,17 +428,21 @@ class _VersionedStreamReader(DataSourceStreamReader):
                     "appends (downstream copy may duplicate replaced "
                     "keys) or consume the CDF via incremental_scan"
                 )
+            # the declared stream schema uses CURRENT names: map this
+            # commit's at-commit names through every later rename in
+            # the manifest (not just ≤ hi — the schema is "now")
+            renames = tuple(sorted(_compose_renames(vs[i + 1 :]).items()))
             for f, pvals in _data_files_with_parts(self.path, e):
-                parts.append(InputPartition((f, pvals)))
+                parts.append(InputPartition((f, pvals, renames)))
         # Spark requires at least one partition per micro-batch plan;
         # an empty range yields one no-op partition
-        return parts or [InputPartition((None, ()))]
+        return parts or [InputPartition((None, (), ()))]
 
     def read(self, partition) -> Iterator:
-        f, pvals = partition.value
+        f, pvals, renames = partition.value
         if f is None:
             return
-        yield from _read_file_batches(f, self.schema, (), pvals)
+        yield from _read_file_batches(f, self.schema, (), pvals, renames)
 
     def commit(self, end: dict) -> None:
         pass  # the checkpoint holds the cursor; nothing to reclaim

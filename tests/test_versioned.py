@@ -851,3 +851,142 @@ def test_compact_chain_can_repartition(spark, tmp_path):
         x for x in range(36) if x % 3 == 1
     ]
     assert all("/b=1/" in f for f in pruned.inputFiles())
+
+
+def test_rename_column_metadata_only_commit(spark, tmp_path):
+    """VERDICT r08 #6: rename is a metadata-only commit — no data
+    rewrite — and chain readers map commits written before the rename
+    to the current name; time travel to a pre-rename version still
+    shows the then-current name."""
+    import os as _os
+
+    path = str(tmp_path / "rn")
+    V.write_version(
+        spark.createDataFrame([(1, "a"), (2, "b")], "x bigint, s string"), path
+    )  # v1
+    V.append_version(spark.createDataFrame([(3, "c")], "x bigint, s string"), path)  # v2
+    v = V.rename_column(spark, path, "s", "label")  # v3: metadata only
+    assert v == 3
+    assert [e["mode"] for e in V.versions(path)] == ["full", "append", "rename"]
+    assert not _os.path.exists(_os.path.join(path, "v=3"))
+    V.append_version(
+        spark.createDataFrame([(4, "d")], "x bigint, label string"), path
+    )  # v4: written with the NEW name
+    cur = V.read_version(spark, path)
+    assert set(cur.columns) == {"x", "label"}
+    assert sorted((r.x, r.label) for r in cur.collect()) == [
+        (1, "a"),
+        (2, "b"),
+        (3, "c"),
+        (4, "d"),
+    ]
+    # time travel: schema as of that version
+    old = V.read_version(spark, path, 2)
+    assert set(old.columns) == {"x", "s"}
+    # history surfaces the metadata commit
+    h = {r.version: r.commit_mode for r in V.history(spark, path).collect()}
+    assert h[3] == "rename"
+
+
+def test_rename_interacts_with_tombstones_both_sides(spark, tmp_path):
+    """A tombstone committed BEFORE a key rename still anti-joins the
+    renamed chain; one committed AFTER uses the new name directly."""
+    path = str(tmp_path / "rnt")
+    V.write_version(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "id bigint, s string"
+        ),
+        path,
+    )
+    V.delete_version(spark.createDataFrame([(2,)], "id bigint"), path, "id")  # pre
+    V.rename_column(spark, path, "id", "key_id")
+    V.delete_version(
+        spark.createDataFrame([(3,)], "key_id bigint"), path, "key_id"
+    )  # post
+    cur = V.read_version(spark, path)
+    assert set(cur.columns) == {"key_id", "s"}
+    assert sorted(r.key_id for r in cur.collect()) == [1, 4]
+    # upsert on the renamed key supersedes a pre-rename row
+    V.upsert_version(
+        spark.createDataFrame([(1, "A2")], "key_id bigint, s string"),
+        path,
+        "key_id",
+    )
+    assert sorted((r.key_id, r.s) for r in V.read_version(spark, path).collect()) == [
+        (1, "A2"),
+        (4, "d"),
+    ]
+
+
+def test_rename_validation_and_reuse_guard(spark, tmp_path):
+    import pytest
+
+    path = str(tmp_path / "rnv")
+    V.write_version(spark.createDataFrame([(1, "a")], "x bigint, s string"), path)
+    with pytest.raises(ValueError, match="no column"):
+        V.rename_column(spark, path, "nope", "y")
+    with pytest.raises(ValueError, match="exists"):
+        V.rename_column(spark, path, "x", "s")
+    V.rename_column(spark, path, "s", "t")
+    # re-adding the old name then renaming it again is ambiguous to
+    # fold within one chain: refused until a compaction resets it
+    V.append_version(
+        spark.createDataFrame([(2, "b", "new_s")], "x bigint, t string, s string"),
+        path,
+    )
+    with pytest.raises(ValueError, match="compact"):
+        V.rename_column(spark, path, "s", "u")
+    V.compact_chain(spark, path)
+    assert V.rename_column(spark, path, "s", "u") > 0
+    assert set(V.read_version(spark, path).columns) == {"x", "t", "u"}
+
+
+def test_prune_and_cdf_across_rename(spark, tmp_path):
+    """Prune bounds arrive in CURRENT names and translate back to each
+    commit's at-commit stats/partition names; CDF rows come out in
+    as-of-end names."""
+    path = str(tmp_path / "rnp")
+    df = spark.range(10).selectExpr("id AS x", "CAST(id % 2 AS INT) AS b")
+    V.write_version(df, path, stats_cols=("x",), partition_by=("b",))
+    V.rename_column(spark, path, "b", "bucket")
+    V.append_version(
+        spark.range(10, 14).selectExpr(
+            "id AS x", "CAST(id % 2 AS INT) AS bucket"
+        ),
+        path,
+        stats_cols=("x",),
+        partition_by=("bucket",),
+    )
+    pruned = V.read_version(spark, path, prune=("bucket", 1, 1))
+    assert sorted(r.x for r in pruned.collect()) == [
+        x for x in range(14) if x % 2 == 1
+    ]
+    # partition-dir pruning held on BOTH sides of the rename
+    assert all(
+        "/b=1/" in f or "/bucket=1/" in f for f in pruned.inputFiles()
+    )
+    # stats prune on a non-partition column still works across commits
+    xr = V.read_version(spark, path, prune=("x", 10, 12))
+    assert sorted(r.x for r in xr.collect()) == [10, 11, 12]
+    # CDF emits current names
+    feed = V.incremental_scan(spark, path, 1)
+    assert "bucket" in feed.columns and "b" not in feed.columns
+    assert sorted(
+        r.x for r in feed.where("_change_type = 'insert'").collect()
+    ) == [10, 11, 12, 13]
+
+
+def test_union_type_widening_in_chain_read(spark, tmp_path):
+    """int→long and float→double widen at the union (Spark's set-op
+    type coercion): a commit written narrow reads wide."""
+    path = str(tmp_path / "wd")
+    V.write_version(
+        spark.createDataFrame([(1, 1.5)], "x int, v float"), path
+    )
+    V.append_version(
+        spark.createDataFrame([(2**40, 2.5)], "x long, v double"), path
+    )
+    cur = V.read_version(spark, path)
+    dt = dict(cur.dtypes)
+    assert dt["x"] == "bigint" and dt["v"] == "double"
+    assert sorted(r.x for r in cur.collect()) == [1, 2**40]

@@ -312,8 +312,8 @@ def test_large_forget_list_applies_executor_side(spark, tmp_path):
 
     rdr = _VersionedBatchReader({"path": path}, StructType.fromDDL(DDL))
     for p in rdr.partitions():
-        _, exclusions, _pvals = p.value
-        for _, files in exclusions:
+        _, exclusions, _pvals, _ren = p.value
+        for _probe, _tc, files in exclusions:
             assert all(isinstance(f, str) and f.endswith(".parquet") for f in files)
     got = df.agg({"x": "count"}).collect()[0][0]
     assert got == 200_000
@@ -457,3 +457,71 @@ def test_format_partitioned_with_tombstones(spark, tmp_path):
     assert sorted(r.x for r in got.collect()) == [
         x for x in range(30) if x % 3 == 0 and x not in (3, 6)
     ]
+
+
+def test_format_reads_across_rename(spark, tmp_path):
+    """The format's declared schema uses CURRENT names; files written
+    before a rename are mapped (including the tombstone-key mapping on
+    both sides of the rename)."""
+    register(spark)
+    path = str(tmp_path / "fr")
+    V.write_version(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id bigint, s string"
+        ),
+        path,
+    )
+    V.delete_version(spark.createDataFrame([(2,)], "id bigint"), path, "id")
+    V.rename_column(spark, path, "id", "key_id")
+    V.append_version(
+        spark.createDataFrame([(4, "d")], "key_id bigint, s string"), path
+    )
+    V.delete_version(
+        spark.createDataFrame([(3,)], "key_id bigint"), path, "key_id"
+    )
+    got = (
+        spark.read.format("versioned_table")
+        .option("path", path)
+        .option("schema", "key_id bigint, s string")
+        .load()
+    )
+    assert sorted((r.key_id, r.s) for r in got.collect()) == [
+        (1, "a"),
+        (4, "d"),
+    ]
+    # time travel to a pre-rename version uses the then-current name
+    old = (
+        spark.read.format("versioned_table")
+        .option("path", path)
+        .option("schema", "id bigint, s string")
+        .option("version", "2")
+        .load()
+    )
+    assert sorted(r.id for r in old.collect()) == [1, 3]
+
+
+def test_format_stream_maps_renamed_columns(spark, tmp_path):
+    """A stream declared with current names delivers pre-rename
+    commits mapped; the rename commit itself delivers nothing."""
+    register(spark)
+    path, ckpt, out = (str(tmp_path / d) for d in ("t", "ckpt", "out"))
+    V.write_version(
+        spark.createDataFrame([(1, "a")], "id bigint, s string"), path
+    )
+    V.rename_column(spark, path, "id", "key_id")
+    V.append_version(
+        spark.createDataFrame([(2, "b")], "key_id bigint, s string"), path
+    )
+    q = (
+        spark.readStream.format("versioned_table")
+        .option("path", path)
+        .option("schema", "key_id bigint, s string")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(r.key_id for r in spark.read.parquet(out).collect()) == [1, 2]
