@@ -34,7 +34,12 @@ from pyspark.sql import functions as F
 
 from ..operators.bloom import build_bloom, probe_bloom
 from ..operators.similarity import assign_clusters
-from ..sources.versioned import read_version, versions, write_version
+from ..sources.versioned import (
+    incremental_scan,
+    read_version,
+    versions,
+    write_version,
+)
 
 _R = 6
 #: occupancy-PSI threshold above which the batch's cell distribution
@@ -376,4 +381,182 @@ def centroid_maintenance_report(
                 "rebuild_recommended"
             ),
         )
+    )
+
+
+# -------------------------------------------- CDF-driven maintenance
+# (VERDICT r08 #5: the last step from build-once/probe-many to true
+# incremental index maintenance — advance an artifact from corpus
+# version A to B using ONLY the change-data-feed rows between them,
+# never a corpus rescan. Parity with a full rebuild is pinned in
+# tests/test_artifact_lifecycle.py.)
+
+
+def _net_changes(changes: DataFrame, key_col: str):
+    """Collapse a CDF window to its NET effect per key (last change
+    wins — a key deleted then re-inserted within the window is an
+    upsert, one upserted twice keeps the final image): returns
+    ``(net_deleted_keys, net_upserted_rows)``. One window shuffle over
+    O(changed rows)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(F.col("_commit_version").desc())
+    last = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    net_del = last.where(F.col("_change_type") == "delete").select(key_col)
+    net_up = last.where(F.col("_change_type") != "delete").drop(
+        "_commit_version", "_change_type"
+    )
+    return net_del, net_up
+
+
+def cdf_update_minhash_epoch(
+    spark: SparkSession,
+    corpus_path: str,
+    artifact_path: str,
+    from_version: int,
+    to_version: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Advance the committed LSH BUCKET artifact from corpus version
+    ``from_version`` to ``to_version`` at O(delta) cost: the corpus
+    CDF's net-deleted keys become a tombstone commit on the artifact,
+    and the net-inserted/upserted docs' bucket rows land as ONE atomic
+    replace commit (``upsert_version`` keyed on doc_id supersedes the
+    changed docs' old bucket rows and inserts the new ones — bucket
+    tables are multi-row-per-key, which the replace fold handles:
+    every row of the commit inserts). The corpus enters the plan only
+    through its delta directories; a full epoch republish
+    (`publish_minhash_epoch`) is now only needed to re-base the
+    artifact chain (compaction cadence). Returns
+    ``{"artifact_version", "n_deleted", "n_upserted"}``."""
+    from ..operators.dedup import lsh_buckets, minhash_signatures
+    from ..sources.versioned import delete_version, upsert_version
+
+    changes = incremental_scan(spark, corpus_path, from_version, to_version)
+    net_del, net_up = _net_changes(changes, id_col)
+    # bounded driver scalars (the CDF window is the batch being
+    # applied), needed to skip empty commits
+    n_del = net_del.count()
+    n_up = net_up.count()
+    ver = None
+    if n_del:
+        ver = delete_version(
+            net_del.select(F.col(id_col).alias("doc_id")),
+            artifact_path,
+            "doc_id",
+        )
+    if n_up:
+        ver = upsert_version(
+            lsh_buckets(minhash_signatures(net_up, text_col, id_col)),
+            artifact_path,
+            "doc_id",
+        )
+    if ver is None:
+        ver = versions(artifact_path)[-1]["version"]
+    return {"artifact_version": ver, "n_deleted": n_del, "n_upserted": n_up}
+
+
+def cdf_update_bloom_epoch(
+    spark: SparkSession,
+    corpus_path: str,
+    artifact_path: str,
+    from_version: int,
+    to_version: int | None = None,
+    key_col: str = "content_hash",
+    id_col: str = "doc_id",
+) -> dict:
+    """Advance the committed Bloom words epoch from the corpus CDF:
+    net-new keys OR into the existing words (bit_or over the ≤
+    ``M_BITS/64``-row table — Bloom insertion is monotone, so the
+    incremental union EQUALS the full rebuild for insert/upsert
+    windows). Deletes cannot be subtracted from a Bloom filter: they
+    are counted and recorded in the commit's manifest meta as
+    ``stale_deletes`` — the filter stays SOUND (it only over-approximates,
+    so a deleted key costs a false positive, never a miss); fold the
+    count into the epoch-republish cadence. Returns
+    ``{"artifact_version", "n_added", "stale_deletes"}``. The net
+    fold runs on ``id_col`` — the corpus's TOMBSTONE key, which every
+    CDF row carries (a delete row has no ``key_col`` content to hash
+    anyway); the filter words come from the net-upserted rows'
+    ``key_col``."""
+    from ..sources.versioned import write_version as _wv
+
+    changes = incremental_scan(spark, corpus_path, from_version, to_version)
+    net_del, net_up = _net_changes(changes, id_col)
+    n_stale = net_del.count()
+    n_up = net_up.count() if key_col in changes.columns else 0
+    old = read_version(spark, artifact_path)
+    # a delete-only window has no key_col at all (tombstone rows carry
+    # only the table key): nothing to OR in
+    merged = (
+        old.unionByName(build_bloom(net_up, key_col))
+        .groupBy("word_idx")
+        .agg(F.bit_or("bits").alias("bits"))
+        if n_up
+        else old
+    )
+    ver = _wv(
+        merged,
+        artifact_path,
+        meta={"stale_deletes": n_stale, "n_added": n_up},
+    )
+    return {"artifact_version": ver, "n_added": n_up, "stale_deletes": n_stale}
+
+
+def cdf_update_ivf_index(
+    spark: SparkSession,
+    corpus_path: str,
+    centroid_path: str,
+    index_path: str,
+    from_version: int,
+    to_version: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Maintain the IVF ASSIGNMENT INDEX (vec_id → cell_id, itself a
+    versioned table) from the corpus CDF: net-changed vectors assign
+    to the COMMITTED centroid epoch (broadcast argmax — no re-fit) and
+    land as one replace commit; net-deleted keys land as a tombstone.
+    The index read (`ivf_index_occupancy`) then yields per-cell
+    occupancy without touching the corpus — the decrement-on-delete a
+    count-only artifact cannot do (a CDF delete carries the key, not
+    the vector; the index LOOKS UP the cell by key instead). Returns
+    ``{"index_version", "n_deleted", "n_upserted"}``."""
+    from ..sources.versioned import delete_version, upsert_version
+
+    changes = incremental_scan(spark, corpus_path, from_version, to_version)
+    net_del, net_up = _net_changes(changes, id_col)
+    n_del = net_del.count()
+    n_up = net_up.count()
+    cents = read_version(spark, centroid_path).select(
+        F.col("cell_id").alias(id_col), F.col("embedding").alias(vec_col)
+    )
+    ver = None
+    if n_del:
+        ver = delete_version(
+            net_del.select(F.col(id_col).alias("vec_id")), index_path, "vec_id"
+        )
+    if n_up:
+        assigned = assign_clusters(net_up, cents, id_col, vec_col).select(
+            "vec_id", F.col("cluster_id").alias("cell_id")
+        )
+        ver = upsert_version(assigned, index_path, "vec_id")
+    if ver is None:
+        ver = versions(index_path)[-1]["version"]
+    return {"index_version": ver, "n_deleted": n_del, "n_upserted": n_up}
+
+
+def ivf_index_occupancy(spark: SparkSession, index_path: str) -> DataFrame:
+    """Per-cell occupancy of the maintained assignment index:
+    ``(cell_id, n)`` — one groupBy over the index table (O(corpus keys),
+    never the vectors)."""
+    return (
+        read_version(spark, index_path)
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )

@@ -415,8 +415,12 @@ def upsert_version(
     atomic commit (a delete+append pair would expose a window where
     readers see the delete without the insert). O(delta) commit
     against a 100 TB table; physical rewrite deferred to compaction.
-    ``df`` must be unique per key (two same-key rows in one upsert
-    have no defined winner) — readers don't dedup for you."""
+    For single-image tables keep ``df`` unique per key (readers don't
+    dedup for you: same-key rows in one upsert have no "winner" — ALL
+    of the commit's rows insert after the key's prior rows are
+    superseded). That fold is exactly right for multi-row-per-key LIST
+    tables (e.g. a doc's LSH bucket rows): one upsert atomically
+    replaces the key's whole row-set."""
     vs = versions(path)
     if not vs:
         raise ValueError(
