@@ -45,93 +45,79 @@ _PACKS = [
 #
 # The round driver verifies the FIRST 50 entries of ``queries()`` against
 # their DuckDB oracles.  Registration order is therefore the
-# *verification budget allocator*.  The r07 window drained the backlog,
-# so the ledger union is 284/284 — every registered query has a driver
-# row; from r08 on the window is freshness-driven.
+# *verification budget allocator*.
 #
-# Round-8 window (add-rate <= drain-rate, r07 verdict policy):
-# - slots 1-11: the eleven r08 additions (epoch-artifact lifecycle:
-#   bloom, IVF-centroid, PQ-codebook, MinHash-bucket; plus the
-#   versioned-table delta-log arc: change-data-feed incremental scan,
-#   merge-on-read delete + typed CDF ledger, manifest-stats pruned
-#   read + compaction parity, the exactly-once keyless sink, the
-#   versioned_table batch+streaming Spark format, the atomic
-#   latest-wins upsert commit, and the DESCRIBE-HISTORY manifest view)
-# - slots 12-23: every query whose code or shared operator changed this
-#   round — versioned_time_travel (sources/versioned.py gained the
-#   append/CDF layer), the drift monitors (psi schema gained
-#   ref_degenerate), the four injective-id conversions, the
-#   injectable-landing binaryFile ingest, and the bloom/prefix-sum
-#   consumers the artifact work leans on (bloom_incremental_dedup,
-#   incremental_curation_packing, sequence_packing_report,
-#   token_budget_selection)
-# - slots 24-50: the 27 stalest ledger rows (last driver row r02 —
-#   6 rounds old).  The seventeen r02-era names that didn't fit
-#   (promo_revenue_share, props_map_stats, quantity_quantiles, rainfall_gradient_colors,
-#   returned_item_report, rolling_7day_avg, rollup_returnflag_status,
-#   running_supplier_quantity,
-#   serving_json_envelope, shipping_priority, station_enrichment,
-#   top_orders_global, top_orders_per_customer, unit_conversions,
-#   user_sessionization, value_outlier_counts, weather_buckets) are
-#   first in line for the r09 window.
+# Round-9 window:
+# - slots 1-4: the four r09 additions (partitioned commits + partition
+#   pruning on the versioned table; metadata-only rename + type
+#   widening; CDF-driven artifact maintenance; the lossless hot-prefix
+#   adaptive re-bucketing variant of the suffix-array dedup)
+# - slots 5-21: the seventeen r02-era stale ledger rows the r08 window
+#   could not fit (the r08 verdict's explicit first ask)
+# - slots 22-35: every query whose code or shared operator changed this
+#   round - the whole versioned-table fleet (sources/versioned.py
+#   gained partition_by/pruning/rename/flock-lock; the format reader
+#   was rewritten to Arrow batches + executor-side tombstones +
+#   pushFilters) and the four epoch-artifact lifecycles plus the two
+#   versioned-store consumers (pipeline/artifacts.py gained the
+#   cdf_update_* family)
+# - slots 36-50: the fifteen stalest remaining rows (r03-era)
 
 _DRIVER_FIRST = [
-    # (a) slots 1-11: new r08 queries
-    "bloom_artifact_lifecycle",
-    "ivf_centroid_maintenance",
-    "pq_codebook_lifecycle",
-    "minhash_artifact_lifecycle",
+    # (a) slots 1-4: new r09 queries
+    "versioned_partition_pruned_read",
+    "versioned_schema_evolution",
+    "cdf_artifact_maintenance",
+    "suffix_duplicate_substrings_salted",
+    # (b) slots 5-21: the r02-era backlog, drained in full
+    "promo_revenue_share",
+    "props_map_stats",
+    "quantity_quantiles",
+    "rainfall_gradient_colors",
+    "returned_item_report",
+    "rolling_7day_avg",
+    "rollup_returnflag_status",
+    "running_supplier_quantity",
+    "serving_json_envelope",
+    "shipping_priority",
+    "station_enrichment",
+    "top_orders_global",
+    "top_orders_per_customer",
+    "unit_conversions",
+    "user_sessionization",
+    "value_outlier_counts",
+    "weather_buckets",
+    # (c) slots 22-35: changed code / changed shared operators
+    "versioned_table_source_scan",
+    "versioned_time_travel",
     "versioned_incremental_scan",
     "versioned_delete_cdf",
-    "versioned_pruned_compaction",
-    "versioned_exactly_once_sink",
-    "versioned_table_source_scan",
     "versioned_upsert_cdf",
     "versioned_history",
-    # (b) slots 12-23: changed code / changed shared operators
-    # (versioned_time_travel: sources/versioned.py gained the
-    # append/incremental-scan layer this round — write_version now
-    # commits through the shared _commit with a mode field)
-    "versioned_time_travel",
-    "streaming_psi_monitor",
-    "streaming_ks_monitor",
-    "boilerplate_lines",
+    "versioned_pruned_compaction",
+    "versioned_exactly_once_sink",
+    "bloom_artifact_lifecycle",
+    "minhash_artifact_lifecycle",
+    "ivf_centroid_maintenance",
+    "pq_codebook_lifecycle",
     "corpus_snapshot_diff",
     "incremental_neardup_batch",
-    "retraction_aggregate_maintenance",
-    "binaryfile_corpus_ingest",
-    "bloom_incremental_dedup",
-    "incremental_curation_packing",
-    "sequence_packing_report",
-    "token_budget_selection",
-    # (c) slots 24-50: stalest driver rows (r02-era)
-    "above_average_customers",
-    "cube_status_priority",
-    "customers_with_open_orders",
-    "customers_without_orders",
-    "daily_averages_serving",
-    "dashboard_display",
-    "distinct_counts",
-    "exact_dedup_docs",
-    "heterogeneous_format_union",
-    "hourly_dedup_agg",
-    "json_props_extract",
-    "late_shipment_orders",
-    "latest_record",
-    "latest_value_by_station",
-    "monthly_averages_serving",
-    "monthly_value_change",
-    "monthly_weather_rollup",
-    "nation_customer_supplier_balance",
-    "nation_region_join",
-    "nations_customers_only",
-    "nations_with_both",
-    "null_handling_defaults",
-    "order_gap_days",
-    "order_priority_checking",
-    "order_status_pivot",
-    "overall_summary",
-    "price_band_join",
+    # (d) slots 36-50: stalest remaining driver rows (r03-era)
+    "approx_distinct_orders",
+    "asof_last_purchase",
+    "bigram_lm_scores",
+    "bitmap_distinct_users",
+    "bucketed_orders_revenue",
+    "data_quality_report",
+    "decontamination_flags",
+    "deterministic_split",
+    "doc_quality_scores",
+    "dsir_importance_weights",
+    "duplicate_span_stats",
+    "embedding_near_dup_pairs",
+    "ewma_daily_value",
+    "full_curation_run",
+    "grouped_map_zscores",
 ]
 
 
