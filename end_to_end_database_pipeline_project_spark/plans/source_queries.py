@@ -1363,3 +1363,77 @@ def versioned_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(renamed_ok).alias("renamed_ok"),
         F.lit(widened_ok).alias("widened_ok"),
     )
+
+
+@query(
+    "versioned_writer_sink",
+    oracle="""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       round(coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                           AS DOUBLE), 0.0), 2) AS revenue,
+       TRUE AS stats_pruned,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders) AS table_rows
+FROM orders WHERE year(o_orderdate) = 2000""",
+)
+def versioned_writer_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The versioned table as a generic Spark WRITE format
+    (`sources/versioned_source.py` writers):
+    ``df.write.format("versioned_table").mode("overwrite"/"append")``
+    stages per-task Arrow batches as parquet part files in executors
+    and adopts them as ONE manifest commit under the table's commit
+    lock (full snapshot for overwrite, append delta for append) —
+    write-side parity for the format whose read/stream sides landed in
+    r08, so ANY Spark pipeline can both produce and consume the table
+    with no library calls. ``statscols`` computes per-commit min/max
+    INCREMENTALLY in the write tasks (never a second pass) and records
+    them in the manifest, so the year-2000 slice read skips the other
+    two commits entirely — ``stats_pruned`` is computed from the
+    pruned plan's actual inputFiles. The exactly-once STREAMING
+    writer twin (``writeStream.format("versioned_table")``, batch-id
+    watermark replay discipline) is pinned by
+    tests/test_versioned_writer.py."""
+    from ..pipeline.artifacts import scratch_artifact_dir
+    from ..sources import versioned as V
+    from ..sources.versioned_source import register as register_vt
+
+    register_vt(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    yr = F.year("o_orderdate")
+    store = scratch_artifact_dir("vt_writer_")
+
+    def write(df, mode):
+        df.write.format("versioned_table").option("path", store).option(
+            "statscols", "o_orderdate"
+        ).mode(mode).save()
+
+    write(orders.where(yr < 2000), "overwrite")
+    write(orders.where(yr == 2000), "append")
+    write(orders.where(yr >= 2001), "append")
+
+    pruned = V.read_version(
+        spark, store, prune=("o_orderdate", "2000-01-01", "2000-12-31T23:59:59.999999")
+    )
+    files = pruned.inputFiles()
+    stats_pruned = bool(files) and all("/v=2/" in f for f in files)
+    total = V.read_version(spark, store).agg(
+        F.count(F.lit(1)).cast("long").alias("table_rows")
+    )
+    return (
+        pruned.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(
+                F.coalesce(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                        "double"
+                    ),
+                    F.lit(0.0),
+                ),
+                2,
+            ).alias("revenue"),
+        )
+        .select(
+            "n_rows", "revenue", F.lit(stats_pruned).alias("stats_pruned")
+        )
+        .crossJoin(F.broadcast(total))
+    )

@@ -436,6 +436,63 @@ def upsert_version(
     )
 
 
+def adopt_staged_files(
+    path: str,
+    files: list[str],
+    mode: str,
+    rows: int,
+    stats: dict | None = None,
+    meta: dict | None = None,
+    lock_timeout_s: float = 600.0,
+) -> int:
+    """Adopt already-written ``part-*.parquet`` files as the table's
+    next version: under the commit lock, the files MOVE into ``v=N``
+    and the manifest entry publishes — the commit protocol for writers
+    that produce data outside Spark's write path (the
+    ``versioned_table`` format's batch/stream writers stage per-task
+    parquet in executors, then adopt the staged files here). Same
+    crash story as ``_commit``: a failure before the manifest swap
+    leaves an uncommitted ``v=N`` orphan that the next writer's slot
+    claim (or vacuum, below the watermark) reclaims; the previous
+    manifest stays current throughout. ``mode='append'`` requires an
+    existing base, like ``append_version``; ``stats`` is a pre-merged
+    ``{col: {min, max}}`` map in manifest form."""
+    import shutil
+
+    meta = dict(meta or {})
+    reserved = {"version", "dir", "rows", "mode", "stats"} & set(meta)
+    if reserved:
+        raise ValueError(f"meta keys collide with manifest fields: {reserved}")
+    os.makedirs(path, exist_ok=True)
+    lock_fd = _acquire_commit_lock(path, lock_timeout_s)
+    try:
+        manifest = _read_manifest(path)
+        vs = manifest["versions"]
+        if mode == "append" and not vs:
+            raise ValueError(
+                f"cannot append at {path}: no committed base snapshot — "
+                "the first commit must be a full snapshot"
+            )
+        n = (vs[-1]["version"] + 1) if vs else 1
+        vdir = os.path.join(path, f"v={n}")
+        if os.path.exists(vdir):
+            # an uncommitted orphan from a crashed writer holds this
+            # slot (it is invisible — not in the manifest): reclaim
+            shutil.rmtree(vdir, ignore_errors=True)
+        os.makedirs(vdir, exist_ok=True)
+        for f in files:
+            os.replace(f, os.path.join(vdir, os.path.basename(f)))
+        entry = {"version": n, "dir": f"v={n}", "rows": rows, "mode": mode}
+        if stats:
+            entry["stats"] = stats
+        entry.update(meta)
+        manifest["versions"] = vs + [entry]
+        _write_manifest(path, manifest)
+        return n
+    finally:
+        _release_commit_lock(lock_fd)
+
+
 def rename_column(
     spark: SparkSession, path: str, old: str, new: str
 ) -> int:

@@ -1,5 +1,6 @@
-"""`versioned_table` Spark format: batch + streaming SOURCE over the
-versioned table (sources/versioned.py), as a Spark 4 Python DataSource.
+"""`versioned_table` Spark format: batch + streaming SOURCE and SINK
+over the versioned table (sources/versioned.py), as a Spark 4 Python
+DataSource.
 
 ``incremental_scan``/``read_version`` are library calls; this wraps the
 same manifest protocol as a *format*, so ANY Spark pipeline can say
@@ -28,12 +29,23 @@ same manifest protocol as a *format*, so ANY Spark pipeline can say
   set (Delta's ignoreDeletes), because silently skipping deletes would
   diverge the downstream copy.
 
+- **Batch write**: ``df.write.format("versioned_table")`` — tasks
+  stage Arrow batches as parquet part files, the driver adopts them as
+  ONE manifest commit under the commit lock (``mode("overwrite")`` =
+  full snapshot, ``mode("append")`` = append delta).
+- **Streaming write**: ``df.writeStream.format("versioned_table")`` —
+  the exactly-once keyless sink as a first-class stream sink: each
+  micro-batch is one batch-id-stamped commit; replays (wiped
+  checkpoint included) are discarded at the committed watermark.
+
 Options: ``path`` (table root), ``schema`` (DDL — parsed by Spark
 itself, so parametrized/nested types like ``decimal(18,2)`` or
 ``map<string,int>`` are handled), ``version`` (batch: pin a snapshot),
 ``ignoredeletes`` (stream: skip tombstone commits), ``ignorechanges``
 (stream: emit upsert commits' rows as plain appends — Delta's
-ignoreChanges).
+ignoreChanges), ``statscols`` (write: comma-separated columns whose
+min/max are computed incrementally in the write tasks and recorded in
+the manifest for data skipping).
 
 Scale note: partitions map 1:1 to committed parquet files, so the read
 parallelizes like any file scan, and rows cross the Python boundary as
@@ -57,12 +69,23 @@ from collections.abc import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 
-from .versioned import _chain, _compose_renames, _entry, _mode, versions
+from .versioned import (
+    _chain,
+    _compose_renames,
+    _entry,
+    _mode,
+    _stat_value,
+    adopt_staged_files,
+    versions,
+)
 
 
 def _arrow_schema(schema):
@@ -448,6 +471,177 @@ class _VersionedStreamReader(DataSourceStreamReader):
         pass  # the checkpoint holds the cursor; nothing to reclaim
 
 
+class _StagedPart(WriterCommitMessage):
+    def __init__(self, file: str | None, rows: int, stats: dict):
+        self.file = file
+        self.rows = rows
+        self.stats = stats  # {col: (py_min, py_max)}
+
+
+def _write_task_parquet(iterator, staging: str, stats_cols: list) -> _StagedPart:
+    """One task's Arrow batches → one staged parquet part file, written
+    incrementally (never materializing the task partition), with
+    running per-column min/max for the manifest stats. Runs in
+    executors; the driver only sees the commit message."""
+    import uuid
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    os.makedirs(staging, exist_ok=True)
+    f = os.path.join(staging, f"part-{uuid.uuid4().hex}.parquet")
+    writer = None
+    rows = 0
+    mins: dict = {}
+    maxs: dict = {}
+    try:
+        for b in iterator:
+            if writer is None:
+                writer = pq.ParquetWriter(f, b.schema)
+            writer.write_batch(b)
+            rows += b.num_rows
+            for c in stats_cols:
+                if c not in b.schema.names:
+                    continue
+                mm = pc.min_max(b.column(c))
+                lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                if lo is not None and (c not in mins or lo < mins[c]):
+                    mins[c] = lo
+                if hi is not None and (c not in maxs or hi > maxs[c]):
+                    maxs[c] = hi
+    finally:
+        if writer is not None:
+            writer.close()
+    if writer is None:
+        return _StagedPart(None, 0, {})
+    return _StagedPart(f, rows, {c: (mins.get(c), maxs.get(c)) for c in stats_cols})
+
+
+def _merge_staged(messages, stats_cols: list):
+    """Driver-side merge of task commit messages → (files, rows,
+    manifest-form stats)."""
+    files = [m.file for m in messages if m is not None and m.file]
+    rows = sum(m.rows for m in messages if m is not None)
+    stats = None
+    if stats_cols and rows:
+        stats = {}
+        for c in stats_cols:
+            vals = [
+                m.stats[c]
+                for m in messages
+                if m is not None and m.file and c in m.stats
+            ]
+            los = [v[0] for v in vals if v[0] is not None]
+            his = [v[1] for v in vals if v[1] is not None]
+            stats[c] = {
+                "min": _stat_value(min(los)) if los else None,
+                "max": _stat_value(max(his)) if his else None,
+            }
+    return files, rows, stats
+
+
+def _cleanup_staging(staging: str) -> None:
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+class _VersionedBatchWriter(DataSourceArrowWriter):
+    """``df.write.format("versioned_table")``: tasks stage Arrow
+    batches as parquet part files under the table's ``_staging-*``
+    dir; the driver-side ``commit`` adopts them as the next manifest
+    version under the commit lock — mode('overwrite') publishes a FULL
+    snapshot, mode('append') an append delta (requires a base, like
+    ``append_version``). ``statscols`` records per-commit min/max for
+    manifest data skipping, computed incrementally in the tasks."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        import uuid
+
+        self.path = options["path"]
+        self.overwrite = overwrite
+        self.stats_cols = [
+            c.strip()
+            for c in options.get("statscols", "").split(",")
+            if c.strip()
+        ]
+        self.staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
+
+    def write(self, iterator):
+        return _write_task_parquet(iterator, self.staging, self.stats_cols)
+
+    def commit(self, messages) -> None:
+        files, rows, stats = _merge_staged(messages, self.stats_cols)
+        try:
+            adopt_staged_files(
+                self.path,
+                files,
+                "full" if self.overwrite else "append",
+                rows,
+                stats=stats,
+            )
+        finally:
+            _cleanup_staging(self.staging)
+
+    def abort(self, messages) -> None:
+        _cleanup_staging(self.staging)
+
+
+class _VersionedStreamWriter(DataSourceStreamArrowWriter):
+    """``df.writeStream.format("versioned_table")``: the exactly-once
+    keyless sink as a first-class stream sink (the same transaction-log
+    trick `streaming.versioned_sink.append_batch_versioned` spells for
+    foreachBatch — Delta's txn appId/version watermark): each
+    micro-batch's staged files are adopted as ONE manifest commit
+    stamped with the batch id, and a replayed batch (id at or below
+    the table's committed high-watermark) is discarded BEFORE any
+    manifest change. First ever batch lands as the FULL base snapshot,
+    later ones as appends — the table is immediately chain-readable
+    and CDF-scannable."""
+
+    def __init__(self, options: dict):
+        import uuid
+
+        self.path = options["path"]
+        self.stats_cols = [
+            c.strip()
+            for c in options.get("statscols", "").split(",")
+            if c.strip()
+        ]
+        # one staging dir per sink instance; per-batch isolation comes
+        # from commit() moving only ITS batch's message files
+        self.staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
+
+    def write(self, iterator):
+        return _write_task_parquet(iterator, self.staging, self.stats_cols)
+
+    def commit(self, messages, batchId: int) -> None:
+        from ..streaming.versioned_sink import last_committed_batch
+
+        files, rows, stats = _merge_staged(messages, self.stats_cols)
+        if batchId <= last_committed_batch(self.path):
+            # replay of an already-committed batch: drop its staged
+            # files, change nothing (exactly-once without row keys)
+            for f in files:
+                try:
+                    os.unlink(f)
+                except FileNotFoundError:
+                    pass
+            return
+        mode = "append" if versions(self.path) else "full"
+        adopt_staged_files(
+            self.path, files, mode, rows, stats=stats, meta={"batch_id": batchId}
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages or []:
+            if m is not None and m.file:
+                try:
+                    os.unlink(m.file)
+                except FileNotFoundError:
+                    pass
+
+
 class VersionedTableDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -461,6 +655,12 @@ class VersionedTableDataSource(DataSource):
 
     def streamReader(self, schema) -> DataSourceStreamReader:
         return _VersionedStreamReader(self.options, schema)
+
+    def writer(self, schema, overwrite: bool) -> DataSourceArrowWriter:
+        return _VersionedBatchWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> DataSourceStreamArrowWriter:
+        return _VersionedStreamWriter(self.options)
 
 
 def register(spark) -> None:

@@ -1,0 +1,182 @@
+"""`versioned_table` format WRITERS (sources/versioned_source.py): the
+manifest commit protocol exposed as a Spark batch sink
+(``df.write.format("versioned_table")``) and an exactly-once streaming
+sink (``df.writeStream.format("versioned_table")``) — per-task Arrow
+staging, driver-side adoption under the commit lock, batch-id
+watermark replay discipline."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from end_to_end_database_pipeline_project_spark.sources import versioned as V
+from end_to_end_database_pipeline_project_spark.sources.versioned_source import (
+    register,
+)
+
+DDL = "x bigint, s string"
+
+
+def _write(df, path, mode, **opts):
+    df.write.format("versioned_table").option("path", path).options(
+        **opts
+    ).mode(mode).save()
+
+
+def test_batch_writer_overwrite_then_append(spark, tmp_path):
+    register(spark)
+    path = str(tmp_path / "t")
+    _write(spark.createDataFrame([(1, "a"), (2, "b")], DDL), path, "overwrite")
+    assert [(e["version"], e["mode"]) for e in V.versions(path)] == [(1, "full")]
+    _write(spark.createDataFrame([(3, "c")], DDL), path, "append")
+    assert [(e["version"], e["mode"]) for e in V.versions(path)] == [
+        (1, "full"),
+        (2, "append"),
+    ]
+    got = sorted((r.x, r.s) for r in V.read_version(spark, path).collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+    # a second overwrite resets the chain
+    _write(spark.createDataFrame([(9, "z")], DDL), path, "overwrite")
+    assert sorted(r.x for r in V.read_version(spark, path).collect()) == [9]
+    # time travel to the pre-overwrite chain still works
+    assert sorted(r.x for r in V.read_version(spark, path, 2).collect()) == [1, 2, 3]
+    # no staging litter
+    assert not [d for d in os.listdir(path) if d.startswith("_staging")]
+
+
+def test_batch_writer_append_requires_base(spark, tmp_path):
+    register(spark)
+    path = str(tmp_path / "nobase")
+    try:
+        _write(spark.createDataFrame([(1, "a")], DDL), path, "append")
+        raise AssertionError("append without a base must fail")
+    except Exception as exc:
+        assert "full snapshot" in str(exc)
+    # nothing committed, nothing littered
+    assert V.versions(path) == []
+    assert not [d for d in os.listdir(path) if d.startswith("_staging")]
+
+
+def test_batch_writer_records_stats_for_pruning(spark, tmp_path):
+    register(spark)
+    path = str(tmp_path / "st")
+    df = spark.range(100).selectExpr("id AS x", "CAST(id AS STRING) AS s")
+    _write(df, path, "overwrite", statscols="x")
+    e = V.versions(path)[0]
+    assert e["stats"]["x"] == {"min": 0, "max": 99}
+    # the stats feed the library's commit-level skip
+    _write(
+        spark.range(1000, 1100).selectExpr("id AS x", "CAST(id AS STRING) AS s"),
+        path,
+        "append",
+        statscols="x",
+    )
+    pruned = V.read_version(spark, path, prune=("x", 1000, 1005))
+    assert all("/v=2/" in f for f in pruned.inputFiles())
+    assert pruned.count() == 6
+
+
+def test_writer_roundtrip_through_format_reader(spark, tmp_path):
+    register(spark)
+    path = str(tmp_path / "rt")
+    _write(spark.createDataFrame([(1, "a"), (2, "b")], DDL), path, "overwrite")
+    got = (
+        spark.read.format("versioned_table")
+        .option("path", path)
+        .option("schema", DDL)
+        .load()
+    )
+    assert sorted((r.x, r.s) for r in got.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_stream_writer_exactly_once_across_restarts(spark, tmp_path):
+    """The streaming sink commits each micro-batch once: restart with
+    the same checkpoint re-delivers nothing; a wiped checkpoint replays
+    history below the batch watermark and is absorbed."""
+    register(spark)
+    landing, path, ckpt = (str(tmp_path / d) for d in ("landing", "t", "ckpt"))
+    os.makedirs(landing)
+
+    def land(lo, hi, name):
+        spark.range(lo, hi).selectExpr(
+            "id AS x", "CAST(id AS STRING) AS s"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{landing}/{name}")
+
+    def drain():
+        q = (
+            spark.readStream.schema(DDL)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{landing}/*")
+            .writeStream.format("versioned_table")
+            .option("path", path)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    land(0, 3, "d1")
+    drain()
+    vs1 = V.versions(path)
+    assert [e["mode"] for e in vs1][0] == "full"
+    assert sorted(r.x for r in V.read_version(spark, path).collect()) == [0, 1, 2]
+    # restart, no new data: no new commits
+    drain()
+    assert len(V.versions(path)) == len(vs1)
+    # new landing file -> exactly one more commit
+    land(3, 5, "d2")
+    drain()
+    assert len(V.versions(path)) == len(vs1) + 1
+    assert sorted(r.x for r in V.read_version(spark, path).collect()) == list(
+        range(5)
+    )
+    n_commits = len(V.versions(path))
+    # wiped checkpoint: full replay, ids restart at 0 -> absorbed
+    shutil.rmtree(ckpt)
+    drain()
+    assert len(V.versions(path)) == n_commits
+    assert V.read_version(spark, path).count() == 5
+    # every committed entry carries its batch id (the CDF consumers'
+    # exactly-once ledger)
+    assert all(e.get("batch_id") is not None for e in V.versions(path))
+
+
+def test_stream_writer_feeds_incremental_consumers(spark, tmp_path):
+    """End-to-end: stream writer in, CDF consumer out — each committed
+    batch read exactly once via a version cursor."""
+    register(spark)
+    landing, path, ckpt = (str(tmp_path / d) for d in ("landing", "t", "ckpt"))
+    os.makedirs(landing)
+    spark.range(0, 4).selectExpr("id AS x", "'r' AS s").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{landing}/a")
+    q = (
+        spark.readStream.schema(DDL)
+        .parquet(f"{landing}/*")
+        .writeStream.format("versioned_table")
+        .option("path", path)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    feed = V.incremental_scan(spark, path, V.versions(path)[0]["version"])
+    assert feed.count() == 0  # cursor at the only commit: caught up
+    spark.range(4, 6).selectExpr("id AS x", "'r' AS s").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{landing}/b")
+    q = (
+        spark.readStream.schema(DDL)
+        .parquet(f"{landing}/*")
+        .writeStream.format("versioned_table")
+        .option("path", path)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    feed = V.incremental_scan(spark, path, 1)
+    assert sorted(r.x for r in feed.collect()) == [4, 5]
