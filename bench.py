@@ -117,6 +117,14 @@ HEADLINE = [
     "versioned_table_source_scan",
     "versioned_upsert_cdf",
     "versioned_history",
+    # round 9: partitioned commits + pruning, metadata-only schema
+    # evolution, the format's batch writer, CDF-driven artifact
+    # maintenance, and the lossless hot-prefix suffix-dedup variant
+    "versioned_partition_pruned_read",
+    "versioned_schema_evolution",
+    "versioned_writer_sink",
+    "cdf_artifact_maintenance",
+    "suffix_duplicate_substrings_salted",
 ]
 
 

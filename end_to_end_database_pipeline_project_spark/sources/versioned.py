@@ -243,12 +243,18 @@ def _commit(
     lock_timeout_s: float = 600.0,
     **meta,
 ) -> int:
-    """Shared commit protocol: under the table's commit lock, land the
-    COMPLETE data directory, then atomically publish the manifest. A
-    failure at any point leaves the previous manifest current and
-    readable (a crashed holder's lock is stolen by the next writer,
-    its half-landed directory invisible). Concurrent writers are safe
-    and serialize; readers never block (they only read the manifest).
+    """Shared commit protocol, staged so the commit lock's critical
+    section is O(manifest), never O(data): the COMPLETE data directory
+    lands under an uncommitted ``_staging-*`` name FIRST — outside the
+    lock, so concurrent writers' Spark writes overlap instead of
+    convoying — then the lock covers only slot claim + one directory
+    rename + the manifest swap (``_publish_staged``). A failure at any
+    point leaves the previous manifest current and readable (a crashed
+    writer's staging dir is invisible and reclaimed by vacuum's grace
+    sweep; its flock dies with it). Commits still SERIALIZE in version
+    order at the swap — that is the log contract — but the serialized
+    region no longer contains the write. Readers never block (they
+    only read the manifest).
 
     ``stats_cols`` records per-commit min/max for the named columns in
     the manifest entry (one extra aggregate over the just-written
@@ -263,6 +269,9 @@ def _commit(
     matching subdirectories WITHIN a commit — at 100 TB a time-travel
     read of one day touches one partition dir per commit, not every
     live file's footer."""
+    import shutil
+    import uuid
+
     from pyspark.sql import functions as F
 
     reserved = {
@@ -277,38 +286,77 @@ def _commit(
     if reserved:
         raise ValueError(f"meta keys collide with manifest fields: {reserved}")
     os.makedirs(path, exist_ok=True)
-    lock_fd = _acquire_commit_lock(path, lock_timeout_s)
+    staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
     try:
-        manifest = _read_manifest(path)
-        vs = manifest["versions"]
-        n = (vs[-1]["version"] + 1) if vs else 1
-        vdir = os.path.join(path, f"v={n}")
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
-        w.parquet(vdir)
-        written = df.sparkSession.read.parquet(vdir)
+        w.parquet(staging)
+        written = df.sparkSession.read.parquet(staging)
         aggs = [F.count(F.lit(1)).alias("__rows")]
         for c in stats_cols:
             aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
         stat_row = written.agg(*aggs).collect()[0]
-        entry = {
-            "version": n,
-            "dir": f"v={n}",
-            "rows": stat_row["__rows"],
-            "mode": mode,
-        }
+        extra = dict(meta)
         if partition_by:
-            entry["partition_by"] = list(partition_by)
-            entry["partition_dirs"] = _partition_dirs(vdir)
+            extra["partition_by"] = list(partition_by)
+            extra["partition_dirs"] = _partition_dirs(staging)
+        stats = None
         if stats_cols:
-            entry["stats"] = {
+            stats = {
                 c: {
                     "min": _stat_value(stat_row[f"__min_{c}"]),
                     "max": _stat_value(stat_row[f"__max_{c}"]),
                 }
                 for c in stats_cols
             }
+        return _publish_staged(
+            path,
+            staging,
+            mode,
+            stat_row["__rows"],
+            stats,
+            extra,
+            lock_timeout_s,
+        )
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+
+
+def _publish_staged(
+    path: str,
+    staged_dir: str,
+    mode: str,
+    rows: int,
+    stats: dict | None,
+    meta: dict,
+    lock_timeout_s: float,
+) -> int:
+    """The commit's critical section: under the lock, claim the next
+    version slot, rename the staged directory into it, publish the
+    manifest. O(manifest) — the data write happened before the lock."""
+    import shutil
+
+    lock_fd = _acquire_commit_lock(path, lock_timeout_s)
+    try:
+        manifest = _read_manifest(path)
+        vs = manifest["versions"]
+        if mode in ("append", "delete", "replace") and not vs:
+            raise ValueError(
+                f"cannot {mode} at {path}: no committed base snapshot — "
+                "the first commit must be a full snapshot"
+            )
+        n = (vs[-1]["version"] + 1) if vs else 1
+        vdir = os.path.join(path, f"v={n}")
+        if os.path.exists(vdir):
+            # an uncommitted orphan from a crashed pre-staging-era
+            # writer holds this slot (invisible — not in the manifest)
+            shutil.rmtree(vdir, ignore_errors=True)
+        os.replace(staged_dir, vdir)
+        entry = {"version": n, "dir": f"v={n}", "rows": rows, "mode": mode}
+        if stats:
+            entry["stats"] = stats
         entry.update(meta)
         manifest["versions"] = vs + [entry]
         _write_manifest(path, manifest)
@@ -452,45 +500,32 @@ def adopt_staged_files(
     ``versioned_table`` format's batch/stream writers stage per-task
     parquet in executors, then adopt the staged files here). Same
     crash story as ``_commit``: a failure before the manifest swap
-    leaves an uncommitted ``v=N`` orphan that the next writer's slot
-    claim (or vacuum, below the watermark) reclaims; the previous
-    manifest stays current throughout. ``mode='append'`` requires an
-    existing base, like ``append_version``; ``stats`` is a pre-merged
-    ``{col: {min, max}}`` map in manifest form."""
+    leaves only an invisible ``_staging-*`` bundle (reclaimed by
+    vacuum's grace sweep); the previous manifest stays current
+    throughout. ``mode='append'`` requires an existing base, like
+    ``append_version``; ``stats`` is a pre-merged
+    ``{col: {min, max}}`` map in manifest form. The lock's critical
+    section is O(manifest): files bundle OUTSIDE the lock, then
+    ``_publish_staged`` claims the slot, renames, and swaps."""
     import shutil
+    import uuid
 
     meta = dict(meta or {})
     reserved = {"version", "dir", "rows", "mode", "stats"} & set(meta)
     if reserved:
         raise ValueError(f"meta keys collide with manifest fields: {reserved}")
     os.makedirs(path, exist_ok=True)
-    lock_fd = _acquire_commit_lock(path, lock_timeout_s)
+    bundle = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
+    os.makedirs(bundle)
     try:
-        manifest = _read_manifest(path)
-        vs = manifest["versions"]
-        if mode == "append" and not vs:
-            raise ValueError(
-                f"cannot append at {path}: no committed base snapshot — "
-                "the first commit must be a full snapshot"
-            )
-        n = (vs[-1]["version"] + 1) if vs else 1
-        vdir = os.path.join(path, f"v={n}")
-        if os.path.exists(vdir):
-            # an uncommitted orphan from a crashed writer holds this
-            # slot (it is invisible — not in the manifest): reclaim
-            shutil.rmtree(vdir, ignore_errors=True)
-        os.makedirs(vdir, exist_ok=True)
         for f in files:
-            os.replace(f, os.path.join(vdir, os.path.basename(f)))
-        entry = {"version": n, "dir": f"v={n}", "rows": rows, "mode": mode}
-        if stats:
-            entry["stats"] = stats
-        entry.update(meta)
-        manifest["versions"] = vs + [entry]
-        _write_manifest(path, manifest)
-        return n
-    finally:
-        _release_commit_lock(lock_fd)
+            os.replace(f, os.path.join(bundle, os.path.basename(f)))
+        return _publish_staged(
+            path, bundle, mode, rows, stats, meta, lock_timeout_s
+        )
+    except BaseException:
+        shutil.rmtree(bundle, ignore_errors=True)
+        raise
 
 
 def rename_column(
@@ -918,7 +953,32 @@ def compact_chain(
     )
 
 
-def expire_versions(path: str, retain_last: int = 2) -> list[int]:
+def _sweep_staging(path: str, grace_s: float) -> None:
+    """Reclaim crashed writers' ``_staging-*`` bundles older than the
+    grace window (in-flight stages keep a fresh mtime — Spark is
+    actively writing them). Invisible to readers either way."""
+    import shutil
+    import time
+
+    now = time.time()
+    try:
+        entries = os.listdir(path)
+    except FileNotFoundError:
+        return
+    for d in entries:
+        if not d.startswith("_staging-"):
+            continue
+        full = os.path.join(path, d)
+        try:
+            if now - os.path.getmtime(full) > grace_s:
+                shutil.rmtree(full, ignore_errors=True)
+        except OSError:
+            pass
+
+
+def expire_versions(
+    path: str, retain_last: int = 2, staging_grace_s: float = 86400.0
+) -> list[int]:
     """Vacuum: expire all but the newest ``retain_last`` snapshots.
 
     Crash-safe in the same direction as the writer: the manifest swap
@@ -928,7 +988,9 @@ def expire_versions(path: str, retain_last: int = 2) -> list[int]:
     ``write_version`` always writes a HIGHER number than any committed
     entry, so a concurrent vacuum can never delete a snapshot that is
     about to be published (old crash orphans below the watermark are
-    still reclaimed). Returns the expired version numbers."""
+    still reclaimed). Crashed writers' ``_staging-*`` bundles older
+    than ``staging_grace_s`` (default one day — in-flight stages are
+    minutes) are also swept. Returns the expired version numbers."""
     import shutil
 
     if retain_last < 1:
@@ -936,6 +998,7 @@ def expire_versions(path: str, retain_last: int = 2) -> list[int]:
             f"retain_last must be >= 1 (got {retain_last}): a table must "
             "keep at least its current snapshot"
         )
+    _sweep_staging(path, staging_grace_s)
     # vacuum is a manifest read-modify-write like any commit: take the
     # same lock so it can't drop an entry a racing writer just appended
     lock_fd = _acquire_commit_lock(path, 600.0)

@@ -990,3 +990,49 @@ def test_union_type_widening_in_chain_read(spark, tmp_path):
     dt = dict(cur.dtypes)
     assert dt["x"] == "bigint" and dt["v"] == "double"
     assert sorted(r.x for r in cur.collect()) == [1, 2**40]
+
+
+def test_commit_stages_outside_lock_and_vacuum_sweeps_staging(spark, tmp_path):
+    """The commit's critical section is O(manifest): data lands under
+    _staging-* BEFORE the lock (concurrent writers' Spark writes
+    overlap instead of convoying), and a crashed writer's staging
+    bundle is invisible to readers and swept by vacuum's grace pass."""
+    import os as _os
+
+    path = str(tmp_path / "stg")
+    V.write_version(spark.range(5).withColumnRenamed("id", "x"), path)
+    # no staging litter after a successful commit
+    assert not [d for d in _os.listdir(path) if d.startswith("_staging-")]
+    # simulate a crashed writer's leftover stage
+    orphan = _os.path.join(path, "_staging-deadbeef")
+    _os.makedirs(orphan)
+    with open(_os.path.join(orphan, "part-x.parquet"), "wb") as f:
+        f.write(b"junk")
+    # invisible to readers and to the manifest
+    assert V.read_version(spark, path).count() == 5
+    assert [e["version"] for e in V.versions(path)] == [1]
+    # a new commit is NOT confused by the orphan
+    V.append_version(spark.range(5, 8).withColumnRenamed("id", "x"), path)
+    assert V.read_version(spark, path).count() == 8
+    # vacuum: young stages survive (grace), old ones sweep
+    V.expire_versions(path, retain_last=2, staging_grace_s=10_000)
+    assert _os.path.exists(orphan)
+    _os.utime(orphan, (1, 1))  # pretend it is ancient
+    V.expire_versions(path, retain_last=2, staging_grace_s=10_000)
+    assert not _os.path.exists(orphan)
+
+
+def test_failed_commit_leaves_no_staging_litter(spark, tmp_path):
+    """A commit that fails validation (append without base) cleans its
+    staging bundle."""
+    import os as _os
+
+    path = str(tmp_path / "fail")
+    _os.makedirs(path)
+    try:
+        V._commit(spark.range(3).withColumnRenamed("id", "x"), path, "append")
+        raise AssertionError("append without base must fail")
+    except ValueError:
+        pass
+    assert not [d for d in _os.listdir(path) if d.startswith("_staging-")]
+    assert V.versions(path) == []
