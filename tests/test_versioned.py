@@ -1036,3 +1036,160 @@ def test_failed_commit_leaves_no_staging_litter(spark, tmp_path):
         pass
     assert not [d for d in _os.listdir(path) if d.startswith("_staging-")]
     assert V.versions(path) == []
+
+
+def test_model_based_rename_partition_sequences(spark, tmp_path):
+    """Model-based check of the r09 surface on top of the delta-log
+    fold: random sequences of append/delete/upsert (each optionally
+    hive-PARTITIONED, with stats), metadata-only RENAME commits and
+    compaction, against a pure Python model that tracks rows AND the
+    value column's name per version. Checks, per sequence: the latest
+    read (rows + current name), time travel (then-current names),
+    partition-pruned and stats-pruned reads (filter semantics), and
+    CDF reconstruction in as-of-end names."""
+    import itertools
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    KEYS = list(range(6))
+    NAME_POOL = ["w1", "w2", "w3"]
+    rows_st = st.lists(
+        st.tuples(st.sampled_from(KEYS), st.integers(0, 99)),
+        min_size=1,
+        max_size=3,
+    )
+    uniq_rows_st = rows_st.map(
+        lambda rs: list({k: (k, v) for k, v in rs}.values())
+    )
+    op_st = st.one_of(
+        st.tuples(st.just("append"), st.tuples(rows_st, st.booleans())),
+        st.tuples(
+            st.just("delete"),
+            st.lists(st.sampled_from(KEYS), min_size=1, max_size=2),
+        ),
+        st.tuples(st.just("upsert"), uniq_rows_st),
+        st.tuples(st.just("rename"), st.just(None)),
+        st.tuples(st.just("compact"), st.booleans()),
+    )
+    counter = itertools.count()
+
+    def run_sequence(ops):
+        path = str(tmp_path / f"mbr{next(counter)}")
+        name = "val"
+
+        def mk(rows, colname):
+            return spark.createDataFrame(
+                [(k, k % 2, v) for k, v in rows],
+                f"k long, b int, {colname} long",
+            )
+
+        V.write_version(
+            mk([(0, 1), (1, 2), (2, 3)], name),
+            path,
+            stats_cols=("k",),
+            partition_by=("b",),
+        )
+        model = [(0, 1), (1, 2), (2, 3)]
+        snap = {1: (list(model), name)}
+        unused = list(NAME_POOL)
+        for op, arg in ops:
+            if op == "append":
+                rows, parted = arg
+                V.append_version(
+                    mk(rows, name),
+                    path,
+                    stats_cols=("k",),
+                    partition_by=("b",) if parted else (),
+                )
+                model = model + rows
+            elif op == "delete":
+                keys = sorted(set(arg))
+                V.delete_version(
+                    spark.createDataFrame([(k,) for k in keys], "k long"),
+                    path,
+                    "k",
+                )
+                model = [r for r in model if r[0] not in set(keys)]
+            elif op == "upsert":
+                V.upsert_version(mk(arg, name), path, "k")
+                ks = {k for k, _ in arg}
+                model = [r for r in model if r[0] not in ks] + arg
+            elif op == "rename":
+                if not unused:
+                    continue
+                new = unused.pop(0)
+                V.rename_column(spark, path, name, new)
+                name = new
+            else:
+                V.compact_chain(
+                    spark,
+                    path,
+                    stats_cols=("k",),
+                    partition_by=("b",) if arg else (),
+                )
+            snap[V.versions(path)[-1]["version"]] = (list(model), name)
+
+        # latest read: rows + current column name
+        cur = V.read_version(spark, path)
+        assert set(cur.columns) == {"k", "b", name}
+        got = sorted((r.k, r[name]) for r in cur.collect())
+        assert got == sorted(model)
+
+        # time travel shows each version under its then-current name
+        for ver, (want, nm) in snap.items():
+            df = V.read_version(spark, path, ver)
+            assert nm in df.columns, f"v{ver} must carry {nm}"
+            assert sorted((r.k, r[nm]) for r in df.collect()) == sorted(want)
+
+        # partition-pruned and stats-pruned reads == model filters
+        b0 = V.read_version(spark, path, prune=("b", 0, 0))
+        assert sorted((r.k, r[name]) for r in b0.collect()) == sorted(
+            r for r in model if r[0] % 2 == 0
+        )
+        kr = V.read_version(spark, path, prune=("k", 2, 4))
+        assert sorted((r.k, r[name]) for r in kr.collect()) == sorted(
+            r for r in model if 2 <= r[0] <= 4
+        )
+
+        # CDF reconstruction from the base, in as-of-end names, when
+        # no rewrite breaks the range
+        vs = V.versions(path)
+        if len(vs) > 1 and not any(
+            e.get("mode", "full") == "full" for e in vs[1:]
+        ):
+            state = {
+                (r.k, r["val"]) for r in V.read_version(spark, path, 1).collect()
+            }
+            state = [(k, v) for k, v in state]
+            cdf = V.incremental_scan(spark, path, from_version=1)
+            by_ver: dict = {}
+            for r in cdf.collect():
+                by_ver.setdefault(r._commit_version, []).append(r)
+            for ver in sorted(by_ver):
+                rows = by_ver[ver]
+                kinds = {r._change_type for r in rows}
+                if kinds == {"delete"}:
+                    dead = {r.k for r in rows}
+                    state = [t for t in state if t[0] not in dead]
+                elif kinds == {"upsert"}:
+                    ks = {r.k for r in rows}
+                    state = [t for t in state if t[0] not in ks] + [
+                        (r.k, r[name]) for r in rows
+                    ]
+                else:
+                    assert kinds == {"insert"}, kinds
+                    state = state + [(r.k, r[name]) for r in rows]
+            assert sorted(state) == sorted(model)
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+        derandomize=True,
+    )
+    @given(ops=st.lists(op_st, min_size=1, max_size=4))
+    def inner(ops):
+        run_sequence(ops)
+
+    inner()
