@@ -518,15 +518,18 @@ def cdf_update_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> dict:
-    """Maintain the IVF ASSIGNMENT INDEX (vec_id → cell_id, itself a
-    versioned table) from the corpus CDF: net-changed vectors assign
-    to the COMMITTED centroid epoch (broadcast argmax — no re-fit) and
-    land as one replace commit; net-deleted keys land as a tombstone.
-    The index read (`ivf_index_occupancy`) then yields per-cell
-    occupancy without touching the corpus — the decrement-on-delete a
-    count-only artifact cannot do (a CDF delete carries the key, not
-    the vector; the index LOOKS UP the cell by key instead). Returns
-    ``{"index_version", "n_deleted", "n_upserted"}``."""
+    """Maintain the IVF INDEX (vec_id → cell_id → vector, itself a
+    versioned table — the bucketed posting lists a real IVF structure
+    is) from the corpus CDF: net-changed vectors assign to the
+    COMMITTED centroid epoch (broadcast argmax — no re-fit) and land
+    as one replace commit; net-deleted keys land as a tombstone. The
+    index read then serves BOTH per-cell occupancy
+    (`ivf_index_occupancy` — the decrement-on-delete a count-only
+    artifact cannot do: a CDF delete carries the key, not the vector;
+    the index looks up the cell by key) and in-cell ANN probing
+    (`ann_index_incremental_probe`: batch → cell via broadcast argmax,
+    equi-join the index on cell_id, exact cosine within the cell).
+    Returns ``{"index_version", "n_deleted", "n_upserted"}``."""
     from ..sources.versioned import delete_version, upsert_version
 
     changes = incremental_scan(spark, corpus_path, from_version, to_version)
@@ -543,7 +546,7 @@ def cdf_update_ivf_index(
         )
     if n_up:
         assigned = assign_clusters(net_up, cents, id_col, vec_col).select(
-            "vec_id", F.col("cluster_id").alias("cell_id")
+            "vec_id", F.col("cluster_id").alias("cell_id"), "embedding"
         )
         ver = upsert_version(assigned, index_path, "vec_id")
     if ver is None:

@@ -3833,3 +3833,122 @@ def suffix_duplicate_substrings_salted(
         .orderBy(F.desc("dup_len"), F.asc("dup_text"))
         .limit(20)
     )
+
+
+@query(
+    "ann_index_incremental_probe",
+    oracle="""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+live AS (SELECT * FROM e WHERE vec_id % 9 <> 0),
+cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+assigned AS (
+  SELECT vec_id, v, centroid_id AS cell_id FROM (
+    SELECT live.vec_id, live.v, cent.centroid_id,
+           row_number() OVER (PARTITION BY live.vec_id
+             ORDER BY list_cosine_similarity(live.v, cent.cv) DESC,
+                      cent.centroid_id) AS rn
+    FROM live CROSS JOIN cent
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT query_id, qv, centroid_id AS q_cell FROM (
+    SELECT e.vec_id AS query_id, e.v AS qv, cent.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, cent.cv) DESC,
+                      cent.centroid_id) AS rn
+    FROM e CROSS JOIN cent WHERE e.vec_id < 10
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT query_id, a.vec_id AS neighbor_id,
+         list_cosine_similarity(qv, a.v) AS cos
+  FROM assigned a JOIN q
+    ON a.cell_id = q.q_cell AND a.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS BIGINT)
+         AS rank
+FROM scored QUALIFY rank <= 3""",
+)
+def ann_index_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN probing against the CDF-MAINTAINED IVF index — the
+    composition that closes the r09 arc: the vector corpus lives in a
+    versioned table (v1 = even ids, v2 appends the odd ids, v3 is a
+    GDPR tombstone on ids % 9 == 0); the index — vec_id → cell_id →
+    vector, the bucketed posting lists a real IVF structure is, itself
+    a versioned table — is seeded from v1's assignment and then
+    advanced by `pipeline.artifacts.cdf_update_ivf_index` at O(rows
+    changed), never re-assigning the corpus. The probe never touches
+    the corpus either: queries assign to cells against the COMMITTED
+    centroid epoch (broadcast argmax), equi-join the index on cell_id,
+    and rank exact in-cell cosine top-3 — per-query scan cost divided
+    by the cell count, identical plan shape to `ivf_topk` but against
+    a maintained structure that has absorbed inserts AND deletes (the
+    oracle states the result over the live set directly). At 100 TB:
+    index freshness costs the delta, probes cost the bucket."""
+    from ..functions.vector import cosine
+    from ..operators.similarity import assign_clusters
+    from ..pipeline.artifacts import (
+        cdf_update_ivf_index,
+        publish_centroid_epoch,
+        scratch_artifact_dir,
+    )
+    from ..sources import versioned as V
+
+    emb = _emb(spark, sf_dir)
+    corpus_path = scratch_artifact_dir("ann_corpus_")
+    cent_path = scratch_artifact_dir("ann_cents_")
+    index_path = scratch_artifact_dir("ann_index_")
+
+    base = emb.where(F.col("vec_id") % 2 == 0)
+    centroids = emb.where(F.col("vec_id") < 8)
+    V.write_version(base, corpus_path)  # v1
+    publish_centroid_epoch(base, centroids, cent_path)
+    V.write_version(
+        assign_clusters(base, centroids).select(
+            "vec_id", F.col("cluster_id").alias("cell_id"), "embedding"
+        ),
+        index_path,
+    )
+    V.append_version(emb.where(F.col("vec_id") % 2 == 1), corpus_path)  # v2
+    V.delete_version(
+        emb.where(F.col("vec_id") % 9 == 0).select("vec_id"),
+        corpus_path,
+        "vec_id",
+    )  # v3
+    cdf_update_ivf_index(spark, corpus_path, cent_path, index_path, 1)
+
+    idx = V.read_version(spark, index_path).select(
+        F.col("vec_id").alias("neighbor_id"),
+        "cell_id",
+        F.col("embedding").alias("nv"),
+    )
+    cents = V.read_version(spark, cent_path).select(
+        F.col("cell_id").alias("vec_id"), "embedding"
+    )
+    queries = emb.where(F.col("vec_id") < 10)
+    q = assign_clusters(queries, cents).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("cluster_id").alias("q_cell"),
+    )
+    scored = (
+        q.join(idx, q["q_cell"] == idx["cell_id"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("nv")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cosine"),
+            "rank",
+        )
+    )

@@ -573,9 +573,10 @@ def test_cdf_ivf_index_update_parity_and_occupancy(spark, tmp_path, vectors):
     publish_centroid_epoch(ref, cents, cent_path)
 
     V.write_version(ref, corpus_path)  # v1
-    # seed the index from the initial snapshot assignment
+    # seed the index from the initial snapshot assignment (the index
+    # carries the vectors: it IS the IVF bucketed posting lists)
     init = assign_clusters(ref, cents).select(
-        "vec_id", F.col("cluster_id").alias("cell_id")
+        "vec_id", F.col("cluster_id").alias("cell_id"), "embedding"
     )
     V.write_version(init, index_path)
 
