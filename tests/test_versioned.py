@@ -1193,3 +1193,35 @@ def test_model_based_rename_partition_sequences(spark, tmp_path):
         run_sequence(ops)
 
     inner()
+
+
+def test_multi_level_and_null_partitions(spark, tmp_path):
+    """Nested partition_by (two levels) records 'a=1/b=2'-style dirs;
+    a NULL partition value lands under __HIVE_DEFAULT_PARTITION__ and
+    is provably outside any prune range (BETWEEN drops NULLs)."""
+    path = str(tmp_path / "ml")
+    df = spark.createDataFrame(
+        [(1, 0, "x", 1.0), (2, 0, "y", 2.0), (3, 1, "x", 3.0), (4, None, "x", 4.0)],
+        "k long, a int, b string, v double",
+    )
+    V.write_version(df, path, partition_by=("a", "b"))
+    e = V.versions(path)[0]
+    assert e["partition_by"] == ["a", "b"]
+    assert any("/" in d for d in e["partition_dirs"]), e["partition_dirs"]
+    assert any("__HIVE_DEFAULT_PARTITION__" in d for d in e["partition_dirs"])
+    # prune on the OUTER key
+    a0 = V.read_version(spark, path, prune=("a", 0, 0))
+    assert sorted(r.k for r in a0.collect()) == [1, 2]
+    assert all("/a=0/" in f for f in a0.inputFiles())
+    # prune on the INNER key spans outer dirs (incl. the a=NULL dir,
+    # whose b really is 'x')
+    bx = V.read_version(spark, path, prune=("b", "x", "x"))
+    assert sorted(r.k for r in bx.collect()) == [1, 3, 4]
+    assert all("/b=x/" in f for f in bx.inputFiles())
+    # prune on the OUTER key excludes the NULL-partition row (BETWEEN
+    # drops NULLs; the dir is skipped without being opened)
+    assert 4 not in {r.k for r in a0.collect()}
+    # the NULL-partition row is visible unpruned
+    assert sorted(
+        r.k for r in V.read_version(spark, path).collect()
+    ) == [1, 2, 3, 4]
