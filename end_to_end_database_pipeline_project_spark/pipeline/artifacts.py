@@ -106,16 +106,27 @@ def publish_minhash_epoch(
     path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    corpus_version: int | None = None,
 ) -> int:
     """Commit the standing corpus's LSH BUCKET table as an epoch
     artifact — the near-dup analog of the Bloom epoch. The bucket
     table (``bands`` rows per doc), not the raw signatures, is what a
     batch probe joins against; the signature build is the expensive
     corpus pass this artifact amortizes across every batch probed
-    until the next epoch."""
+    until the next epoch. ``corpus_version`` (when the corpus lives in
+    a versioned table) stamps the epoch with the corpus version it was
+    built from — the CURSOR `cdf_update_minhash_epoch` and the
+    streaming maintainer advance from."""
     from ..operators.dedup import lsh_buckets, minhash_signatures
 
-    return write_version(lsh_buckets(minhash_signatures(corpus, text_col, id_col)), path)
+    meta = (
+        {"corpus_version": corpus_version} if corpus_version is not None else None
+    )
+    return write_version(
+        lsh_buckets(minhash_signatures(corpus, text_col, id_col)),
+        path,
+        meta=meta,
+    )
 
 
 def probe_minhash_epoch(
@@ -437,28 +448,56 @@ def cdf_update_minhash_epoch(
     from ..operators.dedup import lsh_buckets, minhash_signatures
     from ..sources.versioned import delete_version, upsert_version
 
+    from ..sources.versioned import _entry as _resolve_entry
+
     changes = incremental_scan(spark, corpus_path, from_version, to_version)
+    synced_to = _resolve_entry(versions(corpus_path), corpus_path, to_version)[
+        "version"
+    ]
     net_del, net_up = _net_changes(changes, id_col)
     # bounded driver scalars (the CDF window is the batch being
     # applied), needed to skip empty commits
     n_del = net_del.count()
     n_up = net_up.count()
+    cursor = {"corpus_version": synced_to}
     ver = None
     if n_del:
         ver = delete_version(
             net_del.select(F.col(id_col).alias("doc_id")),
             artifact_path,
             "doc_id",
+            meta=cursor,
         )
     if n_up:
         ver = upsert_version(
             lsh_buckets(minhash_signatures(net_up, text_col, id_col)),
             artifact_path,
             "doc_id",
+            meta=cursor,
         )
     if ver is None:
         ver = versions(artifact_path)[-1]["version"]
     return {"artifact_version": ver, "n_deleted": n_del, "n_upserted": n_up}
+
+
+def artifact_corpus_cursor(artifact_path: str) -> int:
+    """The corpus version the committed artifact is synced to: the
+    max ``corpus_version`` any manifest entry carries. This is what
+    lets a PER-BATCH maintainer (the streaming twin) advance the
+    artifact exactly once per corpus commit — a replayed batch finds
+    the cursor already at its version and the update nets to zero
+    commits. Raises if the artifact was never stamped (publish with
+    ``corpus_version=...``)."""
+    cur = max(
+        (e.get("corpus_version", -1) for e in versions(artifact_path)),
+        default=-1,
+    )
+    if cur < 0:
+        raise ValueError(
+            f"artifact at {artifact_path} carries no corpus_version cursor "
+            "— publish the epoch with corpus_version=<version> first"
+        )
+    return cur
 
 
 def cdf_update_bloom_epoch(

@@ -428,7 +428,9 @@ def append_version(
     )
 
 
-def delete_version(keys: DataFrame, path: str, key_col: str) -> int:
+def delete_version(
+    keys: DataFrame, path: str, key_col: str, meta: dict | None = None
+) -> int:
     """Publish a KEY TOMBSTONE (merge-on-read delete): every chain row
     whose ``key_col`` appears in ``keys`` becomes invisible from this
     version on. Only the distinct keys are written — a forget-list
@@ -448,6 +450,7 @@ def delete_version(keys: DataFrame, path: str, key_col: str) -> int:
         "delete",
         stats_cols=(key_col,),  # key-range stats: prune-safe tombstone skip
         key=key_col,
+        **(meta or {}),
     )
 
 
@@ -456,6 +459,7 @@ def upsert_version(
     path: str,
     key_col: str,
     stats_cols: tuple[str, ...] = (),
+    meta: dict | None = None,
 ) -> int:
     """Publish a REPLACE delta (merge-on-read upsert): every chain row
     whose ``key_col`` matches a row of ``df`` is superseded by that
@@ -481,6 +485,7 @@ def upsert_version(
         "replace",
         stats_cols=tuple(dict.fromkeys((key_col,) + tuple(stats_cols))),
         key=key_col,
+        **(meta or {}),
     )
 
 

@@ -64,3 +64,62 @@ def run_index_maintenance_stream(
         schema=EMBEDDING_SCHEMA,
     )
     return monitor_path
+
+
+def run_corpus_minhash_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    corpus_path: str,
+    artifact_path: str,
+    checkpoint_dir: str,
+    schema: str = "doc_id long, text string",
+    max_files_per_trigger: int = 1,
+) -> None:
+    """The r09 closing composition, streaming end-to-end: a document
+    landing stream commits each micro-batch to the VERSIONED corpus
+    exactly once (`append_batch_versioned` — batch-id watermark), and
+    the committed LSH bucket artifact then advances from its recorded
+    ``corpus_version`` cursor to the new head via the CHANGE FEED
+    (`cdf_update_minhash_epoch`) — O(batch) corpus commit + O(delta)
+    artifact commit per trigger, never a corpus rescan or an epoch
+    republish. Exactly-once on BOTH tables: a replayed batch is
+    skipped at the corpus watermark, and the artifact cursor is then
+    already at the corpus head so the CDF window nets to zero commits
+    (replay-idempotence pinned in
+    tests/test_index_maintenance_stream.py, along with parity against
+    a full artifact rebuild at the final corpus version). The first
+    ever batch seeds BOTH the corpus (full base snapshot) and the
+    artifact epoch."""
+    from ..pipeline.artifacts import (
+        artifact_corpus_cursor,
+        cdf_update_minhash_epoch,
+        publish_minhash_epoch,
+    )
+    from ..sources.versioned import read_version, versions
+    from .incremental import _run_landing_stream
+    from .versioned_sink import append_batch_versioned
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        append_batch_versioned(batch, corpus_path, batch_id)
+        head = versions(corpus_path)[-1]["version"]
+        if not versions(artifact_path):
+            # first epoch: built from the corpus snapshot just landed
+            publish_minhash_epoch(
+                read_version(spark, corpus_path), artifact_path,
+                corpus_version=head,
+            )
+            return
+        cursor = artifact_corpus_cursor(artifact_path)
+        if cursor < head:
+            cdf_update_minhash_epoch(
+                spark, corpus_path, artifact_path, cursor, head
+            )
+
+    _run_landing_stream(
+        spark,
+        landing_dir,
+        checkpoint_dir,
+        process_batch,
+        max_files_per_trigger,
+        schema=schema,
+    )

@@ -133,3 +133,96 @@ def test_replay_never_duplicates_monitor_rows(spark, tmp_path, vectors):
     shutil.rmtree(os.path.join(out, "_checkpoint"))
     path = run_index_maintenance_stream(spark, landing, out, art)
     assert _rows(spark.read.parquet(path)) == before
+
+
+# ------------------------- streaming corpus -> CDF-maintained artifact
+
+
+def _land_docs(spark, landing, name, rows):
+    # the landing convention: part files append into ONE directory
+    # (the shared _run_landing_stream globs part-* there)
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("append").parquet(landing)
+
+
+def test_corpus_minhash_stream_end_to_end(spark, tmp_path):
+    """run_corpus_minhash_stream: landing stream -> exactly-once
+    versioned corpus commits -> CDF-driven artifact advance per batch.
+    Parity with a full rebuild at the final corpus version; restart
+    and wiped-checkpoint replays change NEITHER table; an out-of-band
+    corpus delete is absorbed through the same cursor."""
+    import shutil
+
+    from end_to_end_database_pipeline_project_spark.operators.dedup import (
+        lsh_buckets,
+        minhash_signatures,
+    )
+    from end_to_end_database_pipeline_project_spark.sources import versioned as V
+    from end_to_end_database_pipeline_project_spark.streaming.index_maintenance import (
+        run_corpus_minhash_stream,
+    )
+
+    landing = str(tmp_path / "landing")
+    corpus = str(tmp_path / "corpus")
+    art = str(tmp_path / "buckets")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+
+    def drain():
+        run_corpus_minhash_stream(spark, landing, corpus, art, ckpt)
+
+    def bucket_set(df):
+        return {(r.doc_id, r.band, r.bucket) for r in df.collect()}
+
+    def rebuilt():
+        return bucket_set(
+            lsh_buckets(
+                minhash_signatures(V.read_version(spark, corpus), "text", "doc_id")
+            )
+        )
+
+    _land_docs(
+        spark, landing, "b1",
+        [(i, f"first wave document number {i} about weather") for i in range(4)],
+    )
+    drain()
+    assert len(V.versions(corpus)) == 1  # full base snapshot
+    assert bucket_set(V.read_version(spark, art)) == rebuilt()
+
+    _land_docs(
+        spark, landing, "b2",
+        [(i, f"second wave doc {i} entirely different topic") for i in range(4, 7)],
+    )
+    drain()
+    n_corpus, n_art = len(V.versions(corpus)), len(V.versions(art))
+    assert n_corpus == 2
+    assert bucket_set(V.read_version(spark, art)) == rebuilt()
+
+    # restart with the same checkpoint: nothing re-delivered
+    drain()
+    assert len(V.versions(corpus)) == n_corpus
+    assert len(V.versions(art)) == n_art
+
+    # wiped checkpoint: full history replay, ids restart at 0 — the
+    # corpus watermark absorbs it and the artifact cursor nets to zero
+    shutil.rmtree(ckpt)
+    drain()
+    assert len(V.versions(corpus)) == n_corpus
+    assert len(V.versions(art)) == n_art
+    assert bucket_set(V.read_version(spark, art)) == rebuilt()
+
+    # out-of-band GDPR delete on the corpus, then another landed batch:
+    # the cursor advances through BOTH commits
+    V.delete_version(
+        spark.createDataFrame([(1,), (5,)], "doc_id long"), corpus, "doc_id"
+    )
+    _land_docs(
+        spark, landing, "b3",
+        [(7, "third wave doc seven fresh content")],
+    )
+    drain()
+    assert bucket_set(V.read_version(spark, art)) == rebuilt()
+    assert {r.doc_id for r in V.read_version(spark, art).collect()} == (
+        set(range(8)) - {1, 5}
+    )
