@@ -533,10 +533,17 @@ def _merge_staged(messages, stats_cols: list):
             ]
             los = [v[0] for v in vals if v[0] is not None]
             his = [v[1] for v in vals if v[1] is not None]
+            if not los and not his:
+                # the column never appeared in any task's batches (a
+                # typo'd statscols name): record NOTHING — a missing
+                # stat means "must read", while a {None, None} stat
+                # would read as "provably empty" and prune live data
+                continue
             stats[c] = {
                 "min": _stat_value(min(los)) if los else None,
                 "max": _stat_value(max(his)) if his else None,
             }
+        stats = stats or None
     return files, rows, stats
 
 
@@ -555,10 +562,11 @@ class _VersionedBatchWriter(DataSourceArrowWriter):
     ``append_version``). ``statscols`` records per-commit min/max for
     manifest data skipping, computed incrementally in the tasks."""
 
-    def __init__(self, options: dict, overwrite: bool):
+    def __init__(self, options: dict, schema, overwrite: bool):
         import uuid
 
         self.path = options["path"]
+        self.schema = _arrow_schema(schema)
         self.overwrite = overwrite
         self.stats_cols = [
             c.strip()
@@ -573,6 +581,22 @@ class _VersionedBatchWriter(DataSourceArrowWriter):
     def commit(self, messages) -> None:
         files, rows, stats = _merge_staged(messages, self.stats_cols)
         try:
+            if not files:
+                if not self.overwrite:
+                    return  # zero-row append: a no-op, not a commit
+                # zero-row OVERWRITE is a truncate: the snapshot must
+                # still be readable, so land one empty schema-bearing
+                # parquet file
+                import uuid
+
+                import pyarrow.parquet as pq
+
+                os.makedirs(self.staging, exist_ok=True)
+                f = os.path.join(
+                    self.staging, f"part-{uuid.uuid4().hex}.parquet"
+                )
+                pq.write_table(self.schema.empty_table(), f)
+                files = [f]
             adopt_staged_files(
                 self.path,
                 files,
@@ -619,6 +643,11 @@ class _VersionedStreamWriter(DataSourceStreamArrowWriter):
         from ..streaming.versioned_sink import last_committed_batch
 
         files, rows, stats = _merge_staged(messages, self.stats_cols)
+        if not files:
+            # an empty micro-batch commits nothing; a replay of it is
+            # equally empty, so exactly-once holds without a watermark
+            # bump
+            return
         if batchId <= last_committed_batch(self.path):
             # replay of an already-committed batch: drop its staged
             # files, change nothing (exactly-once without row keys)
@@ -657,7 +686,7 @@ class VersionedTableDataSource(DataSource):
         return _VersionedStreamReader(self.options, schema)
 
     def writer(self, schema, overwrite: bool) -> DataSourceArrowWriter:
-        return _VersionedBatchWriter(self.options, overwrite)
+        return _VersionedBatchWriter(self.options, schema, overwrite)
 
     def streamWriter(self, schema, overwrite: bool) -> DataSourceStreamArrowWriter:
         return _VersionedStreamWriter(self.options)

@@ -180,3 +180,50 @@ def test_stream_writer_feeds_incremental_consumers(spark, tmp_path):
     q.awaitTermination()
     feed = V.incremental_scan(spark, path, 1)
     assert sorted(r.x for r in feed.collect()) == [4, 5]
+
+
+def test_empty_writes_truncate_vs_noop(spark, tmp_path):
+    """A zero-row OVERWRITE is a truncate (a readable empty full
+    snapshot — one schema-bearing parquet file); a zero-row APPEND is
+    a no-op (no manifest change, no unreadable empty commit dir)."""
+    register(spark)
+    path = str(tmp_path / "t")
+    _write(spark.createDataFrame([(1, "a")], DDL), path, "overwrite")
+    # zero-row append: no-op
+    _write(spark.createDataFrame([], DDL), path, "append")
+    assert [e["version"] for e in V.versions(path)] == [1]
+    assert V.read_version(spark, path).count() == 1
+    # zero-row overwrite: truncate, still chain-readable
+    _write(spark.createDataFrame([], DDL), path, "overwrite")
+    assert [e["rows"] for e in V.versions(path)] == [1, 0]
+    cur = V.read_version(spark, path)
+    assert cur.count() == 0
+    assert set(cur.columns) == {"x", "s"}
+    # and the format read of the truncated table works too
+    got = (
+        spark.read.format("versioned_table")
+        .option("path", path)
+        .option("schema", DDL)
+        .load()
+    )
+    assert got.count() == 0
+    # appends resume on the truncated chain
+    _write(spark.createDataFrame([(2, "b")], DDL), path, "append")
+    assert sorted(r.x for r in V.read_version(spark, path).collect()) == [2]
+
+
+def test_statscols_typo_never_prunes_live_data(spark, tmp_path):
+    """A statscols name that matches no column records NO stat for it
+    (a {None, None} stat would read as 'provably empty' and prune live
+    rows)."""
+    register(spark)
+    path = str(tmp_path / "typo")
+    _write(
+        spark.range(10).selectExpr("id AS x", "'a' AS s"),
+        path,
+        "overwrite",
+        statscols="nope,x",
+    )
+    e = V.versions(path)[0]
+    assert "nope" not in e.get("stats", {})
+    assert e["stats"]["x"] == {"min": 0, "max": 9}
