@@ -351,6 +351,17 @@ class _VersionedBatchReader(DataSourceReader):
             exclusions = tuple(
                 (probe, kc, files) for (probe, kc), files in per_key.items()
             )
+            missing = [p for p, _kc, _f in exclusions if p not in self.schema.names]
+            if missing:
+                # a declared schema that omits a tombstone's key column
+                # cannot filter the deleted rows — fail at planning
+                # rather than silently resurrecting them
+                raise ValueError(
+                    f"versioned_table read at {self.path}: declared schema "
+                    f"omits tombstone key column(s) {sorted(set(missing))} — "
+                    "deleted/replaced rows cannot be filtered; include the "
+                    "key column(s) in the schema option"
+                )
             # replace commits' DATA side may be partition-pruned (out-
             # of-range rows fail the residual filter anyway); their
             # tombstone side above always ships whole

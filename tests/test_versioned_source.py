@@ -525,3 +525,32 @@ def test_format_stream_maps_renamed_columns(spark, tmp_path):
     )
     q.awaitTermination()
     assert sorted(r.key_id for r in spark.read.parquet(out).collect()) == [1, 2]
+
+
+def test_schema_omitting_tombstone_key_fails_loudly(spark, tmp_path):
+    """A declared schema without the tombstone key column cannot
+    filter deleted rows — the read fails at planning instead of
+    silently resurrecting them."""
+    register(spark)
+    path = str(tmp_path / "nk")
+    V.write_version(_mk(spark, [(1, "a"), (2, "b")]), path)
+    V.delete_version(spark.createDataFrame([(2,)], "x long"), path, "x")
+    try:
+        (
+            spark.read.format("versioned_table")
+            .option("path", path)
+            .option("schema", "s string")  # no 'x'
+            .load()
+            .collect()
+        )
+        raise AssertionError("must fail: schema omits the tombstone key")
+    except Exception as exc:
+        assert "tombstone key" in str(exc)
+    # with the key included, the delete applies
+    got = (
+        spark.read.format("versioned_table")
+        .option("path", path)
+        .option("schema", DDL)
+        .load()
+    )
+    assert sorted(r.x for r in got.collect()) == [1]
