@@ -292,7 +292,15 @@ def _commit(
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(staging)
-        written = df.sparkSession.read.parquet(staging)
+        if partition_by and not _partition_dirs(staging):
+            # an EMPTY partitioned write lands no data files at all —
+            # the committed dir would be unreadable; land a flat
+            # schema-bearing empty file instead (no partition metadata)
+            df.limit(0).write.mode("overwrite").parquet(staging)
+            partition_by = ()
+        # explicit schema: skips footer inference and keeps an empty
+        # commit resolvable
+        written = df.sparkSession.read.schema(df.schema).parquet(staging)
         aggs = [F.count(F.lit(1)).alias("__rows")]
         for c in stats_cols:
             aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]

@@ -1225,3 +1225,26 @@ def test_multi_level_and_null_partitions(spark, tmp_path):
     assert sorted(
         r.k for r in V.read_version(spark, path).collect()
     ) == [1, 2, 3, 4]
+
+
+def test_empty_partitioned_commit_stays_readable(spark, tmp_path):
+    """An empty DataFrame committed with partition_by lands a flat
+    schema-bearing file (a partitioned write of nothing produces no
+    files at all) — the version and every chain through it stay
+    readable."""
+    path = str(tmp_path / "ep")
+    empty = spark.createDataFrame([], "x long, b int")
+    V.write_version(empty, path, partition_by=("b",))
+    assert V.read_version(spark, path).count() == 0
+    assert set(V.read_version(spark, path).columns) == {"x", "b"}
+    V.append_version(
+        spark.createDataFrame([(1, 0)], "x long, b int"),
+        path,
+        partition_by=("b",),
+    )
+    assert sorted(r.x for r in V.read_version(spark, path).collect()) == [1]
+    V.append_version(empty, path, partition_by=("b",))  # empty delta
+    assert V.read_version(spark, path).count() == 1
+    # CDF across the empty delta
+    feed = V.incremental_scan(spark, path, 1)
+    assert sorted(r.x for r in feed.where("x IS NOT NULL").collect()) == [1]
