@@ -125,6 +125,7 @@ HEADLINE = [
     "versioned_writer_sink",
     "cdf_artifact_maintenance",
     "suffix_duplicate_substrings_salted",
+    "ann_index_incremental_probe",
 ]
 
 
