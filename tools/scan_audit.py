@@ -64,6 +64,7 @@ BNLJ_ALLOWED = {
     "source_token_js_divergence": "broadcast side = the |sources|-row totals frame (20 rows) building the all-pairs matrix skeleton",
     "mmr_diversified_topk": "broadcast sides = 3 query vectors (self-exclusion theta) + the bounded per-query candidate frames in the greedy rounds",
     "mann_kendall_trend_test": "O(days^2) pair theta-join on the bounded day-grain rollup (same documented class as theil_sen_trend)",
+    "ann_index_incremental_probe": "broadcast sides = the committed 8-row centroid epoch (assign_clusters centroid fan, for the query batch and the CDF delta)",
     "weekday_seasonality_strength": "+/-3-day moving-average range self-join on the bounded day-grain rollup",
 }
 
