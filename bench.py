@@ -126,6 +126,7 @@ HEADLINE = [
     "cdf_artifact_maintenance",
     "suffix_duplicate_substrings_salted",
     "ann_index_incremental_probe",
+    "versioned_file_skipping_read",
 ]
 
 

@@ -48,20 +48,20 @@ _PACKS = [
 # *verification budget allocator*.
 #
 # Round-9 window:
-# - slots 1-6: the six r09 additions (partitioned commits + partition
+# - slots 1-7: the seven r09 additions (partitioned commits + partition
 #   pruning on the versioned table; metadata-only rename + type
 #   widening; CDF-driven artifact maintenance; the lossless hot-prefix
 #   adaptive re-bucketing variant of the suffix-array dedup)
-# - slots 7-23: the seventeen r02-era stale ledger rows the r08 window
+# - slots 8-24: the seventeen r02-era stale ledger rows the r08 window
 #   could not fit (the r08 verdict's explicit first ask)
-# - slots 24-37: every query whose code or shared operator changed this
+# - slots 25-38: every query whose code or shared operator changed this
 #   round - the whole versioned-table fleet (sources/versioned.py
 #   gained partition_by/pruning/rename/flock-lock; the format reader
 #   was rewritten to Arrow batches + executor-side tombstones +
 #   pushFilters) and the four epoch-artifact lifecycles plus the two
 #   versioned-store consumers (pipeline/artifacts.py gained the
 #   cdf_update_* family)
-# - slots 38-50: the thirteen stalest remaining rows (r03-era)
+# - slots 39-50: the twelve stalest remaining rows (r03-era)
 
 _DRIVER_FIRST = [
     # (a) slots 1-4: new r09 queries
@@ -71,7 +71,8 @@ _DRIVER_FIRST = [
     "suffix_duplicate_substrings_salted",
     "versioned_writer_sink",
     "ann_index_incremental_probe",
-    # (b) slots 7-23: the r02-era backlog, drained in full
+    "versioned_file_skipping_read",
+    # (b) slots 8-24: the r02-era backlog, drained in full
     "promo_revenue_share",
     "props_map_stats",
     "quantity_quantiles",
@@ -89,7 +90,7 @@ _DRIVER_FIRST = [
     "user_sessionization",
     "value_outlier_counts",
     "weather_buckets",
-    # (c) slots 24-37: changed code / changed shared operators
+    # (c) slots 25-38: changed code / changed shared operators
     "versioned_table_source_scan",
     "versioned_time_travel",
     "versioned_incremental_scan",
@@ -104,7 +105,7 @@ _DRIVER_FIRST = [
     "pq_codebook_lifecycle",
     "corpus_snapshot_diff",
     "incremental_neardup_batch",
-    # (d) slots 38-50: stalest remaining driver rows (r03-era)
+    # (d) slots 39-50: stalest remaining driver rows (r03-era)
     "approx_distinct_orders",
     "asof_last_purchase",
     "bigram_lm_scores",
@@ -117,7 +118,6 @@ _DRIVER_FIRST = [
     "dsir_importance_weights",
     "duplicate_span_stats",
     "embedding_near_dup_pairs",
-    "ewma_daily_value",
 ]
 
 

@@ -1437,3 +1437,58 @@ def versioned_writer_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(total))
     )
+
+
+@query(
+    "versioned_file_skipping_read",
+    oracle="""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       round(coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                           AS DOUBLE), 0.0), 2) AS revenue,
+       TRUE AS files_skipped
+FROM orders WHERE o_orderkey BETWEEN 1000 AND 2000""",
+)
+def versioned_file_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-FILE stats skipping on the versioned table (the Delta
+    stats-per-file design, one level finer than r08's commit-level
+    skipping and r09's partition-dir pruning): the commit lands
+    RANGE-CLUSTERED on the key (``repartitionByRange`` +
+    ``sortWithinPartitions`` — the MergeTree ORDER BY analog at the
+    file level, clickhouse_etl.py:55-56) and the manifest records each
+    FILE's [min, max] (one ``groupBy(input_file_name())`` aggregate at
+    commit time — metadata-sized). A key-slice read then opens ONLY
+    the files whose recorded ranges intersect the slice:
+    ``files_skipped`` is computed from the plan's actual inputFiles
+    and must be TRUE. The same per-file skipping works through the
+    ``versioned_table`` format's pushFilters (point lookups touch one
+    file; pinned in tests/test_versioned_source.py). At 100 TB: a
+    clustered table serves a key range from a handful of files out of
+    millions, with zero footer reads for the rest — the manifest IS
+    the index."""
+    from ..pipeline.artifacts import scratch_artifact_dir
+    from ..sources import versioned as V
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    store = scratch_artifact_dir("vt_fskip_")
+    clustered = orders.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+        "o_orderkey"
+    )
+    V.write_version(clustered, store, stats_cols=("o_orderkey",))
+
+    pruned = V.read_version(spark, store, prune=("o_orderkey", 1000, 2000))
+    n_committed_files = len(V.versions(store)[0].get("file_stats", {}))
+    files = pruned.inputFiles()
+    files_skipped = bool(files) and len(files) < n_committed_files
+    return pruned.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                F.lit(0.0),
+            ),
+            2,
+        ).alias("revenue"),
+    ).select("n_rows", "revenue", F.lit(files_skipped).alias("files_skipped"))

@@ -180,6 +180,28 @@ def _release_commit_lock(fd: int) -> None:
         pass
 
 
+def _rel_staged_file(uri: str, staging: str) -> str:
+    """input_file_name URI → path relative to the staged dir (the
+    manifest's file key must survive the rename to ``v=N``)."""
+    from urllib.parse import unquote, urlparse
+
+    p = unquote(urlparse(uri).path)
+    return os.path.relpath(p, os.path.abspath(staging)).replace(os.sep, "/")
+
+
+def _file_overlaps(entry: dict, rel_file: str, col: str, lo, hi) -> bool:
+    """Can this committed FILE contain a row with ``col`` in [lo, hi]?
+    Missing file_stats (or the column unrecorded) → True: must read.
+    Same serialized-form comparison as the commit-level ``_overlaps``."""
+    st = entry.get("file_stats", {}).get(rel_file, {}).get(col)
+    if st is None:
+        return True
+    mn, mx = st["min"], st["max"]
+    if mn is None or mx is None:  # all-NULL file for the column
+        return False
+    return not (mx < lo or mn > hi)
+
+
 def _partition_dirs(vdir: str) -> list[str]:
     """Relative hive-layout leaf directories under a committed data
     dir (e.g. ``["o_year=1998", "o_year=1999"]``; multi-level keys
@@ -301,28 +323,50 @@ def _commit(
         # explicit schema: skips footer inference and keeps an empty
         # commit resolvable
         written = df.sparkSession.read.schema(df.schema).parquet(staging)
+        # ONE aggregate computes row count and PER-FILE min/max (the
+        # Delta stats-per-file design): grouping by input_file_name is
+        # bounded by the commit's file count, so the collect is
+        # metadata-sized. Commit-level ranges roll up from the file
+        # rows driver-side.
         aggs = [F.count(F.lit(1)).alias("__rows")]
         for c in stats_cols:
             aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
-        stat_row = written.agg(*aggs).collect()[0]
+        per_file = (
+            written.groupBy(F.input_file_name().alias("__file"))
+            .agg(*aggs)
+            .collect()
+        )
+        rows = sum(r["__rows"] for r in per_file)
         extra = dict(meta)
         if partition_by:
             extra["partition_by"] = list(partition_by)
             extra["partition_dirs"] = _partition_dirs(staging)
         stats = None
-        if stats_cols:
-            stats = {
-                c: {
-                    "min": _stat_value(stat_row[f"__min_{c}"]),
-                    "max": _stat_value(stat_row[f"__max_{c}"]),
+        if stats_cols and per_file:
+            stats = {}
+            for c in stats_cols:
+                los = [r[f"__min_{c}"] for r in per_file if r[f"__min_{c}"] is not None]
+                his = [r[f"__max_{c}"] for r in per_file if r[f"__max_{c}"] is not None]
+                stats[c] = {
+                    "min": _stat_value(min(los)) if los else None,
+                    "max": _stat_value(max(his)) if his else None,
                 }
-                for c in stats_cols
+        if stats_cols and per_file:
+            extra["file_stats"] = {
+                _rel_staged_file(r["__file"], staging): {
+                    c: {
+                        "min": _stat_value(r[f"__min_{c}"]),
+                        "max": _stat_value(r[f"__max_{c}"]),
+                    }
+                    for c in stats_cols
+                }
+                for r in per_file
             }
         return _publish_staged(
             path,
             staging,
             mode,
-            stat_row["__rows"],
+            rows,
             stats,
             extra,
             lock_timeout_s,
@@ -505,6 +549,7 @@ def adopt_staged_files(
     stats: dict | None = None,
     meta: dict | None = None,
     lock_timeout_s: float = 600.0,
+    file_stats: dict | None = None,
 ) -> int:
     """Adopt already-written ``part-*.parquet`` files as the table's
     next version: under the commit lock, the files MOVE into ``v=N``
@@ -517,13 +562,17 @@ def adopt_staged_files(
     vacuum's grace sweep); the previous manifest stays current
     throughout. ``mode='append'`` requires an existing base, like
     ``append_version``; ``stats`` is a pre-merged
-    ``{col: {min, max}}`` map in manifest form. The lock's critical
-    section is O(manifest): files bundle OUTSIDE the lock, then
-    ``_publish_staged`` claims the slot, renames, and swaps."""
+    ``{col: {min, max}}`` map in manifest form; ``file_stats`` maps
+    each file's BASENAME to its own ``{col: {min, max}}`` (per-file
+    data skipping). The lock's critical section is O(manifest): files
+    bundle OUTSIDE the lock, then ``_publish_staged`` claims the slot,
+    renames, and swaps."""
     import shutil
     import uuid
 
     meta = dict(meta or {})
+    if file_stats:
+        meta["file_stats"] = file_stats
     reserved = {"version", "dir", "rows", "mode", "stats"} & set(meta)
     if reserved:
         raise ValueError(f"meta keys collide with manifest fields: {reserved}")
@@ -656,25 +705,45 @@ def _overlaps(entry: dict, col: str, lo, hi) -> bool:
 def _entry_df(
     spark: SparkSession, path: str, e: dict, prune: tuple | None
 ) -> DataFrame | None:
-    """One commit's data as a DataFrame, with WITHIN-commit partition
-    pruning: if the commit is hive-partitioned and the pruned column
-    is a partition key, only the overlapping partition directories are
-    read (via basePath, so the partition column is reconstituted) —
-    non-matching dirs are never listed or opened. Returns None when
-    every partition dir prunes away."""
+    """One commit's data as a DataFrame, with WITHIN-commit pruning,
+    finest level first:
+
+    - **file-level stats skipping** when the commit carries per-file
+      [min, max] for the pruned column (the Delta stats-per-file
+      design): only the overlapping FILES are read — at 100 TB, a
+      range-clustered commit (sorted/Z-ordered layout) then serves a
+      slice query from the handful of files whose ranges intersect it;
+    - else **partition-dir pruning** when the pruned column is a hive
+      partition key: only the overlapping directories are listed.
+
+    Reads go through basePath so partition columns reconstitute. Returns
+    None when everything prunes away. Pruning is a performance fact,
+    never a correctness input — callers always re-apply the BETWEEN
+    filter to whatever is read."""
     vdir = os.path.join(path, e["dir"])
-    if prune is not None and e.get("partition_by"):
+    if prune is not None:
         col, lo, hi = prune
-        if col in e["partition_by"]:
-            dirs = e.get("partition_dirs", [])
+        fs = e.get("file_stats") or {}
+        if fs and any(col in v for v in fs.values()):
             keep = [
-                d for d in dirs if _partition_dir_overlaps(d, col, lo, hi)
+                rf for rf in sorted(fs) if _file_overlaps(e, rf, col, lo, hi)
             ]
             if not keep:
                 return None
-            if len(keep) < len(dirs):
+            if len(keep) < len(fs):
                 return spark.read.option("basePath", vdir).parquet(
-                    *[os.path.join(vdir, d) for d in keep]
+                    *[os.path.join(vdir, rf) for rf in keep]
+                )
+        elif e.get("partition_by") and col in e["partition_by"]:
+            dirs = e.get("partition_dirs", [])
+            keep_d = [
+                d for d in dirs if _partition_dir_overlaps(d, col, lo, hi)
+            ]
+            if not keep_d:
+                return None
+            if len(keep_d) < len(dirs):
+                return spark.read.option("basePath", vdir).parquet(
+                    *[os.path.join(vdir, d) for d in keep_d]
                 )
     return spark.read.parquet(vdir)
 

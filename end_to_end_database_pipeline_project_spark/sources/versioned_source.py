@@ -277,6 +277,57 @@ def _raw_matches(raw: str, flt) -> bool:
     return True
 
 
+def _stats_match(st: dict, flt) -> bool:
+    """Can a file whose recorded [min, max] is ``st`` contain a row
+    satisfying one pushed comparison filter? Unknown/incomparable →
+    True (pruning is performance, never correctness). Filter values
+    coerce to the manifest's serialized form (dates/decimals → the
+    same ISO/str forms ``_stat_value`` wrote)."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        In,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    mn, mx = st.get("min"), st.get("max")
+    if mn is None or mx is None:
+        return False  # all-NULL file for the column: no comparison matches
+
+    def ser(v):
+        s = _stat_value(v)
+        # only compare like with like: a type mismatch keeps the file
+        if isinstance(s, bool) or s is None:
+            return None
+        if isinstance(s, (int, float)) and isinstance(mn, (int, float)):
+            return s
+        if isinstance(s, str) and isinstance(mn, str):
+            return s
+        return None
+
+    if isinstance(flt, In):
+        outs = [ser(c) for c in flt.value]
+        return any(o is None for o in outs) or any(
+            mn <= o <= mx for o in outs if o is not None
+        )
+    v = ser(flt.value)
+    if v is None:
+        return True
+    if isinstance(flt, EqualTo):
+        return mn <= v <= mx
+    if isinstance(flt, GreaterThan):
+        return mx > v
+    if isinstance(flt, GreaterThanOrEqual):
+        return mx >= v
+    if isinstance(flt, LessThan):
+        return mn < v
+    if isinstance(flt, LessThanOrEqual):
+        return mn <= v
+    return True
+
+
 class _VersionedBatchReader(DataSourceReader):
     def __init__(self, options: dict, schema):
         self.path = options["path"]
@@ -366,14 +417,27 @@ class _VersionedBatchReader(DataSourceReader):
             # of-range rows fail the residual filter anyway); their
             # tombstone side above always ships whole
             renames = tuple(sorted(ren.items()))
+            inv = {new: old for old, new in ren.items()}
+            vdir = os.path.join(self.path, e["dir"])
+            fstats = e.get("file_stats") or {}
             for f, pvals in _data_files_with_parts(self.path, e):
                 # pushed filters name CURRENT columns; partition dirs
-                # carry at-commit names
+                # and file stats carry at-commit names
                 part_of = {ren.get(k, k): v for k, v in pvals}
+                rel = os.path.relpath(f, vdir).replace(os.sep, "/")
+                fst = fstats.get(rel, {})
                 pruned = False
                 for flt in self.part_filters:
-                    raw = part_of.get(flt.attribute[0])
+                    cur = flt.attribute[0]
+                    raw = part_of.get(cur)
                     if raw is not None and not _raw_matches(raw, flt):
+                        pruned = True
+                        break
+                    st = fst.get(inv.get(cur, cur))
+                    if st is not None and not _stats_match(st, flt):
+                        # per-file [min, max] skipping (Delta's
+                        # stats-per-file): a range-clustered commit
+                        # serves a slice from the overlapping files
                         pruned = True
                         break
                 if not pruned:
@@ -530,7 +594,7 @@ def _write_task_parquet(iterator, staging: str, stats_cols: list) -> _StagedPart
 
 def _merge_staged(messages, stats_cols: list):
     """Driver-side merge of task commit messages → (files, rows,
-    manifest-form stats)."""
+    manifest-form commit stats, manifest-form per-file stats)."""
     files = [m.file for m in messages if m is not None and m.file]
     rows = sum(m.rows for m in messages if m is not None)
     stats = None
@@ -555,7 +619,21 @@ def _merge_staged(messages, stats_cols: list):
                 "max": _stat_value(max(his)) if his else None,
             }
         stats = stats or None
-    return files, rows, stats
+    file_stats = None
+    if stats:
+        file_stats = {
+            os.path.basename(m.file): {
+                c: {
+                    "min": _stat_value(m.stats[c][0]),
+                    "max": _stat_value(m.stats[c][1]),
+                }
+                for c in m.stats
+                if c in stats
+            }
+            for m in messages
+            if m is not None and m.file
+        }
+    return files, rows, stats, file_stats
 
 
 def _cleanup_staging(staging: str) -> None:
@@ -590,7 +668,9 @@ class _VersionedBatchWriter(DataSourceArrowWriter):
         return _write_task_parquet(iterator, self.staging, self.stats_cols)
 
     def commit(self, messages) -> None:
-        files, rows, stats = _merge_staged(messages, self.stats_cols)
+        files, rows, stats, file_stats = _merge_staged(
+            messages, self.stats_cols
+        )
         try:
             if not files:
                 if not self.overwrite:
@@ -614,6 +694,7 @@ class _VersionedBatchWriter(DataSourceArrowWriter):
                 "full" if self.overwrite else "append",
                 rows,
                 stats=stats,
+                file_stats=file_stats,
             )
         finally:
             _cleanup_staging(self.staging)
@@ -653,7 +734,9 @@ class _VersionedStreamWriter(DataSourceStreamArrowWriter):
     def commit(self, messages, batchId: int) -> None:
         from ..streaming.versioned_sink import last_committed_batch
 
-        files, rows, stats = _merge_staged(messages, self.stats_cols)
+        files, rows, stats, file_stats = _merge_staged(
+            messages, self.stats_cols
+        )
         if not files:
             # an empty micro-batch commits nothing; a replay of it is
             # equally empty, so exactly-once holds without a watermark
@@ -670,7 +753,13 @@ class _VersionedStreamWriter(DataSourceStreamArrowWriter):
             return
         mode = "append" if versions(self.path) else "full"
         adopt_staged_files(
-            self.path, files, mode, rows, stats=stats, meta={"batch_id": batchId}
+            self.path,
+            files,
+            mode,
+            rows,
+            stats=stats,
+            meta={"batch_id": batchId},
+            file_stats=file_stats,
         )
 
     def abort(self, messages, batchId: int) -> None:

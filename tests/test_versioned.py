@@ -1248,3 +1248,55 @@ def test_empty_partitioned_commit_stays_readable(spark, tmp_path):
     # CDF across the empty delta
     feed = V.incremental_scan(spark, path, 1)
     assert sorted(r.x for r in feed.where("x IS NOT NULL").collect()) == [1]
+
+
+def test_file_level_stats_skipping_in_library_read(spark, tmp_path):
+    """Per-file [min, max] in the manifest (Delta's stats-per-file):
+    a range-clustered commit serves a slice from only the overlapping
+    FILES — inputFiles-pinned — while an unclustered commit degrades
+    to read+filter, never wrong answers."""
+    path = str(tmp_path / "fs")
+    df = (
+        spark.range(1000)
+        .selectExpr("id AS x", "id * 2 AS v")
+        .repartitionByRange(4, "x")
+        .sortWithinPartitions("x")
+    )
+    V.write_version(df, path, stats_cols=("x",))
+    e = V.versions(path)[0]
+    assert "file_stats" in e and len(e["file_stats"]) == 4
+    for st in e["file_stats"].values():
+        assert set(st) == {"x"} and st["x"]["min"] <= st["x"]["max"]
+
+    pruned = V.read_version(spark, path, prune=("x", 100, 120))
+    assert sorted(r.x for r in pruned.collect()) == list(range(100, 121))
+    files = pruned.inputFiles()
+    assert len(files) < 4 and files, (
+        "slice must touch only the overlapping files"
+    )
+    # commit-level stats still roll up from the file stats
+    assert e["stats"]["x"] == {"min": 0, "max": 999}
+    # a fully-out-of-range prune drops the commit without reading
+    assert V.read_version(spark, path, prune=("x", 5000, 6000)).count() == 0
+
+
+def test_file_skipping_composes_with_chain_and_rename(spark, tmp_path):
+    """File-level skipping per commit composes with the chain fold,
+    tombstones and renames."""
+    path = str(tmp_path / "fsc")
+    mk = lambda lo, hi, col: (
+        spark.range(lo, hi)
+        .selectExpr(f"id AS {col}", "id % 7 AS v")
+        .repartitionByRange(3, col)
+        .sortWithinPartitions(col)
+    )
+    V.write_version(mk(0, 300, "x"), path, stats_cols=("x",))
+    V.append_version(mk(300, 600, "x"), path, stats_cols=("x",))
+    V.delete_version(spark.createDataFrame([(150,), (450,)], "x long"), path, "x")
+    V.rename_column(spark, path, "x", "key_x")
+    pruned = V.read_version(spark, path, prune=("key_x", 140, 160))
+    got = sorted(r.key_x for r in pruned.collect())
+    assert got == [k for k in range(140, 161) if k != 150]
+    # both commits contribute at most a subset of their 3 files
+    data_files = [f for f in pruned.inputFiles() if "/v=3/" not in f]
+    assert 0 < len(data_files) < 6

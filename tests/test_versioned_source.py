@@ -554,3 +554,65 @@ def test_schema_omitting_tombstone_key_fails_loudly(spark, tmp_path):
         .load()
     )
     assert sorted(r.x for r in got.collect()) == [1]
+
+
+def test_format_per_file_stats_skipping(spark, tmp_path):
+    """The format reader skips FILES whose recorded [min, max] cannot
+    satisfy a pushed comparison filter — per-file data skipping through
+    pushFilters, finer than partition-dir pruning."""
+    from pyspark.sql.datasource import EqualTo
+    from pyspark.sql.types import StructType
+
+    from end_to_end_database_pipeline_project_spark.sources.versioned_source import (
+        _VersionedBatchReader,
+    )
+
+    register(spark)
+    path = str(tmp_path / "ffs")
+    df = (
+        spark.range(400)
+        .selectExpr("id AS x", "CAST(id AS STRING) AS s")
+        .repartitionByRange(4, "x")
+        .sortWithinPartitions("x")
+    )
+    V.write_version(df, path, stats_cols=("x",))
+    st = StructType.fromDDL(DDL)
+    rdr = _VersionedBatchReader({"path": path}, st)
+    all_parts = rdr.partitions()
+    assert len(all_parts) == 4
+    rdr2 = _VersionedBatchReader({"path": path}, st)
+    list(rdr2.pushFilters([EqualTo(("x",), 42)]))
+    assert len(rdr2.partitions()) == 1, "point lookup touches one file"
+    # end-to-end result parity
+    got = (
+        spark.read.format("versioned_table")
+        .option("path", path)
+        .option("schema", DDL)
+        .load()
+        .where("x = 42")
+        .collect()
+    )
+    assert [(r.x, r.s) for r in got] == [(42, "42")]
+
+
+def test_writer_records_per_file_stats(spark, tmp_path):
+    """statscols through the format WRITER records per-file min/max,
+    and the library's pruned read then skips within the commit."""
+    register(spark)
+    path = str(tmp_path / "wfs")
+    (
+        spark.range(400)
+        .selectExpr("id AS x", "CAST(id AS STRING) AS s")
+        .repartitionByRange(4, "x")
+        .sortWithinPartitions("x")
+        .write.format("versioned_table")
+        .option("path", path)
+        .option("statscols", "x")
+        .mode("overwrite")
+        .save()
+    )
+    e = V.versions(path)[0]
+    assert len(e.get("file_stats", {})) == 4
+    pruned = V.read_version(spark, path, prune=("x", 10, 20))
+    assert sorted(r.x for r in pruned.collect()) == list(range(10, 21))
+    assert len(pruned.inputFiles()) == 1
