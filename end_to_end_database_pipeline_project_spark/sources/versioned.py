@@ -278,11 +278,14 @@ def _commit(
     region no longer contains the write. Readers never block (they
     only read the manifest).
 
-    ``stats_cols`` records per-commit min/max for the named columns in
-    the manifest entry (one extra aggregate over the just-written
-    files) — the data-skipping index: a chain read or incremental scan
-    with a ``prune`` range can then skip whole commit directories
-    without listing or opening a file in them.
+    ``stats_cols`` records BOTH commit-level and PER-FILE min/max for
+    the named columns (one ``groupBy(input_file_name())`` aggregate
+    over the just-written files; the commit range rolls up from the
+    bounded per-file rows) — the data-skipping index: a chain read or
+    incremental scan with a ``prune`` range skips whole commit
+    directories, and WITHIN a surviving commit opens only the files
+    whose recorded ranges intersect the slice (Delta's stats-per-file;
+    decisive when the commit is range-clustered on the pruned column).
 
     ``partition_by`` lays the commit out hive-partitioned (the
     MergeTree ``ORDER BY (timestamp, station_id)`` analog,
@@ -763,12 +766,15 @@ def read_version(
     column; forget-lists are small against the table, so AQE
     broadcasts them.
 
-    ``prune=(col, lo, hi)`` is manifest-level data skipping: commit
-    directories whose recorded [min, max] for ``col`` cannot overlap
-    [lo, hi] are never listed or opened (pinned by an inputFiles test),
-    and the equivalent ``BETWEEN`` filter is ALSO applied to the rows
-    read — pruning is a performance fact, never a correctness input,
-    so a commit written without stats is simply read and filtered.
+    ``prune=(col, lo, hi)`` is manifest-level data skipping at THREE
+    granularities: commit directories whose recorded [min, max] for
+    ``col`` cannot overlap [lo, hi] are never listed or opened, a
+    surviving commit opens only the FILES whose per-file stats
+    intersect the range (else only the overlapping hive partition
+    dirs) — both pinned by inputFiles tests — and the equivalent
+    ``BETWEEN`` filter is ALSO applied to the rows read — pruning is a
+    performance fact, never a correctness input, so a commit written
+    without stats is simply read and filtered.
     Tombstones are skipped only when their key-range stats prove it
     safe (the pruned column IS the tombstone key and the ranges are
     disjoint); otherwise they are always applied. Bounds are compared
