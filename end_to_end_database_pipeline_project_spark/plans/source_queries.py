@@ -1471,10 +1471,23 @@ def versioned_file_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_totalprice"
     )
     store = scratch_artifact_dir("vt_fskip_")
-    clustered = orders.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
-        "o_orderkey"
+    # DETERMINISTIC range clustering: fixed-width key buckets laid out
+    # as hive dirs (repartitionByRange samples its boundaries — banned
+    # in registered plans, tools/scan_audit tree audit), so every
+    # file's o_orderkey range is contiguous within its bucket and the
+    # per-FILE stats actually discriminate. Width adapts to the key
+    # span (one bounded driver scalar — ~8 buckets at every SF).
+    max_key = orders.agg(F.max("o_orderkey")).collect()[0][0] or 0
+    width = max(64, (int(max_key) + 1) // 8)
+    clustered = orders.withColumn(
+        "key_bucket", F.floor(F.col("o_orderkey") / width).cast("int")
+    ).sortWithinPartitions("o_orderkey")
+    V.write_version(
+        clustered,
+        store,
+        stats_cols=("o_orderkey",),
+        partition_by=("key_bucket",),
     )
-    V.write_version(clustered, store, stats_cols=("o_orderkey",))
 
     pruned = V.read_version(spark, store, prune=("o_orderkey", 1000, 2000))
     n_committed_files = len(V.versions(store)[0].get("file_stats", {}))
