@@ -446,9 +446,8 @@ def cdf_update_minhash_epoch(
     artifact chain (compaction cadence). Returns
     ``{"artifact_version", "n_deleted", "n_upserted"}``."""
     from ..operators.dedup import lsh_buckets, minhash_signatures
-    from ..sources.versioned import delete_version, upsert_version
-
     from ..sources.versioned import _entry as _resolve_entry
+    from ..sources.versioned import delete_version, upsert_version
 
     changes = incremental_scan(spark, corpus_path, from_version, to_version)
     synced_to = _resolve_entry(versions(corpus_path), corpus_path, to_version)[
@@ -523,9 +522,13 @@ def cdf_update_bloom_epoch(
     CDF row carries (a delete row has no ``key_col`` content to hash
     anyway); the filter words come from the net-upserted rows'
     ``key_col``."""
+    from ..sources.versioned import _entry as _resolve_entry
     from ..sources.versioned import write_version as _wv
 
     changes = incremental_scan(spark, corpus_path, from_version, to_version)
+    synced_to = _resolve_entry(versions(corpus_path), corpus_path, to_version)[
+        "version"
+    ]
     net_del, net_up = _net_changes(changes, id_col)
     n_stale = net_del.count()
     n_up = net_up.count() if key_col in changes.columns else 0
@@ -542,7 +545,11 @@ def cdf_update_bloom_epoch(
     ver = _wv(
         merged,
         artifact_path,
-        meta={"stale_deletes": n_stale, "n_added": n_up},
+        meta={
+            "stale_deletes": n_stale,
+            "n_added": n_up,
+            "corpus_version": synced_to,
+        },
     )
     return {"artifact_version": ver, "n_added": n_up, "stale_deletes": n_stale}
 
@@ -569,9 +576,14 @@ def cdf_update_ivf_index(
     (`ann_index_incremental_probe`: batch → cell via broadcast argmax,
     equi-join the index on cell_id, exact cosine within the cell).
     Returns ``{"index_version", "n_deleted", "n_upserted"}``."""
+    from ..sources.versioned import _entry as _resolve_entry
     from ..sources.versioned import delete_version, upsert_version
 
     changes = incremental_scan(spark, corpus_path, from_version, to_version)
+    synced_to = _resolve_entry(versions(corpus_path), corpus_path, to_version)[
+        "version"
+    ]
+    cursor = {"corpus_version": synced_to}
     net_del, net_up = _net_changes(changes, id_col)
     n_del = net_del.count()
     n_up = net_up.count()
@@ -581,13 +593,16 @@ def cdf_update_ivf_index(
     ver = None
     if n_del:
         ver = delete_version(
-            net_del.select(F.col(id_col).alias("vec_id")), index_path, "vec_id"
+            net_del.select(F.col(id_col).alias("vec_id")),
+            index_path,
+            "vec_id",
+            meta=cursor,
         )
     if n_up:
         assigned = assign_clusters(net_up, cents, id_col, vec_col).select(
             "vec_id", F.col("cluster_id").alias("cell_id"), "embedding"
         )
-        ver = upsert_version(assigned, index_path, "vec_id")
+        ver = upsert_version(assigned, index_path, "vec_id", meta=cursor)
     if ver is None:
         ver = versions(index_path)[-1]["version"]
     return {"index_version": ver, "n_deleted": n_del, "n_upserted": n_up}
