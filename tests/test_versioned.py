@@ -1300,3 +1300,45 @@ def test_file_skipping_composes_with_chain_and_rename(spark, tmp_path):
     # both commits contribute at most a subset of their 3 files
     data_files = [f for f in pruned.inputFiles() if "/v=3/" not in f]
     assert 0 < len(data_files) < 6
+
+
+def test_zorder_commit_skips_files_in_both_dims(spark, tmp_path):
+    """Composition: a Z-ORDERED commit + per-file manifest stats =
+    two-dimensional file skipping through the versioned table (the
+    OPTIMIZE ZORDER pattern). A linear sort skips only on its leading
+    column; the Morton layout must prune meaningfully on BOTH."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_database_pipeline_project_spark.operators.layout import (
+        morton_key,
+    )
+
+    path = str(tmp_path / "z")
+    n = 64
+    grid = spark.range(n * n).selectExpr(
+        f"CAST(id % {n} AS LONG) AS x", f"CAST(id DIV {n} AS LONG) AS y"
+    )
+    # 16-bit ranks over the known [0, 63] domain, then Morton interleave
+    keyed = grid.withColumn(
+        "_z",
+        morton_key(
+            (F.col("x") * F.lit((1 << 16) - 1) / F.lit(n - 1)).cast("long"),
+            (F.col("y") * F.lit((1 << 16) - 1) / F.lit(n - 1)).cast("long"),
+        ),
+    )
+    clustered = (
+        keyed.repartitionByRange(16, "_z").sortWithinPartitions("_z").drop("_z")
+    )
+    V.write_version(clustered, path, stats_cols=("x", "y"))
+    e = V.versions(path)[0]
+    n_files = len(e["file_stats"])
+    assert n_files >= 8
+
+    for col in ("x", "y"):
+        pruned = V.read_version(spark, path, prune=(col, 10, 14))
+        assert pruned.count() == 5 * n
+        touched = len(pruned.inputFiles())
+        assert touched < n_files / 2, (
+            f"z-order must skip most files on {col}: "
+            f"{touched}/{n_files} touched"
+        )
