@@ -1451,11 +1451,13 @@ def versioned_file_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PER-FILE stats skipping on the versioned table (the Delta
     stats-per-file design, one level finer than r08's commit-level
     skipping and r09's partition-dir pruning): the commit lands
-    RANGE-CLUSTERED on the key (``repartitionByRange`` +
-    ``sortWithinPartitions`` — the MergeTree ORDER BY analog at the
-    file level, clickhouse_etl.py:55-56) and the manifest records each
-    FILE's [min, max] (one ``groupBy(input_file_name())`` aggregate at
-    commit time — metadata-sized). A key-slice read then opens ONLY
+    RANGE-CLUSTERED on the key via DETERMINISTIC fixed-width key
+    buckets in hive dirs + in-partition sort (the MergeTree ORDER BY
+    analog at the file level, clickhouse_etl.py:55-56; sampled-boundary
+    range repartitioning is banned in registered plans) and the
+    manifest records each FILE's [min, max] (one
+    ``groupBy(input_file_name())`` aggregate at commit time —
+    metadata-sized). A key-slice read then opens ONLY
     the files whose recorded ranges intersect the slice:
     ``files_skipped`` is computed from the plan's actual inputFiles
     and must be TRUE. The same per-file skipping works through the
