@@ -404,20 +404,28 @@ def centroid_maintenance_report(
 
 
 def _net_changes(changes: DataFrame, key_col: str):
-    """Collapse a CDF window to its NET effect per key (last change
+    """Collapse a CDF window to its NET effect per key (last COMMIT
     wins — a key deleted then re-inserted within the window is an
     upsert, one upserted twice keeps the final image): returns
-    ``(net_deleted_keys, net_upserted_rows)``. One window shuffle over
-    O(changed rows)."""
+    ``(net_deleted_keys, net_upserted_rows)``. The winner is the key's
+    highest ``_commit_version`` and ALL of that commit's rows for the
+    key survive — the multi-row-per-key LIST fold ``upsert_version``
+    documents (e.g. a doc's whole LSH bucket row-set in one commit)
+    nets correctly instead of dropping all but an arbitrary row
+    (ADVICE r09). Sound because one commit has one change type: a
+    key's winning rows are never a delete/insert mix. One window
+    shuffle over O(changed rows)."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(key_col).orderBy(F.col("_commit_version").desc())
+    w = Window.partitionBy(key_col)
     last = (
-        changes.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
+        changes.withColumn("__maxv", F.max("_commit_version").over(w))
+        .where(F.col("_commit_version") == F.col("__maxv"))
+        .drop("__maxv")
     )
-    net_del = last.where(F.col("_change_type") == "delete").select(key_col)
+    net_del = (
+        last.where(F.col("_change_type") == "delete").select(key_col).distinct()
+    )
     net_up = last.where(F.col("_change_type") != "delete").drop(
         "_commit_version", "_change_type"
     )
@@ -444,7 +452,16 @@ def cdf_update_minhash_epoch(
     through its delta directories; a full epoch republish
     (`publish_minhash_epoch`) is now only needed to re-base the
     artifact chain (compaction cadence). Returns
-    ``{"artifact_version", "n_deleted", "n_upserted"}``."""
+    ``{"artifact_version", "n_deleted", "n_upserted"}``.
+
+    Crash-idempotence: the ``corpus_version`` cursor is stamped ONLY on
+    the LAST commit of a sync (when a window nets both deletes and
+    upserts, the tombstone commit carries no cursor). A crash between
+    the two leaves the cursor at its pre-sync value, so the retry
+    re-runs the whole window — re-deleting already-deleted keys and
+    re-upserting the same rows are both no-ops on the artifact's
+    visible content (ADVICE r09: a cursor stamped on the delete would
+    make the retry SKIP the sync and lose the upserted rows)."""
     from ..operators.dedup import lsh_buckets, minhash_signatures
     from ..sources.versioned import _entry as _resolve_entry
     from ..sources.versioned import delete_version, upsert_version
@@ -465,7 +482,7 @@ def cdf_update_minhash_epoch(
             net_del.select(F.col(id_col).alias("doc_id")),
             artifact_path,
             "doc_id",
-            meta=cursor,
+            meta=None if n_up else cursor,
         )
     if n_up:
         ver = upsert_version(
@@ -575,7 +592,11 @@ def cdf_update_ivf_index(
     the index looks up the cell by key) and in-cell ANN probing
     (`ann_index_incremental_probe`: batch → cell via broadcast argmax,
     equi-join the index on cell_id, exact cosine within the cell).
-    Returns ``{"index_version", "n_deleted", "n_upserted"}``."""
+    Returns ``{"index_version", "n_deleted", "n_upserted"}``.
+    Crash-idempotence: as in `cdf_update_minhash_epoch`, the
+    ``corpus_version`` cursor rides only the LAST commit of the sync,
+    so a crash between tombstone and replace re-runs the window as a
+    no-op retry instead of skipping it (ADVICE r09)."""
     from ..sources.versioned import _entry as _resolve_entry
     from ..sources.versioned import delete_version, upsert_version
 
@@ -596,7 +617,7 @@ def cdf_update_ivf_index(
             net_del.select(F.col(id_col).alias("vec_id")),
             index_path,
             "vec_id",
-            meta=cursor,
+            meta=None if n_up else cursor,
         )
     if n_up:
         assigned = assign_clusters(net_up, cents, id_col, vec_col).select(

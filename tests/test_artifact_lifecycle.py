@@ -609,3 +609,96 @@ def test_cdf_ivf_index_update_parity_and_occupancy(spark, tmp_path, vectors):
     occ = {r.cell_id: r.n for r in ivf_index_occupancy(spark, index_path).collect()}
     assert sum(occ.values()) == len(full)
     assert maintained and (1, 2) in maintained, "moved vector re-homed"
+
+
+def test_cursor_stamped_only_on_last_commit_of_sync(spark, tmp_path, monkeypatch):
+    """ADVICE r09 (medium): a sync window netting BOTH deletes and
+    upserts stamps ``corpus_version`` only on its LAST commit. A crash
+    between the tombstone and the replace leaves the cursor at its
+    pre-sync value, so the cursor-driven retry re-runs the whole
+    window (idempotently) instead of skipping the lost upserts."""
+    from end_to_end_database_pipeline_project_spark.operators.dedup import (
+        lsh_buckets,
+        minhash_signatures,
+    )
+    from end_to_end_database_pipeline_project_spark.pipeline import artifacts as A
+    from end_to_end_database_pipeline_project_spark.sources import versioned as V
+
+    corpus_path = str(tmp_path / "corpus")
+    art_path = str(tmp_path / "buckets")
+    base = [(i, f"quick brown fox document number {i} content") for i in range(5)]
+    V.write_version(_mk_docs(spark, base), corpus_path)  # v1
+    A.publish_minhash_epoch(
+        V.read_version(spark, corpus_path), art_path, corpus_version=1
+    )
+
+    V.delete_version(
+        spark.createDataFrame([(1,)], "doc_id long"), corpus_path, "doc_id"
+    )  # v2
+    V.append_version(
+        _mk_docs(spark, [(9, "a brand new appended document about mountains")]),
+        corpus_path,
+    )  # v3
+
+    # crash INSIDE the sync: the tombstone commit lands, the upsert never does
+    real_upsert = V.upsert_version
+
+    def exploding_upsert(*a, **kw):
+        raise RuntimeError("simulated crash between delete and upsert")
+
+    # cdf_update_minhash_epoch imports upsert_version at call time, so
+    # patching the module attribute intercepts exactly the sync's commit
+    import end_to_end_database_pipeline_project_spark.sources.versioned as VS
+
+    monkeypatch.setattr(VS, "upsert_version", exploding_upsert)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        A.cdf_update_minhash_epoch(spark, corpus_path, art_path, 1)
+    monkeypatch.setattr(VS, "upsert_version", real_upsert)
+
+    # the half-applied sync did NOT advance the cursor
+    assert A.artifact_corpus_cursor(art_path) == 1
+    # cursor-driven retry re-runs the whole window and converges
+    cur = A.artifact_corpus_cursor(art_path)
+    A.cdf_update_minhash_epoch(spark, corpus_path, art_path, cur)
+    assert A.artifact_corpus_cursor(art_path) == 3
+    maintained = {
+        (r.doc_id, r.band, r.bucket)
+        for r in V.read_version(spark, art_path).collect()
+    }
+    rebuilt = {
+        (r.doc_id, r.band, r.bucket)
+        for r in lsh_buckets(
+            minhash_signatures(
+                V.read_version(spark, corpus_path), "text", "doc_id"
+            )
+        ).collect()
+    }
+    assert maintained == rebuilt, "retry after crash must converge to rebuild"
+
+
+def test_net_changes_keeps_all_rows_of_winning_commit(spark, tmp_path):
+    """ADVICE r09: a key whose winning (highest-version) commit carries
+    MULTIPLE rows — the LIST fold `upsert_version` documents — nets to
+    ALL of those rows, not an arbitrary one."""
+    from end_to_end_database_pipeline_project_spark.pipeline.artifacts import (
+        _net_changes,
+    )
+    from end_to_end_database_pipeline_project_spark.sources import versioned as V
+
+    path = str(tmp_path / "lists")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, item string")
+    V.write_version(mk([(1, "a"), (2, "x")]), path)  # v1
+    # v2: doc 1's row-set replaced by THREE rows in one atomic commit
+    V.upsert_version(mk([(1, "b"), (1, "c"), (1, "d")]), path, "doc_id")
+    # v3: doc 2 deleted
+    V.delete_version(
+        spark.createDataFrame([(2,)], "doc_id long"), path, "doc_id"
+    )
+
+    changes = V.incremental_scan(spark, path, 1)
+    net_del, net_up = _net_changes(changes, "doc_id")
+    assert {r.doc_id for r in net_del.collect()} == {2}
+    got = {(r.doc_id, r.item) for r in net_up.collect()}
+    assert got == {(1, "b"), (1, "c"), (1, "d")}, (
+        "winning commit's full row-set must survive the net fold"
+    )
