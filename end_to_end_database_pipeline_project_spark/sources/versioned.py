@@ -51,12 +51,14 @@ without flock semantics, the lock step needs an external coordination
 service — the same boundary Delta's S3 LogStore draws.
 
 Schema evolution: appends may ADD columns (chain readers resolve the
-union schema, older rows NULL there), ``rename_column`` publishes a
-METADATA-ONLY rename commit (readers fold the name map; time travel
-keeps pre-rename versions under their then-current names), and
-narrow-to-wide type changes (int→long, float→double) widen at the
-chain union / the format reader's Arrow cast. Drops and narrowing
-require a new full snapshot.
+union schema, older rows NULL there), ``rename_column`` and
+``drop_column`` publish METADATA-ONLY commits (readers fold the
+name/drop map; time travel keeps pre-evolution versions under their
+then-current schema; a dropped name may be re-added later as a fresh
+lineage whose pre-drop rows read NULL), and narrow-to-wide type
+changes (int→long, float→double) widen at the chain union / the
+format reader's Arrow cast. Type narrowing requires a new full
+snapshot.
 
 Kept deliberately minimal otherwise — version number == generation —
 because the point is the commit/read protocol, not a format
@@ -517,7 +519,8 @@ def append_version(
     resolve the union schema, earlier commits' rows reading NULL for
     the new columns (and a prune on a column a commit predates skips
     that commit: its rows are all NULL there, outside any range).
-    Dropping or retyping a column requires a new full snapshot."""
+    Dropping a column is ``drop_column`` (metadata-only); type
+    narrowing requires a new full snapshot."""
     vs = versions(path)
     if not vs:
         raise ValueError(
@@ -617,8 +620,13 @@ def adopt_staged_files(
     throughout. ``mode='append'`` requires an existing base, like
     ``append_version``; ``stats`` is a pre-merged
     ``{col: {min, max}}`` map in manifest form; ``file_stats`` maps
-    each file's BASENAME to its own ``{col: {min, max}}`` (per-file
-    data skipping). The lock's critical section is O(manifest): files
+    each file's adopted RELATIVE PATH (hive subdir + basename;
+    basename alone for flat layouts) to its own ``{col: {min, max}}``
+    (per-file data skipping). Each ``files`` element is either a path
+    (adopted flat) or a ``(path, rel_dir)`` pair — the file lands
+    under that hive subdirectory, giving format writers partitioned
+    layouts (``partition_by``/``partition_dirs`` then ride in
+    ``meta``, as ``write_version`` records them). The lock's critical section is O(manifest): files
     bundle OUTSIDE the lock, then ``_publish_staged`` claims the slot,
     renames, and swaps."""
     import shutil
@@ -635,7 +643,10 @@ def adopt_staged_files(
     os.makedirs(bundle)
     try:
         for f in files:
-            os.replace(f, os.path.join(bundle, os.path.basename(f)))
+            src, rel_dir = f if isinstance(f, tuple) else (f, "")
+            d = os.path.join(bundle, rel_dir) if rel_dir else bundle
+            os.makedirs(d, exist_ok=True)
+            os.replace(src, os.path.join(d, os.path.basename(src)))
         return _publish_staged(
             path, bundle, mode, rows, stats, meta, lock_timeout_s
         )
@@ -700,24 +711,112 @@ def rename_column(
         _release_commit_lock(lock_fd)
 
 
-def _compose_renames(entries: list[dict]) -> dict:
-    """Fold rename entries (commit order) into one map
-    {name_at_suffix_start: current_name}. Sound because
-    ``rename_column`` rejects reusing a rename source within a chain."""
+def drop_column(spark: SparkSession, path: str, *cols: str) -> int:
+    """Publish a column DROP as a METADATA-ONLY commit: no data file
+    moves or rewrites — the manifest records the dropped names and
+    every reader (chain, CDF, format batch+stream) excludes the
+    column from commits written BEFORE the drop while folding. O(1)
+    against a 100 TB table; the physical bytes are reclaimed at the
+    next full snapshot / compaction. A later append may RE-ADD the
+    same name as a fresh lineage: pre-drop rows read NULL for it
+    (they are never resurrected — the fold is positional, see
+    ``_compose_schema_map``), exactly Delta/Iceberg drop-then-add
+    semantics under column mapping.
+
+    Constraints (validated INSIDE the commit lock, like
+    ``rename_column``): every name must exist in the current schema,
+    and none may be the current name of a tombstone/upsert KEY
+    committed in the current chain — the merge-on-read anti-joins
+    need that column to fold; compact_chain first (which materializes
+    the tombstones away), then drop."""
+    if not cols:
+        raise ValueError("drop_column needs at least one column name")
+    if not versions(path):
+        raise ValueError(f"cannot drop at {path}: no committed versions")
+    lock_fd = _acquire_commit_lock(path, 600.0)
+    try:
+        manifest = _read_manifest(path)
+        mvs = manifest["versions"]
+        have = set(read_version(spark, path).limit(0).columns)
+        missing = [c for c in cols if c not in have]
+        if missing:
+            raise ValueError(f"cannot drop at {path}: no column(s) {missing}")
+        if set(cols) >= have:
+            raise ValueError(
+                f"cannot drop at {path}: a table must keep at least one column"
+            )
+        chain = _chain(mvs, mvs[-1], path)
+        for i, e in enumerate(chain):
+            if _mode(e) in ("delete", "replace"):
+                cur_key = _compose_renames(chain[i + 1 :]).get(
+                    e["key"], e["key"]
+                )
+                if cur_key in cols:
+                    raise ValueError(
+                        f"cannot drop {cur_key!r} at {path}: it is the key "
+                        f"of a merge-on-read commit (v{e['version']}) in the "
+                        "current chain — the tombstone anti-join needs it; "
+                        "compact_chain first, then drop"
+                    )
+        n = (mvs[-1]["version"] + 1) if mvs else 1
+        manifest["versions"] = mvs + [
+            {
+                "version": n,
+                "dir": None,  # metadata-only: no data directory
+                "rows": 0,
+                "mode": "drop",
+                "drops": list(cols),
+            }
+        ]
+        _write_manifest(path, manifest)
+        return n
+    finally:
+        _release_commit_lock(lock_fd)
+
+
+def _compose_schema_map(entries: list[dict]) -> dict:
+    """Fold rename AND drop entries (commit order) into one map
+    {name_at_suffix_start: current_name_or_None} — None means the
+    lineage was DROPPED after the suffix start. Lineages are
+    positional: an op whose name matches no live lineage's CURRENT
+    name, and whose name is already a key in the map, targets a
+    lineage introduced AFTER the suffix start (a re-added column) and
+    is ignored — the suffix-start entry never had it. Sound because
+    ``rename_column`` rejects reusing a rename source within a chain
+    (drops compose without that restriction: a dropped lineage is
+    terminal, so drop/re-add/drop sequences fold deterministically)."""
     m: dict = {}
     for e in entries:
-        if _mode(e) != "rename":
-            continue
-        for old, new in e["renames"].items():
-            hit = False
-            for k, v in m.items():
-                if v == old:
-                    m[k] = new
-                    hit = True
-                    break
-            if not hit:
-                m[old] = new
+        mode = _mode(e)
+        if mode == "rename":
+            for old, new in e["renames"].items():
+                hit = False
+                for k, v in m.items():
+                    if v == old:
+                        m[k] = new
+                        hit = True
+                        break
+                if not hit and old not in m:
+                    m[old] = new
+        elif mode == "drop":
+            for name in e["drops"]:
+                hit = False
+                for k, v in m.items():
+                    if v == name:
+                        m[k] = None
+                        hit = True
+                        break
+                if not hit and name not in m:
+                    m[name] = None
     return m
+
+
+def _compose_renames(entries: list[dict]) -> dict:
+    """Fold rename entries (commit order) into one map
+    {name_at_suffix_start: current_name}, dropped lineages excluded."""
+    return {
+        k: v for k, v in _compose_schema_map(entries).items() if v is not None
+    }
 
 
 def _chain(vs: list[dict], entry: dict, path: str) -> list[dict]:
@@ -847,12 +946,15 @@ def read_version(
     out: DataFrame | None = None
     for i, e in enumerate(chain):
         mode = _mode(e)
-        if mode == "rename":
+        if mode in ("rename", "drop"):
             continue  # metadata-only: no data of its own
-        # renames committed AFTER this entry map its at-commit column
-        # names to the chain's current names; prune bounds arrive in
-        # CURRENT names, so they translate back per commit
-        ren = _compose_renames(chain[i + 1 :])
+        # renames/drops committed AFTER this entry map its at-commit
+        # column names to the chain's current names (None = dropped);
+        # prune bounds arrive in CURRENT names, so they translate back
+        # per commit
+        smap = _compose_schema_map(chain[i + 1 :])
+        ren = {k: v for k, v in smap.items() if v is not None}
+        dropped = [k for k, v in smap.items() if v is None]
         inv = {new: old for old, new in ren.items()}
         lprune = prune
         if prune is not None:
@@ -897,6 +999,11 @@ def read_version(
         df = _entry_df(spark, path, e, lprune)
         if df is None:
             continue
+        # drop BEFORE rename: dropped names are at-commit names, and a
+        # rename may legally reuse a just-dropped name as its target
+        gone = [c for c in dropped if c in df.columns]
+        if gone:
+            df = df.drop(*gone)
         applicable = {o: n for o, n in ren.items() if o in df.columns}
         if applicable:
             df = df.withColumnsRenamed(applicable)
@@ -917,14 +1024,18 @@ def read_version(
         )
     if out is None:
         # every data commit pruned away: empty frame, table schema
-        # (current names: apply renames committed after the base)
+        # (current names: apply renames/drops committed after the base)
         base_i = 0
         base = chain[base_i]
         out = spark.read.parquet(os.path.join(path, base["dir"])).limit(0)
+        smap = _compose_schema_map(chain[base_i + 1 :])
+        gone = [k for k, v in smap.items() if v is None and k in out.columns]
+        if gone:
+            out = out.drop(*gone)
         ren = {
             o: n
-            for o, n in _compose_renames(chain[base_i + 1 :]).items()
-            if o in out.columns
+            for o, n in smap.items()
+            if n is not None and o in out.columns
         }
         if ren:
             out = out.withColumnsRenamed(ren)
@@ -1009,11 +1120,14 @@ def incremental_scan(
     out = None
     for j, e in enumerate(rng):
         m = _mode(e)
-        if m == "rename":
+        if m in ("rename", "drop"):
             continue  # metadata-only: no change rows (later entries'
-            # columns already carry the new names; earlier ones map)
+            # columns already carry the new names; earlier ones map,
+            # and dropped columns are excluded from every change row)
         # emit every change row in CURRENT (as-of-to_version) names
-        ren = _compose_renames(rng[j + 1 :])
+        smap = _compose_schema_map(rng[j + 1 :])
+        ren = {k: v for k, v in smap.items() if v is not None}
+        dropped = [k for k, v in smap.items() if v is None]
         inv = {new: old for old, new in ren.items()}
         lprune = prune
         if prune is not None:
@@ -1033,6 +1147,9 @@ def incremental_scan(
         df = _entry_df(spark, path, e, lprune if key_prunable else None)
         if df is None:
             continue
+        gone = [c for c in dropped if c in df.columns]
+        if gone:
+            df = df.drop(*gone)
         applicable = {o: n for o, n in ren.items() if o in df.columns}
         if applicable:
             df = df.withColumnsRenamed(applicable)
@@ -1101,6 +1218,50 @@ def compact_chain(
         path,
         stats_cols=stats_cols,
         partition_by=partition_by,
+    )
+
+
+def chain_length(path: str) -> int:
+    """Number of manifest entries composing the LATEST version's chain
+    (the full base plus every append/delete/upsert/metadata commit
+    since) — the merge-on-read debt gauge ``maybe_compact`` triggers
+    on. O(manifest), no data touched."""
+    vs = versions(path)
+    if not vs:
+        return 0
+    return len(_chain(vs, vs[-1], path))
+
+
+def maybe_compact(
+    spark: SparkSession,
+    path: str,
+    max_chain: int = 32,
+    stats_cols: tuple[str, ...] = (),
+    partition_by: tuple[str, ...] = (),
+) -> int | None:
+    """Compact the chain IFF its length exceeds ``max_chain``; returns
+    the new full version, or None when under budget. This is the
+    PLAN-DEPTH ENVELOPE for the merge-on-read fold: ``read_version``
+    stacks one union/anti-join node per chain entry, so an unbounded
+    delta log yields an unbounded logical plan — wiring this into the
+    commit cadence (every streaming sink batch, or a maintenance cron)
+    caps the latest read at ``max_chain`` scan nodes forever while
+    amortizing the O(live rows) rewrite over ``max_chain`` commits.
+    Default 32: at one commit/minute that is one compaction every half
+    hour, and a 32-node plan is well inside Catalyst's comfort zone
+    (tests/test_versioned.py pins a 200-commit chain staying readable
+    and the envelope holding under this trigger).
+
+    Compaction is a REWRITE: it re-bases CDF lineage and fails
+    streaming format readers mid-history by design (consumers resync
+    from the new snapshot) — pick ``max_chain`` no smaller than the
+    slowest consumer's sync cadence, and rely on ``expire_versions``'s
+    chain-unit retention to keep the pre-compaction chain addressable
+    until every cursor has moved past it."""
+    if chain_length(path) <= max_chain:
+        return None
+    return compact_chain(
+        spark, path, stats_cols=stats_cols, partition_by=partition_by
     )
 
 

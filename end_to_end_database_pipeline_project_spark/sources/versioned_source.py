@@ -45,7 +45,11 @@ itself, so parametrized/nested types like ``decimal(18,2)`` or
 (stream: emit upsert commits' rows as plain appends — Delta's
 ignoreChanges), ``statscols`` (write: comma-separated columns whose
 min/max are computed incrementally in the write tasks and recorded in
-the manifest for data skipping).
+the manifest for data skipping), ``partitionby`` (write: comma-separated
+columns — tasks dynamic-partition their Arrow batches into hive
+subdirs and the manifest records ``partition_by``/``partition_dirs``
+exactly as the library writer does, so format-written tables prune
+partition dirs on read).
 
 Scale note: partitions map 1:1 to committed parquet files, so the read
 parallelizes like any file scan, and rows cross the Python boundary as
@@ -79,7 +83,7 @@ from pyspark.sql.datasource import (
 
 from .versioned import (
     _chain,
-    _compose_renames,
+    _compose_schema_map,
     _entry,
     _mode,
     _stat_value,
@@ -158,6 +162,7 @@ def _read_file_batches(
     exclusions: tuple,  # ((probe_col, tomb_file_col, (tomb_file, ...)), ...)
     pvals: tuple = (),  # ((partition_col, raw_hive_string), ...)
     renames: tuple = (),  # ((at_commit_name, current_name), ...)
+    drops: tuple = (),  # at-commit names DROPPED after this file
 ) -> Iterator:
     """One committed parquet file → Arrow RecordBatches conforming to
     the declared schema. Column pruning happens at the parquet read
@@ -168,8 +173,12 @@ def _read_file_batches(
     to UTC, see catalog.load_table). Hive partition columns are
     reconstituted from ``pvals`` as constant arrays cast to the
     declared type. Renames committed after the file map its at-commit
-    column names to the declared (current) names. Tombstones are a
-    vectorized ``is_in`` + ``filter`` mask, never a Python row loop."""
+    column names to the declared (current) names; ``drops`` are
+    at-commit names a later drop commit removed — they must never
+    serve a declared column (a re-added same-name column is a FRESH
+    lineage: pre-drop rows read NULL there, never resurrected data).
+    Tombstones are a vectorized ``is_in`` + ``filter`` mask, never a
+    Python row loop."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -177,8 +186,11 @@ def _read_file_batches(
     cols = schema.names
     ren = dict(renames)
     inv = {new: old for old, new in renames}  # declared -> at-commit
-    part_of = {ren.get(k, k): v for k, v in pvals}
-    present = set(pq.read_schema(file_path).names)
+    dropped = set(drops)
+    part_of = {
+        ren.get(k, k): v for k, v in pvals if k not in dropped
+    }
+    present = set(pq.read_schema(file_path).names) - dropped
 
     def src_of(c: str):
         if c in present:
@@ -412,21 +424,26 @@ class _VersionedBatchReader(DataSourceReader):
             if _mode(e) in ("delete", "replace")
         }
         for i, e in enumerate(chain):
-            if _mode(e) in ("delete", "rename"):
+            if _mode(e) in ("delete", "rename", "drop"):
                 continue
-            # renames committed AFTER this entry map its at-commit
-            # names to the declared (current) schema names
-            ren = _compose_renames(chain[i + 1 :])
+            # renames/drops committed AFTER this entry map its
+            # at-commit names to the declared (current) schema names
+            # (None = dropped lineage: never serves a declared column)
+            smap = _compose_schema_map(chain[i + 1 :])
+            ren = {k: v for k, v in smap.items() if v is not None}
+            drops = tuple(sorted(k for k, v in smap.items() if v is None))
             # tombstones/upserts committed AFTER this data entry hide
             # its matched rows; exclusions stay grouped per PROBE
             # column — the tombstone's key mapped to current names
             # (tombstones on different keys must not be merged); the
-            # tombstone FILE keeps its at-commit column name
+            # tombstone FILE keeps its at-commit column name. Keys are
+            # never droppable (drop_column refuses), so the rename map
+            # alone resolves the probe name.
             per_key: dict = {}
             for k, t in enumerate(chain[i + 1 :], start=i + 1):
                 if _mode(t) in ("delete", "replace"):
                     kc, files = tomb_files[t["version"]]
-                    probe = _compose_renames(chain[k + 1 :]).get(kc, kc)
+                    probe = _compose_schema_map(chain[k + 1 :]).get(kc) or kc
                     # keyed by (probe, at-commit name): two tombstones
                     # whose keys were renamed differently each keep
                     # their own file-column mapping
@@ -454,8 +471,13 @@ class _VersionedBatchReader(DataSourceReader):
             fstats = e.get("file_stats") or {}
             for f, pvals in _data_files_with_parts(self.path, e):
                 # pushed filters name CURRENT columns; partition dirs
-                # and file stats carry at-commit names
-                part_of = {ren.get(k, k): v for k, v in pvals}
+                # and file stats carry at-commit names. A DROPPED
+                # at-commit column's dirs/stats must never prune a
+                # filter on a re-added same-name column (fresh lineage
+                # — the old values are unrelated).
+                part_of = {
+                    ren.get(k, k): v for k, v in pvals if k not in drops
+                }
                 rel = os.path.relpath(f, vdir).replace(os.sep, "/")
                 fst = fstats.get(rel, {})
                 pruned = False
@@ -465,7 +487,8 @@ class _VersionedBatchReader(DataSourceReader):
                     if raw is not None and not _raw_matches(raw, flt):
                         pruned = True
                         break
-                    st = fst.get(inv.get(cur, cur))
+                    src = inv.get(cur, cur)
+                    st = None if src in drops else fst.get(src)
                     if st is not None and not _stats_match(st, flt):
                         # per-file [min, max] skipping (Delta's
                         # stats-per-file): a range-clustered commit
@@ -474,14 +497,14 @@ class _VersionedBatchReader(DataSourceReader):
                         break
                 if not pruned:
                     parts.append(
-                        InputPartition((f, exclusions, pvals, renames))
+                        InputPartition((f, exclusions, pvals, renames, drops))
                     )
         return parts
 
     def read(self, partition) -> Iterator:
-        f, exclusions, pvals, renames = partition.value
+        f, exclusions, pvals, renames, drops = partition.value
         yield from _read_file_batches(
-            f, self.schema, exclusions, pvals, renames
+            f, self.schema, exclusions, pvals, renames, drops
         )
 
 
@@ -522,10 +545,11 @@ class _VersionedStreamReader(DataSourceStreamReader):
             if not (lo < e["version"] <= hi):
                 continue
             m = _mode(e)
-            if m == "rename":
+            if m in ("rename", "drop"):
                 # metadata-only commit: no rows to deliver (earlier
                 # rows were already delivered under the then-current
-                # names — a rename does not rewrite delivered data)
+                # schema — a rename/drop does not rewrite delivered
+                # data)
                 continue
             if m == "full":
                 # a full snapshot is a rewrite: append lineage breaks.
@@ -559,85 +583,201 @@ class _VersionedStreamReader(DataSourceStreamReader):
                     "keys) or consume the CDF via incremental_scan"
                 )
             # the declared stream schema uses CURRENT names: map this
-            # commit's at-commit names through every later rename in
-            # the manifest (not just ≤ hi — the schema is "now")
-            renames = tuple(sorted(_compose_renames(vs[i + 1 :]).items()))
+            # commit's at-commit names through every later rename/drop
+            # in the manifest (not just ≤ hi — the schema is "now")
+            smap = _compose_schema_map(vs[i + 1 :])
+            renames = tuple(
+                sorted((k, v) for k, v in smap.items() if v is not None)
+            )
+            drops = tuple(sorted(k for k, v in smap.items() if v is None))
             for f, pvals in _data_files_with_parts(self.path, e):
-                parts.append(InputPartition((f, pvals, renames)))
+                parts.append(InputPartition((f, pvals, renames, drops)))
         # Spark requires at least one partition per micro-batch plan;
         # an empty range yields one no-op partition
-        return parts or [InputPartition((None, (), ()))]
+        return parts or [InputPartition((None, (), (), ()))]
 
     def read(self, partition) -> Iterator:
-        f, pvals, renames = partition.value
+        f, pvals, renames, drops = partition.value
         if f is None:
             return
-        yield from _read_file_batches(f, self.schema, (), pvals, renames)
+        yield from _read_file_batches(
+            f, self.schema, (), pvals, renames, drops
+        )
 
     def commit(self, end: dict) -> None:
         pass  # the checkpoint holds the cursor; nothing to reclaim
 
 
 class _StagedPart(WriterCommitMessage):
-    def __init__(self, file: str | None, rows: int, stats: dict):
+    def __init__(self, file: str | None, rows: int, stats: dict, rel_dir: str = ""):
         self.file = file
         self.rows = rows
         self.stats = stats  # {col: (py_min, py_max)}
+        self.rel_dir = rel_dir  # hive subdir ("" = unpartitioned)
 
 
-def _write_task_parquet(iterator, staging: str, stats_cols: list) -> _StagedPart:
-    """One task's Arrow batches → one staged parquet part file, written
+class _StagedParts(WriterCommitMessage):
+    """A dynamic-partitioning task's commit message: one `_StagedPart`
+    per hive directory the task touched."""
+
+    def __init__(self, parts: list):
+        self.parts = parts
+
+
+def _hive_dir_value(v) -> str:
+    """One partition value in hive directory form (the inverse of the
+    reader's ``unquote`` + Arrow string cast): NULL → the hive default
+    partition, temporals/decimals in `_stat_value`'s ISO/str form,
+    everything percent-quoted like Spark's own layout."""
+    from urllib.parse import quote
+
+    if v is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    if isinstance(v, bool):
+        return str(v).lower()
+    return quote(str(_stat_value(v)), safe="")
+
+
+def _write_task_parquet(
+    iterator, staging: str, stats_cols: list, partition_cols: list | None = None
+):
+    """One task's Arrow batches → staged parquet part files, written
     incrementally (never materializing the task partition), with
     running per-column min/max for the manifest stats. Runs in
-    executors; the driver only sees the commit message."""
+    executors; the driver only sees the commit message.
+
+    With ``partition_cols`` the task DYNAMIC-PARTITIONS its batches:
+    each batch splits by the partition-value combination (an Arrow
+    group_by finds the combos, vectorized equality masks split the
+    rows — the only Python loop is over distinct combos, never rows),
+    one open writer per hive subdir the task touches, partition
+    columns stripped from the file bytes exactly as Spark's native
+    layout does (the reader reconstitutes them from the directory
+    path). Stats still compute on the FULL batch, so a statscols entry
+    that is also a partition column records correctly."""
     import uuid
 
+    import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     os.makedirs(staging, exist_ok=True)
-    f = os.path.join(staging, f"part-{uuid.uuid4().hex}.parquet")
-    writer = None
-    rows = 0
-    mins: dict = {}
-    maxs: dict = {}
+    pcols = list(partition_cols or [])
+    writers: dict = {}  # rel_dir -> ParquetWriter
+    acc: dict = {}  # rel_dir -> [file, rows, mins, maxs]
+
+    def feed(rel_dir: str, tbl) -> None:
+        if tbl.num_rows == 0:
+            return
+        slot = acc.get(rel_dir)
+        if slot is None:
+            d = os.path.join(staging, rel_dir) if rel_dir else staging
+            os.makedirs(d, exist_ok=True)
+            f = os.path.join(d, f"part-{uuid.uuid4().hex}.parquet")
+            writers[rel_dir] = pq.ParquetWriter(f, tbl.schema)
+            slot = acc[rel_dir] = [f, 0, {}, {}]
+        writers[rel_dir].write_table(tbl)
+        slot[1] += tbl.num_rows
+
+    def track_stats(slot, b) -> None:
+        mins, maxs = slot[2], slot[3]
+        for c in stats_cols:
+            if c not in b.schema.names:
+                continue
+            mm = pc.min_max(b.column(c))
+            lo, hi = mm["min"].as_py(), mm["max"].as_py()
+            if lo is not None and (c not in mins or lo < mins[c]):
+                mins[c] = lo
+            if hi is not None and (c not in maxs or hi > maxs[c]):
+                maxs[c] = hi
+
     try:
         for b in iterator:
-            if writer is None:
-                writer = pq.ParquetWriter(f, b.schema)
-            writer.write_batch(b)
-            rows += b.num_rows
-            for c in stats_cols:
-                if c not in b.schema.names:
-                    continue
-                mm = pc.min_max(b.column(c))
-                lo, hi = mm["min"].as_py(), mm["max"].as_py()
-                if lo is not None and (c not in mins or lo < mins[c]):
-                    mins[c] = lo
-                if hi is not None and (c not in maxs or hi > maxs[c]):
-                    maxs[c] = hi
+            if not pcols:
+                tbl = pa.Table.from_batches([b])
+                feed("", tbl)
+                if b.num_rows:
+                    track_stats(acc[""], b)
+                continue
+            missing = [c for c in pcols if c not in b.schema.names]
+            if missing:
+                raise ValueError(
+                    f"partitionby column(s) {missing} absent from the "
+                    f"written schema {b.schema.names}"
+                )
+            tbl = pa.Table.from_batches([b])
+            keep = [c for c in tbl.schema.names if c not in pcols]
+            if not keep:
+                raise ValueError(
+                    "partitionby cannot cover every written column — "
+                    "the data files would be empty"
+                )
+            combos = (
+                tbl.select(pcols).group_by(pcols).aggregate([]).to_pylist()
+            )
+            for combo in combos:
+                mask = None
+                for c in pcols:
+                    v = combo[c]
+                    if v is None:
+                        m = pc.is_null(tbl[c])
+                    else:
+                        m = pc.fill_null(
+                            pc.equal(
+                                tbl[c], pa.scalar(v, type=tbl.schema.field(c).type)
+                            ),
+                            False,
+                        )
+                    mask = m if mask is None else pc.and_(mask, m)
+                part = tbl.filter(mask)
+                rel = "/".join(
+                    f"{c}={_hive_dir_value(combo[c])}" for c in pcols
+                )
+                feed(rel, part.select(keep))
+                track_stats(acc[rel], part)
     finally:
-        if writer is not None:
-            writer.close()
-    if writer is None:
-        return _StagedPart(None, 0, {})
-    return _StagedPart(f, rows, {c: (mins.get(c), maxs.get(c)) for c in stats_cols})
+        for w in writers.values():
+            w.close()
+    out = [
+        _StagedPart(
+            f,
+            rows,
+            {c: (mins.get(c), maxs.get(c)) for c in stats_cols},
+            rel_dir,
+        )
+        for rel_dir, (f, rows, mins, maxs) in acc.items()
+    ]
+    if not pcols:
+        return out[0] if out else _StagedPart(None, 0, {})
+    return _StagedParts(out)
+
+
+def _rel_file(p: "_StagedPart") -> str:
+    """The manifest file key a staged part will have once adopted:
+    its hive subdir (if any) + basename."""
+    base = os.path.basename(p.file)
+    return f"{p.rel_dir}/{base}" if p.rel_dir else base
 
 
 def _merge_staged(messages, stats_cols: list):
-    """Driver-side merge of task commit messages → (files, rows,
-    manifest-form commit stats, manifest-form per-file stats)."""
-    files = [m.file for m in messages if m is not None and m.file]
-    rows = sum(m.rows for m in messages if m is not None)
+    """Driver-side merge of task commit messages → (file moves as
+    ``(abs_path, rel_dir)`` pairs, rows, manifest-form commit stats,
+    manifest-form per-file stats keyed by adopted relative path)."""
+    parts: list = []
+    for m in messages:
+        if m is None:
+            continue
+        if isinstance(m, _StagedParts):
+            parts.extend(m.parts)
+        elif m.file:
+            parts.append(m)
+    moves = [(p.file, p.rel_dir) for p in parts]
+    rows = sum(p.rows for p in parts)
     stats = None
     if stats_cols and rows:
         stats = {}
         for c in stats_cols:
-            vals = [
-                m.stats[c]
-                for m in messages
-                if m is not None and m.file and c in m.stats
-            ]
+            vals = [p.stats[c] for p in parts if c in p.stats]
             los = [v[0] for v in vals if v[0] is not None]
             his = [v[1] for v in vals if v[1] is not None]
             if not los and not his:
@@ -654,24 +794,33 @@ def _merge_staged(messages, stats_cols: list):
     file_stats = None
     if stats:
         file_stats = {
-            os.path.basename(m.file): {
+            _rel_file(p): {
                 c: {
-                    "min": _stat_value(m.stats[c][0]),
-                    "max": _stat_value(m.stats[c][1]),
+                    "min": _stat_value(p.stats[c][0]),
+                    "max": _stat_value(p.stats[c][1]),
                 }
-                for c in m.stats
+                for c in p.stats
                 if c in stats
             }
-            for m in messages
-            if m is not None and m.file
+            for p in parts
         }
-    return files, rows, stats, file_stats
+    return moves, rows, stats, file_stats
 
 
 def _cleanup_staging(staging: str) -> None:
     import shutil
 
     shutil.rmtree(staging, ignore_errors=True)
+
+
+def _partition_meta(moves: list, partition_cols: list) -> dict | None:
+    """Manifest partition fields for adopted ``(path, rel_dir)`` moves
+    — the same ``partition_by``/``partition_dirs`` shape
+    ``write_version`` records, so readers prune identically."""
+    dirs = sorted({rel for _, rel in moves if rel})
+    if not (partition_cols and dirs):
+        return None
+    return {"partition_by": list(partition_cols), "partition_dirs": dirs}
 
 
 class _VersionedBatchWriter(DataSourceArrowWriter):
@@ -681,7 +830,13 @@ class _VersionedBatchWriter(DataSourceArrowWriter):
     version under the commit lock — mode('overwrite') publishes a FULL
     snapshot, mode('append') an append delta (requires a base, like
     ``append_version``). ``statscols`` records per-commit min/max for
-    manifest data skipping, computed incrementally in the tasks."""
+    manifest data skipping, computed incrementally in the tasks.
+    ``partitionby`` (comma-separated) lays the commit out
+    hive-partitioned — tasks dynamic-partition their Arrow batches
+    into subdir part files, and the manifest records
+    ``partition_by``/``partition_dirs`` exactly as ``write_version``
+    does, so a format-written table prunes partition dirs on read
+    (VERDICT r09 #3: read/write symmetry)."""
 
     def __init__(self, options: dict, schema, overwrite: bool):
         import uuid
@@ -694,22 +849,30 @@ class _VersionedBatchWriter(DataSourceArrowWriter):
             for c in options.get("statscols", "").split(",")
             if c.strip()
         ]
+        self.partition_cols = [
+            c.strip()
+            for c in options.get("partitionby", "").split(",")
+            if c.strip()
+        ]
         self.staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
 
     def write(self, iterator):
-        return _write_task_parquet(iterator, self.staging, self.stats_cols)
+        return _write_task_parquet(
+            iterator, self.staging, self.stats_cols, self.partition_cols
+        )
 
     def commit(self, messages) -> None:
-        files, rows, stats, file_stats = _merge_staged(
+        moves, rows, stats, file_stats = _merge_staged(
             messages, self.stats_cols
         )
         try:
-            if not files:
+            if not moves:
                 if not self.overwrite:
                     return  # zero-row append: a no-op, not a commit
                 # zero-row OVERWRITE is a truncate: the snapshot must
                 # still be readable, so land one empty schema-bearing
-                # parquet file
+                # parquet file (flat — an empty partitioned layout has
+                # no dirs to record, mirroring the library writer)
                 import uuid
 
                 import pyarrow.parquet as pq
@@ -719,13 +882,14 @@ class _VersionedBatchWriter(DataSourceArrowWriter):
                     self.staging, f"part-{uuid.uuid4().hex}.parquet"
                 )
                 pq.write_table(self.schema.empty_table(), f)
-                files = [f]
+                moves = [(f, "")]
             adopt_staged_files(
                 self.path,
-                files,
+                moves,
                 "full" if self.overwrite else "append",
                 rows,
                 stats=stats,
+                meta=_partition_meta(moves, self.partition_cols),
                 file_stats=file_stats,
             )
         finally:
@@ -756,20 +920,27 @@ class _VersionedStreamWriter(DataSourceStreamArrowWriter):
             for c in options.get("statscols", "").split(",")
             if c.strip()
         ]
+        self.partition_cols = [
+            c.strip()
+            for c in options.get("partitionby", "").split(",")
+            if c.strip()
+        ]
         # one staging dir per sink instance; per-batch isolation comes
         # from commit() moving only ITS batch's message files
         self.staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
 
     def write(self, iterator):
-        return _write_task_parquet(iterator, self.staging, self.stats_cols)
+        return _write_task_parquet(
+            iterator, self.staging, self.stats_cols, self.partition_cols
+        )
 
     def commit(self, messages, batchId: int) -> None:
         from ..streaming.versioned_sink import last_committed_batch
 
-        files, rows, stats, file_stats = _merge_staged(
+        moves, rows, stats, file_stats = _merge_staged(
             messages, self.stats_cols
         )
-        if not files:
+        if not moves:
             # an empty micro-batch commits nothing; a replay of it is
             # equally empty, so exactly-once holds without a watermark
             # bump
@@ -777,28 +948,37 @@ class _VersionedStreamWriter(DataSourceStreamArrowWriter):
         if batchId <= last_committed_batch(self.path):
             # replay of an already-committed batch: drop its staged
             # files, change nothing (exactly-once without row keys)
-            for f in files:
+            for f, _rel in moves:
                 try:
                     os.unlink(f)
                 except FileNotFoundError:
                     pass
             return
         mode = "append" if versions(self.path) else "full"
+        meta = {"batch_id": batchId}
+        meta.update(_partition_meta(moves, self.partition_cols) or {})
         adopt_staged_files(
             self.path,
-            files,
+            moves,
             mode,
             rows,
             stats=stats,
-            meta={"batch_id": batchId},
+            meta=meta,
             file_stats=file_stats,
         )
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages or []:
-            if m is not None and m.file:
+            parts = (
+                m.parts
+                if isinstance(m, _StagedParts)
+                else [m]
+                if m is not None and m.file
+                else []
+            )
+            for p in parts:
                 try:
-                    os.unlink(m.file)
+                    os.unlink(p.file)
                 except FileNotFoundError:
                     pass
 

@@ -90,15 +90,31 @@ def run_versioned_sink_stream(
     schema: str,
     stats_cols: tuple[str, ...] = (),
     max_files_per_trigger: int = 1,
+    max_chain: int | None = None,
 ) -> None:
     """Consume the parquet landing directory to completion, committing
     each micro-batch to the versioned table exactly once (see
     ``append_batch_versioned``). Same landing plumbing as every other
-    consumer (``incremental._run_landing_stream``)."""
+    consumer (``incremental._run_landing_stream``).
+
+    ``max_chain`` (opt-in) bounds the table's merge-on-read debt:
+    after each committed batch, ``sources.versioned.maybe_compact``
+    squashes the chain into a fresh full snapshot once it exceeds the
+    budget — the plan-depth envelope for a long-running sink (a
+    months-long stream otherwise accretes an unbounded delta log and
+    an unbounded read plan). A replayed batch commits nothing, so it
+    never triggers a spurious compaction. Leave None when downstream
+    CDF/stream consumers cannot tolerate mid-history rewrites at this
+    cadence (they must resync across a compaction)."""
+    from ..sources.versioned import maybe_compact
     from .incremental import _run_landing_stream
 
     def hook(batch: DataFrame, batch_id: int) -> None:
-        append_batch_versioned(batch, table_path, batch_id, stats_cols)
+        committed = append_batch_versioned(
+            batch, table_path, batch_id, stats_cols
+        )
+        if committed is not None and max_chain is not None:
+            maybe_compact(spark, table_path, max_chain, stats_cols=stats_cols)
 
     _run_landing_stream(
         spark,

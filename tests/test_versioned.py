@@ -1039,14 +1039,15 @@ def test_failed_commit_leaves_no_staging_litter(spark, tmp_path):
 
 
 def test_model_based_rename_partition_sequences(spark, tmp_path):
-    """Model-based check of the r09 surface on top of the delta-log
-    fold: random sequences of append/delete/upsert (each optionally
-    hive-PARTITIONED, with stats), metadata-only RENAME commits and
-    compaction, against a pure Python model that tracks rows AND the
-    value column's name per version. Checks, per sequence: the latest
-    read (rows + current name), time travel (then-current names),
-    partition-pruned and stats-pruned reads (filter semantics), and
-    CDF reconstruction in as-of-end names."""
+    """Model-based check of the schema-evolution surface on top of the
+    delta-log fold: random sequences of append/delete/upsert (each
+    optionally hive-PARTITIONED, with stats), metadata-only RENAME and
+    DROP/RE-ADD commits and compaction, against a pure Python model
+    that tracks rows, the value column's name, and an auxiliary
+    column's lifecycle per version. Checks, per sequence: the latest
+    read (rows + current schema), time travel (then-current schema,
+    pre-drop values intact), partition-pruned and stats-pruned reads
+    (filter semantics), and CDF reconstruction in as-of-end names."""
     import itertools
 
     from hypothesis import HealthCheck, given, settings
@@ -1070,6 +1071,7 @@ def test_model_based_rename_partition_sequences(spark, tmp_path):
         ),
         st.tuples(st.just("upsert"), uniq_rows_st),
         st.tuples(st.just("rename"), st.just(None)),
+        st.tuples(st.just("drop"), st.just(None)),
         st.tuples(st.just("compact"), st.booleans()),
     )
     counter = itertools.count()
@@ -1077,32 +1079,42 @@ def test_model_based_rename_partition_sequences(spark, tmp_path):
     def run_sequence(ops):
         path = str(tmp_path / f"mbr{next(counter)}")
         name = "val"
+        aux_alive = True  # the droppable 'aux' column's lifecycle
 
-        def mk(rows, colname):
+        def mk(rows, colname, with_aux):
+            if with_aux:
+                return spark.createDataFrame(
+                    [(k, k % 2, v, v * 10) for k, v in rows],
+                    f"k long, b int, {colname} long, aux long",
+                )
             return spark.createDataFrame(
                 [(k, k % 2, v) for k, v in rows],
                 f"k long, b int, {colname} long",
             )
 
+        def aux_of(v):
+            return v * 10 if aux_alive else None
+
         V.write_version(
-            mk([(0, 1), (1, 2), (2, 3)], name),
+            mk([(0, 1), (1, 2), (2, 3)], name, True),
             path,
             stats_cols=("k",),
             partition_by=("b",),
         )
-        model = [(0, 1), (1, 2), (2, 3)]
-        snap = {1: (list(model), name)}
+        # model rows: (k, v, aux_value_as_currently_visible)
+        model = [(0, 1, 10), (1, 2, 20), (2, 3, 30)]
+        snap = {1: (list(model), name, aux_alive)}
         unused = list(NAME_POOL)
         for op, arg in ops:
             if op == "append":
                 rows, parted = arg
                 V.append_version(
-                    mk(rows, name),
+                    mk(rows, name, aux_alive),
                     path,
                     stats_cols=("k",),
                     partition_by=("b",) if parted else (),
                 )
-                model = model + rows
+                model = model + [(k, v, aux_of(v)) for k, v in rows]
             elif op == "delete":
                 keys = sorted(set(arg))
                 V.delete_version(
@@ -1112,15 +1124,28 @@ def test_model_based_rename_partition_sequences(spark, tmp_path):
                 )
                 model = [r for r in model if r[0] not in set(keys)]
             elif op == "upsert":
-                V.upsert_version(mk(arg, name), path, "k")
+                V.upsert_version(mk(arg, name, aux_alive), path, "k")
                 ks = {k for k, _ in arg}
-                model = [r for r in model if r[0] not in ks] + arg
+                model = [r for r in model if r[0] not in ks] + [
+                    (k, v, aux_of(v)) for k, v in arg
+                ]
             elif op == "rename":
                 if not unused:
                     continue
                 new = unused.pop(0)
                 V.rename_column(spark, path, name, new)
                 name = new
+            elif op == "drop":
+                if aux_alive:
+                    V.drop_column(spark, path, "aux")
+                    aux_alive = False
+                    # visible aux values vanish for EVERY existing row
+                    model = [(k, v, None) for k, v, _a in model]
+                else:
+                    # RE-ADD the dropped name as a fresh lineage
+                    aux_alive = True
+                    V.append_version(mk([(5, 50)], name, True), path)
+                    model = model + [(5, 50, 500)]
             else:
                 V.compact_chain(
                     spark,
@@ -1128,41 +1153,63 @@ def test_model_based_rename_partition_sequences(spark, tmp_path):
                     stats_cols=("k",),
                     partition_by=("b",) if arg else (),
                 )
-            snap[V.versions(path)[-1]["version"]] = (list(model), name)
+            snap[V.versions(path)[-1]["version"]] = (
+                list(model),
+                name,
+                aux_alive,
+            )
 
-        # latest read: rows + current column name
+        def rows_of(df, nm, with_aux):
+            if with_aux:
+                return sorted(
+                    (r.k, r[nm], r["aux"]) for r in df.collect()
+                )
+            return sorted((r.k, r[nm], None) for r in df.collect())
+
+        # latest read: rows + current schema (aux present iff alive)
         cur = V.read_version(spark, path)
-        assert set(cur.columns) == {"k", "b", name}
-        got = sorted((r.k, r[name]) for r in cur.collect())
-        assert got == sorted(model)
+        want_cols = {"k", "b", name} | ({"aux"} if aux_alive else set())
+        assert set(cur.columns) == want_cols
+        assert rows_of(cur, name, aux_alive) == sorted(model)
 
-        # time travel shows each version under its then-current name
-        for ver, (want, nm) in snap.items():
+        # time travel shows each version under its then-current schema
+        # (pre-drop versions keep their aux VALUES — never rewritten)
+        for ver, (want, nm, alive) in snap.items():
             df = V.read_version(spark, path, ver)
             assert nm in df.columns, f"v{ver} must carry {nm}"
-            assert sorted((r.k, r[nm]) for r in df.collect()) == sorted(want)
+            assert ("aux" in df.columns) == alive, f"v{ver} aux presence"
+            assert rows_of(df, nm, alive) == sorted(want)
 
         # partition-pruned and stats-pruned reads == model filters
         b0 = V.read_version(spark, path, prune=("b", 0, 0))
-        assert sorted((r.k, r[name]) for r in b0.collect()) == sorted(
+        assert rows_of(b0, name, aux_alive) == sorted(
             r for r in model if r[0] % 2 == 0
         )
         kr = V.read_version(spark, path, prune=("k", 2, 4))
-        assert sorted((r.k, r[name]) for r in kr.collect()) == sorted(
+        assert rows_of(kr, name, aux_alive) == sorted(
             r for r in model if 2 <= r[0] <= 4
         )
 
-        # CDF reconstruction from the base, in as-of-end names, when
-        # no rewrite breaks the range
+        # CDF reconstruction from the base, in as-of-end names (aux
+        # tracked only while alive as-of-end — dropped lineages are
+        # excluded from every change row), when no rewrite breaks the
+        # range
         vs = V.versions(path)
         if len(vs) > 1 and not any(
             e.get("mode", "full") == "full" for e in vs[1:]
         ):
-            state = {
-                (r.k, r["val"]) for r in V.read_version(spark, path, 1).collect()
-            }
-            state = [(k, v) for k, v in state]
             cdf = V.incremental_scan(spark, path, from_version=1)
+            # a dropped-as-of-end lineage never leaks into change rows
+            # (presence when alive depends on the range's commit kinds:
+            # delete-only ranges carry just the key)
+            if not aux_alive:
+                assert "aux" not in cdf.columns
+            base = V.read_version(spark, path, 1)
+
+            def kv(r):
+                return (r.k, r[name])
+
+            state = [(r.k, r["val"]) for r in base.collect()]
             by_ver: dict = {}
             for r in cdf.collect():
                 by_ver.setdefault(r._commit_version, []).append(r)
@@ -1175,12 +1222,12 @@ def test_model_based_rename_partition_sequences(spark, tmp_path):
                 elif kinds == {"upsert"}:
                     ks = {r.k for r in rows}
                     state = [t for t in state if t[0] not in ks] + [
-                        (r.k, r[name]) for r in rows
+                        kv(r) for r in rows
                     ]
                 else:
                     assert kinds == {"insert"}, kinds
-                    state = state + [(r.k, r[name]) for r in rows]
-            assert sorted(state) == sorted(model)
+                    state = state + [kv(r) for r in rows]
+            assert sorted(state) == sorted((k, v) for k, v, _a in model)
 
     @settings(
         max_examples=8,
@@ -1434,3 +1481,138 @@ def test_partition_dir_overlap_temporal_forms():
     # plain strings still compare as strings
     assert f("r=ASIA", "r", "AFRICA", "EUROPE")
     assert not f("r=MIDEAST", "r", "AFRICA", "EUROPE")
+
+
+def test_drop_column_metadata_only_commit(spark, tmp_path):
+    """VERDICT r09 #4: a column DROP is a metadata-only commit (no
+    data rewrite); chain reads exclude it, time travel keeps pre-drop
+    versions intact, CDF emits as-of-end schema, and compaction
+    materializes the drop physically."""
+    import os
+
+    path = str(tmp_path / "dc")
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "x long, s string, score double"
+    )
+    V.write_version(df, path)  # v1
+    v = V.drop_column(spark, path, "score")  # v2: metadata-only
+    e = V.versions(path)[-1]
+    assert e["mode"] == "drop" and e["drops"] == ["score"] and e["dir"] is None
+    # no new data directory appeared
+    assert not os.path.exists(os.path.join(path, f"v={v}"))
+
+    cur = V.read_version(spark, path)
+    assert set(cur.columns) == {"x", "s"}
+    assert sorted((r.x, r.s) for r in cur.collect()) == [(1, "a"), (2, "b")]
+    # time travel: pre-drop version still carries the column
+    old = V.read_version(spark, path, 1)
+    assert set(old.columns) == {"x", "s", "score"}
+    # appends after the drop don't resurrect it
+    V.append_version(spark.createDataFrame([(3, "c")], "x long, s string"), path)
+    assert set(V.read_version(spark, path).columns) == {"x", "s"}
+    # CDF across the drop: metadata commits emit nothing; appends come
+    # out in as-of-end schema
+    cdf = V.incremental_scan(spark, path, 1)
+    assert set(cdf.columns) == {"x", "s", "_commit_version", "_change_type"}
+    assert [r.x for r in cdf.collect()] == [3]
+    # compaction materializes the drop: new base has no trace
+    V.compact_chain(spark, path)
+    base = spark.read.parquet(os.path.join(path, V.versions(path)[-1]["dir"]))
+    assert set(base.columns) == {"x", "s"}
+
+
+def test_drop_then_readd_is_a_fresh_lineage(spark, tmp_path):
+    """A re-added same-name column never resurrects pre-drop values:
+    old rows read NULL; a prune on the re-added name skips pre-drop
+    commits entirely (their old values are unrelated)."""
+    path = str(tmp_path / "dr")
+    V.write_version(
+        spark.createDataFrame([(1, 111), (2, 222)], "x long, score long"), path
+    )  # v1
+    V.drop_column(spark, path, "score")  # v2
+    V.append_version(
+        spark.createDataFrame([(3, 9)], "x long, score long"),
+        path,
+        stats_cols=("score",),
+    )  # v3: re-adds 'score' as a fresh lineage
+    cur = V.read_version(spark, path)
+    got = {(r.x, r.score) for r in cur.collect()}
+    assert got == {(1, None), (2, None), (3, 9)}
+    # prune on the re-added column: v1 predates the (new) column
+    pruned = V.read_version(spark, path, prune=("score", 0, 100))
+    assert {(r.x, r.score) for r in pruned.collect()} == {(3, 9)}
+    # the old lineage's values are NOT in range-reach either
+    assert V.read_version(spark, path, prune=("score", 100, 300)).count() == 0
+
+
+def test_drop_column_validation_and_key_guard(spark, tmp_path):
+    """Refusals are loud: unknown column, dropping everything, and
+    dropping a merge-on-read KEY the chain's anti-joins still need
+    (compact first); after compaction the drop proceeds."""
+    import pytest
+
+    path = str(tmp_path / "dg")
+    V.write_version(
+        spark.createDataFrame([(1, "a"), (2, "b")], "x long, s string"), path
+    )
+    V.delete_version(spark.createDataFrame([(2,)], "x long"), path, "x")
+    with pytest.raises(ValueError, match="no column"):
+        V.drop_column(spark, path, "nope")
+    with pytest.raises(ValueError, match="at least one column"):
+        V.drop_column(spark, path, "x", "s")
+    with pytest.raises(ValueError, match="merge-on-read"):
+        V.drop_column(spark, path, "x")
+    V.compact_chain(spark, path)
+    V.drop_column(spark, path, "x")  # tombstone materialized away: OK
+    assert V.read_version(spark, path).columns == ["s"]
+
+
+def test_drop_interacts_with_rename_both_orders(spark, tmp_path):
+    """Rename-then-drop hits the renamed lineage; a rename may reuse a
+    just-dropped name as its TARGET (drop frees the name first)."""
+    path = str(tmp_path / "drn")
+    V.write_version(
+        spark.createDataFrame([(1, "a", 5)], "x long, s string, old int"), path
+    )
+    V.rename_column(spark, path, "old", "tmp")
+    V.drop_column(spark, path, "tmp")
+    assert set(V.read_version(spark, path).columns) == {"x", "s"}
+    # drop freed 's'? no — drop 's', then rename x -> s reuses the name
+    V.drop_column(spark, path, "s")
+    V.rename_column(spark, path, "x", "s")
+    cur = V.read_version(spark, path)
+    assert cur.columns == ["s"]
+    assert [r.s for r in cur.collect()] == [1]
+
+
+def test_maybe_compact_bounds_plan_depth_over_200_commits(spark, tmp_path):
+    """VERDICT r09 #5: `read_version` stacks one scan/union node per
+    chain entry, so an unbounded delta log is an unbounded plan.
+    `maybe_compact(max_chain=N)` wired at commit cadence caps the
+    chain — over 200 streaming-sized commits the chain never exceeds
+    N+1 entries, the optimized plan stays bounded, and content equals
+    the uncompacted fold (compaction is content-preserving)."""
+    path = str(tmp_path / "mc")
+    MAX_CHAIN = 40
+    V.write_version(spark.createDataFrame([(0,)], "x long"), path)
+    compactions = 0
+    max_seen = 0
+    for i in range(1, 201):
+        V.append_version(
+            spark.createDataFrame([(i,)], "x long").coalesce(1), path
+        )
+        if V.maybe_compact(spark, path, MAX_CHAIN) is not None:
+            compactions += 1
+        max_seen = max(max_seen, V.chain_length(path))
+        # the envelope holds at EVERY commit, not just the end
+        assert V.chain_length(path) <= MAX_CHAIN + 1
+    assert compactions >= 3, "200 commits at max_chain=40 must compact"
+    assert max_seen <= MAX_CHAIN + 1
+    cur = V.read_version(spark, path)
+    # bounded plan: the optimized tree is O(max_chain), nowhere near
+    # one node per historical commit
+    plan_lines = cur._jdf.queryExecution().optimizedPlan().toString().count("\n")
+    assert plan_lines <= 4 * (MAX_CHAIN + 2), f"plan too deep: {plan_lines}"
+    assert sorted(r.x for r in cur.collect()) == list(range(201))
+    # historical versions stay addressable until expire_versions
+    assert V.read_version(spark, path, 1).count() == 1

@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import shutil
 
+from pyspark.sql import functions as F
+
 from end_to_end_database_pipeline_project_spark.sources import versioned as V
 from end_to_end_database_pipeline_project_spark.sources.versioned_source import (
     register,
@@ -312,7 +314,7 @@ def test_large_forget_list_applies_executor_side(spark, tmp_path):
 
     rdr = _VersionedBatchReader({"path": path}, StructType.fromDDL(DDL))
     for p in rdr.partitions():
-        _, exclusions, _pvals, _ren = p.value
+        _, exclusions, _pvals, _ren, _drops = p.value
         for _probe, _tc, files in exclusions:
             assert all(isinstance(f, str) and f.endswith(".parquet") for f in files)
     got = df.agg({"x": "count"}).collect()[0][0]
@@ -674,3 +676,87 @@ def test_format_pushdown_prunes_date_partition_dirs(spark, tmp_path):
     d = decimal.Decimal("10.50")
     assert _raw_matches("10.5", EqualTo(("p",), d))
     assert not _raw_matches("9.50", GreaterThanOrEqual(("p",), d))
+
+
+def test_format_reads_across_drop_and_readd(spark, tmp_path):
+    """Format batch read folds drop commits: the declared schema's
+    re-added column is a FRESH lineage — a pre-drop file's same-named
+    physical column never serves it (values read NULL), and pushed
+    filters on the re-added name never prune by the dropped lineage's
+    partition dirs or stats."""
+    from pyspark.sql.datasource import EqualTo
+    from pyspark.sql.types import StructType
+
+    from end_to_end_database_pipeline_project_spark.sources.versioned_source import (
+        _VersionedBatchReader,
+    )
+
+    register(spark)
+    path = str(tmp_path / "fd")
+    V.write_version(
+        spark.createDataFrame(
+            [(1, "a", 7), (2, "b", 7)], "x long, s string, score int"
+        ),
+        path,
+        partition_by=("score",),
+    )  # v1: partitioned BY the soon-dropped column
+    V.drop_column(spark, path, "score")  # v2
+    V.append_version(
+        spark.createDataFrame([(3, "c", 9)], "x long, s string, score int"),
+        path,
+    )  # v3: fresh lineage
+
+    got = (
+        spark.read.format("versioned_table")
+        .option("path", path)
+        .option("schema", "x bigint, s string, score int")
+        .load()
+    )
+    rows = sorted((r.x, r.s, r.score) for r in got.collect())
+    assert rows == [(1, "a", None), (2, "b", None), (3, "c", 9)]
+
+    # a pushed filter score=7 must NOT keep v1's score=7 dir on the
+    # strength of the DROPPED lineage — v1 files survive only because
+    # their (new-lineage) score is unknown (NULL), and Spark's residual
+    # filter then drops those rows
+    st = StructType.fromDDL("x bigint, s string, score int")
+    rdr = _VersionedBatchReader({"path": path}, st)
+    list(rdr.pushFilters([EqualTo(("score",), 9)]))
+    files = [p.value[0] for p in rdr.partitions()]
+    assert any("/v=1/" in f for f in files), (
+        "pre-drop files must stay (their new-lineage score is NULL-unknown)"
+    )
+    assert sorted(
+        r.x for r in got.where(F.col("score") == 9).collect()
+    ) == [3]
+
+
+def test_format_stream_excludes_dropped_columns(spark, tmp_path):
+    """Streamed commits delivered AFTER a drop come out in the current
+    schema: pre-drop commits' dropped column reads NULL downstream."""
+    register(spark)
+    path, ckpt, out = (str(tmp_path / d) for d in ("t", "ckpt", "out"))
+    V.write_version(
+        spark.createDataFrame([(1, "a", 5.0)], "x long, s string, junk double"),
+        path,
+    )
+    V.drop_column(spark, path, "junk")
+    V.append_version(
+        spark.createDataFrame([(2, "b")], "x long, s string"), path
+    )
+    q = (
+        spark.readStream.format("versioned_table")
+        .option("path", path)
+        .option("schema", DDL)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted((r.x, r.s) for r in spark.read.parquet(out).collect()) == [
+        (1, "a"),
+        (2, "b"),
+    ]

@@ -227,3 +227,137 @@ def test_statscols_typo_never_prunes_live_data(spark, tmp_path):
     e = V.versions(path)[0]
     assert "nope" not in e.get("stats", {})
     assert e["stats"]["x"] == {"min": 0, "max": 9}
+
+
+def test_batch_writer_partitionby_prunes_on_read(spark, tmp_path):
+    """VERDICT r09 #3: the format writer's ``partitionby`` option lays
+    the commit out hive-partitioned (per-task dynamic partitioning of
+    Arrow batches), records partition_by/partition_dirs in the
+    manifest exactly like write_version, and the table then prunes
+    partition dirs through BOTH read paths (library prune= and format
+    pushFilters) — inputFiles-pinned."""
+    register(spark)
+    path = str(tmp_path / "pw")
+    df = spark.range(60).selectExpr(
+        "id AS x", "CONCAT('s', id) AS s", "CAST(id % 3 AS INT) AS b"
+    )
+    df.write.format("versioned_table").option("path", path).option(
+        "partitionby", "b"
+    ).option("statscols", "x").mode("overwrite").save()
+    df2 = spark.range(60, 90).selectExpr(
+        "id AS x", "CONCAT('s', id) AS s", "CAST(id % 3 AS INT) AS b"
+    )
+    df2.write.format("versioned_table").option("path", path).option(
+        "partitionby", "b"
+    ).mode("append").save()
+
+    e1, e2 = V.versions(path)
+    assert e1["partition_by"] == ["b"] and e2["partition_by"] == ["b"]
+    assert sorted(e1["partition_dirs"]) == ["b=0", "b=1", "b=2"]
+    # per-file stats keys carry the hive subdir (manifest-relative)
+    assert all("/" in k and k.startswith("b=") for k in e1["file_stats"])
+
+    # library read prunes dirs
+    pruned = V.read_version(spark, path, prune=("b", 1, 1))
+    assert sorted(r.x for r in pruned.collect()) == [
+        x for x in range(90) if x % 3 == 1
+    ]
+    files = pruned.inputFiles()
+    assert files and all("/b=1/" in f for f in files), files
+
+    # format read reconstitutes the partition column and prunes via
+    # pushFilters
+    got = (
+        spark.read.format("versioned_table")
+        .option("path", path)
+        .option("schema", "x bigint, s string, b int")
+        .load()
+    )
+    assert sorted((r.x, r.b) for r in got.collect()) == [
+        (x, x % 3) for x in range(90)
+    ]
+    from pyspark.sql.datasource import EqualTo
+    from pyspark.sql.types import StructType
+
+    from end_to_end_database_pipeline_project_spark.sources.versioned_source import (
+        _VersionedBatchReader,
+    )
+
+    rdr = _VersionedBatchReader(
+        {"path": path}, StructType.fromDDL("x bigint, s string, b int")
+    )
+    list(rdr.pushFilters([EqualTo(("b",), 1)]))
+    parts = rdr.partitions()
+    assert parts and all("/b=1/" in p.value[0] for p in parts)
+
+
+def test_batch_writer_partitionby_null_and_date_values(spark, tmp_path):
+    """Dynamic partitioning handles NULL keys (__HIVE_DEFAULT_PARTITION__)
+    and date-typed keys (ISO dir values the reader casts back)."""
+    register(spark)
+    path = str(tmp_path / "pn")
+    df = spark.sql(
+        """SELECT * FROM VALUES
+             (1, DATE'2020-06-01'), (2, DATE'2020-06-02'), (3, CAST(NULL AS DATE))
+           AS t(x, day)"""
+    )
+    df.write.format("versioned_table").option("path", path).option(
+        "partitionby", "day"
+    ).mode("overwrite").save()
+    dirs = sorted(V.versions(path)[0]["partition_dirs"])
+    assert dirs == [
+        "day=2020-06-01",
+        "day=2020-06-02",
+        "day=__HIVE_DEFAULT_PARTITION__",
+    ]
+    got = (
+        spark.read.format("versioned_table")
+        .option("path", path)
+        .option("schema", "x int, day date")
+        .load()
+    )
+    import datetime
+
+    rows = sorted(
+        ((r.x, r.day) for r in got.collect()),
+        key=lambda t: t[0],
+    )
+    assert rows == [
+        (1, datetime.date(2020, 6, 1)),
+        (2, datetime.date(2020, 6, 2)),
+        (3, None),
+    ]
+    # library read agrees (Spark partition discovery on the hive dirs)
+    lib = sorted(
+        ((r.x, r.day) for r in V.read_version(spark, path).collect()),
+        key=lambda t: t[0],
+    )
+    assert lib == rows
+
+
+def test_stream_writer_partitionby(spark, tmp_path):
+    """The streaming format sink honors partitionby per micro-batch:
+    each commit is hive-partitioned and dir-prunable."""
+    register(spark)
+    path = str(tmp_path / "ps")
+    landing, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+    spark.range(20).selectExpr(
+        "id AS x", "CONCAT('s', id) AS s", "CAST(id % 2 AS INT) AS b"
+    ).write.parquet(landing)
+    q = (
+        spark.readStream.schema("x bigint, s string, b int")
+        .parquet(landing)
+        .writeStream.format("versioned_table")
+        .option("path", path)
+        .option("partitionby", "b")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert all(e.get("partition_by") == ["b"] for e in V.versions(path))
+    pruned = V.read_version(spark, path, prune=("b", 0, 0))
+    assert sorted(r.x for r in pruned.collect()) == [
+        x for x in range(20) if x % 2 == 0
+    ]
+    assert all("/b=0/" in f for f in pruned.inputFiles())
