@@ -46,6 +46,12 @@ _R = 6
 #: has drifted enough from the epoch's that the centroids should be
 #: re-fit (same 0.2 convention as streaming/drift.PSI_ALERT)
 REBUILD_PSI = 0.2
+#: stale-key fraction above which a Bloom epoch should be republished
+#: from the corpus: deletes can't be subtracted from the filter, so
+#: every erased key lingers as a false positive — past stale/live >
+#: 0.2 the accumulated FP drag outweighs one rebuild pass (the Bloom
+#: analog of the IVF occupancy-PSI trigger, same 0.2 convention)
+BLOOM_REBUILD_STALE = 0.2
 
 
 def env_scratch_dir(prefix: str, env_var: str) -> str:
@@ -75,11 +81,48 @@ def scratch_artifact_dir(prefix: str) -> str:
 # ----------------------------------------------------- bloom dedup epochs
 
 
-def publish_bloom_epoch(corpus: DataFrame, key_col: str, path: str) -> int:
+def publish_bloom_epoch(
+    corpus: DataFrame,
+    key_col: str,
+    path: str,
+    corpus_version: int | None = None,
+) -> int:
     """Build the Bloom words table over the corpus keys and commit it
     as the next artifact epoch. One corpus pass; the committed table
-    is ≤ ``M_BITS/64`` rows (operators/bloom.py geometry)."""
-    return write_version(build_bloom(corpus, key_col), path)
+    is ≤ ``M_BITS/64`` rows (operators/bloom.py geometry). The entry
+    is stamped ``bloom_rebuild`` with the corpus's distinct key count
+    (``n_keys``) — the baseline `bloom_stale_fraction` measures decay
+    against; ``corpus_version`` optionally records the CDF cursor the
+    incremental maintainer advances from."""
+    n_keys = corpus.select(key_col).where(
+        F.col(key_col).isNotNull()
+    ).distinct().count()
+    meta = {"bloom_rebuild": True, "n_keys": n_keys}
+    if corpus_version is not None:
+        meta["corpus_version"] = corpus_version
+    return write_version(build_bloom(corpus, key_col), path, meta=meta)
+
+
+def bloom_stale_fraction(artifact_path: str) -> float:
+    """Stale-key fraction of the committed Bloom epoch: tombstoned
+    keys accumulated since the last REBUILD commit, over the estimated
+    live key count (rebuild baseline + incremental adds − stales).
+    Pure manifest arithmetic — O(commits), no data read. 0.0 for an
+    artifact that predates the rebuild stamps (no baseline: the
+    republish cadence is then manual, as before r10)."""
+    vs = versions(artifact_path)
+    base_i = max(
+        (i for i, e in enumerate(vs) if e.get("bloom_rebuild")), default=None
+    )
+    if base_i is None:
+        return 0.0
+    live = vs[base_i].get("n_keys", 0)
+    stale = 0
+    for e in vs[base_i + 1 :]:
+        live += e.get("n_added", 0)
+        stale += e.get("stale_deletes", 0)
+    live = max(live - stale, 1)
+    return stale / live
 
 
 def probe_bloom_epoch(
@@ -524,6 +567,7 @@ def cdf_update_bloom_epoch(
     to_version: int | None = None,
     key_col: str = "content_hash",
     id_col: str = "doc_id",
+    rebuild_stale_ratio: float | None = None,
 ) -> dict:
     """Advance the committed Bloom words epoch from the corpus CDF:
     net-new keys OR into the existing words (bit_or over the ≤
@@ -532,13 +576,22 @@ def cdf_update_bloom_epoch(
     windows). Deletes cannot be subtracted from a Bloom filter: they
     are counted and recorded in the commit's manifest meta as
     ``stale_deletes`` — the filter stays SOUND (it only over-approximates,
-    so a deleted key costs a false positive, never a miss); fold the
-    count into the epoch-republish cadence. Returns
-    ``{"artifact_version", "n_added", "stale_deletes"}``. The net
-    fold runs on ``id_col`` — the corpus's TOMBSTONE key, which every
-    CDF row carries (a delete row has no ``key_col`` content to hash
-    anyway); the filter words come from the net-upserted rows'
-    ``key_col``."""
+    so a deleted key costs a false positive, never a miss). Returns
+    ``{"artifact_version", "n_added", "stale_deletes",
+    "stale_fraction", "rebuilt"}``. The net fold runs on ``id_col`` —
+    the corpus's TOMBSTONE key, which every CDF row carries (a delete
+    row has no ``key_col`` content to hash anyway); the filter words
+    come from the net-upserted rows' ``key_col``.
+
+    ``rebuild_stale_ratio`` (e.g. `BLOOM_REBUILD_STALE`) ACTS on the
+    stale count instead of merely recording it (VERDICT r09 #7): when
+    the accumulated `bloom_stale_fraction` exceeds the threshold after
+    this window, the epoch is REPUBLISHED from the corpus snapshot at
+    the synced version — one corpus pass that forgets every stale key,
+    resetting the fraction to 0 — mirroring the IVF occupancy-PSI
+    trigger. Live-key probe verdicts are identical before and after a
+    republish (pinned in tests/test_artifact_lifecycle.py); only stale
+    false positives disappear."""
     from ..sources.versioned import _entry as _resolve_entry
     from ..sources.versioned import write_version as _wv
 
@@ -568,7 +621,24 @@ def cdf_update_bloom_epoch(
             "corpus_version": synced_to,
         },
     )
-    return {"artifact_version": ver, "n_added": n_up, "stale_deletes": n_stale}
+    frac = bloom_stale_fraction(artifact_path)
+    rebuilt = False
+    if rebuild_stale_ratio is not None and frac > rebuild_stale_ratio:
+        ver = publish_bloom_epoch(
+            read_version(spark, corpus_path, synced_to),
+            key_col,
+            artifact_path,
+            corpus_version=synced_to,
+        )
+        frac = 0.0
+        rebuilt = True
+    return {
+        "artifact_version": ver,
+        "n_added": n_up,
+        "stale_deletes": n_stale,
+        "stale_fraction": round(frac, 6),
+        "rebuilt": rebuilt,
+    }
 
 
 def cdf_update_ivf_index(

@@ -69,6 +69,7 @@ manifest.
 from __future__ import annotations
 
 import os
+from collections import OrderedDict
 from collections.abc import Iterator
 
 from pyspark.sql.datasource import (
@@ -136,24 +137,30 @@ def _data_files_with_parts(path: str, entry: dict) -> list[tuple[str, tuple]]:
 def _tombstone_array(key_col: str, files: tuple, cast_to):
     """Executor-side load of one exclusion's keys as an Arrow array
     (cast to the probed column's type so ``is_in`` matches). Cached
-    per worker process — many file partitions share the same small
-    tombstone commits."""
+    per worker process with LRU eviction — many file partitions share
+    the same small tombstone commits, and in a mixed workload the hot
+    entries must survive a cold table's one-off reads (a wholesale
+    clear refetched every hot tombstone; VERDICT r09 #8)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     cache = _tombstone_array.cache
     k = (key_col, files, cast_to)
-    if k not in cache:
-        if len(cache) > 64:
-            cache.clear()
-        tbl = pa.concat_tables(
-            [pq.read_table(f, columns=[key_col]) for f in files]
-        )
-        cache[k] = tbl[key_col].combine_chunks().cast(cast_to)
-    return cache[k]
+    hit = cache.get(k)
+    if hit is not None:
+        cache.move_to_end(k)
+        return hit
+    tbl = pa.concat_tables(
+        [pq.read_table(f, columns=[key_col]) for f in files]
+    )
+    arr = tbl[key_col].combine_chunks().cast(cast_to)
+    cache[k] = arr
+    while len(cache) > 64:
+        cache.popitem(last=False)  # evict least-recently-used
+    return arr
 
 
-_tombstone_array.cache = {}
+_tombstone_array.cache = OrderedDict()
 
 
 def _read_file_batches(

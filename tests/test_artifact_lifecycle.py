@@ -702,3 +702,75 @@ def test_net_changes_keeps_all_rows_of_winning_commit(spark, tmp_path):
     assert got == {(1, "b"), (1, "c"), (1, "d")}, (
         "winning commit's full row-set must survive the net fold"
     )
+
+
+def test_bloom_stale_fraction_rebuild_policy(spark, tmp_path):
+    """VERDICT r09 #7: deletes past the stale threshold trigger
+    exactly ONE republish; live-key probe verdicts are identical
+    before/after (only stale false positives disappear) and the
+    fraction resets."""
+    from end_to_end_database_pipeline_project_spark.pipeline.artifacts import (
+        bloom_stale_fraction,
+        cdf_update_bloom_epoch,
+        probe_bloom_epoch,
+        publish_bloom_epoch,
+    )
+    from end_to_end_database_pipeline_project_spark.sources import versioned as V
+
+    corpus_path = str(tmp_path / "corpus")
+    art_path = str(tmp_path / "bloom")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, content_hash string")
+    V.write_version(mk([(i, f"h{i}") for i in range(10)]), corpus_path)  # v1
+    publish_bloom_epoch(
+        V.read_version(spark, corpus_path), "content_hash", art_path,
+        corpus_version=1,
+    )
+    assert bloom_stale_fraction(art_path) == 0.0
+
+    def probe(keys):
+        got = probe_bloom_epoch(
+            spark,
+            art_path,
+            mk([(i, k) for i, k in enumerate(keys)]),
+            "content_hash",
+            "doc_id",
+        )
+        return [r.maybe_dup for r in got.orderBy("doc_id").collect()]
+
+    live = [f"h{i}" for i in range(3, 10)]
+    before = probe(live)
+    assert all(before), "live keys flag before the rebuild"
+    assert probe(["h0"]) == [True]
+
+    # small delete first: below threshold -> recorded, not acted on
+    V.delete_version(
+        spark.createDataFrame([(0,)], "doc_id long"), corpus_path, "doc_id"
+    )  # v2
+    r1 = cdf_update_bloom_epoch(
+        spark, corpus_path, art_path, 1, rebuild_stale_ratio=0.2
+    )
+    assert not r1["rebuilt"] and 0 < r1["stale_fraction"] <= 0.2
+    assert probe(["h0"]) == [True], "stale key still a sound false positive"
+
+    # big delete: past threshold -> exactly one republish
+    V.delete_version(
+        spark.createDataFrame([(1,), (2,)], "doc_id long"), corpus_path, "doc_id"
+    )  # v3
+    r2 = cdf_update_bloom_epoch(
+        spark, corpus_path, art_path, 2, rebuild_stale_ratio=0.2
+    )
+    assert r2["rebuilt"] and r2["stale_fraction"] == 0.0
+    rebuilds = [e for e in V.versions(art_path) if e.get("bloom_rebuild")]
+    assert len(rebuilds) == 2, "initial publish + exactly one policy republish"
+    assert bloom_stale_fraction(art_path) == 0.0
+    after = probe(live)
+    assert after == before, "live-key verdicts identical across republish"
+    assert probe(["h0", "h1", "h2"]) == [False, False, False], (
+        "stale false positives gone after the rebuild"
+    )
+    # idempotent retry at the cursor: no further commits
+    from end_to_end_database_pipeline_project_spark.pipeline.artifacts import (
+        artifact_corpus_cursor,
+    )
+
+    assert artifact_corpus_cursor(art_path) == 3

@@ -760,3 +760,36 @@ def test_format_stream_excludes_dropped_columns(spark, tmp_path):
         (1, "a"),
         (2, "b"),
     ]
+
+
+def test_tombstone_cache_lru_eviction():
+    """VERDICT r09 #8: the executor tombstone cache evicts LRU instead
+    of clearing wholesale — a hot entry survives 64+ cold inserts."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from end_to_end_database_pipeline_project_spark.sources.versioned_source import (
+        _tombstone_array,
+    )
+
+    cache = _tombstone_array.cache
+    cache.clear()
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="tomb_lru_")
+    files = []
+    for i in range(70):
+        f = f"{d}/t{i}.parquet"
+        pq.write_table(pa.table({"k": pa.array([i], pa.int64())}), f)
+        files.append(f)
+    hot = _tombstone_array("k", (files[0],), pa.int64())
+    hot_key = next(iter(cache))
+    for i in range(1, 70):
+        _tombstone_array("k", (files[i],), pa.int64())
+        # touch the hot entry every few inserts — LRU must keep it
+        if i % 5 == 0:
+            again = _tombstone_array("k", (files[0],), pa.int64())
+            assert again is hot, "hot entry must be served from cache"
+    assert hot_key in cache, "LRU keeps the hot entry"
+    assert len(cache) <= 64, "cache bounded"
+    cache.clear()
