@@ -127,6 +127,12 @@ HEADLINE = [
     "suffix_duplicate_substrings_salted",
     "ann_index_incremental_probe",
     "versioned_file_skipping_read",
+    # round 10: date-typed partition pruning (library + format),
+    # metadata-only column drop, partitioned format-sink writes
+    "versioned_date_partition_pruning",
+    "versioned_column_drop",
+    "versioned_partitioned_format_write",
+    "versioned_struct_evolution",
 ]
 
 

@@ -47,77 +47,81 @@ _PACKS = [
 # their DuckDB oracles.  Registration order is therefore the
 # *verification budget allocator*.
 #
-# Round-9 window:
-# - slots 1-7: the seven r09 additions (partitioned commits + partition
-#   pruning on the versioned table; metadata-only rename + type
-#   widening; CDF-driven artifact maintenance; the lossless hot-prefix
-#   adaptive re-bucketing variant of the suffix-array dedup)
-# - slots 8-24: the seventeen r02-era stale ledger rows the r08 window
-#   could not fit (the r08 verdict's explicit first ask)
-# - slots 25-38: every query whose code or shared operator changed this
-#   round - the whole versioned-table fleet (sources/versioned.py
-#   gained partition_by/pruning/rename/flock-lock; the format reader
-#   was rewritten to Arrow batches + executor-side tombstones +
-#   pushFilters) and the four epoch-artifact lifecycles plus the two
-#   versioned-store consumers (pipeline/artifacts.py gained the
-#   cdf_update_* family)
-# - slots 39-50: the twelve stalest remaining rows (r03-era)
+# Round-10 window (the r09 verdict's #1 ask: new/changed first, then
+# the ENTIRE 33-row r03-era stale tranche, leaving no ledger row older
+# than r04):
+# - slots 1-4: the four r10 additions (date-typed partition pruning
+#   through library AND format; metadata-only column DROP with
+#   fresh-lineage re-add; partitioned writes through the format sink;
+#   struct-FIELD evolution through both read paths)
+# - slots 5-17: every query whose shared layer changed this round —
+#   the versioned fleet (sources/versioned.py gained the rename+drop
+#   schema fold, date-coerced prune bounds, maybe_compact;
+#   versioned_source.py gained drops-aware partitions, date filters in
+#   _raw_matches, dynamic-partitioning writers, the LRU tombstone
+#   cache) and the three artifact queries sitting on the changed
+#   pipeline/artifacts.py paths (_net_changes winning-commit fold,
+#   cursor-on-last-commit, bloom_rebuild stamps)
+# - slots 18-50: the complete r03-era backlog (33 rows)
+#   (after this window no driver-ledger row is older than r04)
 
 _DRIVER_FIRST = [
-    # (a) slots 1-4: new r09 queries
-    "versioned_partition_pruned_read",
-    "versioned_schema_evolution",
-    "cdf_artifact_maintenance",
-    "suffix_duplicate_substrings_salted",
-    "versioned_writer_sink",
-    "ann_index_incremental_probe",
-    "versioned_file_skipping_read",
-    # (b) slots 8-24: the r02-era backlog, drained in full
-    "promo_revenue_share",
-    "props_map_stats",
-    "quantity_quantiles",
-    "rainfall_gradient_colors",
-    "returned_item_report",
-    "rolling_7day_avg",
-    "rollup_returnflag_status",
-    "running_supplier_quantity",
-    "serving_json_envelope",
-    "shipping_priority",
-    "station_enrichment",
-    "top_orders_global",
-    "top_orders_per_customer",
-    "unit_conversions",
-    "user_sessionization",
-    "value_outlier_counts",
-    "weather_buckets",
-    # (c) slots 25-38: changed code / changed shared operators
+    # (a) slots 1-4: new r10 queries
+    "versioned_date_partition_pruning",
+    "versioned_column_drop",
+    "versioned_partitioned_format_write",
+    "versioned_struct_evolution",
+    # (b) slots 5-17: changed code / changed shared operators
+    # (versioned_time_travel, r09-green, yields its slot to the new
+    # struct-evolution query; it is re-verified by the builder's own
+    # full-fleet mirror sweep this round)
     "versioned_table_source_scan",
-    "versioned_time_travel",
     "versioned_incremental_scan",
     "versioned_delete_cdf",
     "versioned_upsert_cdf",
-    "versioned_history",
     "versioned_pruned_compaction",
     "versioned_exactly_once_sink",
+    "versioned_writer_sink",
+    "versioned_partition_pruned_read",
+    "versioned_schema_evolution",
+    "versioned_file_skipping_read",
+    "cdf_artifact_maintenance",
+    "ann_index_incremental_probe",
     "bloom_artifact_lifecycle",
-    "minhash_artifact_lifecycle",
-    "ivf_centroid_maintenance",
-    "pq_codebook_lifecycle",
-    "corpus_snapshot_diff",
-    "incremental_neardup_batch",
-    # (d) slots 39-50: stalest remaining driver rows (r03-era)
-    "approx_distinct_orders",
-    "asof_last_purchase",
-    "bigram_lm_scores",
-    "bitmap_distinct_users",
-    "bucketed_orders_revenue",
-    "data_quality_report",
-    "decontamination_flags",
-    "deterministic_split",
-    "doc_quality_scores",
-    "dsir_importance_weights",
-    "duplicate_span_stats",
-    "embedding_near_dup_pairs",
+    # (c) slots 18-50: the r03-era backlog, drained in full
+    "ewma_daily_value",
+    "full_curation_run",
+    "grouped_map_zscores",
+    "http_api_source_scan",
+    "incremental_rollup_merge",
+    "ivf_multiprobe_topk",
+    "jaccard_on_lsh_survivors",
+    "knn_topk",
+    "kv_cache_sink_roundtrip",
+    "lineage_stamped_load",
+    "mad_outlier_days",
+    "monthly_order_spine",
+    "multimodal_bmp_decode",
+    "multimodal_features",
+    "neardup_components",
+    "observation_upsert",
+    "order_value_frontier",
+    "pagerank_customer_supplier",
+    "pii_scrubbed_docs",
+    "salted_event_stats",
+    "semantic_dedup_report",
+    "simhash_fingerprints",
+    "source_quota_cap",
+    "source_weighted_topk_sample",
+    "sq8_ann_topk",
+    "sql_ddl_pipeline",
+    "stateful_user_totals",
+    "stations_within_500km",
+    "stream_stream_join",
+    "streaming_hourly_window",
+    "tfidf_cosine_topk",
+    "trading_triangles",
+    "variant_event_props",
 ]
 
 

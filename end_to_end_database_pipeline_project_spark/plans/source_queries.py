@@ -1754,3 +1754,105 @@ def versioned_partitioned_format_write(spark: SparkSession, sf_dir: str) -> Data
         F.lit(dirs_pruned).alias("dirs_pruned"),
         F.lit(manifest_symmetric).alias("manifest_symmetric"),
     )
+
+
+@query(
+    "versioned_struct_evolution",
+    oracle="""WITH priced AS (
+  SELECT o_orderkey,
+         CASE WHEN year(o_orderdate) >= 1996
+              THEN CAST(o_totalprice AS DOUBLE) END AS price
+  FROM orders)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(price) AS BIGINT) AS priced_rows,
+       round(coalesce(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE),
+                      0.0), 2) AS priced_revenue,
+       TRUE AS format_parity
+FROM priced""",
+)
+def versioned_struct_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCT-FIELD schema evolution on the versioned table (the
+    nested half of VERDICT r09 #4): an append may add a field INSIDE a
+    struct column — pre-evolution rows read NULL for it, through BOTH
+    read paths. The chain here: v1 full (orders pre-1996, ``meta``
+    struct carrying only ``prio``), v2 append (orders 1996+, ``meta``
+    gains a ``price`` field). The library chain read union-resolves
+    nested fields (Spark's ``unionByName(allowMissingColumns)`` fills
+    missing struct children); the ``versioned_table`` format
+    reconciles per-file Arrow batches RECURSIVELY
+    (``_conform_array``: missing struct children null-fill, nested
+    widening casts apply) instead of failing the flat cast.
+    ``format_parity`` pins that both paths agree on the full nested
+    aggregate. At 100 TB nested payload columns evolve constantly
+    (the reference's raw JSON observation struct grows fields across
+    API versions, nws_api_fetcher_v2.py:21-119) — a rewrite per new
+    field is untenable; this is the zero-rewrite path."""
+    from ..pipeline.artifacts import scratch_artifact_dir
+    from ..sources import versioned as V
+    from ..sources.versioned_source import register as register_vt
+
+    register_vt(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    store = scratch_artifact_dir("vt_structevo_")
+    V.write_version(
+        orders.where(yr < 1996).select(
+            "o_orderkey", F.struct(F.col("o_orderpriority").alias("prio")).alias("meta")
+        ),
+        store,
+    )
+    V.append_version(
+        orders.where(yr >= 1996).select(
+            "o_orderkey",
+            F.struct(
+                F.col("o_orderpriority").alias("prio"),
+                F.col("o_totalprice").alias("price"),
+            ).alias("meta"),
+        ),
+        store,
+    )
+
+    lib = V.read_version(spark, store)
+    agg = lib.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count("meta.price").cast("long").alias("priced_rows"),
+        F.round(
+            F.coalesce(
+                F.sum(F.col("meta.price").cast("decimal(18,2)")).cast("double"),
+                F.lit(0.0),
+            ),
+            2,
+        ).alias("priced_revenue"),
+    )
+    fmt = (
+        spark.read.format("versioned_table")
+        .option("path", store)
+        .option(
+            "schema",
+            "o_orderkey bigint, meta struct<prio:string, price:double>",
+        )
+        .load()
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("f_rows"),
+            F.count("meta.price").cast("long").alias("f_priced"),
+            F.round(
+                F.coalesce(
+                    F.sum(F.col("meta.price").cast("decimal(18,2)")).cast(
+                        "double"
+                    ),
+                    F.lit(0.0),
+                ),
+                2,
+            ).alias("f_revenue"),
+        )
+    )
+    return agg.crossJoin(F.broadcast(fmt)).select(
+        "n_rows",
+        "priced_rows",
+        "priced_revenue",
+        (
+            (F.col("n_rows") == F.col("f_rows"))
+            & (F.col("priced_rows") == F.col("f_priced"))
+            & (F.col("priced_revenue") == F.col("f_revenue"))
+        ).alias("format_parity"),
+    )

@@ -163,6 +163,54 @@ def _tombstone_array(key_col: str, files: tuple, cast_to):
 _tombstone_array.cache = OrderedDict()
 
 
+def _conform_array(arr, typ):
+    """Conform one Arrow array to the declared type, RECURSIVELY
+    null-filling struct fields the file predates (struct-FIELD schema
+    evolution: an append may add a field inside a struct column, and
+    pre-evolution files must read NULL there — a flat ``cast`` errors
+    on the missing child). Lists/maps recurse into their value types;
+    everything else is a plain widening cast (int→long, decimal→double,
+    naive→UTC timestamps)."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.type == typ:
+        return arr
+    if pa.types.is_struct(typ) and pa.types.is_struct(arr.type):
+        children = []
+        for f in typ:
+            idx = arr.type.get_field_index(f.name)
+            if idx >= 0:
+                children.append(_conform_array(arr.field(f.name), f.type))
+            else:
+                children.append(pa.nulls(len(arr), f.type))
+        import pyarrow.compute as pc
+
+        return pa.StructArray.from_arrays(
+            children, fields=list(typ), mask=pc.is_null(arr)
+        )
+    if pa.types.is_list(typ) and (
+        pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)
+    ):
+        values = _conform_array(arr.values, typ.value_type)
+        return pa.ListArray.from_arrays(
+            arr.offsets.cast(pa.int32()),
+            values,
+            mask=arr.is_null() if arr.null_count else None,
+        )
+    if pa.types.is_map(typ) and pa.types.is_map(arr.type):
+        try:
+            return arr.cast(typ)
+        except pa.ArrowInvalid:
+            keys = _conform_array(arr.keys, typ.key_type)
+            items = _conform_array(arr.items, typ.item_type)
+            return pa.MapArray.from_arrays(
+                arr.offsets.cast(pa.int32()), keys, items
+            )
+    return arr.cast(typ)
+
+
 def _read_file_batches(
     file_path: str,
     schema,  # pyarrow.Schema (the declared read schema)
@@ -222,7 +270,12 @@ def _read_file_batches(
                     field.type
                 )
             )
-    tbl = pa.table(dict(zip(cols, arrays))).cast(schema)
+    tbl = pa.table(
+        {
+            c: _conform_array(a, schema.field(c).type)
+            for c, a in zip(cols, arrays)
+        }
+    ).cast(schema)
     keep = None
     for key_col, tomb_col, files in exclusions:
         if key_col not in cols:

@@ -793,3 +793,57 @@ def test_tombstone_cache_lru_eviction():
     assert hot_key in cache, "LRU keeps the hot entry"
     assert len(cache) <= 64, "cache bounded"
     cache.clear()
+
+
+def test_format_struct_field_evolution(spark, tmp_path):
+    """Struct-FIELD schema evolution through the format (VERDICT r09
+    #4's nested half): an append may add a field INSIDE a struct (or a
+    list<struct> element); pre-evolution files read NULL for the new
+    field instead of failing the Arrow cast — `_conform_array`
+    recursively null-fills missing children. The library chain read
+    already union-resolves nested fields; this pins format parity."""
+    register(spark)
+    path = str(tmp_path / "se")
+    V.write_version(
+        spark.sql(
+            "SELECT 1 AS x, named_struct('a', 10, 'b', 'p') AS s, "
+            "array(named_struct('k', 1)) AS lst"
+        ),
+        path,
+    )
+    V.append_version(
+        spark.sql(
+            "SELECT 2 AS x, named_struct('a', 20, 'b', 'q', 'c', 3.5) AS s, "
+            "array(named_struct('k', 2, 'm', 'z')) AS lst"
+        ),
+        path,
+    )
+    ddl = (
+        "x int, s struct<a:int, b:string, c:double>, "
+        "lst array<struct<k:int, m:string>>"
+    )
+    got = (
+        spark.read.format("versioned_table")
+        .option("path", path)
+        .option("schema", ddl)
+        .load()
+    )
+    rows = sorted(
+        ((r.x, r.s.asDict(), [e.asDict() for e in r.lst]) for r in got.collect()),
+        key=lambda t: t[0],
+    )
+    assert rows == [
+        (1, {"a": 10, "b": "p", "c": None}, [{"k": 1, "m": None}]),
+        (2, {"a": 20, "b": "q", "c": 3.5}, [{"k": 2, "m": "z"}]),
+    ]
+    # library read agrees (unionByName allowMissingColumns nested fill)
+    lib = V.read_version(spark, path).selectExpr("x", "s.c AS c").collect()
+    assert {(r.x, r.c) for r in lib} == {(1, None), (2, 3.5)}
+    # widening inside the struct: int field vs declared long
+    got2 = (
+        spark.read.format("versioned_table")
+        .option("path", path)
+        .option("schema", "x bigint, s struct<a:bigint, b:string, c:double>")
+        .load()
+    )
+    assert {r.s.a for r in got2.collect()} == {10, 20}
