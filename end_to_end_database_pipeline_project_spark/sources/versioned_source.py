@@ -775,6 +775,7 @@ def _write_task_parquet(
             combos = (
                 tbl.select(pcols).group_by(pcols).aggregate([]).to_pylist()
             )
+            routed = 0
             for combo in combos:
                 mask = None
                 for c in pcols:
@@ -790,11 +791,23 @@ def _write_task_parquet(
                         )
                     mask = m if mask is None else pc.and_(mask, m)
                 part = tbl.filter(mask)
+                routed += part.num_rows
                 rel = "/".join(
                     f"{c}={_hive_dir_value(combo[c])}" for c in pcols
                 )
                 feed(rel, part.select(keep))
-                track_stats(acc[rel], part)
+                if part.num_rows:  # an unroutable combo (NaN) filters
+                    # to empty — caught by the conservation check below
+                    track_stats(acc[rel], part)
+            if routed != tbl.num_rows:
+                # row conservation: every row must land in exactly one
+                # hive dir. Keys equality can't route (float NaN is the
+                # known case: NaN != NaN) must fail the WRITE loudly,
+                # never silently drop rows
+                raise ValueError(
+                    f"partitionby routed {routed} of {tbl.num_rows} rows — "
+                    f"non-groupable partition key values (NaN?) in {pcols}"
+                )
     finally:
         for w in writers.values():
             w.close()

@@ -361,3 +361,31 @@ def test_stream_writer_partitionby(spark, tmp_path):
         x for x in range(20) if x % 2 == 0
     ]
     assert all("/b=0/" in f for f in pruned.inputFiles())
+
+
+def test_partitionby_nan_key_fails_loudly(spark, tmp_path):
+    """Row conservation in the dynamic partitioner: a NaN partition key
+    cannot be equality-routed (NaN != NaN) — the write must FAIL, never
+    silently drop the rows."""
+    import pytest
+
+    register(spark)
+    path = str(tmp_path / "nan")
+    df = spark.sql(
+        "SELECT * FROM VALUES (1, CAST(1.5 AS DOUBLE)), "
+        "(2, CAST('NaN' AS DOUBLE)) AS t(x, b)"
+    )
+    with pytest.raises(Exception, match="non-groupable|NaN"):
+        df.write.format("versioned_table").option("path", path).option(
+            "partitionby", "b"
+        ).mode("overwrite").save()
+    # NULL keys, by contrast, route to the hive default partition
+    df2 = spark.sql(
+        "SELECT * FROM VALUES (1, CAST(1.5 AS DOUBLE)), "
+        "(2, CAST(NULL AS DOUBLE)) AS t(x, b)"
+    )
+    df2.write.format("versioned_table").option("path", path).option(
+        "partitionby", "b"
+    ).mode("overwrite").save()
+    got = V.read_version(spark, path)
+    assert sorted((r.x, r.b) for r in got.collect()) == [(1, 1.5), (2, None)]
