@@ -72,6 +72,16 @@ FIXED_ON_EMPTY = [
     "serving_json_envelope",
     "rollup_returnflag_status",
     "cube_status_priority",
+    # r10: inputFiles-proof columns hold VACUOUSLY on an empty slice
+    # (an all-pruned read touches only schema-bearing empty files; an
+    # empty partitioned write lands a flat schema file by design)
+    "versioned_partition_pruned_read",
+    "versioned_writer_sink",
+    "versioned_file_skipping_read",
+    "versioned_date_partition_pruning",
+    "versioned_partitioned_format_write",
+    "versioned_column_drop",
+    "versioned_struct_evolution",
 ]
 
 ROWS_ONLY_ON_EMPTY = ["ivf_kmeans_topk"]
