@@ -49,7 +49,15 @@ the manifest for data skipping), ``partitionby`` (write: comma-separated
 columns — tasks dynamic-partition their Arrow batches into hive
 subdirs and the manifest records ``partition_by``/``partition_dirs``
 exactly as the library writer does, so format-written tables prune
-partition dirs on read).
+partition dirs on read), ``maxversionspertrigger`` (stream: cap each
+micro-batch AFTER the first of a run at N committed versions —
+Delta's maxFilesPerTrigger analog at commit granularity, bounding
+steady-state batch latency; the run's first batch is planned before
+the source learns its cursor and is deliberately uncapped),
+``startingversion`` (stream: begin AFTER that committed version —
+Delta's startingVersion; skips/bounds a fresh consumer's catch-up
+batch, and re-attaches a consumer after a compaction by naming the
+compaction version).
 
 Scale note: partitions map 1:1 to committed parquet files, so the read
 parallelizes like any file scan, and rows cross the Python boundary as
@@ -578,17 +586,61 @@ class _VersionedStreamReader(DataSourceStreamReader):
         self.ignore_changes = (
             options.get("ignorechanges", "false").lower() == "true"
         )
+        # rate limiting (Delta's maxFilesPerTrigger analog, at commit
+        # granularity): each micro-batch advances the cursor by at most
+        # N committed versions. The engine plans a FRESH run's first
+        # batch from a latestOffset call made BEFORE initialOffset (the
+        # Python DS API exposes no ReadLimit), and a cap guessed there
+        # could fall BEHIND a restarted checkpoint — planning a
+        # backward batch — so with an unknown cursor latestOffset stays
+        # uncapped. RESTARTED runs learn the cursor from recovery's
+        # commit/partitions replay before planning, so every batch of a
+        # restarted run IS capped; only a fresh run's catch-up batch is
+        # not — bound (or skip) that one with ``startingversion``,
+        # Delta's startingVersion: the stream begins AFTER the named
+        # committed version instead of the table base (also how a
+        # consumer re-attaches after compaction). Pinned in
+        # tests/test_versioned_source.py.
+        mv = options.get("maxversionspertrigger")
+        self.max_versions = int(mv) if mv is not None else None
+        if self.max_versions is not None and self.max_versions < 1:
+            raise ValueError(
+                f"maxversionspertrigger must be >= 1 (got {self.max_versions})"
+            )
+        sv = options.get("startingversion")
+        self.starting_version = int(sv) if sv is not None else 0
+        if self.starting_version < 0:
+            raise ValueError(
+                f"startingversion must be >= 0 (got {self.starting_version})"
+            )
+        self._cursor: int | None = None
 
     def initialOffset(self) -> dict:
-        return {"version": 0}
+        self._cursor = self.starting_version
+        return {"version": self.starting_version}
 
     def latestOffset(self) -> dict:
         vs = versions(self.path)
-        return {"version": vs[-1]["version"] if vs else 0}
+        head = vs[-1]["version"] if vs else 0
+        if self.max_versions is not None and self._cursor is not None:
+            head = min(head, self._cursor + self.max_versions)
+        return {"version": head}
 
     def partitions(self, start: dict, end: dict):
         vs = versions(self.path)
         lo, hi = start["version"], end["version"]
+        # learn the cursor from every planned batch (covers restart
+        # replays, where initialOffset is never called)
+        if self._cursor is None or hi > self._cursor:
+            self._cursor = hi
+        if lo > 0 and vs and lo > vs[-1]["version"]:
+            # a startingversion beyond the committed head is a typo,
+            # not an empty stream — fail loudly at first plan
+            raise ValueError(
+                f"versioned_table stream at {self.path}: cursor {lo} is "
+                f"beyond the committed head {vs[-1]['version']} — check "
+                "startingversion"
+            )
         if lo > 0 and vs and lo < vs[0]["version"]:
             # the checkpointed cursor predates retained history: the
             # commits it still owed were vacuumed — a silent catch-up
@@ -665,7 +717,10 @@ class _VersionedStreamReader(DataSourceStreamReader):
         )
 
     def commit(self, end: dict) -> None:
-        pass  # the checkpoint holds the cursor; nothing to reclaim
+        # the checkpoint holds the authoritative cursor; track it here
+        # too so the rate cap applies from the first post-restart plan
+        if self._cursor is None or end["version"] > self._cursor:
+            self._cursor = end["version"]
 
 
 class _StagedPart(WriterCommitMessage):
@@ -713,8 +768,14 @@ def _write_task_parquet(
     one open writer per hive subdir the task touches, partition
     columns stripped from the file bytes exactly as Spark's native
     layout does (the reader reconstitutes them from the directory
-    path). Stats still compute on the FULL batch, so a statscols entry
-    that is also a partition column records correctly."""
+    path). Open writers are LRU-capped at 64 per task — a
+    high-cardinality partition key cannot exhaust file handles; an
+    evicted dir that receives more rows simply opens a SECOND part
+    file there (multiple part files per hive dir are the normal
+    layout), the same spill discipline Spark's dynamic-partition
+    writer applies. Stats still compute on the FULL batch, so a
+    statscols entry that is also a partition column records
+    correctly."""
     import uuid
 
     import pyarrow as pa
@@ -723,21 +784,32 @@ def _write_task_parquet(
 
     os.makedirs(staging, exist_ok=True)
     pcols = list(partition_cols or [])
-    writers: dict = {}  # rel_dir -> ParquetWriter
-    acc: dict = {}  # rel_dir -> [file, rows, mins, maxs]
+    MAX_OPEN = 64
+    writers: OrderedDict = OrderedDict()  # rel_dir -> ParquetWriter
+    acc: dict = {}  # rel_dir -> list of [file, rows, mins, maxs]
+    open_slot: dict = {}  # rel_dir -> the slot its open writer feeds
 
     def feed(rel_dir: str, tbl) -> None:
         if tbl.num_rows == 0:
             return
-        slot = acc.get(rel_dir)
-        if slot is None:
+        w = writers.get(rel_dir)
+        if w is not None:
+            writers.move_to_end(rel_dir)
+            slot = open_slot[rel_dir]
+        else:
+            if len(writers) >= MAX_OPEN:
+                old_dir, old_w = writers.popitem(last=False)
+                old_w.close()
+                del open_slot[old_dir]
             d = os.path.join(staging, rel_dir) if rel_dir else staging
             os.makedirs(d, exist_ok=True)
             f = os.path.join(d, f"part-{uuid.uuid4().hex}.parquet")
-            writers[rel_dir] = pq.ParquetWriter(f, tbl.schema)
-            slot = acc[rel_dir] = [f, 0, {}, {}]
-        writers[rel_dir].write_table(tbl)
+            w = writers[rel_dir] = pq.ParquetWriter(f, tbl.schema)
+            slot = open_slot[rel_dir] = [f, 0, {}, {}]
+            acc.setdefault(rel_dir, []).append(slot)
+        w.write_table(tbl)
         slot[1] += tbl.num_rows
+        return slot
 
     def track_stats(slot, b) -> None:
         mins, maxs = slot[2], slot[3]
@@ -755,9 +827,9 @@ def _write_task_parquet(
         for b in iterator:
             if not pcols:
                 tbl = pa.Table.from_batches([b])
-                feed("", tbl)
-                if b.num_rows:
-                    track_stats(acc[""], b)
+                slot = feed("", tbl)
+                if slot is not None:
+                    track_stats(slot, b)
                 continue
             missing = [c for c in pcols if c not in b.schema.names]
             if missing:
@@ -795,10 +867,10 @@ def _write_task_parquet(
                 rel = "/".join(
                     f"{c}={_hive_dir_value(combo[c])}" for c in pcols
                 )
-                feed(rel, part.select(keep))
-                if part.num_rows:  # an unroutable combo (NaN) filters
+                slot = feed(rel, part.select(keep))
+                if slot is not None:  # an unroutable combo (NaN) filters
                     # to empty — caught by the conservation check below
-                    track_stats(acc[rel], part)
+                    track_stats(slot, part)
             if routed != tbl.num_rows:
                 # row conservation: every row must land in exactly one
                 # hive dir. Keys equality can't route (float NaN is the
@@ -818,7 +890,8 @@ def _write_task_parquet(
             {c: (mins.get(c), maxs.get(c)) for c in stats_cols},
             rel_dir,
         )
-        for rel_dir, (f, rows, mins, maxs) in acc.items()
+        for rel_dir, slots in acc.items()
+        for f, rows, mins, maxs in slots
     ]
     if not pcols:
         return out[0] if out else _StagedPart(None, 0, {})

@@ -847,3 +847,97 @@ def test_format_struct_field_evolution(spark, tmp_path):
         .load()
     )
     assert {r.s.a for r in got2.collect()} == {10, 20}
+
+
+def test_stream_maxversionspertrigger_and_startingversion(spark, tmp_path):
+    """Rate limiting + startingversion (Delta's maxFilesPerTrigger /
+    startingVersion analogs). The run's FIRST batch is planned before
+    the source learns its cursor (no ReadLimit in the Python DS API)
+    and is uncapped; every later trigger advances the offset by at
+    most N versions. startingversion bounds a fresh consumer's
+    catch-up batch explicitly (and re-attaches consumers after a
+    compaction)."""
+    import json
+    import os as _os
+
+    register(spark)
+    path, ckpt, out = (str(tmp_path / d) for d in ("t", "ckpt", "out"))
+    V.write_version(_mk(spark, [(0, "a")]), path)
+    for i in range(1, 6):
+        V.append_version(_mk(spark, [(i, f"s{i}")]), path)  # v2..v6
+
+    def drain(**opts):
+        q = (
+            spark.readStream.format("versioned_table")
+            .option("path", path)
+            .option("schema", DDL)
+            .options(**opts)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(r.x for r in spark.read.parquet(out).collect())
+
+    # startingversion: the catch-up batch starts AFTER v4 — only the
+    # v5/v6 rows arrive; history before it is skipped by contract
+    assert drain(startingversion="4", maxversionspertrigger="2") == [4, 5]
+    # new commits: a RESTARTED run learns its cursor from recovery, so
+    # even its first planned batch is capped — each availableNow rerun
+    # advances by at most the cap and stops at its prepared target;
+    # looping drains catches up exactly once
+    for i in range(6, 11):
+        V.append_version(_mk(spark, [(i, f"s{i}")]), path)  # v7..v11
+    seen = [4, 5]
+    for _ in range(5):
+        got = drain(startingversion="4", maxversionspertrigger="2")
+        assert len(got) - len(seen) <= 2, "restarted runs advance <= cap"
+        assert got[: len(seen)] == seen and got == sorted(set(got))
+        seen = got
+        if got == [4, 5, 6, 7, 8, 9, 10]:
+            break
+    assert seen == [4, 5, 6, 7, 8, 9, 10]
+    # the checkpointed offsets after the first batch advance by <= 2
+    odir = _os.path.join(ckpt, "offsets")
+    ends = []
+    for f in sorted(_os.listdir(odir), key=lambda x: int(x) if x.isdigit() else -1):
+        if f.isdigit():
+            last = open(_os.path.join(odir, f)).read().strip().split("\n")[-1]
+            ends.append(json.loads(last)["version"])
+    assert ends[0] == 6  # FRESH run's first batch: uncapped to then-head
+    deltas = [b - a for a, b in zip(ends, ends[1:])]
+    assert deltas and all(0 < d <= 2 for d in deltas), (ends, deltas)
+    assert ends[-1] == 11
+    # a startingversion beyond the head fails loudly
+    import pytest
+
+    with pytest.raises(Exception, match="beyond the committed head"):
+        (
+            spark.readStream.format("versioned_table")
+            .option("path", path)
+            .option("schema", DDL)
+            .option("startingversion", "99")
+            .load()
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck2"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    # a bad cap fails loudly
+    with pytest.raises(Exception, match="maxversionspertrigger"):
+        (
+            spark.readStream.format("versioned_table")
+            .option("path", path)
+            .option("schema", DDL)
+            .option("maxversionspertrigger", "0")
+            .load()
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck3"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )

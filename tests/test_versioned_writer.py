@@ -389,3 +389,27 @@ def test_partitionby_nan_key_fails_loudly(spark, tmp_path):
     ).mode("overwrite").save()
     got = V.read_version(spark, path)
     assert sorted((r.x, r.b) for r in got.collect()) == [(1, 1.5), (2, None)]
+
+
+def test_partitionby_high_cardinality_writer_cap(spark, tmp_path):
+    """A partition key with more distinct values than the per-task
+    open-writer cap (64) still writes every row: evicted dirs reopen
+    as additional part files in the same hive dir — file handles stay
+    bounded, content is conserved, reads prune normally."""
+    register(spark)
+    path = str(tmp_path / "hc")
+    # 200 distinct keys through ONE task: forces >64 dirs per task
+    df = spark.range(400).selectExpr(
+        "id AS x", "CAST(id % 200 AS INT) AS b"
+    ).coalesce(1)
+    df.write.format("versioned_table").option("path", path).option(
+        "partitionby", "b"
+    ).mode("overwrite").save()
+    e = V.versions(path)[0]
+    assert e["rows"] == 400
+    assert len(e["partition_dirs"]) == 200
+    got = V.read_version(spark, path)
+    assert got.count() == 400
+    assert sorted(r.x for r in got.where("b = 7").collect()) == [7, 207]
+    pruned = V.read_version(spark, path, prune=("b", 7, 7))
+    assert all("/b=7/" in f for f in pruned.inputFiles())
