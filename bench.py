@@ -133,6 +133,7 @@ HEADLINE = [
     "versioned_column_drop",
     "versioned_partitioned_format_write",
     "versioned_struct_evolution",
+    "versioned_cdf_format_read",
 ]
 
 

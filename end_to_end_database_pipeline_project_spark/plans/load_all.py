@@ -50,11 +50,12 @@ _PACKS = [
 # Round-10 window (the r09 verdict's #1 ask: new/changed first, then
 # the ENTIRE 33-row r03-era stale tranche, leaving no ledger row older
 # than r04):
-# - slots 1-4: the four r10 additions (date-typed partition pruning
+# - slots 1-5: the five r10 additions (date-typed partition pruning
 #   through library AND format; metadata-only column DROP with
 #   fresh-lineage re-add; partitioned writes through the format sink;
-#   struct-FIELD evolution through both read paths)
-# - slots 5-17: every query whose shared layer changed this round —
+#   struct-FIELD evolution through both read paths; the change feed AS
+#   a batch format)
+# - slots 6-17: queries whose shared layer changed this round —
 #   the versioned fleet (sources/versioned.py gained the rename+drop
 #   schema fold, date-coerced prune bounds, maybe_compact;
 #   versioned_source.py gained drops-aware partitions, date filters in
@@ -66,20 +67,21 @@ _PACKS = [
 #   (after this window no driver-ledger row is older than r04)
 
 _DRIVER_FIRST = [
-    # (a) slots 1-4: new r10 queries
+    # (a) slots 1-5: new r10 queries
     "versioned_date_partition_pruning",
     "versioned_column_drop",
     "versioned_partitioned_format_write",
     "versioned_struct_evolution",
-    # (b) slots 5-17: changed code / changed shared operators
-    # (versioned_time_travel, r09-green, yields its slot to the new
-    # struct-evolution query; it is re-verified by the builder's own
+    "versioned_cdf_format_read",
+    # (b) slots 6-17: changed code / changed shared operators
+    # (versioned_time_travel and versioned_pruned_compaction, both
+    # r09-green, yield their slots to the new struct-evolution and
+    # CDF-format queries; both are re-verified by the builder's own
     # full-fleet mirror sweep this round)
     "versioned_table_source_scan",
     "versioned_incremental_scan",
     "versioned_delete_cdf",
     "versioned_upsert_cdf",
-    "versioned_pruned_compaction",
     "versioned_exactly_once_sink",
     "versioned_writer_sink",
     "versioned_partition_pruned_read",

@@ -1875,3 +1875,106 @@ def versioned_struct_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("priced_revenue") == F.col("f_revenue"))
         ).alias("format_parity"),
     )
+
+
+@query(
+    "versioned_cdf_format_read",
+    oracle="""WITH nov AS (
+  SELECT * FROM orders WHERE o_orderdate BETWEEN DATE '1997-11-01'
+                                             AND DATE '1997-11-30'),
+dec_ AS (
+  SELECT * FROM orders WHERE o_orderdate BETWEEN DATE '1997-12-01'
+                                             AND DATE '1997-12-31')
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM nov) +
+       (SELECT CAST(count(*) AS BIGINT) FROM dec_) AS n_inserts,
+       (SELECT CAST(count(*) AS BIGINT) FROM nov
+        WHERE o_orderkey % 13 = 0) AS n_deletes,
+       round(coalesce((SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                                   AS DOUBLE) FROM dec_), 0.0), 2)
+           AS insert_revenue_v3,
+       TRUE AS library_parity""",
+)
+def versioned_cdf_format_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change feed AS a Spark batch format (Delta's readChangeFeed
+    analog): ``spark.read.format("versioned_table")
+    .option("readchangefeed", "true").option("startingversion", N)``
+    emits the typed change rows committed after version N — inserts as
+    full rows, deletes as key-only rows, each stamped ``_change_type``
+    and ``_commit_version`` — reading ONLY the delta directories
+    (O(rows changed), never a snapshot re-scan), with loud failure if
+    a full-snapshot rewrite breaks the range. The chain here: v1 full
+    (orders pre-Nov-1997), v2 append (November), v3 delete (every 13th
+    November key), v4 append (December). The feed from v1 must carry
+    exactly the Nov+Dec inserts and the November tombstone keys, agree
+    with the library's `incremental_scan` row-for-row
+    (``library_parity``), and the per-commit slice (inserts of v4
+    only) must aggregate to December's revenue. At 100 TB this is how
+    a NON-library consumer (any generic Spark job) syncs a downstream
+    copy: the feed is the format, no imports needed."""
+    from ..pipeline.artifacts import scratch_artifact_dir
+    from ..sources import versioned as V
+    from ..sources.versioned_source import register as register_vt
+
+    register_vt(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    store = scratch_artifact_dir("vt_cdf_fmt_")
+    nov = F.col("o_orderdate").between("1997-11-01", "1997-11-30")
+    dec = F.col("o_orderdate").between("1997-12-01", "1997-12-31")
+    V.write_version(orders.where(F.col("o_orderdate") < "1997-11-01"), store)
+    V.append_version(orders.where(nov), store)
+    V.delete_version(
+        orders.where(nov & (F.col("o_orderkey") % 13 == 0)).select(
+            "o_orderkey"
+        ),
+        store,
+        "o_orderkey",
+    )
+    V.append_version(orders.where(dec), store)
+
+    feed = (
+        spark.read.format("versioned_table")
+        .option("path", store)
+        .option(
+            "schema",
+            "o_orderkey bigint, o_orderdate date, o_totalprice double",
+        )
+        .option("readchangefeed", "true")
+        .option("startingversion", "1")
+        .load()
+    )
+    lib = V.incremental_scan(spark, store, 1).select(*feed.columns)
+    # row-for-row parity with the library CDF (exceptAll both ways)
+    parity = (
+        feed.exceptAll(lib).limit(1).count() == 0
+        and lib.exceptAll(feed).limit(1).count() == 0
+    )
+    return feed.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("_change_type") == "insert", 1).otherwise(0)),
+            F.lit(0),
+        ).cast("long").alias("n_inserts"),
+        F.coalesce(
+            F.sum(F.when(F.col("_change_type") == "delete", 1).otherwise(0)),
+            F.lit(0),
+        ).cast("long").alias("n_deletes"),
+        F.round(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("_change_type") == "insert")
+                        & (F.col("_commit_version") == 4),
+                        F.col("o_totalprice").cast("decimal(18,2)"),
+                    )
+                ).cast("double"),
+                F.lit(0.0),
+            ),
+            2,
+        ).alias("insert_revenue_v3"),
+    ).select(
+        "n_inserts",
+        "n_deletes",
+        "insert_revenue_v3",
+        F.lit(parity).alias("library_parity"),
+    )

@@ -57,7 +57,11 @@ the source learns its cursor and is deliberately uncapped),
 ``startingversion`` (stream: begin AFTER that committed version —
 Delta's startingVersion; skips/bounds a fresh consumer's catch-up
 batch, and re-attaches a consumer after a compaction by naming the
-compaction version).
+compaction version; batch with ``readchangefeed``: the window start),
+``readchangefeed`` + ``endingversion`` (batch: read the CHANGE FEED
+instead of the snapshot — Delta's readChangeFeed; typed
+``_change_type``/``_commit_version`` rows from only the delta
+directories, loud failure across a rewrite).
 
 Scale note: partitions map 1:1 to committed parquet files, so the read
 parallelizes like any file scan, and rows cross the Python boundary as
@@ -1129,15 +1133,112 @@ class _VersionedStreamWriter(DataSourceStreamArrowWriter):
                     pass
 
 
+class _VersionedCDFReader(DataSourceReader):
+    """``readchangefeed=true``: the change feed AS a batch format
+    (Delta's table_changes/readChangeFeed analog) — the typed change
+    rows committed after ``startingversion`` up to ``endingversion``
+    (default head), each stamped ``_change_type``
+    (insert/delete/upsert) and ``_commit_version``, reading ONLY the
+    delta directories (O(rows changed), mirroring
+    ``sources.versioned.incremental_scan``'s contract: a full-snapshot
+    rewrite inside the range breaks incremental lineage and fails
+    loudly at planning; delete commits emit key-only rows — the
+    non-key columns null-fill through the same Arrow reconciliation as
+    any pre-evolution file). Renames/drops fold to as-of-END names."""
+
+    def __init__(self, options: dict, schema):
+        self.path = options["path"]
+        self.schema = _arrow_schema(schema)  # includes the meta columns
+        self.start = int(options.get("startingversion", 0))
+        self.end = (
+            int(options["endingversion"])
+            if "endingversion" in options
+            else None
+        )
+
+    def partitions(self):
+        vs = versions(self.path)
+        end_e = _entry(vs, self.path, self.end)
+        if self.start > 0:
+            _entry(vs, self.path, self.start)  # must still be committed
+        rng = [
+            e
+            for e in vs
+            if self.start < e["version"] <= end_e["version"]
+        ]
+        rewrites = [e["version"] for e in rng if _mode(e) == "full"]
+        if rewrites:
+            raise ValueError(
+                f"versioned_table change feed {self.start}.."
+                f"{end_e['version']} at {self.path} crosses full-snapshot "
+                f"rewrite(s) {rewrites}: incremental lineage is broken — "
+                "resync from the rewrite"
+            )
+        change_of = {"delete": "delete", "replace": "upsert", "append": "insert"}
+        parts = []
+        for j, e in enumerate(rng):
+            m = _mode(e)
+            if m in ("rename", "drop"):
+                continue  # metadata-only: no change rows
+            smap = _compose_schema_map(rng[j + 1 :])
+            renames = tuple(
+                sorted((k, v) for k, v in smap.items() if v is not None)
+            )
+            drops = tuple(sorted(k for k, v in smap.items() if v is None))
+            for f, pvals in _data_files_with_parts(self.path, e):
+                parts.append(
+                    InputPartition(
+                        (f, pvals, renames, drops, change_of[m], e["version"])
+                    )
+                )
+        # an empty (caught-up) range still needs one no-op partition
+        return parts or [InputPartition(None)]
+
+    def read(self, partition) -> Iterator:
+        import pyarrow as pa
+
+        if partition is None or partition.value is None:
+            return
+        f, pvals, renames, drops, change, version = partition.value
+        data_schema = pa.schema(
+            [
+                fld
+                for fld in self.schema
+                if fld.name not in ("_change_type", "_commit_version")
+            ]
+        )
+        for b in _read_file_batches(f, data_schema, (), pvals, renames, drops):
+            n = b.num_rows
+            arrays = list(b.columns) + [
+                pa.array([change] * n, pa.string()),
+                pa.array([version] * n, pa.int64()),
+            ]
+            yield pa.RecordBatch.from_arrays(
+                arrays, schema=self.schema
+            )
+
+
 class VersionedTableDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
         return "versioned_table"
 
+    def _cdf(self) -> bool:
+        return self.options.get("readchangefeed", "false").lower() == "true"
+
     def schema(self) -> str:
+        if self._cdf():
+            # the meta columns ride on the declared TABLE schema — the
+            # caller states the data shape, the feed stamps the change
+            return (
+                self.options["schema"]
+                + ", _change_type string, _commit_version bigint"
+            )
         return self.options["schema"]
 
     def reader(self, schema) -> DataSourceReader:
+        if self._cdf():
+            return _VersionedCDFReader(self.options, schema)
         return _VersionedBatchReader(self.options, schema)
 
     def streamReader(self, schema) -> DataSourceStreamReader:

@@ -82,6 +82,7 @@ FIXED_ON_EMPTY = [
     "versioned_partitioned_format_write",
     "versioned_column_drop",
     "versioned_struct_evolution",
+    "versioned_cdf_format_read",
 ]
 
 ROWS_ONLY_ON_EMPTY = ["ivf_kmeans_topk"]

@@ -941,3 +941,59 @@ def test_stream_maxversionspertrigger_and_startingversion(spark, tmp_path):
             .start()
             .awaitTermination()
         )
+
+
+def test_format_readchangefeed(spark, tmp_path):
+    """readchangefeed=true: the CDF as a batch format (Delta's
+    readChangeFeed analog) — typed change rows from only the delta
+    dirs, as-of-end names across rename/drop, key-only delete rows,
+    loud failure across a rewrite, endingversion pinning."""
+    import pytest
+
+    register(spark)
+    path = str(tmp_path / "cf")
+    mk = lambda rows: spark.createDataFrame(rows, "x long, s string")
+    V.write_version(mk([(1, "a"), (2, "b")]), path)  # v1
+    V.append_version(mk([(3, "c")]), path)  # v2
+    V.delete_version(spark.createDataFrame([(2,)], "x long"), path, "x")  # v3
+    V.upsert_version(mk([(1, "A2")]), path, "x")  # v4
+    V.rename_column(spark, path, "s", "txt")  # v5
+    V.append_version(
+        spark.createDataFrame([(4, "d")], "x long, txt string"), path
+    )  # v6
+
+    def feed(**opts):
+        return (
+            spark.read.format("versioned_table")
+            .option("path", path)
+            .option("schema", "x bigint, txt string")
+            .option("readchangefeed", "true")
+            .options(**opts)
+            .load()
+        )
+
+    got = sorted(
+        (r._commit_version, r._change_type, r.x, r.txt)
+        for r in feed(startingversion="1").collect()
+    )
+    assert got == [
+        (2, "insert", 3, "c"),
+        (3, "delete", 2, None),  # key-only row: non-key columns NULL
+        (4, "upsert", 1, "A2"),
+        (6, "insert", 4, "d"),
+    ]
+    # library parity (same contract as incremental_scan)
+    lib = sorted(
+        (r._commit_version, r._change_type, r.x, r.txt)
+        for r in V.incremental_scan(spark, path, 1).collect()
+    )
+    assert got == lib
+    # endingversion pins the window
+    upto = feed(startingversion="1", endingversion="3")
+    assert sorted(r._commit_version for r in upto.collect()) == [2, 3]
+    # a rewrite inside the range fails loudly at planning
+    V.compact_chain(spark, path)  # v7: full rewrite
+    with pytest.raises(Exception, match="rewrite"):
+        feed(startingversion="1").collect()
+    # resync from the rewrite: empty feed (nothing after v7 yet)
+    assert feed(startingversion="7").count() == 0
