@@ -88,41 +88,67 @@ def publish_bloom_epoch(
     corpus_version: int | None = None,
 ) -> int:
     """Build the Bloom words table over the corpus keys and commit it
-    as the next artifact epoch. One corpus pass; the committed table
-    is ≤ ``M_BITS/64`` rows (operators/bloom.py geometry). The entry
-    is stamped ``bloom_rebuild`` with the corpus's distinct key count
-    (``n_keys``) — the baseline `bloom_stale_fraction` measures decay
-    against; ``corpus_version`` optionally records the CDF cursor the
-    incremental maintainer advances from."""
-    n_keys = corpus.select(key_col).where(
-        F.col(key_col).isNotNull()
-    ).distinct().count()
-    meta = {"bloom_rebuild": True, "n_keys": n_keys}
+    as the next artifact epoch. ONE corpus pass (the partial-``bit_or``
+    aggregation — no extra counting scan); the committed table is ≤
+    ``M_BITS/64`` rows (operators/bloom.py geometry). The entry is
+    stamped ``bloom_rebuild`` — the baseline marker
+    `bloom_stale_fraction` accumulates stales against (the live-key
+    denominator comes from the FILTER's own set-bit cardinality
+    estimate, never a corpus count); ``corpus_version`` optionally
+    records the CDF cursor the incremental maintainer advances from."""
+    meta: dict = {"bloom_rebuild": True}
     if corpus_version is not None:
         meta["corpus_version"] = corpus_version
     return write_version(build_bloom(corpus, key_col), path, meta=meta)
 
 
-def bloom_stale_fraction(artifact_path: str) -> float:
+def bloom_cardinality(words: DataFrame) -> float:
+    """Distinct-key estimate of a committed Bloom words table from its
+    set-bit count — the standard estimator
+    ``n̂ = -(m/k) · ln(1 − X/m)`` (X = set bits, m = filter bits,
+    k = hashes). One aggregate over the ≤ ``M_BITS/64``-row table;
+    counts every DISTINCT key ever inserted (re-upserting an existing
+    key sets no new bits, so updates never inflate it — the property
+    the stale-fraction denominator needs). A saturated filter
+    (X == m) estimates ``m`` keys — effectively infinite staleness
+    tolerance, at which point the filter needs RESIZING, not just a
+    rebuild."""
+    import math
+
+    from ..operators.bloom import K_HASHES, M_BITS
+
+    x = (
+        words.agg(
+            F.coalesce(F.sum(F.bit_count("bits")), F.lit(0)).alias("x")
+        ).collect()[0]["x"]
+    )
+    if x >= M_BITS:
+        return float(M_BITS)
+    return -(M_BITS / K_HASHES) * math.log(1.0 - x / M_BITS)
+
+
+def bloom_stale_fraction(spark: SparkSession, artifact_path: str) -> float:
     """Stale-key fraction of the committed Bloom epoch: tombstoned
-    keys accumulated since the last REBUILD commit, over the estimated
-    live key count (rebuild baseline + incremental adds − stales).
-    Pure manifest arithmetic — O(commits), no data read. 0.0 for an
-    artifact that predates the rebuild stamps (no baseline: the
-    republish cadence is then manual, as before r10)."""
+    keys accumulated since the last REBUILD commit, over the live-key
+    estimate ``bloom_cardinality(filter) − stales``. The cardinality
+    comes from the filter itself (one aggregate over ≤ ``M_BITS/64``
+    rows — no corpus scan), so update-heavy CDF windows cannot inflate
+    the denominator: re-upserts of existing keys set no new bits,
+    while genuinely new keys do — the row-count meta (``n_added``)
+    stays reporting-only. 0.0 for an artifact that predates the
+    rebuild stamps (no baseline: the republish cadence is then manual,
+    as before r10)."""
     vs = versions(artifact_path)
     base_i = max(
         (i for i, e in enumerate(vs) if e.get("bloom_rebuild")), default=None
     )
     if base_i is None:
         return 0.0
-    live = vs[base_i].get("n_keys", 0)
-    stale = 0
-    for e in vs[base_i + 1 :]:
-        live += e.get("n_added", 0)
-        stale += e.get("stale_deletes", 0)
-    live = max(live - stale, 1)
-    return stale / live
+    stale = sum(e.get("stale_deletes", 0) for e in vs[base_i + 1 :])
+    if not stale:
+        return 0.0
+    live = bloom_cardinality(read_version(spark, artifact_path)) - stale
+    return stale / max(live, 1.0)
 
 
 def probe_bloom_epoch(
@@ -621,7 +647,7 @@ def cdf_update_bloom_epoch(
             "corpus_version": synced_to,
         },
     )
-    frac = bloom_stale_fraction(artifact_path)
+    frac = bloom_stale_fraction(spark, artifact_path)
     rebuilt = False
     if rebuild_stale_ratio is not None and frac > rebuild_stale_ratio:
         ver = publish_bloom_epoch(

@@ -257,10 +257,17 @@ def _read_file_batches(
     part_of = {
         ren.get(k, k): v for k, v in pvals if k not in dropped
     }
+    # a physical column that is a RENAME SOURCE belongs to the lineage
+    # now living under its TARGET name — it must never serve a
+    # same-named declared column (a later append may legally re-add
+    # the freed name as a FRESH lineage whose pre-rename rows read
+    # NULL; serving the old bytes would resurrect renamed-away values,
+    # the same invariant the ``drops`` exclusion enforces)
+    rename_sources = {o for o, n in renames if n != o}
     present = set(pq.read_schema(file_path).names) - dropped
 
     def src_of(c: str):
-        if c in present:
+        if c in present and c not in rename_sources:
             return c
         old = inv.get(c)
         return old if old in present else None
@@ -560,7 +567,13 @@ class _VersionedBatchReader(DataSourceReader):
                         pruned = True
                         break
                     src = inv.get(cur, cur)
-                    st = None if src in drops else fst.get(src)
+                    # stats of a dropped lineage — or of a rename
+                    # SOURCE whose target isn't this filter's column —
+                    # describe unrelated values: never prune by them
+                    foreign = src in drops or (
+                        src in ren and ren[src] != cur
+                    )
+                    st = None if foreign else fst.get(src)
                     if st is not None and not _stats_match(st, flt):
                         # per-file [min, max] skipping (Delta's
                         # stats-per-file): a range-clustered commit
@@ -1161,12 +1174,31 @@ class _VersionedCDFReader(DataSourceReader):
         end_e = _entry(vs, self.path, self.end)
         if self.start > 0:
             _entry(vs, self.path, self.start)  # must still be committed
+        if self.start > end_e["version"]:
+            # an inverted window is a consumer typo — an empty feed
+            # here would read as "caught up" and silently lose changes
+            raise ValueError(
+                f"versioned_table change feed at {self.path}: "
+                f"startingversion {self.start} exceeds endingversion "
+                f"{end_e['version']}"
+            )
         rng = [
             e
             for e in vs
             if self.start < e["version"] <= end_e["version"]
         ]
-        rewrites = [e["version"] for e in rng if _mode(e) == "full"]
+        # startingversion=0 (the default) means "from the table's
+        # beginning": the LEADING base snapshot emits as inserts —
+        # Delta's startingVersion=0 semantics — so a fresh consumer
+        # bootstraps its copy and the subsequent deltas compose. Any
+        # full snapshot that is NOT the table's first retained entry is
+        # a rewrite and still fails loudly.
+        rewrites = [
+            e["version"]
+            for e in rng
+            if _mode(e) == "full"
+            and not (self.start == 0 and e["version"] == vs[0]["version"])
+        ]
         if rewrites:
             raise ValueError(
                 f"versioned_table change feed {self.start}.."
@@ -1174,7 +1206,12 @@ class _VersionedCDFReader(DataSourceReader):
                 f"rewrite(s) {rewrites}: incremental lineage is broken — "
                 "resync from the rewrite"
             )
-        change_of = {"delete": "delete", "replace": "upsert", "append": "insert"}
+        change_of = {
+            "delete": "delete",
+            "replace": "upsert",
+            "append": "insert",
+            "full": "insert",  # only ever the leading base (start=0)
+        }
         parts = []
         for j, e in enumerate(rng):
             m = _mode(e)

@@ -725,7 +725,7 @@ def test_bloom_stale_fraction_rebuild_policy(spark, tmp_path):
         V.read_version(spark, corpus_path), "content_hash", art_path,
         corpus_version=1,
     )
-    assert bloom_stale_fraction(art_path) == 0.0
+    assert bloom_stale_fraction(spark, art_path) == 0.0
 
     def probe(keys):
         got = probe_bloom_epoch(
@@ -762,7 +762,7 @@ def test_bloom_stale_fraction_rebuild_policy(spark, tmp_path):
     assert r2["rebuilt"] and r2["stale_fraction"] == 0.0
     rebuilds = [e for e in V.versions(art_path) if e.get("bloom_rebuild")]
     assert len(rebuilds) == 2, "initial publish + exactly one policy republish"
-    assert bloom_stale_fraction(art_path) == 0.0
+    assert bloom_stale_fraction(spark, art_path) == 0.0
     after = probe(live)
     assert after == before, "live-key verdicts identical across republish"
     assert probe(["h0", "h1", "h2"]) == [False, False, False], (

@@ -285,7 +285,7 @@ def test_corpus_bloom_stream_with_rebuild_policy(spark, tmp_path):
     drain()
     rebuilds = [e for e in V.versions(art) if e.get("bloom_rebuild")]
     assert len(rebuilds) == 2, "seed publish + exactly one policy republish"
-    assert bloom_stale_fraction(art) == 0.0
+    assert bloom_stale_fraction(spark, art) == 0.0
     assert probe(live) == before, "live keys identical across republish"
     assert probe(["h0", "h1", "h2"]) == [False] * 3
     assert probe(["h8"]) == [True]

@@ -997,3 +997,118 @@ def test_format_readchangefeed(spark, tmp_path):
         feed(startingversion="1").collect()
     # resync from the rewrite: empty feed (nothing after v7 yet)
     assert feed(startingversion="7").count() == 0
+
+
+def test_format_never_resurrects_renamed_away_column(spark, tmp_path):
+    """Review fix (r10): a physical column that is a RENAME SOURCE must
+    not serve a same-named declared column when the freed name is later
+    RE-ADDED as a fresh lineage — pre-rename rows read NULL there (and
+    the old lineage's stats never prune filters on the new lineage),
+    matching the library read."""
+    from pyspark.sql.datasource import EqualTo
+    from pyspark.sql.types import StructType
+
+    from end_to_end_database_pipeline_project_spark.sources.versioned_source import (
+        _VersionedBatchReader,
+    )
+
+    register(spark)
+    path = str(tmp_path / "rr")
+    V.write_version(
+        spark.createDataFrame([(1, 100)], "x long, a long"),
+        path,
+        stats_cols=("a",),
+    )  # v1: physical 'a' = old lineage
+    V.rename_column(spark, path, "a", "b")  # v2
+    V.append_version(
+        spark.createDataFrame([(2, 7, 200)], "x long, a long, b long"), path
+    )  # v3: re-adds 'a' as a FRESH lineage
+    got = (
+        spark.read.format("versioned_table")
+        .option("path", path)
+        .option("schema", "x bigint, a bigint, b bigint")
+        .load()
+    )
+    rows = sorted((r.x, r.a, r.b) for r in got.collect())
+    assert rows == [(1, None, 100), (2, 7, 200)], (
+        "old physical 'a' must serve declared 'b', never fresh 'a'"
+    )
+    lib = sorted(
+        (r.x, r.a, r.b) for r in V.read_version(spark, path).collect()
+    )
+    assert lib == rows, "format and library reads must agree"
+    # old 'a' file stats must not prune a filter on the NEW 'a'
+    rdr = _VersionedBatchReader(
+        {"path": path}, StructType.fromDDL("x bigint, a bigint, b bigint")
+    )
+    list(rdr.pushFilters([EqualTo(("a",), 7)]))
+    files = [p.value[0] for p in rdr.partitions()]
+    assert any("/v=1/" in f for f in files), (
+        "v1 must not be pruned by its old-lineage 'a' stats (its new-'a' "
+        "values are NULL-unknown)"
+    )
+
+
+def test_format_cdf_startingversion_zero_and_inverted_range(spark, tmp_path):
+    """Review fixes (r10): the default startingversion=0 emits the
+    LEADING base snapshot as inserts (Delta's startingVersion=0) —
+    previously every table raised; an inverted window fails loudly
+    instead of reading as an empty (caught-up) feed."""
+    import pytest
+
+    register(spark)
+    path = str(tmp_path / "cz")
+    mk = lambda rows: spark.createDataFrame(rows, "x long, s string")
+    V.write_version(mk([(1, "a"), (2, "b")]), path)  # v1 base
+    V.append_version(mk([(3, "c")]), path)  # v2
+    V.delete_version(spark.createDataFrame([(1,)], "x long"), path, "x")  # v3
+
+    def feed(**opts):
+        return (
+            spark.read.format("versioned_table")
+            .option("path", path)
+            .option("schema", DDL)
+            .option("readchangefeed", "true")
+            .options(**opts)
+            .load()
+        )
+
+    got = sorted(
+        (r._commit_version, r._change_type, r.x) for r in feed().collect()
+    )
+    assert got == [
+        (1, "insert", 1),
+        (1, "insert", 2),
+        (2, "insert", 3),
+        (3, "delete", 1),
+    ], "start=0 bootstraps the base snapshot as inserts"
+    # a MID-history rewrite still fails loudly even from start=0
+    V.compact_chain(spark, path)  # v4
+    with pytest.raises(Exception, match="rewrite"):
+        feed().collect()
+    # ... but from the compaction version onward the feed works again
+    assert feed(startingversion="4").count() == 0
+    # inverted window: loud, never silently empty
+    with pytest.raises(Exception, match="exceeds endingversion"):
+        feed(startingversion="3", endingversion="2").collect()
+
+
+def test_bloom_cardinality_estimator(spark):
+    """The popcount estimator recovers small distinct-key counts near
+    exactly, and re-inserting existing keys cannot inflate it (their
+    bits are already set) — the denominator property the
+    stale-fraction policy needs."""
+    from end_to_end_database_pipeline_project_spark.operators.bloom import (
+        build_bloom,
+    )
+    from end_to_end_database_pipeline_project_spark.pipeline.artifacts import (
+        bloom_cardinality,
+    )
+
+    keys = spark.createDataFrame([(f"h{i}",) for i in range(500)], "k string")
+    est = bloom_cardinality(build_bloom(keys, "k"))
+    assert 450 <= est <= 550, est
+    # duplicating every key changes nothing: same bits
+    doubled = keys.unionAll(keys)
+    est2 = bloom_cardinality(build_bloom(doubled, "k"))
+    assert abs(est2 - est) < 1e-9, (est, est2)
