@@ -134,6 +134,11 @@ HEADLINE = [
     "versioned_partitioned_format_write",
     "versioned_struct_evolution",
     "versioned_cdf_format_read",
+    # round 11: manifest-derived schema inference; the composed
+    # operational lifecycle (commit stream -> compact -> expire ->
+    # startingversion re-attach)
+    "versioned_schema_inference",
+    "versioned_operational_lifecycle",
 ]
 
 

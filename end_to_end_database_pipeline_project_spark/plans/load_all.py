@@ -47,83 +47,76 @@ _PACKS = [
 # their DuckDB oracles.  Registration order is therefore the
 # *verification budget allocator*.
 #
-# Round-10 window (the r09 verdict's #1 ask: new/changed first, then
-# the ENTIRE 33-row r03-era stale tranche, leaving no ledger row older
-# than r04):
-# - slots 1-5: the five r10 additions (date-typed partition pruning
-#   through library AND format; metadata-only column DROP with
-#   fresh-lineage re-add; partitioned writes through the format sink;
-#   struct-FIELD evolution through both read paths; the change feed AS
-#   a batch format)
-# - slots 6-17: queries whose shared layer changed this round —
-#   the versioned fleet (sources/versioned.py gained the rename+drop
-#   schema fold, date-coerced prune bounds, maybe_compact;
-#   versioned_source.py gained drops-aware partitions, date filters in
-#   _raw_matches, dynamic-partitioning writers, the LRU tombstone
-#   cache) and the three artifact queries sitting on the changed
-#   pipeline/artifacts.py paths (_net_changes winning-commit fold,
-#   cursor-on-last-commit, bloom_rebuild stamps)
-# - slots 18-50: the complete r03-era backlog (33 rows)
-#   (after this window no driver-ledger row is older than r04)
+# Round-11 window (the r10 verdict's #1 ask: new/changed first, then
+# the ENTIRE 46-row r04-era stale tranche, leaving no ledger row older
+# than r05):
+# - slots 1-2: the two r11 additions (manifest-derived schema
+#   inference for the versioned_table format; the composed operational
+#   lifecycle — commit stream -> maybe_compact -> expire_versions ->
+#   startingversion re-attach)
+# - slots 3-4: queries whose shared layer changed this round — the
+#   format's batch and CDF read paths both route through the new
+#   DataSource.schema() inference branch, and the stream reader gained
+#   the maxcatchupversions guard (the rest of the r10-green versioned
+#   fleet is re-verified by the builder's full-fleet mirror sweep)
+# - slots 5-50: the complete r04-era backlog (46 rows)
+#   (after this window no driver-ledger row is older than r05)
 
 _DRIVER_FIRST = [
-    # (a) slots 1-5: new r10 queries
-    "versioned_date_partition_pruning",
-    "versioned_column_drop",
-    "versioned_partitioned_format_write",
-    "versioned_struct_evolution",
-    "versioned_cdf_format_read",
-    # (b) slots 6-17: changed code / changed shared operators
-    # (versioned_time_travel and versioned_pruned_compaction, both
-    # r09-green, yield their slots to the new struct-evolution and
-    # CDF-format queries; both are re-verified by the builder's own
-    # full-fleet mirror sweep this round)
+    # (a) slots 1-2: new r11 queries
+    "versioned_schema_inference",
+    "versioned_operational_lifecycle",
+    # (b) slots 3-4: changed shared layer (format schema()
+    # inference branch on the batch + CDF read paths)
     "versioned_table_source_scan",
-    "versioned_incremental_scan",
-    "versioned_delete_cdf",
-    "versioned_upsert_cdf",
-    "versioned_exactly_once_sink",
-    "versioned_writer_sink",
-    "versioned_partition_pruned_read",
-    "versioned_schema_evolution",
-    "versioned_file_skipping_read",
-    "cdf_artifact_maintenance",
-    "ann_index_incremental_probe",
-    "bloom_artifact_lifecycle",
-    # (c) slots 18-50: the r03-era backlog, drained in full
-    "ewma_daily_value",
-    "full_curation_run",
-    "grouped_map_zscores",
-    "http_api_source_scan",
-    "incremental_rollup_merge",
-    "ivf_multiprobe_topk",
-    "jaccard_on_lsh_survivors",
-    "knn_topk",
-    "kv_cache_sink_roundtrip",
-    "lineage_stamped_load",
-    "mad_outlier_days",
-    "monthly_order_spine",
-    "multimodal_bmp_decode",
-    "multimodal_features",
-    "neardup_components",
-    "observation_upsert",
-    "order_value_frontier",
-    "pagerank_customer_supplier",
-    "pii_scrubbed_docs",
-    "salted_event_stats",
-    "semantic_dedup_report",
-    "simhash_fingerprints",
-    "source_quota_cap",
-    "source_weighted_topk_sample",
-    "sq8_ann_topk",
-    "sql_ddl_pipeline",
-    "stateful_user_totals",
-    "stations_within_500km",
-    "stream_stream_join",
-    "streaming_hourly_window",
-    "tfidf_cosine_topk",
-    "trading_triangles",
-    "variant_event_props",
+    "versioned_cdf_format_read",
+    # (c) slots 5-50: the r04-era backlog, drained in full
+    "ab_conversion_ztest",
+    "approx_quantile_bounded",
+    "bpe_train_merges",
+    "cdc_chunk_dedup",
+    "centroid_classifier_confusion",
+    "collocation_pmi_top",
+    "conversion_survival",
+    "customer_balance_deciles",
+    "customer_rfm_segments",
+    "doc_chunks_overlap",
+    "doc_language_id",
+    "doc_word_entropy",
+    "duplicate_span_removal",
+    "embedding_cluster_cohesion",
+    "embedding_dedup_components",
+    "gdpr_erasure_report",
+    "hard_negative_mining",
+    "hll_partitioned_distinct",
+    "hourly_gap_fill",
+    "hybrid_rrf_retrieval",
+    "kneser_ney_scores",
+    "knn_label_accuracy",
+    "lateral_top_nations",
+    "lineitem_profile",
+    "market_share",
+    "mix_shift_decomposition",
+    "multimodal_jpeg_decode",
+    "multimodal_png_decode",
+    "mv_rewrite_report",
+    "ngram_jaccard_pairs",
+    "ols_daily_trend",
+    "orc_roundtrip_orders",
+    "packing_efficiency_report",
+    "product_profit_by_nation",
+    "quality_classifier_scores",
+    "rolling_distinct_users_7d",
+    "scd2_value_intervals",
+    "session_funnel",
+    "simhash_recall_report",
+    "srp_lsh_topk",
+    "stratified_sample",
+    "supplier_pareto_abc",
+    "supplier_reach_hops",
+    "trading_kcore",
+    "vocab_oov_rates",
+    "xml_roundtrip_nations",
 ]
 
 

@@ -83,6 +83,12 @@ FIXED_ON_EMPTY = [
     "versioned_column_drop",
     "versioned_struct_evolution",
     "versioned_cdf_format_read",
+    # r11: schema inference must stay deterministic on zero-row chains
+    # (empty commits land schema-bearing files, so footer-fold + dir
+    # typing still produce the same inferred signature), and the
+    # lifecycle's proof columns hold vacuously
+    "versioned_schema_inference",
+    "versioned_operational_lifecycle",
 ]
 
 ROWS_ONLY_ON_EMPTY = ["ivf_kmeans_topk"]

@@ -1616,3 +1616,103 @@ def test_maybe_compact_bounds_plan_depth_over_200_commits(spark, tmp_path):
     assert sorted(r.x for r in cur.collect()) == list(range(201))
     # historical versions stay addressable until expire_versions
     assert V.read_version(spark, path, 1).count() == 1
+
+
+# --- CommitCoordinator seam (VERDICT r10 "What's missing #4") ---------
+
+
+def _adopt_race_worker(table: str, scratch: str, barrier, worker: int) -> None:
+    """One writer process: stage a 1-row parquet file (pyarrow — no
+    Spark in the workers), then run the FULL commit protocol
+    (`adopt_staged_files`) concurrently with the other writers."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    f = os.path.join(scratch, f"w{worker}.parquet")
+    pq.write_table(pa.table({"x": pa.array([worker], pa.int64())}), f)
+    barrier.wait(timeout=30)
+    V.adopt_staged_files(table, [f], "append", 1, meta={"writer": worker})
+
+
+def test_concurrent_process_commits_yield_consecutive_versions(
+    spark, tmp_path
+):
+    """N writer PROCESSES race the whole commit protocol on one table:
+    the manifest must end with N distinct CONSECUTIVE versions (no
+    lost or duplicated slot claims) and every writer's row visible —
+    the provider-contract acceptance test a put-if-absent coordinator
+    must also pass."""
+    import multiprocessing as mp
+
+    table = str(tmp_path / "t")
+    scratch = str(tmp_path / "scratch")
+    os.makedirs(scratch)
+    V.write_version(
+        spark.createDataFrame([(0,)], "x long"), table
+    )  # v1 base
+
+    ctx = mp.get_context("fork")
+    n = 6
+    barrier = ctx.Barrier(n)
+    procs = [
+        ctx.Process(target=_adopt_race_worker, args=(table, scratch, barrier, w))
+        for w in range(1, n + 1)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(60)
+        assert p.exitcode == 0
+    vs = V.versions(table)
+    assert [e["version"] for e in vs] == list(range(1, n + 2))
+    assert sorted(e["writer"] for e in vs[1:]) == list(range(1, n + 1))
+    got = sorted(r.x for r in V.read_version(spark, table).collect())
+    assert got == list(range(0, n + 1))
+
+
+class _CountingCoordinator(V.CommitCoordinator):
+    """In-process provider used to pin that EVERY manifest
+    read-modify-write goes through the installed seam (a provider
+    swap that some path bypassed would silently forfeit serialization
+    on stores where flock is a no-op)."""
+
+    def __init__(self):
+        import threading
+
+        self.lock = threading.Lock()
+        self.acquires = 0
+        self.releases = 0
+
+    def acquire(self, path: str, timeout_s: float):
+        if not self.lock.acquire(timeout=timeout_s):
+            raise V.CommitLockTimeout(path)
+        self.acquires += 1
+        return ("held", path)
+
+    def release(self, handle) -> None:
+        self.releases += 1
+        self.lock.release()
+
+
+def test_installed_coordinator_guards_every_protocol_path(spark, tmp_path):
+    table = str(tmp_path / "t")
+    counting = _CountingCoordinator()
+    prev = V.set_commit_coordinator(counting)
+    try:
+        V.write_version(
+            spark.createDataFrame([(1, "a")], "x long, s string"), table
+        )
+        V.append_version(
+            spark.createDataFrame([(2, "b")], "x long, s string"), table
+        )
+        V.rename_column(spark, table, "s", "label")
+        V.drop_column(spark, table, "label")
+        V.expire_versions(table, retain_last=10)  # no-op, still locks
+    finally:
+        V.set_commit_coordinator(prev)
+    # commit, append, rename, drop, vacuum: five locked sections,
+    # all through the seam, all released
+    assert counting.acquires == 5
+    assert counting.releases == 5
+    got = sorted(r.x for r in V.read_version(spark, table).collect())
+    assert got == [1, 2]
