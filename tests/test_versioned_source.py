@@ -1336,3 +1336,44 @@ def test_maxcatchup_restart_path_stays_green(spark, tmp_path):
     assert sorted(r.x for r in spark.read.parquet(out).collect()) == [
         1, 2, 3, 4, 5, 6,
     ]
+
+
+def test_raw_matches_never_sees_null_tests(spark, tmp_path):
+    """Guard for the `__HIVE_DEFAULT_PARTITION__` branch (VERDICT r10
+    "What's wrong #3"): `_raw_matches` answers False for the NULL dir,
+    which is only sound for COMPARISON filters — `pushFilters` must
+    never record a null-test (IsNull MATCHES the null dir) or a
+    null-safe equality. Pinned two ways: the recorder drops them, and
+    a query filtering IS NULL over a null-partitioned table still
+    finds its rows (pruning never skipped the null dir)."""
+    from pyspark.sql.datasource import EqualNullSafe, IsNotNull, IsNull
+
+    from end_to_end_database_pipeline_project_spark.sources.versioned_source import (
+        _VersionedBatchReader,
+    )
+
+    schema = spark.createDataFrame([], "x long, s string").schema
+    r = _VersionedBatchReader({"path": str(tmp_path)}, schema)
+    r.pushFilters([IsNull(("s",)), IsNotNull(("s",)), EqualNullSafe(("s",), None)])
+    assert r.part_filters == []  # null tests are never recorded
+
+    register(spark)
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "x long, s string"
+    )
+    (
+        df.write.format("versioned_table")
+        .mode("overwrite")
+        .option("path", path)
+        .option("partitionby", "s")
+        .save()
+    )
+    got = (
+        spark.read.format("versioned_table")
+        .option("path", path)
+        .option("schema", DDL)
+        .load()
+        .where("s IS NULL")
+    )
+    assert [r2.x for r2 in got.collect()] == [2]
