@@ -139,6 +139,7 @@ HEADLINE = [
     # startingversion re-attach)
     "versioned_schema_inference",
     "versioned_operational_lifecycle",
+    "versioned_timestamp_travel",
 ]
 
 

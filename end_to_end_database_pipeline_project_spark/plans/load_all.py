@@ -50,15 +50,14 @@ _PACKS = [
 # Round-11 window (the r10 verdict's #1 ask: new/changed first, then
 # the ENTIRE 46-row r04-era stale tranche, leaving no ledger row older
 # than r05):
-# - slots 1-2: the two r11 additions (manifest-derived schema
+# - slots 1-3: the three r11 additions (manifest-derived schema
 #   inference for the versioned_table format; the composed operational
 #   lifecycle — commit stream -> maybe_compact -> expire_versions ->
-#   startingversion re-attach)
-# - slots 3-4: queries whose shared layer changed this round — the
-#   format's batch and CDF read paths both route through the new
-#   DataSource.schema() inference branch, and the stream reader gained
-#   the maxcatchupversions guard (the rest of the r10-green versioned
-#   fleet is re-verified by the builder's full-fleet mirror sweep)
+#   startingversion re-attach; TIMESTAMP AS OF time travel)
+# - slot 4: the changed shared layer — the format's batch read path
+#   routes through the new DataSource.schema() inference branch (the
+#   stream reader's maxcatchupversions guard and the equally-affected
+#   CDF read path are pytest-pinned and full-fleet-mirror-verified)
 # - slots 5-50: the complete r04-era backlog (46 rows)
 #   (after this window no driver-ledger row is older than r05)
 
@@ -66,10 +65,14 @@ _DRIVER_FIRST = [
     # (a) slots 1-2: new r11 queries
     "versioned_schema_inference",
     "versioned_operational_lifecycle",
-    # (b) slots 3-4: changed shared layer (format schema()
-    # inference branch on the batch + CDF read paths)
+    "versioned_timestamp_travel",
+    # (b) slot 4: changed shared layer (the format's batch read path
+    # routes through the new DataSource.schema() inference branch and
+    # _pinned_version; the equally-affected CDF path yields its slot
+    # to the new timestamp-travel query — versioned_cdf_format_read is
+    # r10-green and re-verified by this round's 307/0/2 full-fleet
+    # mirror sweep)
     "versioned_table_source_scan",
-    "versioned_cdf_format_read",
     # (c) slots 5-50: the r04-era backlog, drained in full
     "ab_conversion_ztest",
     "approx_quantile_bounded",

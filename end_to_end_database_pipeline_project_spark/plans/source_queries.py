@@ -2195,3 +2195,75 @@ def versioned_operational_lifecycle(
         F.lit(bool(history_expired)).alias("history_expired"),
         F.lit(bool(read_post)).alias("read_is_post_compaction"),
     )
+
+
+@query(
+    "versioned_timestamp_travel",
+    oracle="""SELECT CAST((SELECT count(*) FROM orders
+             WHERE year(o_orderdate) <= 1999) AS BIGINT) AS rows_as_of_t1,
+       CAST(count(*) AS BIGINT) AS rows_latest,
+       TRUE AS history_stamped
+FROM orders WHERE year(o_orderdate) <= 2000""",
+)
+def versioned_timestamp_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP AS OF time travel (r11): every commit now stamps a
+    MONOTONIC ``committed_at`` in the manifest (clamped non-decreasing
+    under clock skew, Delta's commit-timestamp adjustment), so a
+    reader can pin a snapshot by TIME — `version_at_timestamp` resolves
+    "latest commit at or before t", `read_version(as_of=...)` and the
+    format's ``timestampasof`` option (exercised here, schema-LESS, so
+    the r11 inference pins the as-of schema too) serve it, `history`
+    exposes the timestamps, and `expire_versions(older_than_s=...)`
+    retains by AGE (Delta's retention-hours vacuum; retention only
+    ever widens past the count floor). The reproducible-training-run
+    story at 100 TB: "the corpus as the pipeline saw it at 02:00" is
+    one option, no version bookkeeping in the consumer. A timestamp
+    before the earliest RETAINED commit fails loudly (never silently
+    the oldest survivor) — pinned with the monotonicity, legacy-NULL,
+    and age-vacuum cases in tests/test_versioned.py. Reference
+    parity: the reference pins nothing — its serving cache only ever
+    holds "now" (redis_etl.py:60); this is the audit/repro upgrade."""
+    import time as _time
+
+    from ..pipeline.artifacts import scratch_artifact_dir
+    from ..sources import versioned as V
+    from ..sources.versioned_source import register as register_vt
+
+    register_vt(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    yr = F.year("o_orderdate")
+    store = scratch_artifact_dir("vt_ts_travel_")
+    V.write_version(orders.where(yr <= 1999), store)  # v1
+    _time.sleep(0.02)
+    t1 = _time.time()  # between v1 and v2: resolves to v1
+    _time.sleep(0.02)
+    V.append_version(orders.where(yr == 2000), store)  # v2
+
+    as_of = (  # the format path, schema inferred at the as-of version
+        spark.read.format("versioned_table")
+        .option("path", store)
+        .option("timestampasof", str(t1))
+        .load()
+    )
+    # proof: the library resolver agrees, and history is fully stamped
+    # in commit order
+    stamps = [r.committed_at for r in V.history(spark, store).collect()]
+    history_stamped = (
+        V.version_at_timestamp(store, t1) == 1
+        and all(s is not None for s in stamps)
+        and stamps == sorted(stamps)
+    )
+    latest = V.read_version(spark, store).agg(
+        F.count(F.lit(1)).cast("long").alias("rows_latest")
+    )
+    return (
+        as_of.agg(F.count(F.lit(1)).cast("long").alias("rows_as_of_t1"))
+        .crossJoin(F.broadcast(latest))
+        .select(
+            "rows_as_of_t1",
+            "rows_latest",
+            F.lit(bool(history_stamped)).alias("history_stamped"),
+        )
+    )

@@ -587,6 +587,7 @@ def _commit(
         "rows",
         "mode",
         "stats",
+        "committed_at",
         "partition_by",
         "partition_dirs",
     } & set(meta)
@@ -661,6 +662,55 @@ def _commit(
         raise
 
 
+def _commit_timestamp(vs: list[dict]) -> float:
+    """Epoch-seconds commit timestamp for the next manifest entry,
+    clamped MONOTONIC non-decreasing against the previous entry so
+    ``TIMESTAMP AS OF`` resolution ("latest commit at or before t")
+    stays well-defined under clock skew — the same adjustment Delta
+    applies to its commit timestamps. Commits serialize under the
+    coordinator, so the clamp races nothing."""
+    import time
+
+    ts = time.time()
+    if vs:
+        ts = max(ts, vs[-1].get("committed_at", 0.0))
+    return ts
+
+
+def version_at_timestamp(path: str, ts) -> int:
+    """The committed version current AS OF ``ts`` — the latest commit
+    whose ``committed_at`` is at or before it (Delta's timestampAsOf
+    resolution). ``ts`` is epoch seconds or a ``datetime`` (naive =
+    UTC). Entries from pre-timestamp manifests count as 0.0 (older
+    than any real timestamp). A ``ts`` before the first RETAINED
+    commit raises — the honest answer after vacuum is "that history
+    is gone", never silently the oldest survivor."""
+    import datetime
+
+    if isinstance(ts, datetime.datetime):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=datetime.timezone.utc)
+        ts = ts.timestamp()
+    vs = versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    hit = None
+    for e in vs:
+        if e.get("committed_at", 0.0) <= ts:
+            hit = e
+    if hit is None:
+        import datetime as _dt
+
+        first = vs[0].get("committed_at", 0.0)
+        raise ValueError(
+            f"timestamp {ts} predates the earliest retained commit at "
+            f"{path} (version {vs[0]['version']}, committed_at "
+            f"{_dt.datetime.fromtimestamp(first, _dt.timezone.utc).isoformat()})"
+            " — that history was never committed or has been expired"
+        )
+    return hit["version"]
+
+
 def _publish_staged(
     path: str,
     staged_dir: str,
@@ -692,7 +742,13 @@ def _publish_staged(
             # writer holds this slot (invisible — not in the manifest)
             shutil.rmtree(vdir, ignore_errors=True)
         os.replace(staged_dir, vdir)
-        entry = {"version": n, "dir": f"v={n}", "rows": rows, "mode": mode}
+        entry = {
+            "version": n,
+            "dir": f"v={n}",
+            "rows": rows,
+            "mode": mode,
+            "committed_at": _commit_timestamp(vs),
+        }
         if stats:
             entry["stats"] = stats
         entry.update(meta)
@@ -865,7 +921,9 @@ def adopt_staged_files(
     meta = dict(meta or {})
     if file_stats:
         meta["file_stats"] = file_stats
-    reserved = {"version", "dir", "rows", "mode", "stats"} & set(meta)
+    reserved = {
+        "version", "dir", "rows", "mode", "stats", "committed_at"
+    } & set(meta)
     if reserved:
         raise ValueError(f"meta keys collide with manifest fields: {reserved}")
     os.makedirs(path, exist_ok=True)
@@ -933,6 +991,7 @@ def rename_column(
                 "dir": None,  # metadata-only: no data directory
                 "rows": 0,
                 "mode": "rename",
+                "committed_at": _commit_timestamp(mvs),
                 "renames": {old: new},
             }
         ]
@@ -997,6 +1056,7 @@ def drop_column(spark: SparkSession, path: str, *cols: str) -> int:
                 "dir": None,  # metadata-only: no data directory
                 "rows": 0,
                 "mode": "drop",
+                "committed_at": _commit_timestamp(mvs),
                 "drops": list(cols),
             }
         ]
@@ -1142,6 +1202,7 @@ def read_version(
     path: str,
     version: int | None = None,
     prune: tuple | None = None,
+    as_of: object = None,
 ) -> DataFrame:
     """Time-travel read: the given committed version, or the latest.
     An append/delete/upsert version resolves to its full chain — the
@@ -1167,9 +1228,20 @@ def read_version(
     in the manifest's serialized form (ISO strings for dates) —
     ``datetime.date``/``datetime``/``Decimal`` bounds are coerced to
     that form here, so the natural ``prune=("d", date(...), date(...))``
-    call Just Works (VERDICT r09 "What's wrong #1")."""
+    call Just Works (VERDICT r09 "What's wrong #1").
+
+    ``as_of`` is TIMESTAMP AS OF (Delta's timestampAsOf): epoch
+    seconds or a datetime (naive = UTC), resolved to the latest commit
+    at or before it via ``version_at_timestamp`` — mutually exclusive
+    with ``version``."""
     from pyspark.sql import functions as F
 
+    if as_of is not None:
+        if version is not None:
+            raise ValueError(
+                "read_version: pass either version or as_of, not both"
+            )
+        version = version_at_timestamp(path, as_of)
     if prune is not None:
         prune = (prune[0], _stat_value(prune[1]), _stat_value(prune[2]))
     vs = versions(path)
@@ -1408,13 +1480,24 @@ def incremental_scan(
 
 def history(spark: SparkSession, path: str) -> DataFrame:
     """DESCRIBE HISTORY: the committed manifest as a DataFrame —
-    (version, commit_mode, n_rows, batch_id, key), oldest first. The
-    audit/debug surface every table format exposes; the manifest is
-    bounded metadata (one row per commit), so a driver-side build is
-    the right cost."""
+    (version, committed_at, commit_mode, n_rows, batch_id, key),
+    oldest first. The audit/debug surface every table format exposes;
+    the manifest is bounded metadata (one row per commit), so a
+    driver-side build is the right cost. ``committed_at`` is the
+    monotonic commit timestamp ``TIMESTAMP AS OF`` resolves against
+    (NULL for pre-timestamp manifest entries)."""
+    import datetime
+
+    def _at(e: dict):
+        ts = e.get("committed_at")
+        if ts is None:
+            return None
+        return datetime.datetime.fromtimestamp(ts, datetime.timezone.utc)
+
     rows = [
         (
             e["version"],
+            _at(e),
             _mode(e),
             e["rows"],
             e.get("batch_id"),
@@ -1424,8 +1507,8 @@ def history(spark: SparkSession, path: str) -> DataFrame:
     ]
     return spark.createDataFrame(
         rows,
-        "version long, commit_mode string, n_rows long, "
-        "batch_id long, key string",
+        "version long, committed_at timestamp, commit_mode string, "
+        "n_rows long, batch_id long, key string",
     )
 
 
@@ -1521,7 +1604,10 @@ def _sweep_staging(path: str, grace_s: float) -> None:
 
 
 def expire_versions(
-    path: str, retain_last: int = 2, staging_grace_s: float = 86400.0
+    path: str,
+    retain_last: int = 2,
+    staging_grace_s: float = 86400.0,
+    older_than_s: float | None = None,
 ) -> list[int]:
     """Vacuum: expire all but the newest ``retain_last`` snapshots.
 
@@ -1534,7 +1620,14 @@ def expire_versions(
     about to be published (old crash orphans below the watermark are
     still reclaimed). Crashed writers' ``_staging-*`` bundles older
     than ``staging_grace_s`` (default one day — in-flight stages are
-    minutes) are also swept. Returns the expired version numbers."""
+    minutes) are also swept. Returns the expired version numbers.
+
+    ``older_than_s`` adds AGE-based retention (Delta's retention-hours
+    vacuum): every commit younger than the window is kept IN ADDITION
+    to the ``retain_last`` floor — retention only ever widens, so a
+    burst of recent commits is never expired by the count rule and a
+    quiet table still keeps its floor. Pre-timestamp manifest entries
+    count as infinitely old."""
     import shutil
 
     if retain_last < 1:
@@ -1550,9 +1643,18 @@ def expire_versions(
     try:
         manifest = _read_manifest(path)
         vs = manifest["versions"]
-        if len(vs) <= retain_last:
+        retain = retain_last
+        if older_than_s is not None:
+            import time
+
+            cutoff = time.time() - older_than_s
+            recent = sum(
+                1 for e in vs if e.get("committed_at", 0.0) >= cutoff
+            )
+            retain = max(retain_last, recent)
+        if len(vs) <= retain:
             return []
-        drop, keep = vs[:-retain_last], vs[-retain_last:]
+        drop, keep = vs[:-retain], vs[-retain:]
         # a chain expires only as a unit: if the oldest retained version
         # is an append, its content NEEDS the preceding full snapshot and
         # the appends between — extend retention to the chain base

@@ -40,7 +40,9 @@ same manifest protocol as a *format*, so ANY Spark pipeline can say
 
 Options: ``path`` (table root), ``schema`` (DDL — parsed by Spark
 itself, so parametrized/nested types like ``decimal(18,2)`` or
-``map<string,int>`` are handled), ``version`` (batch: pin a snapshot),
+``map<string,int>`` are handled), ``version`` (batch: pin a snapshot), ``timestampasof`` (batch:
+TIMESTAMP AS OF — epoch seconds or ISO datetime, resolved to the
+latest commit at or before it; mutually exclusive with ``version``),
 ``ignoredeletes`` (stream: skip tombstone commits), ``ignorechanges``
 (stream: emit upsert commits' rows as plain appends — Delta's
 ignoreChanges), ``statscols`` (write: comma-separated columns whose
@@ -105,8 +107,32 @@ from .versioned import (
     _mode,
     _stat_value,
     adopt_staged_files,
+    version_at_timestamp,
     versions,
 )
+
+
+def _pinned_version(options: dict) -> int | None:
+    """The snapshot a batch read pins: the ``version`` option, or
+    ``timestampasof`` (Delta's timestampAsOf — epoch seconds or an ISO
+    datetime, naive = UTC) resolved to the latest commit at or before
+    it; None = latest. Mutually exclusive, checked loudly."""
+    v = options.get("version")
+    t = options.get("timestampasof")
+    if v is not None and t is not None:
+        raise ValueError(
+            "versioned_table: pass either 'version' or 'timestampasof', "
+            "not both"
+        )
+    if t is not None:
+        import datetime
+
+        try:
+            at = float(t)
+        except ValueError:
+            at = datetime.datetime.fromisoformat(t)
+        return version_at_timestamp(options["path"], at)
+    return int(v) if v is not None else None
 
 
 def _arrow_schema(schema):
@@ -617,7 +643,7 @@ class _VersionedBatchReader(DataSourceReader):
     def __init__(self, options: dict, schema):
         self.path = options["path"]
         self.schema = _arrow_schema(schema)
-        self.version = int(options["version"]) if "version" in options else None
+        self.version = _pinned_version(options)
         self.part_filters: list = []
 
     def pushFilters(self, filters):
@@ -1359,6 +1385,14 @@ class _VersionedCDFReader(DataSourceReader):
 
     def __init__(self, options: dict, schema):
         self.path = options["path"]
+        if "timestampasof" in options or "version" in options:
+            # the feed's window is versions, not wall-clock; a silently
+            # ignored snapshot pin would read as "worked"
+            raise ValueError(
+                "versioned_table change feed: use startingversion/"
+                "endingversion to window the feed (resolve a timestamp "
+                "to a version with version_at_timestamp first)"
+            )
         self.schema = _arrow_schema(schema)  # includes the meta columns
         self.start = int(options.get("startingversion", 0))
         self.end = (
@@ -1491,12 +1525,11 @@ class VersionedTableDataSource(DataSource):
         if self._cdf():
             # the feed's shape is as-of-ENDING version (the window's
             # last delivered names), plus the change-meta columns
-            pin = self.options.get("endingversion")
+            ev = self.options.get("endingversion")
+            pin = int(ev) if ev is not None else None
         else:
-            pin = self.options.get("version")
-        inferred = _infer_spark_schema(
-            self.options["path"], int(pin) if pin is not None else None
-        )
+            pin = _pinned_version(self.options)
+        inferred = _infer_spark_schema(self.options["path"], pin)
         if self._cdf():
             return StructType(
                 inferred.fields

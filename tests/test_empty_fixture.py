@@ -89,6 +89,7 @@ FIXED_ON_EMPTY = [
     # lifecycle's proof columns hold vacuously
     "versioned_schema_inference",
     "versioned_operational_lifecycle",
+    "versioned_timestamp_travel",
 ]
 
 ROWS_ONLY_ON_EMPTY = ["ivf_kmeans_topk"]

@@ -1885,3 +1885,140 @@ def test_put_if_absent_takeover_restores_stolen_live_lease(tmp_path):
     with open(lock, "wb") as f:  # recreate for cleanliness
         pass
     os.unlink(lock)
+
+
+# --- TIMESTAMP AS OF (r11: commit timestamps in the manifest) ---------
+
+
+def test_timestamp_as_of_time_travel(spark, tmp_path):
+    """Delta's timestampAsOf: commits stamp a monotonic
+    ``committed_at``; ``version_at_timestamp`` resolves "latest commit
+    at or before t"; ``read_version(as_of=...)`` and the format's
+    ``timestampasof`` option (schema-less, so inference pins the as-of
+    schema too) serve that snapshot."""
+    import datetime
+    import time
+
+    from end_to_end_database_pipeline_project_spark.sources.versioned_source import (
+        register,
+    )
+
+    path = str(tmp_path / "t")
+    V.write_version(spark.createDataFrame([(1, "a")], "x long, s string"), path)
+    time.sleep(0.02)
+    mid = time.time()
+    time.sleep(0.02)
+    V.append_version(
+        spark.createDataFrame([(2, "b")], "x long, s string"), path
+    )
+
+    assert V.version_at_timestamp(path, mid) == 1
+    assert V.version_at_timestamp(path, time.time()) == 2
+    # datetime input, naive = UTC
+    as_dt = datetime.datetime.fromtimestamp(mid, datetime.timezone.utc)
+    assert V.version_at_timestamp(path, as_dt) == 1
+    assert (
+        V.version_at_timestamp(path, as_dt.replace(tzinfo=None)) == 1
+    )
+
+    got = sorted(r.x for r in V.read_version(spark, path, as_of=mid).collect())
+    assert got == [1]
+    # before the first retained commit: loud, never the oldest survivor
+    import pytest
+
+    with pytest.raises(ValueError, match="predates the earliest"):
+        V.version_at_timestamp(path, mid - 3600)
+    with pytest.raises(ValueError, match="not both"):
+        V.read_version(spark, path, version=1, as_of=mid)
+
+    register(spark)
+    fmt = (
+        spark.read.format("versioned_table")
+        .option("path", path)
+        .option("timestampasof", str(mid))
+        .load()
+    )
+    assert sorted(r.x for r in fmt.collect()) == [1]
+    iso = as_dt.replace(tzinfo=None).isoformat()
+    fmt_iso = (
+        spark.read.format("versioned_table")
+        .option("path", path)
+        .option("timestampasof", iso)
+        .load()
+    )
+    assert sorted(r.x for r in fmt_iso.collect()) == [1]
+    try:
+        (
+            spark.read.format("versioned_table")
+            .option("path", path)
+            .option("version", "1")
+            .option("timestampasof", str(mid))
+            .load()
+            .count()
+        )
+        raise AssertionError("version + timestampasof must fail loudly")
+    except Exception as exc:
+        assert "not both" in str(exc)
+
+
+def test_commit_timestamps_monotonic_history_and_legacy(spark, tmp_path):
+    """Every commit path (full/append/metadata rename/drop) stamps a
+    non-decreasing ``committed_at``; ``history`` exposes it as a
+    timestamp column; PRE-timestamp manifest entries (legacy) read as
+    NULL there and as infinitely old to as-of resolution."""
+    import json as _json
+
+    path = str(tmp_path / "t")
+    V.write_version(spark.createDataFrame([(1, "a")], "x long, s string"), path)
+    V.append_version(
+        spark.createDataFrame([(2, "b")], "x long, s string"), path
+    )
+    V.rename_column(spark, path, "s", "label")
+    V.drop_column(spark, path, "label")
+    stamps = [e["committed_at"] for e in V.versions(path)]
+    assert len(stamps) == 4 and stamps == sorted(stamps)
+
+    h = V.history(spark, path).orderBy("version").collect()
+    assert [r.version for r in h] == [1, 2, 3, 4]
+    assert all(r.committed_at is not None for r in h)
+
+    # legacy entry: strip v1's stamp as a pre-r11 manifest would look
+    mp = os.path.join(path, "_VERSIONS.json")
+    with open(mp) as f:
+        doc = _json.load(f)
+    del doc["versions"][0]["committed_at"]
+    with open(mp, "w") as f:
+        _json.dump(doc, f)
+    h0 = V.history(spark, path).orderBy("version").collect()[0]
+    assert h0.committed_at is None
+    # infinitely old: any timestamp before v2 still resolves to v1
+    assert V.version_at_timestamp(path, stamps[1] - 0.001) == 1
+
+
+def test_expire_versions_age_based_retention(spark, tmp_path):
+    """`older_than_s` widens retention, never narrows it: commits
+    younger than the window survive a retain_last=1 vacuum; once aged
+    (manifest stamps rewritten into the past — deterministic), the
+    count floor takes over."""
+    import json as _json
+    import time
+
+    path = str(tmp_path / "t")
+    V.write_version(spark.createDataFrame([(1,)], "x long"), path)
+    V.write_version(spark.createDataFrame([(2,)], "x long"), path)
+    V.write_version(spark.createDataFrame([(3,)], "x long"), path)
+
+    # everything is seconds old: a 1-hour window keeps all three
+    assert V.expire_versions(path, retain_last=1, older_than_s=3600) == []
+    assert [e["version"] for e in V.versions(path)] == [1, 2, 3]
+
+    # age v1/v2 out of the window
+    mp = os.path.join(path, "_VERSIONS.json")
+    with open(mp) as f:
+        doc = _json.load(f)
+    for e in doc["versions"][:2]:
+        e["committed_at"] = time.time() - 7200
+    with open(mp, "w") as f:
+        _json.dump(doc, f)
+    assert V.expire_versions(path, retain_last=1, older_than_s=3600) == [1, 2]
+    assert [e["version"] for e in V.versions(path)] == [3]

@@ -1377,3 +1377,27 @@ def test_raw_matches_never_sees_null_tests(spark, tmp_path):
         .where("s IS NULL")
     )
     assert [r2.x for r2 in got.collect()] == [2]
+
+
+def test_cdf_rejects_snapshot_pins(spark, tmp_path):
+    """The change feed's window is VERSIONS: a `version` or
+    `timestampasof` option on a readchangefeed read fails loudly
+    instead of being silently ignored (resolve a timestamp first via
+    version_at_timestamp)."""
+    register(spark)
+    path = str(tmp_path / "t")
+    V.write_version(_mk(spark, [(1, "a")]), path)
+    for opt, val in (("timestampasof", "2024-01-01"), ("version", "1")):
+        try:
+            (
+                spark.read.format("versioned_table")
+                .option("path", path)
+                .option("schema", DDL)
+                .option("readchangefeed", "true")
+                .option(opt, val)
+                .load()
+                .count()
+            )
+            raise AssertionError(f"{opt} on the change feed must fail")
+        except Exception as exc:
+            assert "startingversion" in str(exc)
