@@ -140,6 +140,7 @@ HEADLINE = [
     "versioned_schema_inference",
     "versioned_operational_lifecycle",
     "versioned_timestamp_travel",
+    "versioned_cdf_stream_sync",
 ]
 
 

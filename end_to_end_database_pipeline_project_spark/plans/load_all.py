@@ -50,14 +50,16 @@ _PACKS = [
 # Round-11 window (the r10 verdict's #1 ask: new/changed first, then
 # the ENTIRE 46-row r04-era stale tranche, leaving no ledger row older
 # than r05):
-# - slots 1-3: the three r11 additions (manifest-derived schema
+# - slots 1-4: the four r11 additions (manifest-derived schema
 #   inference for the versioned_table format; the composed operational
 #   lifecycle — commit stream -> maybe_compact -> expire_versions ->
-#   startingversion re-attach; TIMESTAMP AS OF time travel)
-# - slot 4: the changed shared layer — the format's batch read path
-#   routes through the new DataSource.schema() inference branch (the
-#   stream reader's maxcatchupversions guard and the equally-affected
-#   CDF read path are pytest-pinned and full-fleet-mirror-verified)
+#   startingversion re-attach; TIMESTAMP AS OF time travel; the
+#   change feed as a STREAMING source driving a CDC-apply sync).
+#   The r11-changed shared paths (DataSource.schema() inference,
+#   _pinned_version, the conflict check, the CDF stream reader) are
+#   all exercised by these four; the r10-green versioned fleet is
+#   re-verified by the builder's full-fleet mirror sweeps (307/0/2
+#   mid-round, re-run at final HEAD)
 # - slots 5-50: the complete r04-era backlog (46 rows)
 #   (after this window no driver-ledger row is older than r05)
 
@@ -66,13 +68,7 @@ _DRIVER_FIRST = [
     "versioned_schema_inference",
     "versioned_operational_lifecycle",
     "versioned_timestamp_travel",
-    # (b) slot 4: changed shared layer (the format's batch read path
-    # routes through the new DataSource.schema() inference branch and
-    # _pinned_version; the equally-affected CDF path yields its slot
-    # to the new timestamp-travel query — versioned_cdf_format_read is
-    # r10-green and re-verified by this round's 307/0/2 full-fleet
-    # mirror sweep)
-    "versioned_table_source_scan",
+    "versioned_cdf_stream_sync",
     # (c) slots 5-50: the r04-era backlog, drained in full
     "ab_conversion_ztest",
     "approx_quantile_bounded",

@@ -2267,3 +2267,119 @@ def versioned_timestamp_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(bool(history_stamped)).alias("history_stamped"),
         )
     )
+
+
+@query(
+    "versioned_cdf_stream_sync",
+    oracle="""WITH latest AS (
+  SELECT o.o_orderkey, o.o_orderdate,
+         CASE WHEN year(o.o_orderdate) < 2000 AND o.o_orderkey % 50 = 0
+              THEN 100.0 ELSE o.o_totalprice END AS o_totalprice
+  FROM orders o
+  WHERE year(o.o_orderdate) <= 2000
+    AND NOT (year(o.o_orderdate) < 2000 AND o.o_custkey % 97 = 0
+             AND o.o_orderkey % 50 <> 0))
+SELECT CAST(count(*) AS BIGINT) AS synced_rows,
+       round(coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                           AS DOUBLE), 0.0), 2) AS synced_revenue,
+       TRUE AS matches_table
+FROM latest""",
+)
+def versioned_cdf_stream_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change feed as a STREAMING source driving a downstream SYNC
+    (r11): ``readStream.format("versioned_table")`` with
+    ``readchangefeed=true`` delivers each commit's typed change rows —
+    inserts, key-only deletes, upserts — with NO ignore* opt-ins
+    (typed changes are the feed's contract; before r11 this option
+    combination silently fell through to the snapshot stream reader
+    with NULL meta columns). The history here is base (<2000) → GDPR
+    tombstone (every 97th customer's pre-2000 orders) → one atomic
+    upsert (price restated to 100.00 for every 50th key + year-2000
+    inserts); the consumer drains the feed (availableNow) and folds it
+    Spark-first: per key, the row of the key's LAST change wins
+    (window max on ``_commit_version``), delete-typed winners drop —
+    i.e. the standard CDC-apply a downstream copy runs, O(changes) per
+    sync against a 100 TB table. The ledger checks the SYNCED COPY's
+    content (stated directly over orders by the oracle; note a
+    tombstoned key that the later upsert re-touches survives with the
+    restated price) AND an in-plan proof that the copy equals
+    `read_version(latest)` row-for-row (`matches_table` via anti-join
+    both ways). Reference parity: scheduler.py:45-73 re-reads whole
+    gold tables per cycle; this is the O(delta) streaming version."""
+    from pyspark.sql import Window
+
+    from ..pipeline.artifacts import scratch_artifact_dir
+    from ..sources import versioned as V
+    from ..sources.versioned_source import register as register_vt
+
+    register_vt(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    yr = F.year("o_orderdate")
+    store = scratch_artifact_dir("vt_cdf_sync_")
+    base = orders.where(yr < 2000).drop("o_custkey")
+    V.write_version(base, store)  # v1
+    forget = orders.where((yr < 2000) & (F.col("o_custkey") % 97 == 0)).select(
+        "o_orderkey"
+    )
+    V.delete_version(forget, store, "o_orderkey")  # v2 tombstone
+    corrections = (
+        orders.where((yr < 2000) & (F.col("o_orderkey") % 50 == 0))
+        .drop("o_custkey")
+        .withColumn("o_totalprice", F.lit(100.0))
+    )
+    V.upsert_version(
+        corrections.unionByName(orders.where(yr == 2000).drop("o_custkey")),
+        store,
+        "o_orderkey",
+    )  # v3 atomic replace delta
+
+    out = tempfile.mkdtemp(prefix="vt_cdf_sync_out_")
+    ckpt = tempfile.mkdtemp(prefix="vt_cdf_sync_ckpt_")
+    q = (
+        spark.readStream.format("versioned_table")
+        .option("path", store)
+        .option("readchangefeed", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    feed = spark.read.schema(
+        "o_orderkey long, o_orderdate timestamp, o_totalprice double, "
+        "_change_type string, _commit_version long"
+    ).parquet(out)
+
+    # CDC apply: last change per key wins; delete-typed winners drop
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.col("_commit_version").desc()
+    )
+    synced = (
+        feed.withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") == 1) & (F.col("_change_type") != "delete"))
+        .drop("_rn", "_change_type", "_commit_version")
+    )
+    table = V.read_version(spark, store)
+    only_sync = synced.join(table, on="o_orderkey", how="left_anti").count()
+    only_table = table.join(synced, on="o_orderkey", how="left_anti").count()
+    matches = (only_sync == 0) and (only_table == 0)
+    return synced.agg(
+        F.count(F.lit(1)).cast("long").alias("synced_rows"),
+        F.round(
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                F.lit(0.0),
+            ),
+            2,
+        ).alias("synced_revenue"),
+    ).select(
+        "synced_rows",
+        "synced_revenue",
+        F.lit(bool(matches)).alias("matches_table"),
+    )

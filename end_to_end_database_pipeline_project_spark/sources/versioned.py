@@ -137,6 +137,16 @@ class CommitLockTimeout(TimeoutError):
     pass
 
 
+class ConcurrentCommitError(RuntimeError):
+    """A snapshot-derived commit found the manifest advanced past the
+    version it materialized (optimistic-concurrency conflict — Delta's
+    ConcurrentWriteException class). Raised INSTEAD of publishing,
+    under the lock, so the racing writer's rows can never silently
+    vanish from the latest snapshot; the caller re-reads and retries
+    (or, for ``maybe_compact``, simply yields — the next commit
+    re-triggers the compaction)."""
+
+
 class CommitCoordinator:
     """The commit-coordination seam (VERDICT r10 "What's missing #4"):
     every manifest read-modify-write (commit slot claim, rename/drop
@@ -545,6 +555,7 @@ def _commit(
     stats_cols: tuple[str, ...] = (),
     partition_by: tuple[str, ...] = (),
     lock_timeout_s: float = 600.0,
+    expected_head: int | None = None,
     **meta,
 ) -> int:
     """Shared commit protocol, staged so the commit lock's critical
@@ -656,6 +667,7 @@ def _commit(
             stats,
             extra,
             lock_timeout_s,
+            expected_head=expected_head,
         )
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
@@ -719,6 +731,7 @@ def _publish_staged(
     stats: dict | None,
     meta: dict,
     lock_timeout_s: float,
+    expected_head: int | None = None,
 ) -> int:
     """The commit's critical section: under the lock, claim the next
     version slot, rename the staged directory into it, publish the
@@ -735,7 +748,20 @@ def _publish_staged(
                 f"cannot {mode} at {path}: no committed base snapshot — "
                 "the first commit must be a full snapshot"
             )
-        n = (vs[-1]["version"] + 1) if vs else 1
+        head = vs[-1]["version"] if vs else 0
+        if expected_head is not None and head != expected_head:
+            # optimistic-concurrency conflict check (under the lock):
+            # a SNAPSHOT-DERIVED commit (compaction) must not publish
+            # over commits that landed after its read — the racing
+            # rows would silently vanish from the latest chain. A
+            # plain overwrite never passes expected_head: replacing
+            # whatever is current IS its semantics.
+            raise ConcurrentCommitError(
+                f"commit at {path} expected manifest head "
+                f"{expected_head} but found {head}: a concurrent commit "
+                "landed after this snapshot was read — re-read and retry"
+            )
+        n = head + 1
         vdir = os.path.join(path, f"v={n}")
         if os.path.exists(vdir):
             # an uncommitted orphan from a crashed pre-staging-era
@@ -765,6 +791,7 @@ def write_version(
     stats_cols: tuple[str, ...] = (),
     meta: dict | None = None,
     partition_by: tuple[str, ...] = (),
+    expected_head: int | None = None,
 ) -> int:
     """Publish ``df`` as the next FULL snapshot. Starts a new append
     chain: versions before it never need re-reading to resolve any
@@ -780,6 +807,7 @@ def write_version(
         "full",
         stats_cols=stats_cols,
         partition_by=partition_by,
+        expected_head=expected_head,
         **(meta or {}),
     )
 
@@ -1527,12 +1555,25 @@ def compact_chain(
     incremental scan across it correctly demands a resync). Old
     versions stay addressable until ``expire_versions`` reclaims
     them. The compaction itself is one chain read + one write —
-    O(live rows), run at the cadence the delta-log length warrants."""
+    O(live rows), run at the cadence the delta-log length warrants.
+
+    Concurrency (r11): the materialized content is PINNED to the head
+    version read here, and the publish carries ``expected_head`` — if
+    a concurrent commit lands between the read and the publish, the
+    conflict check under the lock raises ``ConcurrentCommitError``
+    INSTEAD of publishing a snapshot that silently drops the racing
+    writer's rows from the latest chain (the data-loss race a naive
+    read-then-overwrite has; Delta's optimistic-concurrency
+    ConcurrentWriteException). Callers re-read and retry;
+    ``maybe_compact`` simply yields — the next commit re-triggers it."""
+    vs = versions(path)
+    head = vs[-1]["version"] if vs else None
     return write_version(
-        read_version(spark, path),
+        read_version(spark, path, version=head),
         path,
         stats_cols=stats_cols,
         partition_by=partition_by,
+        expected_head=head,
     )
 
 
@@ -1575,9 +1616,17 @@ def maybe_compact(
     until every cursor has moved past it."""
     if chain_length(path) <= max_chain:
         return None
-    return compact_chain(
-        spark, path, stats_cols=stats_cols, partition_by=partition_by
-    )
+    try:
+        return compact_chain(
+            spark, path, stats_cols=stats_cols, partition_by=partition_by
+        )
+    except ConcurrentCommitError:
+        # a writer raced the compaction: YIELD rather than retry (a
+        # retry under sustained write pressure livelocks; losing rows
+        # is not on the table either way — the conflict check refused
+        # the publish). The very next commit re-evaluates the chain
+        # budget and re-triggers, so the envelope still converges.
+        return None
 
 
 def _sweep_staging(path: str, grace_s: float) -> None:

@@ -67,7 +67,12 @@ compaction version; batch with ``readchangefeed``: the window start),
 ``readchangefeed`` + ``endingversion`` (batch: read the CHANGE FEED
 instead of the snapshot — Delta's readChangeFeed; typed
 ``_change_type``/``_commit_version`` rows from only the delta
-directories, loud failure across a rewrite).
+directories, loud failure across a rewrite). ``readchangefeed`` on
+``readStream`` (r11) makes the feed a STREAMING source: micro-batches
+of typed insert/delete/upsert rows — no ``ignoredeletes``/
+``ignorechanges`` opt-ins (typed changes ARE the contract; passing
+them raises), fresh streams bootstrap a leading full snapshot as
+inserts, and the offset/rate/guard options above apply unchanged.
 
 Scale note: partitions map 1:1 to committed parquet files, so the read
 parallelizes like any file scan, and rows cross the Python boundary as
@@ -964,6 +969,108 @@ class _VersionedStreamReader(DataSourceStreamReader):
             self._cursor = end["version"]
 
 
+class _VersionedCDFStreamReader(_VersionedStreamReader):
+    """``readStream`` + ``readchangefeed=true``: the change feed as a
+    STREAMING source (Delta's readChangeFeed streaming) — each
+    micro-batch delivers the typed change rows of the commits in
+    (start, end]: appends as ``insert`` full rows, tombstones as
+    ``delete`` key-only rows (non-key columns null-fill through the
+    same Arrow reconciliation as pre-evolution files), upserts as
+    ``upsert`` full rows, each stamped ``_commit_version``. Unlike the
+    snapshot stream, no ``ignoredeletes``/``ignorechanges`` opt-ins
+    apply — typed changes ARE the feed's contract, so a downstream
+    sync consumes deletes and upserts losslessly. Offset semantics,
+    ``startingversion``/``maxversionspertrigger``/``maxcatchupversions``
+    and the loud rewrite/vacuumed-cursor failures are inherited from
+    the snapshot stream reader; a FRESH stream (cursor 0) bootstraps a
+    leading full snapshot as inserts, exactly like the batch feed's
+    ``startingversion=0``. Before r11 this option combination silently
+    fell through to the snapshot reader (meta columns read as NULL) —
+    now it is a real source, pinned against ``incremental_scan``."""
+
+    def __init__(self, options: dict, schema):
+        super().__init__(options, schema)
+        if self.ignore_deletes or self.ignore_changes:
+            raise ValueError(
+                "versioned_table change-feed stream: ignoredeletes/"
+                "ignorechanges do not apply — the feed delivers typed "
+                "delete/upsert rows by contract"
+            )
+
+    def partitions(self, start: dict, end: dict):
+        vs = versions(self.path)
+        lo, hi = start["version"], end["version"]
+        if self._cursor is None or hi > self._cursor:
+            self._cursor = hi
+        if lo > 0 and vs and lo > vs[-1]["version"]:
+            raise ValueError(
+                f"versioned_table change-feed stream at {self.path}: "
+                f"cursor {lo} is beyond the committed head "
+                f"{vs[-1]['version']} — check startingversion"
+            )
+        if lo > 0 and vs and lo < vs[0]["version"]:
+            raise ValueError(
+                f"versioned_table change-feed stream at {self.path}: "
+                f"checkpointed cursor {lo} no longer resolves in the "
+                f"manifest (oldest retained version is "
+                f"{vs[0]['version']}) — the chain was compacted/"
+                "expired; resync from the current snapshot"
+            )
+        change_of = {
+            "delete": "delete",
+            "replace": "upsert",
+            "append": "insert",
+            "full": "insert",  # only ever the fresh-stream leading base
+        }
+        parts = []
+        for i, e in enumerate(vs):
+            if not (lo < e["version"] <= hi):
+                continue
+            m = _mode(e)
+            if m in ("rename", "drop"):
+                continue  # metadata-only: no change rows
+            if m == "full" and (lo > 0 or e["version"] != vs[0]["version"]):
+                raise ValueError(
+                    f"versioned_table change-feed stream at {self.path}: "
+                    f"version {e['version']} is a full-snapshot rewrite — "
+                    "incremental lineage is broken; resync the consumer "
+                    "from it (startingversion names it)"
+                )
+            smap = _compose_schema_map(vs[i + 1 :])
+            renames = tuple(
+                sorted((k, v) for k, v in smap.items() if v is not None)
+            )
+            drops = tuple(sorted(k for k, v in smap.items() if v is None))
+            for f, pvals in _data_files_with_parts(self.path, e):
+                parts.append(
+                    InputPartition(
+                        (f, pvals, renames, drops, change_of[m], e["version"])
+                    )
+                )
+        return parts or [InputPartition(None)]
+
+    def read(self, partition) -> Iterator:
+        import pyarrow as pa
+
+        if partition is None or partition.value is None:
+            return
+        f, pvals, renames, drops, change, version = partition.value
+        data_schema = pa.schema(
+            [
+                fld
+                for fld in self.schema
+                if fld.name not in ("_change_type", "_commit_version")
+            ]
+        )
+        for b in _read_file_batches(f, data_schema, (), pvals, renames, drops):
+            n = b.num_rows
+            arrays = list(b.columns) + [
+                pa.array([change] * n, pa.string()),
+                pa.array([version] * n, pa.int64()),
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, schema=self.schema)
+
+
 class _StagedPart(WriterCommitMessage):
     def __init__(self, file: str | None, rows: int, stats: dict, rel_dir: str = ""):
         self.file = file
@@ -1546,6 +1653,8 @@ class VersionedTableDataSource(DataSource):
         return _VersionedBatchReader(self.options, schema)
 
     def streamReader(self, schema) -> DataSourceStreamReader:
+        if self._cdf():
+            return _VersionedCDFStreamReader(self.options, schema)
         return _VersionedStreamReader(self.options, schema)
 
     def writer(self, schema, overwrite: bool) -> DataSourceArrowWriter:

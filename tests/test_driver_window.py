@@ -22,8 +22,8 @@ from end_to_end_database_pipeline_project_spark.plans.load_all import _DRIVER_FI
 # The declared fleet size.  Bump BOTH numbers in the same commit that
 # registers a new query; a mismatch here means a pack import silently
 # lost (or double-registered) names.
-EXPECTED_QUERIES = 310
-EXPECTED_ORACLES = 308
+EXPECTED_QUERIES = 311
+EXPECTED_ORACLES = 309
 
 # Rows-only queries allowed to burn a checked window slot.  Zero from
 # r08 on: the r07 window closed the ledger at the full registry size

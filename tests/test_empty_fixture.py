@@ -90,6 +90,7 @@ FIXED_ON_EMPTY = [
     "versioned_schema_inference",
     "versioned_operational_lifecycle",
     "versioned_timestamp_travel",
+    "versioned_cdf_stream_sync",
 ]
 
 ROWS_ONLY_ON_EMPTY = ["ivf_kmeans_topk"]

@@ -2022,3 +2022,90 @@ def test_expire_versions_age_based_retention(spark, tmp_path):
         _json.dump(doc, f)
     assert V.expire_versions(path, retain_last=1, older_than_s=3600) == [1, 2]
     assert [e["version"] for e in V.versions(path)] == [3]
+
+
+# --- optimistic-concurrency conflict check (r11 self-review: the
+# compact-vs-append data-loss race) ------------------------------------
+
+
+def test_expected_head_conflict_refuses_publish(spark, tmp_path):
+    """A snapshot-derived commit carrying ``expected_head`` is REFUSED
+    under the lock when the manifest advanced past it — nothing
+    publishes, the manifest is untouched, staging is reclaimed."""
+    import pytest
+
+    path = str(tmp_path / "t")
+    V.write_version(spark.createDataFrame([(1,)], "x long"), path)  # v1
+    V.append_version(spark.createDataFrame([(2,)], "x long"), path)  # v2
+    with pytest.raises(V.ConcurrentCommitError, match="expected manifest head 1"):
+        V.write_version(
+            spark.createDataFrame([(9,)], "x long"), path, expected_head=1
+        )
+    assert [e["version"] for e in V.versions(path)] == [1, 2]
+    assert not [
+        d for d in os.listdir(path) if d.startswith("_staging-")
+    ], "conflict must reclaim its staging dir"
+    # matching head publishes normally
+    assert (
+        V.write_version(
+            spark.createDataFrame([(9,)], "x long"), path, expected_head=2
+        )
+        == 3
+    )
+
+
+def test_compaction_never_loses_a_racing_append(spark, tmp_path):
+    """The r11-found data-loss race, pinned: an append landing between
+    compact_chain's snapshot read and its publish must NEVER vanish
+    from the latest chain. The old read-then-overwrite published a
+    stale full snapshot over the append; the conflict check now
+    refuses it (`compact_chain` raises, `maybe_compact` yields) and
+    the next trigger compacts the complete content."""
+    import pytest
+
+    path = str(tmp_path / "t")
+    V.write_version(spark.createDataFrame([(1,)], "x long"), path)
+    for v in (2, 3, 4, 5):
+        V.append_version(spark.createDataFrame([(v,)], "x long"), path)
+
+    real = V._publish_staged
+    state = {"raced": False}
+
+    def racing_publish(path_, staged, mode, rows, stats, meta, lock_timeout_s,
+                       expected_head=None):
+        if mode == "full" and not state["raced"]:
+            state["raced"] = True
+            # the interleaving: a writer's append lands AFTER the
+            # compaction read its snapshot, BEFORE its publish
+            V.append_version(
+                spark.createDataFrame([(99,)], "x long"), path_
+            )
+        return real(path_, staged, mode, rows, stats, meta, lock_timeout_s,
+                    expected_head=expected_head)
+
+    V._publish_staged, orig = racing_publish, V._publish_staged
+    try:
+        # maybe_compact yields (chain 5 > 4 would compact; the race
+        # refuses the stale publish) — and NOTHING is lost
+        assert V.maybe_compact(spark, path, max_chain=4) is None
+    finally:
+        V._publish_staged = orig
+    got = sorted(r.x for r in V.read_version(spark, path).collect())
+    assert got == [1, 2, 3, 4, 5, 99], "racing append must survive"
+
+    # explicit compact_chain surfaces the conflict to its caller
+    state["raced"] = False
+    V._publish_staged = racing_publish
+    try:
+        with pytest.raises(V.ConcurrentCommitError):
+            V.compact_chain(spark, path)
+    finally:
+        V._publish_staged = orig
+    got = sorted(r.x for r in V.read_version(spark, path).collect())
+    assert 99 in got and 100 not in got
+    # quiet retry now succeeds and the compacted snapshot is complete
+    n = V.compact_chain(spark, path)
+    assert V.versions(path)[-1]["version"] == n
+    assert sorted(
+        r.x for r in V.read_version(spark, path, version=n).collect()
+    ) == [1, 2, 3, 4, 5, 99, 99]

@@ -1401,3 +1401,127 @@ def test_cdf_rejects_snapshot_pins(spark, tmp_path):
             raise AssertionError(f"{opt} on the change feed must fail")
         except Exception as exc:
             assert "startingversion" in str(exc)
+
+
+# --- change feed as a STREAMING source (r11) --------------------------
+
+
+def _drain_cdf(spark, path, out, ckpt, **opts):
+    q = (
+        spark.readStream.format("versioned_table")
+        .option("path", path)
+        .option("schema", DDL)
+        .option("readchangefeed", "true")
+        .options(**opts)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
+
+
+def test_cdf_stream_delivers_typed_changes_and_resumes(spark, tmp_path):
+    """readStream + readchangefeed: typed insert/delete/upsert rows —
+    NO ignore* opt-ins needed (pre-r11 this combination silently fell
+    through to the snapshot reader with NULL meta columns) — and the
+    checkpoint cursor resumes exactly."""
+    register(spark)
+    path, ckpt, out = (str(tmp_path / d) for d in ("t", "ckpt", "out"))
+    V.write_version(_mk(spark, [(1, "a"), (2, "b")]), path)  # v1 base
+    V.append_version(_mk(spark, [(3, "c")]), path)  # v2
+    V.delete_version(spark.createDataFrame([(2,)], "x long"), path, "x")  # v3
+
+    got = _drain_cdf(spark, path, out, ckpt)
+    rows = sorted(
+        (r._commit_version, r._change_type, r.x) for r in got.collect()
+    )
+    # fresh stream bootstraps the leading base as inserts (batch-feed
+    # startingversion=0 semantics); the delete is a typed key-only row
+    assert rows == [
+        (1, "insert", 1),
+        (1, "insert", 2),
+        (2, "insert", 3),
+        (3, "delete", 2),
+    ]
+    # resume: an upsert commit streams as typed upsert rows, once
+    V.upsert_version(_mk(spark, [(3, "C2"), (4, "d")]), path, "x")  # v4
+    got = _drain_cdf(spark, path, out, ckpt)
+    rows = sorted(
+        (r._commit_version, r._change_type, r.x) for r in got.collect()
+    )
+    assert rows.count((4, "upsert", 3)) == 1
+    assert rows.count((4, "upsert", 4)) == 1
+    assert len(rows) == 6
+    # parity with the library feed over the same range
+    lib = V.incremental_scan(spark, path, from_version=1)
+    assert sorted(
+        (r._commit_version, r._change_type, r.x) for r in lib.collect()
+    ) == [r for r in rows if r[0] > 1]
+
+
+def test_cdf_stream_rewrite_fails_and_reattaches(spark, tmp_path):
+    """A mid-history compaction breaks feed lineage loudly; a consumer
+    re-attaches AFTER it via startingversion; ignore* opt-ins are
+    rejected (the feed's contract IS typed changes)."""
+    register(spark)
+    path = str(tmp_path / "t")
+    V.write_version(_mk(spark, [(1, "a")]), path)  # v1
+    V.append_version(_mk(spark, [(2, "b")]), path)  # v2
+    V.compact_chain(spark, path)  # v3 rewrite
+    V.append_version(_mk(spark, [(3, "c")]), path)  # v4
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    try:
+        _drain_cdf(spark, path, out, ckpt)
+        raise AssertionError("feed stream across a rewrite must fail")
+    except Exception as exc:
+        assert "rewrite" in str(exc)
+    out2, ckpt2 = str(tmp_path / "out2"), str(tmp_path / "ckpt2")
+    got = _drain_cdf(spark, path, out2, ckpt2, startingversion="3")
+    assert sorted(
+        (r._commit_version, r._change_type, r.x) for r in got.collect()
+    ) == [(4, "insert", 3)]
+    try:
+        _drain_cdf(
+            spark, path, str(tmp_path / "o3"), str(tmp_path / "c3"),
+            ignoredeletes="true",
+        )
+        raise AssertionError("ignore* on the feed stream must fail")
+    except Exception as exc:
+        assert "do not apply" in str(exc)
+
+
+def test_cdf_stream_schema_less_and_evolution(spark, tmp_path):
+    """Schema-less feed stream: inference appends the meta columns and
+    folds renames — pre-rename commits deliver under current names."""
+    register(spark)
+    path = str(tmp_path / "t")
+    V.write_version(_mk(spark, [(1, "a")]), path)
+    V.rename_column(spark, path, "s", "label")
+    V.append_version(
+        spark.createDataFrame([(2, "b")], "x bigint, label string"), path
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("versioned_table")
+        .option("path", path)
+        .option("readchangefeed", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert sorted(got.columns) == [
+        "_change_type", "_commit_version", "label", "x",
+    ]
+    assert sorted((r.x, r.label) for r in got.collect()) == [
+        (1, "a"), (2, "b"),
+    ]
