@@ -723,6 +723,32 @@ def version_at_timestamp(path: str, ts) -> int:
     return hit["version"]
 
 
+def version_before_timestamp(path: str, ts) -> int:
+    """The LARGEST committed version whose ``committed_at`` is strictly
+    before ``ts``, or 0 when none is — i.e. the ``startingversion``
+    equivalent of "begin at the first commit AT OR AFTER ts" (the
+    change-feed window and the stream cursor are both EXCLUSIVE of
+    their start, so passing this value delivers exactly the commits
+    stamped at or after ``ts``). ``ts`` parses as in
+    ``version_at_timestamp``. A ``ts`` at or before every retained
+    stamp returns 0 — the stream/feed then starts from the retained
+    base snapshot, whose content already folds everything older, so
+    "from t" is content-exact without Delta's earliest-version error;
+    a ``ts`` after the head returns the head (only future commits
+    deliver). Legacy unstamped entries count as infinitely old."""
+    import datetime
+
+    if isinstance(ts, datetime.datetime):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=datetime.timezone.utc)
+        ts = ts.timestamp()
+    out = 0
+    for e in versions(path):
+        if e.get("committed_at", 0.0) < ts:
+            out = e["version"]
+    return out
+
+
 def _publish_staged(
     path: str,
     staged_dir: str,

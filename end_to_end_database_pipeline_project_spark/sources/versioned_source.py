@@ -60,7 +60,11 @@ the source learns its cursor and is deliberately uncapped),
 above cannot reach — when a FRESH run's catch-up batch would span more
 than N committed versions, raise at planning time naming
 ``startingversion`` instead of silently planning the mega-batch),
-``startingversion`` (stream: begin AFTER that committed version —
+``startingtimestamp`` (stream / batch feed: begin at the first commit
+AT OR AFTER the timestamp — Delta's startingTimestamp; resolved
+against the manifest's monotonic ``committed_at`` stamps),
+``endingtimestamp`` (batch feed: last change at or before the
+timestamp), ``startingversion`` (stream: begin AFTER that committed version —
 Delta's startingVersion; skips/bounds a fresh consumer's catch-up
 batch, and re-attaches a consumer after a compaction by naming the
 compaction version; batch with ``readchangefeed``: the window start),
@@ -113,8 +117,37 @@ from .versioned import (
     _stat_value,
     adopt_staged_files,
     version_at_timestamp,
+    version_before_timestamp,
     versions,
 )
+
+
+def _opt_path(options: dict) -> str:
+    """The table root from the ``path`` option, normalized: Spark's SQL
+    surface (``CREATE TABLE ... USING versioned_table OPTIONS (path
+    ...)`` / ``versioned_table.`/p```) hands the option through as a
+    ``file:`` URI while the DataFrame API passes the raw string — the
+    manifest protocol is plain-os.path, so strip a local-file scheme
+    here (other schemes pass through untouched and fail on their own
+    terms)."""
+    p = options["path"]
+    if p.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        u = urlparse(p)
+        return unquote(u.path)
+    return p
+
+
+def _parse_ts(t: str):
+    """A timestamp option value: epoch seconds or an ISO datetime
+    (naive = UTC)."""
+    import datetime
+
+    try:
+        return float(t)
+    except ValueError:
+        return datetime.datetime.fromisoformat(t)
 
 
 def _pinned_version(options: dict) -> int | None:
@@ -130,13 +163,7 @@ def _pinned_version(options: dict) -> int | None:
             "not both"
         )
     if t is not None:
-        import datetime
-
-        try:
-            at = float(t)
-        except ValueError:
-            at = datetime.datetime.fromisoformat(t)
-        return version_at_timestamp(options["path"], at)
+        return version_at_timestamp(_opt_path(options), _parse_ts(t))
     return int(v) if v is not None else None
 
 
@@ -646,7 +673,7 @@ def _stats_match(st: dict, flt) -> bool:
 
 class _VersionedBatchReader(DataSourceReader):
     def __init__(self, options: dict, schema):
-        self.path = options["path"]
+        self.path = _opt_path(options)
         self.schema = _arrow_schema(schema)
         self.version = _pinned_version(options)
         self.part_filters: list = []
@@ -788,7 +815,7 @@ class _VersionedBatchReader(DataSourceReader):
 
 class _VersionedStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict, schema):
-        self.path = options["path"]
+        self.path = _opt_path(options)
         self.schema = _arrow_schema(schema)
         self.ignore_deletes = (
             options.get("ignoredeletes", "false").lower() == "true"
@@ -818,7 +845,23 @@ class _VersionedStreamReader(DataSourceStreamReader):
                 f"maxversionspertrigger must be >= 1 (got {self.max_versions})"
             )
         sv = options.get("startingversion")
-        self.starting_version = int(sv) if sv is not None else 0
+        st = options.get("startingtimestamp")
+        if sv is not None and st is not None:
+            raise ValueError(
+                "versioned_table stream: pass either startingversion or "
+                "startingtimestamp, not both"
+            )
+        if st is not None:
+            # Delta's startingTimestamp: begin at the first commit AT
+            # OR AFTER t (the cursor is exclusive, so resolve to the
+            # last commit strictly before it). A t at or before every
+            # retained stamp starts from the base snapshot — content-
+            # exact, since the base folds everything older.
+            self.starting_version = version_before_timestamp(
+                self.path, _parse_ts(st)
+            )
+        else:
+            self.starting_version = int(sv) if sv is not None else 0
         if self.starting_version < 0:
             raise ValueError(
                 f"startingversion must be >= 0 (got {self.starting_version})"
@@ -1335,7 +1378,7 @@ class _VersionedBatchWriter(DataSourceArrowWriter):
     def __init__(self, options: dict, schema, overwrite: bool):
         import uuid
 
-        self.path = options["path"]
+        self.path = _opt_path(options)
         self.schema = _arrow_schema(schema)
         self.overwrite = overwrite
         self.stats_cols = [
@@ -1408,7 +1451,7 @@ class _VersionedStreamWriter(DataSourceStreamArrowWriter):
     def __init__(self, options: dict):
         import uuid
 
-        self.path = options["path"]
+        self.path = _opt_path(options)
         self.stats_cols = [
             c.strip()
             for c in options.get("statscols", "").split(",")
@@ -1491,22 +1534,42 @@ class _VersionedCDFReader(DataSourceReader):
     any pre-evolution file). Renames/drops fold to as-of-END names."""
 
     def __init__(self, options: dict, schema):
-        self.path = options["path"]
+        self.path = _opt_path(options)
         if "timestampasof" in options or "version" in options:
-            # the feed's window is versions, not wall-clock; a silently
-            # ignored snapshot pin would read as "worked"
+            # a SNAPSHOT pin on the feed would be silently ignored —
+            # the feed's window has its own timestamp options below
             raise ValueError(
-                "versioned_table change feed: use startingversion/"
-                "endingversion to window the feed (resolve a timestamp "
-                "to a version with version_at_timestamp first)"
+                "versioned_table change feed: window the feed with "
+                "startingversion/endingversion or startingtimestamp/"
+                "endingtimestamp (timestampasof/version pin snapshots)"
             )
         self.schema = _arrow_schema(schema)  # includes the meta columns
-        self.start = int(options.get("startingversion", 0))
-        self.end = (
-            int(options["endingversion"])
-            if "endingversion" in options
-            else None
+        sv, st = options.get("startingversion"), options.get(
+            "startingtimestamp"
         )
+        ev, et = options.get("endingversion"), options.get(
+            "endingtimestamp"
+        )
+        if sv is not None and st is not None:
+            raise ValueError(
+                "versioned_table change feed: pass either "
+                "startingversion or startingtimestamp, not both"
+            )
+        if ev is not None and et is not None:
+            raise ValueError(
+                "versioned_table change feed: pass either "
+                "endingversion or endingtimestamp, not both"
+            )
+        if st is not None:
+            # first change AT OR AFTER t (window start is exclusive)
+            self.start = version_before_timestamp(self.path, _parse_ts(st))
+        else:
+            self.start = int(sv) if sv is not None else 0
+        if et is not None:
+            # last change AT OR BEFORE t
+            self.end = version_at_timestamp(self.path, _parse_ts(et))
+        else:
+            self.end = int(ev) if ev is not None else None
 
     def partitions(self):
         vs = versions(self.path)
@@ -1633,10 +1696,16 @@ class VersionedTableDataSource(DataSource):
             # the feed's shape is as-of-ENDING version (the window's
             # last delivered names), plus the change-meta columns
             ev = self.options.get("endingversion")
-            pin = int(ev) if ev is not None else None
+            et = self.options.get("endingtimestamp")
+            if et is not None:
+                pin = version_at_timestamp(
+                    _opt_path(self.options), _parse_ts(et)
+                )
+            else:
+                pin = int(ev) if ev is not None else None
         else:
             pin = _pinned_version(self.options)
-        inferred = _infer_spark_schema(self.options["path"], pin)
+        inferred = _infer_spark_schema(_opt_path(self.options), pin)
         if self._cdf():
             return StructType(
                 inferred.fields

@@ -1525,3 +1525,135 @@ def test_cdf_stream_schema_less_and_evolution(spark, tmp_path):
     assert sorted((r.x, r.label) for r in got.collect()) == [
         (1, "a"), (2, "b"),
     ]
+
+
+# --- startingtimestamp / endingtimestamp (r11: wall-clock windows on
+# the stream and the batch change feed — Delta's startingTimestamp) ----
+
+
+def test_stream_startingtimestamp_resolves_first_commit_at_or_after(
+    spark, tmp_path
+):
+    import time
+
+    register(spark)
+    path = str(tmp_path / "t")
+    V.write_version(_mk(spark, [(1, "a")]), path)  # v1
+    V.append_version(_mk(spark, [(2, "b")]), path)  # v2
+    time.sleep(0.02)
+    mid = time.time()  # between v2 and v3
+    time.sleep(0.02)
+    V.append_version(_mk(spark, [(3, "c")]), path)  # v3
+
+    def drain(out, ckpt, **opts):
+        q = (
+            spark.readStream.format("versioned_table")
+            .option("path", path)
+            .option("schema", DDL)
+            .options(**opts)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.schema(DDL).parquet(out)
+
+    # from mid: only v3 delivers
+    got = drain(str(tmp_path / "o1"), str(tmp_path / "c1"),
+                startingtimestamp=str(mid))
+    assert sorted(r.x for r in got.collect()) == [3]
+    # from before everything: full retained history incl. the base
+    got = drain(str(tmp_path / "o2"), str(tmp_path / "c2"),
+                startingtimestamp=str(mid - 3600))
+    assert sorted(r.x for r in got.collect()) == [1, 2, 3]
+    # from after the head: nothing yet; a new commit then streams
+    out3, c3 = str(tmp_path / "o3"), str(tmp_path / "c3")
+    got = drain(out3, c3, startingtimestamp=str(time.time() + 3600))
+    assert got.count() == 0
+    V.append_version(_mk(spark, [(4, "d")]), path)
+    got = drain(out3, c3, startingtimestamp=str(time.time() + 3600))
+    assert sorted(r.x for r in got.collect()) == [4]
+    # mutually exclusive with startingversion
+    try:
+        drain(str(tmp_path / "o4"), str(tmp_path / "c4"),
+              startingtimestamp=str(mid), startingversion="1")
+        raise AssertionError("both starting options must fail")
+    except Exception as exc:
+        assert "not both" in str(exc)
+
+
+def test_cdf_batch_timestamp_window_matches_version_window(spark, tmp_path):
+    import time
+
+    register(spark)
+    path = str(tmp_path / "t")
+    V.write_version(_mk(spark, [(1, "a")]), path)  # v1
+    time.sleep(0.02)
+    t_after_v1 = time.time()
+    time.sleep(0.02)
+    V.append_version(_mk(spark, [(2, "b")]), path)  # v2
+    time.sleep(0.02)
+    t_after_v2 = time.time()
+    time.sleep(0.02)
+    V.append_version(_mk(spark, [(3, "c")]), path)  # v3
+
+    def feed(**opts):
+        return (
+            spark.read.format("versioned_table")
+            .option("path", path)
+            .option("schema", DDL)
+            .option("readchangefeed", "true")
+            .options(**opts)
+            .load()
+        )
+
+    by_ts = sorted(
+        (r._commit_version, r.x)
+        for r in feed(
+            startingtimestamp=str(t_after_v1),
+            endingtimestamp=str(t_after_v2),
+        ).collect()
+    )
+    by_v = sorted(
+        (r._commit_version, r.x)
+        for r in feed(startingversion="1", endingversion="2").collect()
+    )
+    assert by_ts == by_v == [(2, 2)]
+    # mixing a version and its timestamp twin fails loudly
+    for opts in (
+        {"startingversion": "1", "startingtimestamp": str(t_after_v1)},
+        {"endingversion": "2", "endingtimestamp": str(t_after_v2)},
+    ):
+        try:
+            feed(**opts).count()
+            raise AssertionError("mixed window options must fail")
+        except Exception as exc:
+            assert "not both" in str(exc)
+
+
+def test_file_uri_paths_and_sql_view_bridge(spark, tmp_path):
+    """`file:` URI path options work (Spark's SQL surfaces and some
+    callers hand the option through as a URI; the manifest protocol is
+    plain os.path — `_opt_path` strips the local scheme), and the
+    supported SQL bridge is a temp view over the format read (Spark
+    4.1 rejects Python data sources for catalog-table reads and
+    direct `format.`path`` queries — UNSUPPORTED_DATASOURCE_FOR_
+    DIRECT_QUERY — so the view IS the SQL surface)."""
+    register(spark)
+    path = str(tmp_path / "t")
+    V.write_version(_mk(spark, [(1, "a"), (2, "b")]), path)
+    got = (
+        spark.read.format("versioned_table")
+        .option("path", f"file://{path}")
+        .load()
+    )
+    assert sorted(r.x for r in got.collect()) == [1, 2]
+    got.createOrReplaceTempView("vt_bridge")
+    assert spark.sql("SELECT count(*) AS n FROM vt_bridge").collect()[0].n == 2
+    assert (
+        spark.sql("SELECT s FROM vt_bridge WHERE x = 2").collect()[0].s == "b"
+    )
+    spark.catalog.dropTempView("vt_bridge")
