@@ -1603,6 +1603,51 @@ def compact_chain(
     )
 
 
+def restore_version(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    as_of: object = None,
+    stats_cols: tuple[str, ...] = (),
+    partition_by: tuple[str, ...] = (),
+) -> int:
+    """Delta's RESTORE: republish an earlier snapshot's content as the
+    table's NEW HEAD — a full commit stamped ``restored_from``, so the
+    bad-write recovery story is one call and history is PRESERVED
+    (restore is an addition, never a rollback-rewrite: the versions
+    between stay addressable for audit until ``expire_versions``).
+    Pin the source by ``version`` or ``as_of`` (timestamp, resolved
+    via ``version_at_timestamp``). Being a full snapshot, the restore
+    re-bases CDF/stream lineage exactly like a compaction — consumers
+    resync from it, which is the correct contract: the deltas between
+    the restored point and the old head DID happen and were then
+    superseded. Carries the optimistic-concurrency check: a commit
+    racing the restore raises ``ConcurrentCommitError`` instead of
+    being silently erased by a stale snapshot (same protection as
+    ``compact_chain``)."""
+    if version is not None and as_of is not None:
+        raise ValueError("restore_version: pass either version or as_of")
+    if as_of is not None:
+        version = version_at_timestamp(path, as_of)
+    vs = versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    if version is None:
+        raise ValueError(
+            "restore_version: name the version (or as_of timestamp) to "
+            "restore to"
+        )
+    head = vs[-1]["version"]
+    return write_version(
+        read_version(spark, path, version=version),
+        path,
+        stats_cols=stats_cols,
+        partition_by=partition_by,
+        meta={"restored_from": version},
+        expected_head=head,
+    )
+
+
 def chain_length(path: str) -> int:
     """Number of manifest entries composing the LATEST version's chain
     (the full base plus every append/delete/upsert/metadata commit

@@ -2109,3 +2109,57 @@ def test_compaction_never_loses_a_racing_append(spark, tmp_path):
     assert sorted(
         r.x for r in V.read_version(spark, path, version=n).collect()
     ) == [1, 2, 3, 4, 5, 99, 99]
+
+
+def test_restore_version_republishes_and_preserves_history(spark, tmp_path):
+    """Delta RESTORE: an earlier snapshot becomes the new head as a
+    FULL commit (history preserved, lineage re-based), by version or
+    by timestamp, conflict-checked against racing writers."""
+    import time
+
+    import pytest
+
+    path = str(tmp_path / "t")
+    V.write_version(spark.createDataFrame([(1,), (2,)], "x long"), path)  # v1
+    time.sleep(0.02)
+    mid = time.time()
+    time.sleep(0.02)
+    V.append_version(spark.createDataFrame([(3,)], "x long"), path)  # v2
+    V.delete_version(spark.createDataFrame([(1,)], "x long"), path, "x")  # v3
+
+    n = V.restore_version(spark, path, version=1)
+    assert n == 4
+    assert sorted(r.x for r in V.read_version(spark, path).collect()) == [1, 2]
+    # history preserved: the superseded states stay addressable
+    assert [e["version"] for e in V.versions(path)] == [1, 2, 3, 4]
+    assert V.versions(path)[-1]["restored_from"] == 1
+    assert sorted(
+        r.x for r in V.read_version(spark, path, version=3).collect()
+    ) == [2, 3]
+    # restore by timestamp resolves like timestampAsOf
+    n2 = V.restore_version(spark, path, as_of=mid)
+    assert sorted(r.x for r in V.read_version(spark, path, version=n2).collect()) == [1, 2]
+    # restore is a full commit: CDF lineage re-bases (loud across it)
+    with pytest.raises(ValueError, match="rewrite"):
+        V.incremental_scan(spark, path, from_version=1).collect()
+    # conflict safety: a racing commit refuses a stale restore publish
+    real = V._publish_staged
+    state = {"raced": False}
+
+    def racing(path_, staged, mode, rows, stats, meta, lock_timeout_s,
+               expected_head=None):
+        if mode == "full" and not state["raced"]:
+            state["raced"] = True
+            V.append_version(spark.createDataFrame([(7,)], "x long"), path_)
+        return real(path_, staged, mode, rows, stats, meta, lock_timeout_s,
+                    expected_head=expected_head)
+
+    V._publish_staged = racing
+    try:
+        with pytest.raises(V.ConcurrentCommitError):
+            V.restore_version(spark, path, version=1)
+    finally:
+        V._publish_staged = real
+    assert 7 in {r.x for r in V.read_version(spark, path).collect()}
+    with pytest.raises(ValueError, match="either version or as_of"):
+        V.restore_version(spark, path, version=1, as_of=mid)
