@@ -62,6 +62,17 @@ changes (int→long, float→double) widen at the chain union / the
 format reader's Arrow cast. Type narrowing requires a new full
 snapshot.
 
+Time travel works by VERSION and (r11) by WALL-CLOCK: every commit
+stamps a monotonic ``committed_at`` (clock-skew clamped), so
+``read_version(as_of=...)`` / ``version_at_timestamp`` pin snapshots
+by time, ``history`` audits the stamps, ``expire_versions`` retains by
+age (``older_than_s``; ``dry_run`` reports without changing), and
+``restore_version`` republishes an earlier snapshot as the new head
+(history preserved). Snapshot-derived commits (compaction, restore)
+carry ``expected_head`` — an optimistic-concurrency check under the
+lock (``ConcurrentCommitError``) so a racing writer's rows can never
+be silently erased by a stale publish.
+
 Kept deliberately minimal otherwise — version number == generation —
 because the point is the commit/read protocol, not a format
 reimplementation. The data-version pinning is the same contract the
@@ -1728,6 +1739,7 @@ def expire_versions(
     retain_last: int = 2,
     staging_grace_s: float = 86400.0,
     older_than_s: float | None = None,
+    dry_run: bool = False,
 ) -> list[int]:
     """Vacuum: expire all but the newest ``retain_last`` snapshots.
 
@@ -1747,7 +1759,12 @@ def expire_versions(
     to the ``retain_last`` floor — retention only ever widens, so a
     burst of recent commits is never expired by the count rule and a
     quiet table still keeps its floor. Pre-timestamp manifest entries
-    count as infinitely old."""
+    count as infinitely old.
+
+    ``dry_run`` (Delta's VACUUM DRY RUN): report the versions the call
+    WOULD expire — chain-unit retention extension included — and
+    change nothing (no manifest swap, no directory removal, no staging
+    sweep)."""
     import shutil
 
     if retain_last < 1:
@@ -1755,7 +1772,8 @@ def expire_versions(
             f"retain_last must be >= 1 (got {retain_last}): a table must "
             "keep at least its current snapshot"
         )
-    _sweep_staging(path, staging_grace_s)
+    if not dry_run:
+        _sweep_staging(path, staging_grace_s)
     # vacuum is a manifest read-modify-write like any commit: take the
     # same lock so it can't drop an entry a racing writer just appended
     coord = get_commit_coordinator()
@@ -1792,6 +1810,8 @@ def expire_versions(
             drop, keep = drop[:base_i], drop[base_i:] + keep
             if not drop:
                 return []
+        if dry_run:
+            return [v["version"] for v in drop]
         # expiring entries must never LOWER the streaming sink's batch
         # watermark (a wiped-checkpoint replay after vacuum would
         # re-commit old batches as duplicates) — carry it forward as a

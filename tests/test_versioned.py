@@ -2163,3 +2163,34 @@ def test_restore_version_republishes_and_preserves_history(spark, tmp_path):
     assert 7 in {r.x for r in V.read_version(spark, path).collect()}
     with pytest.raises(ValueError, match="either version or as_of"):
         V.restore_version(spark, path, version=1, as_of=mid)
+
+
+def test_expire_versions_dry_run_reports_without_changing(spark, tmp_path):
+    """VACUUM DRY RUN parity: the would-expire list (chain-unit
+    extension included) with NO manifest swap, directory removal, or
+    staging sweep."""
+    import time
+
+    path = str(tmp_path / "t")
+    V.write_version(spark.createDataFrame([(1,)], "x long"), path)  # v1
+    V.write_version(spark.createDataFrame([(2,)], "x long"), path)  # v2
+    V.append_version(spark.createDataFrame([(3,)], "x long"), path)  # v3
+    # an old staging orphan that a REAL vacuum would sweep
+    orphan = os.path.join(path, "_staging-orphan")
+    os.makedirs(orphan)
+    os.utime(orphan, (time.time() - 1e6, time.time() - 1e6))
+
+    # retain_last=2 keeps [v2, v3]; v2 is the chain base (full), so v1
+    # expires — dry run reports exactly that and changes nothing
+    would = V.expire_versions(path, retain_last=2, dry_run=True)
+    assert would == [1]
+    assert [e["version"] for e in V.versions(path)] == [1, 2, 3]
+    assert os.path.isdir(os.path.join(path, "v=1"))
+    assert os.path.isdir(orphan)  # dry run never sweeps staging
+    # retain_last=1 would keep only v3 — but v3 is an append, so the
+    # chain-unit extension keeps its v2 base too: dry run shows it
+    assert V.expire_versions(path, retain_last=1, dry_run=True) == [1]
+    # the real call then expires exactly what the dry run promised
+    assert V.expire_versions(path, retain_last=2) == [1]
+    assert [e["version"] for e in V.versions(path)] == [2, 3]
+    assert not os.path.isdir(orphan)  # real vacuum swept it
