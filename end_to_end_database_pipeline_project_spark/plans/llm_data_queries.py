@@ -2692,15 +2692,23 @@ def suffix_duplicate_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     offsets array (one ``aggregate`` scan — no per-suffix re-join of
     the tail), each suffix row carries <= 64 chars regardless of doc
     length; the only shuffle is the 12-char-prefix bucket exchange
-    (at 100 TB, hot prefixes — "the " — want a longer bucket prefix
-    or a salt+merge pass, the documented dial); LCP is a 64-step
-    codegen'd filter per adjacent pair; the final top-20 is
+    and it carries ONLY the suffix string (r11: ``doc_id``/``off``
+    were pure window tiebreakers — the sorted multiset of ``s``
+    values, hence the multiset of adjacent (s, prev_s) pairs, is
+    invariant to tiebreak order, so they never need to leave the
+    mapper; at 100 TB, hot prefixes — "the " — want a longer bucket
+    prefix or a salt+merge pass, the documented dial). The lcp >= 20
+    gate is algebraically the single codegen'd comparison
+    ``substring(s,1,20) = substring(prev_s,1,20)`` (prefix-match
+    count >= 20 iff the 20-char prefixes agree), so the O(64)
+    char-at-a-time LCP fold runs only on qualifying pairs instead of
+    an O(64^2) prefix-copy sweep running twice (Filter + Project) on
+    every adjacent pair (guide §1.2/§7.2). The final top-20 is
     TakeOrderedAndProject, never a global sort of the pair set."""
     docs = load_table(spark, sf_dir, "documents")
     base = fan_out(docs).select(
-        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws")
+        F.split(F.trim(F.col("text")), r"\s+").alias("ws")
     ).select(
-        "doc_id",
         "ws",
         F.concat_ws(" ", F.col("ws")).alias("norm"),
         F.expr(
@@ -2708,30 +2716,36 @@ def suffix_duplicate_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "acc || array(element_at(acc, -1) + length(w) + 1))"
         ).alias("offs"),
     )
+    # length(substring(norm, o+1, 64)) >= 20  <=>  char_length(norm) - o >= 20:
+    # the length test runs on the offset arithmetic, not a built string
     suf = base.select(
-        "doc_id",
         F.explode(
             F.expr(
-                "filter(transform(sequence(0, size(ws) - 1), i -> "
-                "struct(element_at(offs, i + 1) AS off, "
-                "substring(norm, element_at(offs, i + 1) + 1, 64) AS s)), "
-                "p -> length(p.s) >= 20)"
+                "transform(filter(slice(offs, 1, size(ws)), "
+                "o -> char_length(norm) - o >= 20), "
+                "o -> substring(norm, o + 1, 64))"
             )
-        ).alias("p"),
-    ).select("doc_id", F.col("p.off").alias("off"), F.col("p.s").alias("s"))
-    w_b = Window.partitionBy(F.substring("s", 1, 12)).orderBy(
-        "s", "doc_id", "off"
+        ).alias("s")
     )
+    w_b = Window.partitionBy(F.substring("s", 1, 12)).orderBy("s")
     ordered = suf.select(
         "s", F.lag("s").over(w_b).alias("prev_s")
-    ).where(F.col("prev_s").isNotNull())
+    ).where(
+        F.col("prev_s").isNotNull()
+        & (F.substring("s", 1, 20) == F.substring("prev_s", 1, 20))
+    )
+    # survivors carry lcp >= 20 by the prefilter, so the fold starts at
+    # 21 with accumulator 20; each step compares ONE char (empty-vs-
+    # empty comparing equal reproduces the capped-prefix semantics of
+    # the oracle's list_filter form exactly)
     pairs = ordered.select(
         "s",
         F.expr(
-            "size(filter(sequence(1, 64), k -> "
-            "substring(s, 1, k) = substring(prev_s, 1, k)))"
+            "aggregate(sequence(21, 64), 20, (acc, k) -> "
+            "IF(acc = k - 1 AND substring(s, k, 1) = substring(prev_s, k, 1), "
+            "k, acc))"
         ).alias("lcp"),
-    ).where(F.col("lcp") >= 20)
+    )
     return (
         pairs.groupBy(
             F.expr("substring(s, 1, lcp)").alias("dup_text"),
@@ -3773,9 +3787,8 @@ def suffix_duplicate_substrings_salted(
     — is real duplication the aggregate itself then counts."""
     docs = load_table(spark, sf_dir, "documents")
     base = fan_out(docs).select(
-        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws")
+        F.split(F.trim(F.col("text")), r"\s+").alias("ws")
     ).select(
-        "doc_id",
         "ws",
         F.concat_ws(" ", F.col("ws")).alias("norm"),
         F.expr(
@@ -3783,26 +3796,35 @@ def suffix_duplicate_substrings_salted(
             "acc || array(element_at(acc, -1) + length(w) + 1))"
         ).alias("offs"),
     )
+    # suffix rows carry ONLY the capped suffix string (r11, same
+    # argument as the unsalted twin: tiebreak columns don't change the
+    # adjacent-pair multiset); the qualifying-length test runs on the
+    # offset arithmetic before any string is built
     suf = base.select(
-        "doc_id",
         F.explode(
             F.expr(
-                "filter(transform(sequence(0, size(ws) - 1), i -> "
-                "struct(element_at(offs, i + 1) AS off, "
-                "substring(norm, element_at(offs, i + 1) + 1, 64) AS s)), "
-                "p -> length(p.s) >= 20)"
+                "transform(filter(slice(offs, 1, size(ws)), "
+                "o -> char_length(norm) - o >= 20), "
+                "o -> substring(norm, o + 1, 64))"
             )
-        ).alias("p"),
-    ).select(
-        "doc_id",
-        F.col("p.off").alias("off"),
-        F.col("p.s").alias("s"),
-        F.substring("p.s", 1, 12).alias("p12"),
-    )
+        ).alias("s")
+    ).select("s", F.substring("s", 1, 12).alias("p12"))
     # detection re-runs the (cores-bound) suffix explode rather than
     # checkpointing it: A/B at sf0.1 showed the materialization write
-    # costs more than the recompute on a wide box
-    sizes = suf.groupBy("p12").agg(F.count(F.lit(1)).alias("n"))
+    # costs more than the recompute on a wide box. The detection pass
+    # only needs the 12-char prefix, so it builds 12-char strings, not
+    # 64-char suffixes (a qualifying suffix always has >= 20 chars, so
+    # its 12-char prefix equals substring(norm, o + 1, 12)).
+    p12_only = base.select(
+        F.explode(
+            F.expr(
+                "transform(filter(slice(offs, 1, size(ws)), "
+                "o -> char_length(norm) - o >= 20), "
+                "o -> substring(norm, o + 1, 12))"
+            )
+        ).alias("p12")
+    )
+    sizes = p12_only.groupBy("p12").agg(F.count(F.lit(1)).alias("n"))
     mean_n = sizes.agg(F.avg("n").alias("avg_n"))
     hot = (
         sizes.crossJoin(F.broadcast(mean_n))
@@ -3813,17 +3835,21 @@ def suffix_duplicate_substrings_salted(
     bucket = F.when(
         F.col("is_hot").isNotNull(), F.substring("s", 1, 20)
     ).otherwise(F.col("p12"))
-    w_b = Window.partitionBy(bucket).orderBy("s", "doc_id", "off")
+    w_b = Window.partitionBy(bucket).orderBy("s")
     ordered = keyed.select(
         "s", F.lag("s").over(w_b).alias("prev_s")
-    ).where(F.col("prev_s").isNotNull())
+    ).where(
+        F.col("prev_s").isNotNull()
+        & (F.substring("s", 1, 20) == F.substring("prev_s", 1, 20))
+    )
     pairs = ordered.select(
         "s",
         F.expr(
-            "size(filter(sequence(1, 64), k -> "
-            "substring(s, 1, k) = substring(prev_s, 1, k)))"
+            "aggregate(sequence(21, 64), 20, (acc, k) -> "
+            "IF(acc = k - 1 AND substring(s, k, 1) = substring(prev_s, k, 1), "
+            "k, acc))"
         ).alias("lcp"),
-    ).where(F.col("lcp") >= 20)
+    )
     return (
         pairs.groupBy(
             F.expr("substring(s, 1, lcp)").alias("dup_text"),
