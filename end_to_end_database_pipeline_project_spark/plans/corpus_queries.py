@@ -160,11 +160,22 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     no rand(): the hash is the sample."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    base = docs.select("doc_id", "source", ws.alias("ws")).where(F.size("ws") >= 2)
-    bigram = F.transform(
-        F.sequence(F.lit(1), F.size("ws") - 1),
-        lambda i: F.concat_ws(" ", F.element_at("ws", i), F.element_at("ws", i + 1)),
-    )
+    base = docs.select("doc_id", "source", ws.alias("ws"))
+    # the < 2-token guard lives INSIDE the array expression (empty array
+    # -> explode emits nothing, identical to the old `where(size >= 2)`):
+    # a `where` on the derived column gets pushed below the fan-out
+    # exchange as `size(split(...)) >= 2`, re-running the regex split
+    # over the whole corpus on the pre-repartition single split — twice,
+    # once per pass (guide §2.3 project-before-the-exchange, inverted)
+    bigram = F.when(
+        F.size("ws") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("ws", i), F.element_at("ws", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     # the exploded bigram table feeds both the bucket aggregate and the
     # per-doc scoring join, and is deliberately RECOMPUTED for each (the
     # codegen'd explode is cheap): materializing it with localCheckpoint

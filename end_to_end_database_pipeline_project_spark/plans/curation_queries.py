@@ -145,7 +145,12 @@ def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     bc = bge.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("double").alias("c2"))
-    uc = bge.groupBy("w1").agg(F.count(F.lit(1)).cast("double").alias("c1"))
+    # c(w1 .) = sum over w2 of c(w1, w2): derive the unigram-context
+    # totals from the tiny bigram-TYPE table instead of a second full
+    # aggregate over the occurrence stream (guide §2.3 "aggregate before
+    # you shuffle" — the kneser_ney_scores shape). Sum of integer-valued
+    # doubles is exact, so c1 is bit-identical to the direct count.
+    uc = bc.groupBy("w1").agg(F.sum("c2").alias("c1"))
     vsize = (
         w.select(F.explode("ws").alias("t"))
         .agg(F.countDistinct("t").cast("double").alias("vsize"))

@@ -75,6 +75,20 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # InferFiltersFromGenerate injects `isnotnull(e) AND size(e) > 0`
+        # above every explode and predicate pushdown then inlines the
+        # generator's FULL expression into that filter and drags it below
+        # the fan-out repartition: an expensive array-building expression
+        # (CDC chunking, token splits) ends up evaluated 3x per row, two
+        # of them on the pre-repartition (single-split) side. The engine's
+        # explodes all sit directly above the projection that builds their
+        # array, so the inferred filter never prunes anything a Generate
+        # would not skip itself. Excluding the rule is semantics-preserving
+        # (measured: cdc_chunk_dedup 2.24 s -> 0.73 s at sf0.1).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
