@@ -554,6 +554,17 @@ def decode_wav_mulaw(content: bytes) -> dict:
     }
 
 
+def _mulaw_bytes_for_text(t: str) -> bytes:
+    """Deterministic mu-law WAV bytes for one text (the
+    ``text_to_mulaw_wav_column`` synthesis, factored out so the fused
+    synth+decode kernel encodes the identical bytes)."""
+    n = 64 + len(t) % 57
+    rate = 8000 + 1000 * (len(t) % 5)
+    digest = hashlib.md5(t.encode("utf-8")).digest()
+    codes = (digest * (n // 16 + 1))[:n]
+    return encode_wav_mulaw(rate, codes)
+
+
 def text_to_mulaw_wav_column(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -567,14 +578,7 @@ def text_to_mulaw_wav_column(
 
     @F.pandas_udf(T.BinaryType())
     def make_mulaw(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            n = 64 + len(t) % 57
-            rate = 8000 + 1000 * (len(t) % 5)
-            digest = hashlib.md5(t.encode("utf-8")).digest()
-            codes = (digest * (n // 16 + 1))[:n]
-            out.append(encode_wav_mulaw(rate, codes))
-        return pd.Series(out)
+        return pd.Series([_mulaw_bytes_for_text(t) for t in texts])
 
     return df.select(
         F.col(id_col).alias("doc_id"),
@@ -738,6 +742,19 @@ def decode_wav_adpcm(content: bytes) -> dict:
     }
 
 
+def _adpcm_bytes_for_text(t: str) -> bytes:
+    """Deterministic IMA ADPCM WAV bytes for one text (the
+    ``text_to_adpcm_wav_column`` synthesis, factored out so the fused
+    synth+decode kernel encodes the identical bytes)."""
+    n = 64 + len(t) % 57
+    rate = 8000 + 1000 * (len(t) % 5)
+    digest = hashlib.md5(t.encode("utf-8")).digest()
+    pred0 = struct.unpack_from("<h", digest, 0)[0]
+    idx0 = digest[2] % 89
+    nibble_data = (digest * (n // 16 + 1))[:n]
+    return encode_wav_adpcm(rate, pred0, idx0, nibble_data)
+
+
 def text_to_adpcm_wav_column(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -750,16 +767,7 @@ def text_to_adpcm_wav_column(
 
     @F.pandas_udf(T.BinaryType())
     def make_adpcm(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            n = 64 + len(t) % 57
-            rate = 8000 + 1000 * (len(t) % 5)
-            digest = hashlib.md5(t.encode("utf-8")).digest()
-            pred0 = struct.unpack_from("<h", digest, 0)[0]
-            idx0 = digest[2] % 89
-            nibble_data = (digest * (n // 16 + 1))[:n]
-            out.append(encode_wav_adpcm(rate, pred0, idx0, nibble_data))
-        return pd.Series(out)
+        return pd.Series([_adpcm_bytes_for_text(t) for t in texts])
 
     return df.select(
         F.col(id_col).alias("doc_id"),
@@ -924,12 +932,35 @@ def _huff_codes(bits: list, vals: list) -> dict:
     return codes
 
 
+_ENC_TABLE_CACHE: dict = {}
+
+
+def _enc_dc_codes() -> dict:
+    """Encoder DC table, built once per process (the table is a pure
+    function of the fixed `_DC_BITS`/`_DC_VALS`)."""
+    if "dc" not in _ENC_TABLE_CACHE:
+        _ENC_TABLE_CACHE["dc"] = _huff_codes(_DC_BITS, _DC_VALS)
+    return _ENC_TABLE_CACHE["dc"]
+
+
+def _enc_ac_codes() -> dict:
+    if "ac" not in _ENC_TABLE_CACHE:
+        _ENC_TABLE_CACHE["ac"] = _huff_codes(_AC_BITS, _AC_VALS)
+    return _ENC_TABLE_CACHE["ac"]
+
+
+_DCT_CACHE: list = []
+
+
 def _dct_matrix():
     import numpy as np
 
+    if _DCT_CACHE:
+        return _DCT_CACHE[0]
     n = np.arange(8)
     c = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16) / 2.0
     c[0, :] /= np.sqrt(2.0)
+    _DCT_CACHE.append(c)
     return c
 
 
@@ -978,40 +1009,52 @@ def encode_jpeg_gray(width: int, height: int, pixels: bytes) -> bytes:
         raise ValueError("pixels must be exactly width*height bytes")
     C = _dct_matrix()
     img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
-    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
-    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
+    dc_codes = _enc_dc_codes()
+    ac_codes = _enc_ac_codes()
+    # r11 (guide §4.2): forward-DCT every block of the image in ONE
+    # batched matmul pair (same per-block C @ (B-128) @ C.T operand
+    # order, broadcast over the block axis) instead of a Python loop of
+    # 8x8 matmuls; the entropy coder then walks precomputed int rows.
+    hb, wb = height // 8, width // 8
+    blocks = (
+        img.reshape(hb, 8, wb, 8).transpose(0, 2, 1, 3).reshape(hb * wb, 8, 8)
+    ).astype(float)
+    coef = np.matmul(np.matmul(C, blocks - 128.0), C.T)
+    qzz = (
+        np.rint(coef).astype(int).reshape(hb * wb, 64)[:, _ZIGZAG]
+    )  # unit quant table; rows already in zigzag order
+    last_nzs = [
+        int(nz[-1]) + 1 if len(nz := np.flatnonzero(row[1:])) else 0
+        for row in qzz
+    ]
     w = _BitWriter()
     prev_dc = 0
-    for by in range(height // 8):
-        for bx in range(width // 8):
-            block = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(float)
-            coef = C @ (block - 128.0) @ C.T
-            q = np.rint(coef).astype(int)  # unit quant table
-            zz = [int(q.flat[_ZIGZAG[i]]) for i in range(64)]
-            size, bits = _magnitude(zz[0] - prev_dc)
-            prev_dc = zz[0]
-            code, length = dc_codes[size]
+    for b in range(hb * wb):
+        zz = qzz[b].tolist()
+        size, bits = _magnitude(zz[0] - prev_dc)
+        prev_dc = zz[0]
+        code, length = dc_codes[size]
+        w.put(code, length)
+        if size:
+            w.put(bits, size)
+        run = 0
+        last_nz = last_nzs[b]
+        for i in range(1, last_nz + 1):
+            if zz[i] == 0:
+                run += 1
+                if run == 16:
+                    code, length = ac_codes[0xF0]  # ZRL
+                    w.put(code, length)
+                    run = 0
+                continue
+            size, bits = _magnitude(zz[i])
+            code, length = ac_codes[(run << 4) | size]
             w.put(code, length)
-            if size:
-                w.put(bits, size)
+            w.put(bits, size)
             run = 0
-            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
-            for i in range(1, last_nz + 1):
-                if zz[i] == 0:
-                    run += 1
-                    if run == 16:
-                        code, length = ac_codes[0xF0]  # ZRL
-                        w.put(code, length)
-                        run = 0
-                    continue
-                size, bits = _magnitude(zz[i])
-                code, length = ac_codes[(run << 4) | size]
-                w.put(code, length)
-                w.put(bits, size)
-                run = 0
-            if last_nz < 63:
-                code, length = ac_codes[0x00]  # EOB
-                w.put(code, length)
+        if last_nz < 63:
+            code, length = ac_codes[0x00]  # EOB
+            w.put(code, length)
     scan = w.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -1072,6 +1115,74 @@ def _decode_huff(reader: "_BitReader", table: dict) -> int:
         if sym is not None:
             return sym
     raise ValueError("invalid Huffman code in scan")
+
+
+_DHT_LUT_CACHE: dict = {}
+
+
+def _dht_lut(bits_bytes: bytes, vals_bytes: bytes):
+    """(decode dict, 16-bit lookup tables) for one DHT definition,
+    cached per process — a pure function of the table bytes, and the
+    synthesized corpora reuse the two standard tables for every image
+    (guide §4.5: heavyweight init once, not per row).
+
+    The LUT maps every 16-bit window of the scan to (symbol, code
+    length) of the unique prefix code it starts with (-1 length = no
+    code of <= 16 bits prefixes it)."""
+    import numpy as np
+
+    key = (bits_bytes, vals_bytes)
+    hit = _DHT_LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    codes = _huff_codes(list(bits_bytes), list(vals_bytes))
+    table = {(c, l): s for s, (c, l) in codes.items()}
+    lut_sym = np.full(1 << 16, -1, dtype=np.int16)
+    lut_len = np.zeros(1 << 16, dtype=np.uint8)
+    for sym, (code, length) in codes.items():
+        lo = code << (16 - length)
+        hi = lo + (1 << (16 - length))
+        lut_sym[lo:hi] = sym
+        lut_len[lo:hi] = length
+    if len(_DHT_LUT_CACHE) > 64:  # bound the per-process cache
+        _DHT_LUT_CACHE.clear()
+    _DHT_LUT_CACHE[key] = (table, lut_sym, lut_len)
+    return _DHT_LUT_CACHE[key]
+
+
+def _unstuff_scan(scan: bytes):
+    """Un-stuff the entropy scan in bulk: returns (ascii 0/1 bit string
+    padded with 16 trailing zeros, number of REAL bits, end reason).
+
+    ``end`` is None while the scan ran to the end of ``scan``, the
+    marker byte value when a 0xFF<marker> terminated it, or "truncated"
+    for a trailing bare 0xFF — the same three outcomes the bit-at-a-
+    time reader distinguishes, deferred to the moment the decoder
+    actually needs bits past the end (identical observable errors)."""
+    import numpy as np
+
+    arr = np.frombuffer(scan, dtype=np.uint8)
+    end = len(arr)
+    end_reason = None
+    stuffed = []
+    for i in np.flatnonzero(arr == 0xFF):
+        if i + 1 >= len(arr):
+            end, end_reason = int(i), "truncated"
+            break
+        nxt = int(arr[i + 1])
+        if nxt != 0x00:
+            end, end_reason = int(i), nxt
+            break
+        stuffed.append(i + 1)
+    data = np.delete(arr[:end], stuffed) if stuffed else arr[:end]
+    bits = (np.unpackbits(data) + ord("0")).astype(np.uint8).tobytes()
+    return bits + b"0" * 16, 8 * len(data), end_reason
+
+
+def _raise_scan_end(end_reason) -> None:
+    if isinstance(end_reason, int):
+        raise ValueError(f"unexpected marker 0xff{end_reason:02x} in scan")
+    raise ValueError("truncated JPEG: entropy scan exhausted")
 
 
 def _extend(bits: int, size: int) -> int:
@@ -1149,9 +1260,7 @@ def decode_jpeg_gray(content: bytes) -> dict:
                 if p + 17 + nvals > len(payload):
                     raise ValueError("truncated DHT payload")
                 vals = list(payload[p + 17 : p + 17 + nvals])
-                htables[(tc, th)] = {
-                    (c, l): s for s, (c, l) in _huff_codes(bits, vals).items()
-                }
+                htables[(tc, th)] = _dht_lut(bytes(bits), bytes(vals))
                 p += 17 + nvals
         elif marker == 0xDA:  # SOS
             if len(payload) < 3:
@@ -1169,43 +1278,79 @@ def decode_jpeg_gray(content: bytes) -> dict:
             f"corrupt JPEG: Huffman table dc={dc_id}/ac={ac_id} never defined"
         )
     quant = np.array(qtables[comp_q], dtype=float)
-    dc_table = htables[(0, dc_id)]
-    ac_table = htables[(1, ac_id)]
+    _, dc_sym, dc_len = htables[(0, dc_id)]
+    _, ac_sym, ac_len = htables[(1, ac_id)]
     C = _dct_matrix()
-    reader = _BitReader(content[scan_start:])
+    # r11 (guide §4.2): bulk un-stuffing + 16-bit LUT Huffman decode
+    # (one table lookup per symbol instead of a per-bit Python loop),
+    # then ONE batched dequantize/IDCT over every block of the image.
+    bits, navail, end_reason = _unstuff_scan(content[scan_start:])
     bw, bh = (width + 7) // 8, (height + 7) // 8
-    img = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+    nb = bw * bh
+    zz_rows = np.zeros((nb, 64))
     prev_dc = 0
-    for by in range(bh):
-        for bx in range(bw):
-            zz = np.zeros(64)
-            size = _decode_huff(reader, dc_table)
-            prev_dc += _extend(reader.bits(size), size)
-            zz[0] = prev_dc
-            i = 1
-            while i < 64:
-                rs = _decode_huff(reader, ac_table)
-                run, size = rs >> 4, rs & 0xF
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL
-                    i += 16
-                    continue
-                i += run
-                if i > 63:
-                    raise ValueError(
-                        "corrupt JPEG scan: AC run past end of block"
-                    )
-                zz[i] = _extend(reader.bits(size), size)
-                i += 1
-            coef = np.zeros(64)
-            coef[_ZIGZAG] = zz * quant
-            block = C.T @ coef.reshape(8, 8) @ C + 128.0
-            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                np.rint(block), 0, 255
-            ).astype(np.uint8)
+    p = 0
+    for b in range(nb):
+        row = zz_rows[b]
+        i = 0
+        while i < 64:
+            word = int(bits[p : p + 16], 2)
+            table_sym, table_len = (dc_sym, dc_len) if i == 0 else (ac_sym, ac_len)
+            length = int(table_len[word])
+            if length == 0:
+                if navail - p < 16:
+                    _raise_scan_end(end_reason)
+                raise ValueError("invalid Huffman code in scan")
+            if p + length > navail:
+                _raise_scan_end(end_reason)
+            p += length
+            sym = int(table_sym[word])
+            if i == 0:
+                size = sym
+                if p + size > navail:
+                    _raise_scan_end(end_reason)
+                prev_dc += _extend(int(bits[p : p + size], 2) if size else 0, size)
+                p += size
+                row[0] = prev_dc
+                i = 1
+                continue
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                i += 16
+                continue
+            run, size = sym >> 4, sym & 0xF
+            i += run
+            if i > 63:
+                raise ValueError("corrupt JPEG scan: AC run past end of block")
+            if p + size > navail:
+                _raise_scan_end(end_reason)
+            row[i] = _extend(int(bits[p : p + size], 2) if size else 0, size)
+            p += size
+            i += 1
+    coefs = np.zeros((nb, 64))
+    coefs[:, _ZIGZAG] = zz_rows * quant[None, :]
+    blocks = np.matmul(np.matmul(C.T, coefs.reshape(nb, 8, 8)), C) + 128.0
+    tiles = np.clip(np.rint(blocks), 0, 255).astype(np.uint8)
+    img = tiles.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
     total = int(img[:height, :width].sum())
     return {"width": width, "height": height, "n_blocks": bw * bh, "pixel_sum": total}
+
+
+def _jpeg_bytes_for_text(t: str) -> bytes:
+    """Deterministic baseline-JPEG bytes for one text (the
+    ``text_to_jpeg_column`` synthesis, factored out so the fused
+    synth+decode kernel encodes the identical bytes)."""
+    import numpy as np
+
+    wb = 2 + len(t) % 5
+    hb = 2 + len(t) % 4
+    digest = hashlib.md5(t.encode("utf-8")).digest()
+    img = np.zeros((hb * 8, wb * 8), dtype=np.uint8)
+    for k in range(wb * hb):
+        by, bx = divmod(k, wb)
+        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = digest[k % 16]
+    return encode_jpeg_gray(wb * 8, hb * 8, img.tobytes())
 
 
 def text_to_jpeg_column(
@@ -1221,19 +1366,7 @@ def text_to_jpeg_column(
 
     @F.pandas_udf(T.BinaryType())
     def make_jpeg(texts: pd.Series) -> pd.Series:
-        import numpy as np
-
-        out = []
-        for t in texts:
-            wb = 2 + len(t) % 5
-            hb = 2 + len(t) % 4
-            digest = hashlib.md5(t.encode("utf-8")).digest()
-            img = np.zeros((hb * 8, wb * 8), dtype=np.uint8)
-            for k in range(wb * hb):
-                by, bx = divmod(k, wb)
-                img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = digest[k % 16]
-            out.append(encode_jpeg_gray(wb * 8, hb * 8, img.tobytes()))
-        return pd.Series(out)
+        return pd.Series([_jpeg_bytes_for_text(t) for t in texts])
 
     return df.select(
         F.col(id_col).alias("doc_id"),
@@ -1453,6 +1586,26 @@ def decode_avi_mjpeg(content: bytes) -> dict:
     }
 
 
+def _avi_bytes_for_text(t: str) -> bytes:
+    """Deterministic MJPEG-AVI bytes for one text (the
+    ``text_to_mjpeg_avi_column`` synthesis, factored out so the fused
+    synth+decode kernel encodes the identical bytes)."""
+    import numpy as np
+
+    nf = 1 + len(t) % 4
+    wb = 2 + len(t) % 3
+    hb = 2 + len(t) % 2
+    digest = hashlib.md5(t.encode("utf-8")).digest()
+    frames = []
+    for f in range(nf):
+        img = np.zeros((hb * 8, wb * 8), dtype=np.uint8)
+        for k in range(wb * hb):
+            by, bx = divmod(k, wb)
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = digest[(k + f) % 16]
+        frames.append(encode_jpeg_gray(wb * 8, hb * 8, img.tobytes()))
+    return encode_avi_mjpeg(wb * 8, hb * 8, frames)
+
+
 def text_to_mjpeg_avi_column(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -1465,25 +1618,7 @@ def text_to_mjpeg_avi_column(
 
     @F.pandas_udf(T.BinaryType())
     def make_avi(texts: pd.Series) -> pd.Series:
-        import numpy as np
-
-        out = []
-        for t in texts:
-            nf = 1 + len(t) % 4
-            wb = 2 + len(t) % 3
-            hb = 2 + len(t) % 2
-            digest = hashlib.md5(t.encode("utf-8")).digest()
-            frames = []
-            for f in range(nf):
-                img = np.zeros((hb * 8, wb * 8), dtype=np.uint8)
-                for k in range(wb * hb):
-                    by, bx = divmod(k, wb)
-                    img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = digest[
-                        (k + f) % 16
-                    ]
-                frames.append(encode_jpeg_gray(wb * 8, hb * 8, img.tobytes()))
-            out.append(encode_avi_mjpeg(wb * 8, hb * 8, frames))
-        return pd.Series(out)
+        return pd.Series([_avi_bytes_for_text(t) for t in texts])
 
     return df.select(
         F.col(id_col).alias("doc_id"),
@@ -1538,3 +1673,106 @@ def extract_video_frames(assets: DataFrame) -> DataFrame:
             )
 
     return assets.mapInPandas(kernel, schema=VIDEO_FRAME_SCHEMA)
+
+
+# ----------------------------------------- fused synth+decode kernels
+#
+# The bench/oracle queries that synthesize a media column from text and
+# immediately decode it back paid TWO JVM<->Python Arrow crossings, with
+# the media binary column — by far the heaviest column — serialized out
+# of Python and straight back in between the synth pandas_udf node and
+# the decode mapInPandas node. Fusing both steps into one mapInPandas
+# kernel (guide §4.1: you control how many columns cross, and how many
+# times) ships only the text in and the small feature ints out; the
+# encoded bytes live and die inside one Python worker. The per-text
+# synthesis and the decoder are the SAME functions the two-step
+# operators use (`_*_bytes_for_text`, `decode_*`), so the features are
+# byte-for-byte identical — only the plan shape changes
+# (2 Python-eval nodes -> 1).
+
+
+def _fused_text_features(
+    df: DataFrame,
+    make_bytes,
+    decode,
+    cols: list,
+    schema: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            feats = [decode(make_bytes(t)) for t in pdf[text_col]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf[id_col].to_numpy())
+            yield out[["doc_id", *cols]]
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
+    ).mapInPandas(kernel, schema=schema)
+
+
+def text_to_jpeg_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Fused `text_to_jpeg_column` + `extract_jpeg_features`: one
+    Arrow crossing, identical features."""
+    return _fused_text_features(
+        df,
+        _jpeg_bytes_for_text,
+        decode_jpeg_gray,
+        ["width", "height", "n_blocks", "pixel_sum"],
+        JPEG_FEATURE_SCHEMA,
+        text_col,
+        id_col,
+    )
+
+
+def text_to_mjpeg_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Fused `text_to_mjpeg_avi_column` + `extract_mjpeg_features`:
+    one Arrow crossing, identical features."""
+    return _fused_text_features(
+        df,
+        _avi_bytes_for_text,
+        decode_avi_mjpeg,
+        ["n_frames", "width", "height", "pixel_sum_total"],
+        MJPEG_FEATURE_SCHEMA,
+        text_col,
+        id_col,
+    )
+
+
+def text_to_mulaw_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Fused `text_to_mulaw_wav_column` + `extract_mulaw_features`:
+    one Arrow crossing, identical features."""
+    return _fused_text_features(
+        df,
+        _mulaw_bytes_for_text,
+        decode_wav_mulaw,
+        ["sample_rate", "n_samples", "abs_amplitude_sum"],
+        WAV_FEATURE_SCHEMA,
+        text_col,
+        id_col,
+    )
+
+
+def text_to_adpcm_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Fused `text_to_adpcm_wav_column` + `extract_adpcm_features`:
+    one Arrow crossing, identical features."""
+    return _fused_text_features(
+        df,
+        _adpcm_bytes_for_text,
+        decode_wav_adpcm,
+        ["sample_rate", "n_samples", "abs_amplitude_sum"],
+        WAV_FEATURE_SCHEMA,
+        text_col,
+        id_col,
+    )

@@ -144,26 +144,44 @@ def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "b.w1", "b.w2")
         .localCheckpoint()
     )
-    bc = bge.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("double").alias("c2"))
+    bc = (
+        bge.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("double").alias("c2"))
+        .localCheckpoint()  # the type table feeds c1, vocab AND the scorer
+    )
     # c(w1 .) = sum over w2 of c(w1, w2): derive the unigram-context
     # totals from the tiny bigram-TYPE table instead of a second full
     # aggregate over the occurrence stream (guide §2.3 "aggregate before
     # you shuffle" — the kneser_ney_scores shape). Sum of integer-valued
     # doubles is exact, so c1 is bit-identical to the direct count.
     uc = bc.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    # vocabulary from the TYPE table, not the token stream (r11): every
+    # token of a >=2-token doc occurs as some bigram's w1 (non-last
+    # position) or w2 (non-first), so distinct(w1) ∪ distinct(w2) over
+    # the type table ∪ the tokens of <2-token docs IS the full token
+    # vocabulary — a distinct over ~|types| short strings instead of a
+    # full re-explode + shuffle of the occurrence stream (guide §2.3).
     vsize = (
-        w.select(F.explode("ws").alias("t"))
+        bc.select(F.col("w1").alias("t"))
+        .union(bc.select(F.col("w2").alias("t")))
+        .union(w.where(F.size("ws") < 2).select(F.explode("ws").alias("t")))
         .agg(F.countDistinct("t").cast("double").alias("vsize"))
     )
+    # score the TYPE table first (one row per distinct bigram), then
+    # attach occurrences with a single join — the occurrence stream
+    # crosses the network once, not twice (guide §2.4)
     nll = -F.log((F.col("c2") + 1) / (F.col("c1") + F.col("vsize")))
-    return (
-        bge.join(bc, ["w1", "w2"])
-        .join(uc, ["w1"])
+    model = (
+        bc.join(uc, ["w1"])
         .crossJoin(F.broadcast(vsize))
+        .select("w1", "w2", nll.alias("nll"))
+    )
+    return (
+        bge.join(model, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-            F.round(F.avg(nll), _R).alias("avg_nll"),
+            F.round(F.avg("nll"), _R).alias("avg_nll"),
         )
     )
 
@@ -245,15 +263,22 @@ def kneser_ney_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_kn = (F.col("c2") - 0.75) / F.col("c1") + 0.75 * F.col("n1w") / F.col(
         "c1"
     ) * (F.col("n1c") / F.col("n_types"))
-    return (
-        bge.join(bc, ["w1", "w2"])
-        .join(uc, ["w1"])
+    # all model statistics are (w1, w2)-type-level, so assemble the
+    # scored model on the TYPE table (three small joins) and attach
+    # occurrences with ONE join — the occurrence stream crosses the
+    # network once instead of three times (r11, guide §2.4)
+    model = (
+        bc.join(uc, ["w1"])
         .join(cont, ["w2"])
         .crossJoin(F.broadcast(t))
+        .select("w1", "w2", (-F.log(p_kn)).alias("nll_kn"))
+    )
+    return (
+        bge.join(model, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-            F.round(F.avg(-F.log(p_kn)), _R).alias("avg_nll_kn"),
+            F.round(F.avg("nll_kn"), _R).alias("avg_nll_kn"),
         )
     )
 

@@ -827,10 +827,11 @@ def source_token_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     [(p/2)ln(p/2) + (q/2)ln(q/2) - m*ln(m)] — tokens on one side only
     contribute exactly ln2 * their mass, which telescopes into the
     constant (disjoint supports -> JS = ln2 = 1 bit; identical -> the
-    sum is -ln2 -> 0). So the plan is ONE inner self-join on token
-    (fan bounded by |sources|^2 = 190 pairs max per token, no skew
-    blowup on 'the'), per-source totals broadcast (20 rows), output
-    |pairs| rows. No unions, no outer joins, no per-pair passes."""
+    sum is -ln2 -> 0). So the plan is ONE groupBy(token) with in-array
+    pair expansion (fan bounded by |sources|^2 = 190 pairs max per
+    token, no skew blowup on 'the'), per-source totals broadcast
+    (20 rows), output |pairs| rows. No unions, no outer joins, no
+    self-join, no per-pair passes."""
     docs = load_table(spark, sf_dir, "documents")
     tok = fan_out(docs).select(
         "source",
@@ -840,22 +841,37 @@ def source_token_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.where(F.col("token") != "")
         .groupBy("source", "token")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint()  # feeds totals AND the per-token pair pass
     )
     tt = t.groupBy("source").agg(F.sum("cnt").cast("long").alias("total"))
     p = t.join(F.broadcast(tt), "source").select(
         "source", "token", (F.col("cnt") * 1.0 / F.col("total")).alias("p")
     )
-    a, b = p.alias("a"), p.alias("b")
-    ln = F.log
-    pa, pb = F.col("a.p"), F.col("b.p")
-    term = (
-        (pa / 2) * ln(pa / 2)
-        + (pb / 2) * ln(pb / 2)
-        - ((pa + pb) / 2) * ln((pa + pb) / 2)
+    # r11 (guide §2.4): the pairwise common-token terms come from ONE
+    # groupBy(token) + in-array combination expansion (|sources| <= 20
+    # per token, so the per-token pair fan-out is bounded at 190)
+    # instead of the two-sided self-join on token — one exchange of the
+    # (source, token, p) table instead of two, and no duplicated
+    # tokenize-aggregate subtree. array_sort on (source, p) structs
+    # orders by the unique source, so x < y in array order IS
+    # s1 < s2; the term formula is evaluated on the same doubles as
+    # the join form, per common token.
+    g = p.groupBy("token").agg(
+        F.array_sort(F.collect_list(F.struct("source", "p"))).alias("sp")
     )
-    pairs = a.join(
-        b, (F.col("a.token") == F.col("b.token")) & (F.col("a.source") < F.col("b.source"))
-    ).select(F.col("a.source").alias("s1"), F.col("b.source").alias("s2"), term.alias("term"))
+    term_sql = (
+        "(x.p / 2) * ln(x.p / 2) + (y.p / 2) * ln(y.p / 2) "
+        "- ((x.p + y.p) / 2) * ln((x.p + y.p) / 2)"
+    )
+    pairs = g.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sp, (x, i) -> "
+                "transform(slice(sp, i + 2, size(sp)), y -> "
+                f"struct(x.source AS s1, y.source AS s2, {term_sql} AS term))))"
+            )
+        ).alias("r")
+    ).select("r.s1", "r.s2", "r.term")
     agg = pairs.groupBy("s1", "s2").agg(
         F.count(F.lit(1)).cast("long").alias("n_common"),
         F.sum("term").alias("st"),

@@ -1455,8 +1455,8 @@ def multimodal_mulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the energy with the pure-integer expansion formula
     ((8*(u%16)+132) << (u//16 % 8)) - 132, u = 255 - code."""
     docs = load_table(spark, sf_dir, "documents")
-    assets = MM.text_to_mulaw_wav_column(fan_out(docs))
-    return MM.extract_mulaw_features(assets)
+    # r11: fused synth+decode — one Python crossing, identical bytes/features
+    return MM.text_to_mulaw_features(fan_out(docs))
 
 
 @query(
@@ -1545,8 +1545,8 @@ def multimodal_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow batch; the recursion lives only in the DuckDB oracle — the
     engine side is a single sequential scan per asset, O(bytes)."""
     docs = load_table(spark, sf_dir, "documents")
-    assets = MM.text_to_adpcm_wav_column(fan_out(docs))
-    return MM.extract_adpcm_features(assets)
+    # r11: fused synth+decode — one Python crossing, identical bytes/features
+    return MM.text_to_adpcm_features(fan_out(docs))
 
 
 _MJPEG_PARAMS_SQL = """params AS (
@@ -1599,8 +1599,8 @@ def multimodal_mjpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     quant + flat blocks) and the oracle reproduces the whole-clip pixel
     sum from a frames x blocks unnest."""
     docs = load_table(spark, sf_dir, "documents")
-    assets = MM.text_to_mjpeg_avi_column(fan_out(docs))
-    return MM.extract_mjpeg_features(assets)
+    # r11: fused synth+decode — one Python crossing, identical bytes/features
+    return MM.text_to_mjpeg_features(fan_out(docs))
 
 
 @query(
@@ -1673,8 +1673,8 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same closed-form full-cycle + remainder oracle as the other
     image codecs (pixel_sum = 64 * sum of block gray levels)."""
     docs = load_table(spark, sf_dir, "documents")
-    assets = MM.text_to_jpeg_column(fan_out(docs))
-    return MM.extract_jpeg_features(assets)
+    # r11: fused synth+decode — one Python crossing, identical bytes/features
+    return MM.text_to_jpeg_features(fan_out(docs))
 
 
 @query(
@@ -2688,10 +2688,11 @@ def suffix_duplicate_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     < 12 < 20 chars by construction. Top-20 by length, with adjacency
     multiplicity.
 
-    Scale shape: suffix generation is O(words) per doc via a running
-    offsets array (one ``aggregate`` scan — no per-suffix re-join of
-    the tail), each suffix row carries <= 64 chars regardless of doc
-    length; the only shuffle is the 12-char-prefix bucket exchange
+    Scale shape: suffix generation is O(words) per doc via bounded
+    33-word slice-and-join per suffix (r11 — no running-offsets fold,
+    no full normalized string), each suffix row carries <= 64 chars
+    regardless of doc length; the only shuffle is the 12-char-prefix
+    bucket exchange
     and it carries ONLY the suffix string (r11: ``doc_id``/``off``
     were pure window tiebreakers — the sorted multiset of ``s``
     values, hence the multiset of adjacent (s, prev_s) pairs, is
@@ -2706,24 +2707,25 @@ def suffix_duplicate_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     every adjacent pair (guide §1.2/§7.2). The final top-20 is
     TakeOrderedAndProject, never a global sort of the pair set."""
     docs = load_table(spark, sf_dir, "documents")
+    # r11 (guide §1.2 per-task work): the capped suffix at word i is
+    # the first 64 chars of the single-space join of words i.., and 33
+    # words always cover >= 65 chars (each word >= 1 char + separator),
+    # so a bounded 33-word slice-and-join per suffix replaces the old
+    # running-offsets ``aggregate`` fold — which was O(words^2) per doc
+    # (array-concat copies the accumulator every step) — and the full
+    # ``norm`` string never needs to be built at all. The >= 20-char
+    # qualifying test moves onto the built string's own length
+    # (identical: char_length(norm) - off >= 20 <=> the capped suffix
+    # has >= 20 chars, since 20 < 64).
     base = fan_out(docs).select(
         F.split(F.trim(F.col("text")), r"\s+").alias("ws")
-    ).select(
-        "ws",
-        F.concat_ws(" ", F.col("ws")).alias("norm"),
-        F.expr(
-            "aggregate(ws, array(0), (acc, w) -> "
-            "acc || array(element_at(acc, -1) + length(w) + 1))"
-        ).alias("offs"),
     )
-    # length(substring(norm, o+1, 64)) >= 20  <=>  char_length(norm) - o >= 20:
-    # the length test runs on the offset arithmetic, not a built string
     suf = base.select(
         F.explode(
             F.expr(
-                "transform(filter(slice(offs, 1, size(ws)), "
-                "o -> char_length(norm) - o >= 20), "
-                "o -> substring(norm, o + 1, 64))"
+                "filter(transform(sequence(1, size(ws)), "
+                "i -> substring(concat_ws(' ', slice(ws, i, 33)), 1, 64)), "
+                "s -> char_length(s) >= 20)"
             )
         ).alias("s")
     )
@@ -3786,41 +3788,36 @@ def suffix_duplicate_substrings_salted(
     residual irreducible case — millions of suffixes sharing 20+ chars
     — is real duplication the aggregate itself then counts."""
     docs = load_table(spark, sf_dir, "documents")
+    # r11: bounded slice-and-join suffix construction, same argument as
+    # the unsalted twin (33 one-char words + separators >= 65 chars, so
+    # a 33-word slice always covers the 64-char cap; the >= 20-char
+    # qualifying test runs on the built string's own length) — replaces
+    # the O(words^2) running-offsets fold and the full ``norm`` build.
     base = fan_out(docs).select(
         F.split(F.trim(F.col("text")), r"\s+").alias("ws")
-    ).select(
-        "ws",
-        F.concat_ws(" ", F.col("ws")).alias("norm"),
-        F.expr(
-            "aggregate(ws, array(0), (acc, w) -> "
-            "acc || array(element_at(acc, -1) + length(w) + 1))"
-        ).alias("offs"),
     )
-    # suffix rows carry ONLY the capped suffix string (r11, same
-    # argument as the unsalted twin: tiebreak columns don't change the
-    # adjacent-pair multiset); the qualifying-length test runs on the
-    # offset arithmetic before any string is built
     suf = base.select(
         F.explode(
             F.expr(
-                "transform(filter(slice(offs, 1, size(ws)), "
-                "o -> char_length(norm) - o >= 20), "
-                "o -> substring(norm, o + 1, 64))"
+                "filter(transform(sequence(1, size(ws)), "
+                "i -> substring(concat_ws(' ', slice(ws, i, 33)), 1, 64)), "
+                "s -> char_length(s) >= 20)"
             )
         ).alias("s")
     ).select("s", F.substring("s", 1, 12).alias("p12"))
     # detection re-runs the (cores-bound) suffix explode rather than
     # checkpointing it: A/B at sf0.1 showed the materialization write
     # costs more than the recompute on a wide box. The detection pass
-    # only needs the 12-char prefix, so it builds 12-char strings, not
-    # 64-char suffixes (a qualifying suffix always has >= 20 chars, so
-    # its 12-char prefix equals substring(norm, o + 1, 12)).
+    # only needs the 12-char prefix of qualifying (>= 20 chars
+    # remaining) suffixes, so it builds a 20-char probe from an
+    # 11-word slice (11 one-char words + separators = 21 chars >= 20):
+    # length-qualify on the probe, emit its first 12 chars.
     p12_only = base.select(
         F.explode(
             F.expr(
-                "transform(filter(slice(offs, 1, size(ws)), "
-                "o -> char_length(norm) - o >= 20), "
-                "o -> substring(norm, o + 1, 12))"
+                "transform(filter(transform(sequence(1, size(ws)), "
+                "i -> substring(concat_ws(' ', slice(ws, i, 11)), 1, 20)), "
+                "s -> char_length(s) >= 20), s -> substring(s, 1, 12))"
             )
         ).alias("p12")
     )
