@@ -109,12 +109,20 @@ def pq_codebook(emb: DataFrame, m: int = 16, sub: int = 4, k: int = 256) -> Data
     )
 
 
-def pq_apply(emb: DataFrame, cb: DataFrame, m: int = 16, sub: int = 4) -> DataFrame:
+def pq_apply(
+    emb: DataFrame,
+    cb: DataFrame,
+    m: int = 16,
+    sub: int = 4,
+    extra_cols: tuple = (),
+) -> DataFrame:
     """Encode ``emb`` against a GIVEN one-row codebook frame (in-plan
     or read back from a committed epoch): (vec_id, embedding, dq),
     dq = the PQ-reconstructed vector. One whole-stage-codegen'd
     expression over the scan, codebook broadcast — no shuffle, no
-    UDF."""
+    UDF. ``extra_cols`` carries named pass-through columns (r11: lets
+    a consumer encode AFTER a selective join, so dq is computed only
+    for surviving rows)."""
     # unrolled over the sub dims (no aggregate-HOF lambda frames —
     # measured ~1.3x on the K=64 encode vs the aggregate form)
     dist = " + ".join(
@@ -134,7 +142,7 @@ def pq_apply(emb: DataFrame, cb: DataFrame, m: int = 16, sub: int = 4) -> DataFr
         f"cast(array_position(ds, array_min(ds)) as int))), 1)))"
     )
     return emb.crossJoin(F.broadcast(cb)).select(
-        "vec_id", "embedding", F.expr(dq_expr).alias("dq")
+        "vec_id", "embedding", *extra_cols, F.expr(dq_expr).alias("dq")
     )
 
 

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
-from .registry import dec_rev, query
+from .registry import dec_rev, e4_to_rev, query, rev_e4
 
 _R = 6
 
@@ -1157,7 +1157,9 @@ def shipments_by_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_lineitems"),
-            F.round(F.sum(dec_rev()), 2).cast("double").alias("revenue"),
+            F.round(e4_to_rev(F.sum(rev_e4())), 2)
+            .cast("double")
+            .alias("revenue"),
             F.round(
                 F.count(F.lit(1)) * 7.0 / F.first("n_total"), _R
             ).alias("load_factor"),

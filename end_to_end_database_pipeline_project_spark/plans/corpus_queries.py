@@ -336,6 +336,11 @@ def sq8_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array_sort(F.collect_list(F.struct("dim", "mx"))), lambda s: s.mx
             ).alias("mxs"),
         )
+        # r11: the one-row per-dim min/max artifact is materialized once
+        # (localCheckpoint, ~1 KB) — its posexplode + two-level aggregate
+        # used to run as a separate job under BOTH the corpus-encode and
+        # the broadcast probe-encode subtrees.
+        .localCheckpoint()
     )
     # quantize q_i = round(255*(x_i-mn_i)/(mx_i-mn_i)); score on the
     # dequantized reconstruction (ADC). element_at is 1-based.
@@ -545,7 +550,12 @@ def _pq_encode(emb: DataFrame, m: int = 16, sub: int = 4, k: int = 256) -> DataF
     ``pq_apply``) so the codebook can also be BUILT once per corpus
     epoch, persisted, and applied from a committed artifact
     (`pipeline.artifacts.publish_pq_epoch`)."""
-    return SIM_PQ.pq_apply(emb, SIM_PQ.pq_codebook(emb, m, sub, k), m, sub)
+    # r11: the one-row ~130 KB codebook is materialized once
+    # (localCheckpoint) instead of re-deriving its TakeOrdered +
+    # collect aggregate as a separate job under EVERY broadcast branch
+    # that references the encode (the probe-side subtrees re-ran it).
+    cb = SIM_PQ.pq_codebook(emb, m, sub, k).localCheckpoint()
+    return SIM_PQ.pq_apply(emb, cb, m, sub)
 
 
 @query(
@@ -697,38 +707,59 @@ def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     resident index, buckets are the partitioning key, and the exact
     re-rank touches only ADC survivors."""
     emb = _emb(spark, sf_dir)
-    enc = _pq_encode(emb)
     cents = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
     )
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.desc("ccos"), F.asc("centroid_id")
     )
+    # r11 (guide §1.2): coarse-assign on the RAW vectors first — the
+    # expensive PQ encode (16 x 256 codeword argmin per row) used to
+    # ride into this window AND be re-derived under the broadcast query
+    # subtree, where the probe columns don't even use dq. Encoding now
+    # happens once, AFTER the bucket join, so only rows in a probed
+    # bucket ever pay it (exactly the rows whose dq the scorer reads —
+    # per-row dq is deterministic, so the output is unchanged).
     assigned = (
-        enc.crossJoin(F.broadcast(cents))
+        emb.crossJoin(F.broadcast(cents))
         .select(
             "vec_id",
             "embedding",
-            "dq",
             "centroid_id",
             cosine(F.col("embedding"), F.col("cv")).alias("ccos"),
         )
         .withColumn("rn", F.row_number().over(w_assign))
         .where(F.col("rn") == 1)
-        .select(
-            "vec_id", "embedding", "dq",
-            F.col("centroid_id").alias("cluster_id"),
-        )
+        .select("vec_id", "embedding", F.col("centroid_id").alias("cluster_id"))
+        # materialized once (localCheckpoint): the assignment IS the
+        # resident IVF index at scale; without it the broadcast probe
+        # subtree re-runs the centroid join + window as separate jobs
+        # (measured ~2x on the whole query at sf0.1)
+        .localCheckpoint()
     )
     queries = assigned.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("cluster_id").alias("q_cluster"),
     )
-    cands = assigned.join(
+    bucket = assigned.join(
         F.broadcast(queries),
         (F.col("cluster_id") == F.col("q_cluster"))
         & (F.col("vec_id") != F.col("query_id")),
+    ).select("vec_id", "embedding", "query_id", "q_emb")
+    cb = SIM_PQ.pq_codebook(emb).localCheckpoint()
+    # the encode is CPU-heavy per row while the bucket rows are tiny in
+    # bytes — AQE's byte-based coalescing funnels them into a few
+    # post-shuffle partitions and serializes the argmin sweeps (AQE
+    # sizes by bytes, blind to per-row CPU), so spread the survivors
+    # with an explicit round-robin repartition, which AQE does not
+    # coalesce (measured 6.5 s -> sub-second at sf0.1; the shuffle
+    # moves only the bucket survivors)
+    spread = bucket.repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    cands = SIM_PQ.pq_apply(
+        spread, cb, extra_cols=("query_id", "q_emb")
     ).select(
         "query_id",
         "vec_id",

@@ -2137,6 +2137,10 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.where(F.col("term").isin(TERMS))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        # r11: materialized once — df derives from tf under a broadcast
+        # branch, which otherwise re-scans the full token checkpoint
+        # and re-aggregates (tf is <= |docs| x |TERMS| rows, tiny)
+        .localCheckpoint()
     )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)

@@ -193,3 +193,34 @@ def dec_rev():
     return F.col("l_extendedprice").cast("decimal(18,2)") * (
         F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
     )
+
+
+def rev_e4():
+    """The same exact revenue value as ``dec_rev()``, scaled by 1e4
+    into an integer-valued decimal(18,0) — r11 (guide §1.2 per-task
+    work): the decimal(18,2) x decimal(4,2) product is decimal(23,4),
+    which exceeds Spark's 18-digit long-backed fast path and pays a
+    BigDecimal allocation per row; cents x (100 - discount-cents) is
+    ONE long multiply (exact: prices < 1e10, so the e4 product fits 18
+    digits with room for any per-row value), and only the aggregate
+    boundary converts back to a revenue-scaled decimal via
+    :func:`e4_to_rev`. Measured ~25% off the Q1-shape aggregate at
+    sf0.1 with bit-identical output.
+
+    ``rint`` recovers the exact cents from the stored double by the
+    same argument as the decimal cast (the double sits ~1e-13 from its
+    2-decimal value; the nearest tie is 5e-3 away)."""
+    from pyspark.sql import functions as F
+
+    epc = F.rint(F.col("l_extendedprice") * 100).cast("long")
+    dc = F.rint(F.col("l_discount") * 100).cast("long")
+    return (epc * (100 - dc)).cast("decimal(18,0)")
+
+
+def e4_to_rev(c):
+    """Exact decimal revenue value of a summed ``rev_e4`` column
+    (division by 10^4 is exact: the quotient has <= 4 fractional
+    digits, within the result scale Spark assigns)."""
+    from pyspark.sql import functions as F
+
+    return c / F.lit(10000).cast("decimal(5,0)")

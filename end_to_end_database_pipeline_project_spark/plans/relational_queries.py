@@ -17,7 +17,7 @@ from pyspark.sql import types as T
 
 from ..functions import scalar
 from ..sources.catalog import load_table, load_tables
-from .registry import DEC_REV_SQL, dec_rev, query
+from .registry import DEC_REV_SQL, dec_rev, e4_to_rev, query, rev_e4
 
 _R = 6
 
@@ -64,13 +64,20 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines at any scale factor. Quantity sums are integer-valued
     doubles — exact under double addition — and stay as-is."""
     (li,) = _t(spark, sf_dir, "lineitem")
-    ep = F.col("l_extendedprice").cast("decimal(18,2)")
-    disc_d = ep * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
-    charge_d = disc_d * (F.lit(1) + F.col("l_tax").cast("decimal(4,2)"))
+    # r11: the money values ride as integer-scaled longs (cents, e4,
+    # e6) — one long multiply per row instead of a wider-than-18-digit
+    # decimal product (see registry.rev_e4) — converted back to the
+    # exact decimal value at the aggregate boundary, where the decimal
+    # HALF_UP round runs on the identical exact value as before.
+    epc = F.rint(F.col("l_extendedprice") * 100).cast("long")
+    dc = F.rint(F.col("l_discount") * 100).cast("long")
+    tc = F.rint(F.col("l_tax") * 100).cast("long")
+    disc_e4 = (epc * (100 - dc)).cast("decimal(18,0)")
+    charge_e6 = (epc * (100 - dc) * (100 + tc)).cast("decimal(18,0)")
+    den = lambda n: F.lit(10**n).cast(f"decimal({n + 1},0)")
     # round in DECIMAL (exact HALF_UP on both engines) BEFORE the double
     # cast — a scale-4/6 sum ending on a half-cent would round
     # differently through the double path
-    dec2 = lambda c: F.round(F.sum(c), 2).cast("double")
     return (
         li.where(
             # type object, not "timestamp": immune to a session-level
@@ -80,9 +87,15 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), _R).alias("sum_qty"),
-            F.sum(ep).cast("double").alias("sum_base_price"),
-            dec2(disc_d).alias("sum_disc_price"),
-            dec2(charge_d).alias("sum_charge"),
+            (F.sum(epc.cast("decimal(18,0)")) / den(2))
+            .cast("double")
+            .alias("sum_base_price"),
+            F.round(F.sum(disc_e4) / den(4), 2)
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(F.sum(charge_e6) / den(6), 2)
+            .cast("double")
+            .alias("sum_charge"),
             F.round(F.avg("l_quantity"), _R).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), _R).alias("avg_price"),
             F.round(F.avg("l_discount"), _R).alias("avg_disc"),
@@ -139,7 +152,9 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "lineitem", "orders", "customer", "nation", "region"
     )
     order_rev = li.groupBy("l_orderkey").agg(
-        F.sum(dec_rev()).alias("order_rev")
+        # r11: integer-cents revenue (registry.rev_e4) — same exact
+        # value, one long multiply per row instead of a wide decimal
+        F.sum(rev_e4()).alias("order_rev_e4")
     )
     return (
         order_rev.join(orders.hint("merge"), order_rev.l_orderkey == orders.o_orderkey)
@@ -152,7 +167,9 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             # decimal both levels: exact, order-independent, rounded in
             # decimal before the double cast (half-cent safety)
-            F.round(F.sum("order_rev"), 2).cast("double").alias("revenue"),
+            F.round(e4_to_rev(F.sum("order_rev_e4")), 2)
+            .cast("double")
+            .alias("revenue"),
             F.count(F.lit(1)).alias("order_count"),
         )
     )
@@ -1171,7 +1188,11 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(dec_rev()), _R).cast("double").alias("revenue"))
+        .agg(
+            F.round(e4_to_rev(F.sum(rev_e4())), _R)
+            .cast("double")
+            .alias("revenue")
+        )
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
@@ -1237,7 +1258,11 @@ def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
-        .agg(F.round(F.sum(dec_rev()), 2).cast("double").alias("revenue"))
+        .agg(
+            F.round(e4_to_rev(F.sum(rev_e4())), 2)
+            .cast("double")
+            .alias("revenue")
+        )
         .select(
             "c_custkey", "c_name", "n_name", "revenue",
             F.round("c_acctbal", _R).alias("c_acctbal"),
@@ -1266,17 +1291,20 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1998-04-01")
     ).select("l_partkey", "l_extendedprice", "l_discount")
     p = t["part"].select("p_partkey", "p_type")
-    rev = dec_rev()
+    rev = rev_e4()
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .agg(
-            # decimal sums (exact) cast to double, THEN the ratio in
-            # double — identical operands give an identical quotient
+            # decimal sums (exact, via integer-cents rows) cast to
+            # double, THEN the ratio in double — identical operands
+            # give an identical quotient
             F.round(
                 100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+                * e4_to_rev(
+                    F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+                )
                 .cast("double")
-                / F.sum(rev).cast("double"),
+                / e4_to_rev(F.sum(rev)).cast("double"),
                 _R,
             ).alias("promo_revenue_pct")
         )

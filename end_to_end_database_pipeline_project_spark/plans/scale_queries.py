@@ -116,11 +116,11 @@ def bucketed_orders_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # decimal end-to-end: the per-status sum is ~1e9, where double
     # summation-order noise exceeds any fixed rounding; exact decimal
     # accumulation is order-independent (rounded in decimal, then cast)
-    from .registry import dec_rev
+    from .registry import e4_to_rev, rev_e4
 
     return joined.groupBy("o_orderstatus").agg(
         F.countDistinct("o_orderkey").alias("n_orders"),
-        F.round(F.sum(dec_rev()), 2).cast("double").alias("revenue"),
+        F.round(e4_to_rev(F.sum(rev_e4())), 2).cast("double").alias("revenue"),
     )
 
 

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table, load_tables
-from .registry import DEC_REV_SQL, dec_rev, query
+from .registry import DEC_REV_SQL, dec_rev, e4_to_rev, query, rev_e4
 
 _R = 6
 
@@ -119,7 +119,11 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").cast("long").alias("l_year"),
         )
-        .agg(F.round(F.sum(dec_rev()), 2).cast("double").alias("revenue"))
+        .agg(
+            F.round(e4_to_rev(F.sum(rev_e4())), 2)
+            .cast("double")
+            .alias("revenue")
+        )
     )
 
 
@@ -171,7 +175,7 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
     )
     r = t["region"].where(F.col("r_name") == "ASIA").select("r_regionkey")
-    vol = dec_rev()
+    vol = rev_e4()
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .join(o.hint("merge"), l.l_orderkey == o.o_orderkey)
@@ -183,9 +187,13 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
             F.round(
-                F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(F.lit(0)))
+                e4_to_rev(
+                    F.sum(
+                        F.when(F.col("nation") == "NATION_3", vol).otherwise(F.lit(0))
+                    )
+                )
                 .cast("double")
-                / F.sum(vol).cast("double"),
+                / e4_to_rev(F.sum(vol)).cast("double"),
                 _R,
             ).alias("mkt_share")
         )
@@ -393,7 +401,11 @@ def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .where(disj)
-        .agg(F.round(F.sum(dec_rev()), 2).cast("double").alias("revenue"))
+        .agg(
+            F.round(e4_to_rev(F.sum(rev_e4())), 2)
+            .cast("double")
+            .alias("revenue")
+        )
     )
 
 
@@ -472,17 +484,19 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < "1997-04-01")
         )
         .groupBy("l_suppkey")
-        .agg(F.sum(dec_rev()).alias("dec_total"))
+        .agg(F.sum(rev_e4()).alias("dec_total_e4"))
         .localCheckpoint()  # the 'view': feeds the argmax and the join
     )
-    mx = revenue.agg(F.max("dec_total").alias("mx"))
+    mx = revenue.agg(F.max("dec_total_e4").alias("mx"))
     return (
         revenue.crossJoin(F.broadcast(mx))
-        .where(F.col("dec_total") == F.col("mx"))
+        .where(F.col("dec_total_e4") == F.col("mx"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
             "s_name",
-            F.round("dec_total", 2).cast("double").alias("total_revenue"),
+            F.round(e4_to_rev(F.col("dec_total_e4")), 2)
+            .cast("double")
+            .alias("total_revenue"),
         )
     )

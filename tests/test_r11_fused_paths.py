@@ -6,10 +6,10 @@ the shapes they replace:
 1. The fused multimodal synth+decode kernels (`text_to_*_features`)
    vs the two-step column-then-extract pipelines they fuse — same
    bytes, same features, one Python crossing instead of two.
-2. `ngram_jaccard_pairs` with a doc-frequency cap now derives common
-   counts from a groupBy(shingle) + in-array ordered-pair expansion
-   instead of the index self-join; with a cap no shingle exceeds, the
-   capped path must emit exactly the join path's pairs.
+(An in-array pair-expansion variant of `ngram_jaccard_pairs` was tried
+and reverted — measured slower than the self-join; the test below now
+pins that a doc-frequency cap far above every real doc frequency is a
+no-op relative to the uncapped path.)
 """
 
 from __future__ import annotations
@@ -77,12 +77,9 @@ def test_fused_plan_has_single_python_eval(docs):
     assert crossings == 1, plan
 
 
-def test_ngram_pair_expansion_equals_self_join(docs):
-    # a cap far above any doc frequency: the capped (pair-expansion)
-    # path must produce exactly the uncapped join path's output
+def test_ngram_generous_cap_is_noop(docs):
+    # a cap far above any doc frequency must not change the output
     capped = DD.ngram_jaccard_pairs(docs, threshold=0.0, max_doc_freq=10_000)
     joined = DD.ngram_jaccard_pairs(docs, threshold=0.0, max_doc_freq=None)
     assert _sorted_rows(capped) == _sorted_rows(joined)
-    # ordering invariant inside the expansion: every pair is emitted
-    # with doc_a < doc_b
     assert capped.where(F.col("doc_a") >= F.col("doc_b")).count() == 0
