@@ -2286,12 +2286,19 @@ def linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("t_ts"),
         F.col("event_type").alias("channel"),
     )
-    j = p.join(
-        t,
-        (F.col("t_user") == F.col("user_id"))
-        & (F.col("t_ts") < F.col("ts"))
-        & (F.col("t_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")),
-    ).select("event_id", "value", "channel")
+    j = (
+        p.join(
+            t,
+            (F.col("t_user") == F.col("user_id"))
+            & (F.col("t_ts") < F.col("ts"))
+            & (F.col("t_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")),
+        )
+        .select("event_id", "value", "channel")
+        # r11: the range join feeds the touch counts, the credit join
+        # AND the direct anti-join — materialize it once instead of
+        # re-running the join under three plan branches
+        .localCheckpoint()
+    )
     n = j.groupBy("event_id").agg(F.count(F.lit(1)).cast("long").alias("n_t"))
     credited = j.join(n, "event_id").select(
         "channel", (F.col("value") / F.col("n_t")).alias("credit"), "event_id"

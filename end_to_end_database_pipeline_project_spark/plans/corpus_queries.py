@@ -488,7 +488,12 @@ def quality_logreg_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (ln + 1)
         ).alias("x3"),
         F.col("source").isin(*_DSIR_TARGETS).cast("double").alias("y"),
-    )
+        # r11: materialize the 5-double feature table once — every GD
+        # iteration and the final scoring pass used to re-run the two
+        # regexp sweeps over the raw text (4x the feature cost; at
+        # scale this is the cached training matrix every GLM trainer
+        # materializes before iterating)
+    ).localCheckpoint()
     w = spark.range(1).select(
         *[F.lit(0.0).alias(f"w{i}") for i in range(4)]
     )

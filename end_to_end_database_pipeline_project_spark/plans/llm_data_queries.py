@@ -3815,8 +3815,16 @@ def suffix_duplicate_substrings_salted(
     # only needs the 12-char prefix of qualifying (>= 20 chars
     # remaining) suffixes, so it builds a 20-char probe from an
     # 11-word slice (11 one-char words + separators = 21 chars >= 20):
-    # length-qualify on the probe, emit its first 12 chars.
-    p12_only = base.select(
+    # length-qualify on the probe, emit its first 12 chars. r11: the
+    # probe runs on a DETERMINISTIC 1-in-4 doc sample — the hot set
+    # only chooses the re-bucketing, and the qualifying pair set is
+    # provably identical under ANY bucket refinement (the >= 20-char
+    # invariant above; row-identity vs the unsalted plan stays pinned
+    # by tests/test_scale.py), so sampling the detector is a pure
+    # cost dial, exactly the "sample it at real scale" note says.
+    p12_only = fan_out(docs.where(F.col("doc_id") % 4 == 0)).select(
+        F.split(F.trim(F.col("text")), r"\s+").alias("ws")
+    ).select(
         F.explode(
             F.expr(
                 "transform(filter(transform(sequence(1, size(ws)), "
