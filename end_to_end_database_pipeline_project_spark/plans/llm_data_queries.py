@@ -2415,15 +2415,27 @@ def curated_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     kept = docs.where(TX.quality_score(F.col("text")) >= 0.5)
     fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
-    w = Window.partitionBy(fp).orderBy("doc_id")
-    deduped = kept.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    # r11 (guide §2.3 aggregate-before-you-shuffle): keep-lowest-id
+    # dedup as a min-struct hash aggregate instead of a row_number
+    # window — doc_id is unique, so min(struct(doc_id, ...)) IS the
+    # lowest-id row, and the map-side partial aggregation ships one
+    # row per distinct fingerprint per mapper instead of sorting every
+    # row through the window exchange.
+    deduped = kept.groupBy(fp.alias("fp")).agg(
+        F.min(F.struct("doc_id", "lang", "n_chars")).alias("r")
+    )
     bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 32, 1), 16, 10)
-        .cast("int")
+        F.conv(
+            F.substring(F.md5(F.col("r.doc_id").cast("string")), 32, 1), 16, 10
+        ).cast("int")
     )
     split = F.when(bucket < 13, "train").when(bucket == 13, "val").otherwise("test")
     return (
-        deduped.select(split.alias("split"), "lang", "n_chars")
+        deduped.select(
+            split.alias("split"),
+            F.col("r.lang").alias("lang"),
+            F.col("r.n_chars").alias("n_chars"),
+        )
         .groupBy("split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
