@@ -1,10 +1,14 @@
 """Vector (embedding) column expressions.
 
 Embeddings are plain ``array<float>`` columns; all kernels below are
-built-in higher-order functions (``aggregate`` / ``zip_with``), i.e.
-JVM-side and codegen-friendly — no Python in the hot path. A pandas-UDF
-matrix kernel exists in ``operators/similarity.py`` for the cases where
-NumPy BLAS beats per-row expressions.
+built-in higher-order functions (``aggregate`` / ``zip_with``) — JVM-
+side, no Python in the hot path. (r11 measured note: HOF lambdas are
+*interpreted*, not whole-stage-codegen'd, but an unrolled 64-term
+``element_at`` sum — which DOES codegen — measured 2.3x SLOWER on the
+sf0.1 pair scan: 192 element_at calls blow past the JIT-friendly
+method size. The HOF form stays.) A pandas-UDF matrix kernel exists in
+``operators/similarity.py`` for the cases where NumPy BLAS beats
+per-row expressions.
 """
 
 from __future__ import annotations

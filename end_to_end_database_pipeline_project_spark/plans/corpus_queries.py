@@ -548,21 +548,6 @@ def quality_logreg_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_encode(emb: DataFrame, m: int = 16, sub: int = 4, k: int = 256) -> DataFrame:
-    """Build the sampled codebook from ``emb`` and encode ``emb`` with
-    it — the fused form shared by ``pq_adc_topk`` and ``ivfpq_topk``.
-    The primitives live in `operators.similarity` (``pq_codebook`` /
-    ``pq_apply``) so the codebook can also be BUILT once per corpus
-    epoch, persisted, and applied from a committed artifact
-    (`pipeline.artifacts.publish_pq_epoch`)."""
-    # r11: the one-row ~130 KB codebook is materialized once
-    # (localCheckpoint) instead of re-deriving its TakeOrdered +
-    # collect aggregate as a separate job under EVERY broadcast branch
-    # that references the encode (the probe-side subtrees re-ran it).
-    cb = SIM_PQ.pq_codebook(emb, m, sub, k).localCheckpoint()
-    return SIM_PQ.pq_apply(emb, cb, m, sub)
-
-
 @query(
     "pq_adc_topk",
     oracle="""WITH p AS (
@@ -600,15 +585,22 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle independently derives the exact top-1 and asserts the
     certificate constant, so a broken encoder fails the value hash.
 
-    Scale shape: the codebook is a one-row broadcast (16x256x4
-    doubles); encoding is a single whole-stage-codegen'd expression
-    over the scan (argmin via transform + array_position — no shuffle,
-    no UDF); at 100 TB the 16-byte codes are the resident index and
+    Scale shape: the codebook is a one-row task-closure constant
+    (16x256x4 doubles); encoding is a batched Arrow/NumPy argmin kernel
+    (``pq_apply``, guide §4.2 — no shuffle, one vectorized sweep per
+    batch); at 100 TB the 16-byte codes are the resident index and
     this ADC scan slots behind the IVF bucketing as the in-cluster
     scorer, with exact re-rank on the top survivors."""
     emb = _emb(spark, sf_dir)
-    enc = _pq_encode(emb)
-    queries = enc.where(F.col("vec_id") < 5).select(
+    # r11: build the codebook once, then encode the corpus side and the
+    # 5-row probe side as separate pq_apply calls — the encode is now an
+    # opaque Arrow kernel (guide §4.2), so a `vec_id < 5` filter can no
+    # longer be pushed below it; filtering BEFORE the probe-side encode
+    # keeps that branch at 5 encoded rows (per-row deterministic encode,
+    # so the output is unchanged).
+    cb = SIM_PQ.pq_codebook(emb).localCheckpoint()
+    enc = SIM_PQ.pq_apply(emb, cb)
+    queries = SIM_PQ.pq_apply(emb.where(F.col("vec_id") < 5), cb).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("dq").alias("q_dq"),
@@ -695,7 +687,7 @@ def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     restricts each query to its Voronoi bucket, and within the bucket
     candidates are ranked by TRUE asymmetric distance computation:
     exact query vector against PQ-reconstructed candidates (16x4-d
-    subspaces, 256 codewords each, via the shared ``_pq_encode``).
+    subspaces, 256 codewords each, via the shared ``pq_apply`` Arrow/NumPy kernel).
 
     Certificate: for 5 probe vectors the query ranks the bucket BOTH
     ways — exact cosine and ADC — and certifies per-probe recall@10
@@ -705,8 +697,8 @@ def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoder fails the value hash.
 
     Scale shape: the PQ codebook and the 8 centroids are one-row
-    broadcasts; assignment and encoding are codegen'd expressions on
-    the scan; the candidate join hits only the query's bucket (cost
+    broadcasts; assignment is a codegen'd expression on the scan and
+    the encode a batched Arrow/NumPy kernel (guide §4.2); the candidate join hits only the query's bucket (cost
     divides by the cluster count — nprobe rides the same dial as
     ``ivf_multiprobe_topk``); at 100 TB the 16-byte codes are the
     resident index, buckets are the partitioning key, and the exact

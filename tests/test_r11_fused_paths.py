@@ -83,3 +83,57 @@ def test_ngram_generous_cap_is_noop(docs):
     joined = DD.ngram_jaccard_pairs(docs, threshold=0.0, max_doc_freq=None)
     assert _sorted_rows(capped) == _sorted_rows(joined)
     assert capped.where(F.col("doc_a") >= F.col("doc_b")).count() == 0
+
+
+def test_pq_apply_kernel_matches_expression_form(spark):
+    # the Arrow/NumPy PQ encode must reproduce the retained Catalyst
+    # expression form bit-for-bit: same left-associative distance
+    # arithmetic, first-minimum argmin, verbatim codeword doubles —
+    # including on distance TIES (rows 100.. are exact copies of
+    # codeword vectors, so every codeword at distance 0 ties with
+    # itself only; row 999 sits exactly between codewords 0 and 1 in
+    # subspace 0, forcing the first-position tie-break).
+    from end_to_end_database_pipeline_project_spark.operators.similarity import (
+        _pq_apply_expr,
+        pq_apply,
+        pq_codebook,
+    )
+
+    base = [
+        (i, [float((i * 7 + d * 3) % 13) - 6.0 for d in range(8)])
+        for i in range(24)
+    ]
+    # exact codeword copies (ties at distance 0) + a midpoint row
+    base += [(100 + i, list(base[i][1])) for i in range(4)]
+    mid = [
+        (a + b) / 2.0 for a, b in zip(base[0][1], base[1][1])
+    ]
+    base += [(999, mid)]
+    emb = spark.createDataFrame(base, "vec_id long, embedding array<double>")
+    for m, sub, k in [(2, 4, 8), (1, 4, 4), (2, 2, 16)]:
+        cb = pq_codebook(emb, m=m, sub=sub, k=k).localCheckpoint()
+        got = {
+            r["vec_id"]: r["dq"]
+            for r in pq_apply(emb, cb, m=m, sub=sub).collect()
+        }
+        want = {
+            r["vec_id"]: r["dq"]
+            for r in _pq_apply_expr(emb, cb, m=m, sub=sub).collect()
+        }
+        assert got == want and len(got) == len(base)
+
+
+def test_pq_apply_passes_extra_cols(spark):
+    from end_to_end_database_pipeline_project_spark.operators.similarity import (
+        pq_apply,
+        pq_codebook,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i + d) for d in range(4)], f"t{i}") for i in range(6)],
+        "vec_id long, embedding array<double>, tag string",
+    )
+    cb = pq_codebook(emb, m=1, sub=4, k=4).localCheckpoint()
+    out = pq_apply(emb, cb, m=1, sub=4, extra_cols=("tag",))
+    rows = {r["vec_id"]: (r["tag"], len(r["dq"])) for r in out.collect()}
+    assert rows == {i: (f"t{i}", 4) for i in range(6)}
