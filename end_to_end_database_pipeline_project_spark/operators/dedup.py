@@ -74,6 +74,14 @@ def shingle_index(
         F.explode(shingles(F.col(text_col), k)).alias("shingle"),
     )
     if max_doc_freq is not None:
+        # r11 (guide §2.4): materialize the exploded index ONCE — the
+        # hot-shingle aggregate and the anti-join input are two plan
+        # branches, and without the checkpoint each re-ran the full
+        # shingle explode (two Generate subtrees over the same scan).
+        # At 100 TB this is the persisted inverted-index table the
+        # docstring already promises; the hot set and the capped index
+        # are both derived from it in one pass over the stored rows.
+        idx = idx.localCheckpoint()
         hot = (
             idx.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
