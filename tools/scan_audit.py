@@ -59,6 +59,7 @@ BNLJ_ALLOWED = {
     "idw_station_interpolation": "broadcast side = 20 probe grid points (forecast grid, bounded by construction)",
     "knn_label_accuracy": "broadcast side = 50 probe vectors (self-exclusion theta, fixed probe sample)",
     "pq_adc_topk": "broadcast side = 5 probe vectors (self-exclusion theta; r11: the codebook aggregate moved out of the plan into the pq_apply kernel closure, so the plan no longer carries a keys=[] signature)",
+    "sq8_ann_topk": "broadcast sides = the checkpointed 1-row per-dim quantization-stats frame + 5 probe vectors (self-exclusion theta; r11: the stats localCheckpoint replaced the in-plan keys=[] aggregate with an ExistingRDD scan, so the signature left the plan — the build sides are unchanged and bounded)",
     "centroid_classifier_confusion": "broadcast side = |labels| centroid prototypes (10 rows)",
     "bitmap_set_algebra": "all joins over the KB-sized (type, bucket) bitmap state: type-pair self-join (|types| rows) + OR-membership tag (|pairs| rows)",
     "quality_logreg_classifier": "broadcast side = the 1-row weight vector each GD iteration (spark.range(1) seed, then groupBy over the single weight row — provably 1 row, but no keys=[] aggregate signature in the plan)",
