@@ -109,6 +109,64 @@ def pq_codebook(emb: DataFrame, m: int = 16, sub: int = 4, k: int = 256) -> Data
     )
 
 
+def _collect_codebook(cb: DataFrame):
+    """Driver-side collect of the one-row nested codebook frame as a
+    float64 ndarray (m, k_actual, sub). EAGER: runs a (tiny) Spark job
+    at DataFrame-construction time — the bounded-broadcast pattern the
+    guide sanctions (~130 KB at m=16,k=256), but it does mean a plan
+    that only needs ``explain`` still executes the codebook subtree.
+    A zero-row codebook frame fails loudly here instead of a
+    ``NoneType`` crash inside the kernel (ADVICE r11)."""
+    import numpy as np
+
+    row = cb.select("cb").head()
+    if row is None:
+        raise ValueError(
+            "pq_apply: codebook frame has no rows — build it with "
+            "pq_codebook over a non-empty corpus"
+        )
+    return np.asarray(row["cb"], dtype=np.float64)
+
+
+def _pq_encode_np(x, book, m: int, sub: int):
+    """The PQ encode kernel body, shared by every consumer so parity
+    holds by construction: ``x`` is an (n, >=m*sub) float64 ndarray,
+    ``book`` the (m, k, sub) codebook; returns the (n, m*sub) float64
+    reconstruction. Bit-identical to ``_pq_apply_expr``: per-codeword
+    distance uses the same left-associative IEEE-754 add order as the
+    ``(d1 + d2) + d3 + d4`` expression, ``np.argmin`` takes the first
+    minimum exactly like ``array_position(ds, array_min(ds))``, NaN
+    distances are masked to +inf (Spark's array_min never returns NaN
+    over non-NaN elements), and the output copies codebook doubles
+    verbatim. Finite, non-null embeddings assumed (a row mixing NaN
+    and true +inf codeword distances may pick a different — equally
+    infinite-distance — codeword than the expression form)."""
+    import numpy as np
+
+    n = x.shape[0]
+    n_codes = book.shape[1] if book.ndim == 3 else 0
+    # bound the (rows, m, k, sub) distance tensor to ~32 MB per slab
+    step = max(1, (1 << 22) // max(1, m * n_codes * sub))
+    arange_m = np.arange(m)[None, :]
+    xr = np.ascontiguousarray(x[:, : m * sub], dtype=np.float64).reshape(
+        n, m, 1, sub
+    )
+    dq = np.empty((n, m * sub), dtype=np.float64)
+    for lo in range(0, n, step):
+        d = xr[lo : lo + step] - book[None]  # (b, m, k, sub)
+        d *= d
+        # left-associative add, same order as the SQL expression
+        acc = d[..., 0]
+        for i in range(1, sub):
+            acc = acc + d[..., i]
+        if np.isnan(acc).any():
+            acc = np.where(np.isnan(acc), np.inf, acc)
+        codes = np.argmin(acc, axis=2)  # first minimum
+        chosen = book[arange_m, codes]  # (b, m, sub) verbatim doubles
+        dq[lo : lo + step] = chosen.reshape(len(chosen), m * sub)
+    return dq
+
+
 def pq_apply(
     emb: DataFrame,
     cb: DataFrame,
@@ -128,58 +186,170 @@ def pq_apply(
     array_min/array_position do not whole-stage-codegen), ~19 ms/row at
     m=16,k=256; the batched kernel is one vectorized subtract/square/
     argmin per Arrow batch (measured 1.23 s -> 0.08 s on the sf0.1
-    encode). Output is bit-identical by construction: per-codeword
-    distance uses the same left-associative IEEE-754 add order as the
-    old ``(d1 + d2) + d3 + d4`` expression, ``np.argmin`` takes the
-    first minimum exactly like ``array_position(ds, array_min(ds))``,
-    NaN distances are masked to +inf (array_min never returns NaN over
-    non-NaN elements), and dq copies codebook doubles verbatim
-    (pinned by tests/test_r11_fused_paths.py against the retained
-    expression form `_pq_apply_expr`). The one-row codebook rides to
+    encode). Output is bit-identical to the retained expression form
+    `_pq_apply_expr` for finite, non-null embeddings — the kernel body
+    and the parity argument live in :func:`_pq_encode_np` (pinned by
+    tests/test_r11_fused_paths.py). The one-row codebook rides to
     executors inside the task closure (~130 KB at m=16,k=256 — the
-    same bounded-scalar class as the broadcast it replaces)."""
+    same bounded-scalar class as the broadcast it replaces); collecting
+    it is EAGER (see :func:`_collect_codebook`)."""
     import numpy as np
     from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
 
-    book = np.asarray(cb.select("cb").head()["cb"], dtype=np.float64)
+    book = _collect_codebook(cb)
     # (m, k_actual, sub); k_actual = min(k, |corpus|) per the sampled book
     src = emb.select("vec_id", "embedding", *extra_cols)
     out_schema = StructType(
         src.schema.fields + [StructField("dq", ArrayType(DoubleType()))]
     )
-    n_codes = book.shape[1] if book.ndim == 3 else 0
-    # bound the (rows, m, k, sub) distance tensor to ~32 MB per slab
-    step = max(1, (1 << 22) // max(1, m * n_codes * sub))
 
     def encode(batches):
-        arange_m = np.arange(m)[None, :]
         for pdf in batches:
             if pdf.empty:
                 continue
-            x = np.vstack(pdf["embedding"].to_numpy())[:, : m * sub]
-            x = np.ascontiguousarray(x, dtype=np.float64).reshape(
-                len(pdf), m, 1, sub
-            )
-            dq = np.empty((len(pdf), m * sub), dtype=np.float64)
-            for lo in range(0, len(pdf), step):
-                d = x[lo : lo + step] - book[None]  # (b, m, k, sub)
-                d *= d
-                # left-associative add, same order as the SQL expression
-                acc = d[..., 0]
-                for i in range(1, sub):
-                    acc = acc + d[..., i]
-                if np.isnan(acc).any():
-                    # Spark's array_min ordering sorts NaN greatest, so a
-                    # NaN distance is never the chosen codeword
-                    acc = np.where(np.isnan(acc), np.inf, acc)
-                codes = np.argmin(acc, axis=2)  # first minimum
-                chosen = book[arange_m, codes]  # (b, m, sub) verbatim doubles
-                dq[lo : lo + step] = chosen.reshape(len(chosen), m * sub)
+            x = np.vstack(pdf["embedding"].to_numpy())
+            dq = _pq_encode_np(x, book, m, sub)
             pdf = pdf.copy()
             pdf["dq"] = list(dq)
             yield pdf
 
     return src.mapInPandas(encode, out_schema)
+
+
+def pq_recon_stats(
+    emb: DataFrame, cb: DataFrame, m: int = 16, sub: int = 4
+) -> DataFrame:
+    """Fused encode + reconstruction-quality partials: one Python
+    crossing computes each row's PQ reconstruction (``_pq_encode_np``,
+    the shared kernel body) AND its reconstruction cosine
+    ``cos(embedding, dq)``, emitting per-batch partial sums
+    ``(n long, c_sum double)`` — the §2.3 map-side-aggregate shape.
+    ``sum(c_sum)/sum(n)`` is the mean reconstruction cosine.
+
+    Replaces ``pq_apply(...)`` + per-row interpreted HOF cosine + avg:
+    the (embedding, dq) columns no longer cross back to the JVM at all
+    (2 doubles per batch instead of ~1 KB per row), and the cosine is
+    two vectorized products per batch instead of ~10 interpreted
+    lambda frames per row. Arithmetic parity with the HOF form: the
+    HOF multiplies ``float`` embeddings pairwise in FLOAT32 (zip_with
+    on array<float> rounds each product to float32) and accumulates in
+    float64 — the kernel reproduces the float32 product rounding
+    exactly and sums in float64 (summation order differs: pairwise vs
+    left-associative — a ~1e-15 relative difference, the same class as
+    Spark's own partition-order-dependent avg), so a mean rounded at
+    1e-6 is stable. Pinned against the unfused plan in
+    tests/test_r12_pq_paths.py."""
+    import numpy as np
+
+    book = _collect_codebook(cb)
+    src = emb.select("embedding")
+
+    def stats(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            xn = np.vstack(pdf["embedding"].to_numpy())  # native dtype
+            x = xn.astype(np.float64)
+            dq = _pq_encode_np(x, book, m, sub)
+            # cosine(embedding, dq) in the HOF form: zip_with promotes
+            # the float side to double (mixed float/double lambda), so
+            # the dot products are FLOAT64; norm(embedding)'s squares
+            # are native-dtype products (rounded to FLOAT32 iff the
+            # column is array<float>) accumulated in float64; norm(dq)
+            # is all-float64
+            dot = np.sum(x * dq, axis=1)
+            ne = np.sqrt(np.sum((xn * xn).astype(np.float64), axis=1))
+            ndq = np.sqrt(np.sum(dq * dq, axis=1))
+            c = dot / (ne * ndq)
+            yield pd.DataFrame(
+                {"n": [len(pdf)], "c_sum": [float(np.sum(c))]}
+            )
+
+    return src.mapInPandas(stats, schema="n long, c_sum double")
+
+
+def pq_adc_pair_scores(
+    emb: DataFrame,
+    cb: DataFrame,
+    queries_pdf: pd.DataFrame,
+    m: int = 16,
+    sub: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fused corpus encode + exact/ADC pair scoring against a bounded
+    probe set (r12, VERDICT r11 "Next round #5"): ONE Python crossing
+    encodes each corpus batch (``_pq_encode_np``, the shared kernel
+    body) and scores it against every probe vector — exact cosine on
+    the raw embeddings and ADC cosine on the PQ reconstructions — as
+    vectorized batch×probe products instead of ~10 interpreted HOF
+    lambda frames per pair per cosine. Emits
+    ``(query_id, vec_id, exact_cos, approx_cos)`` for every
+    (probe, corpus) pair with ``vec_id != query_id``.
+
+    The probe side arrives as a DRIVER-side pandas frame (id, vector)
+    — the ``near_dup_pairs_pandas`` bounded-left-slab shape; its PQ
+    reconstruction is computed here with the SAME kernel body, so
+    probe and corpus encodes stay bit-identical. Arithmetic parity
+    with the HOF pair plan it replaces: exact-cosine products are
+    float32×float32 — rounded to float32 exactly as ``zip_with`` on
+    two array<float> columns rounds them — accumulated in float64;
+    ADC-cosine products are float64 (both reconstructions are
+    array<double>). Only the summation ORDER differs (~1e-15
+    relative), far below the probe/candidate cosine gaps that decide
+    the downstream ranks; rank parity vs the unfused plan is pinned in
+    tests/test_r12_pq_paths.py."""
+    import numpy as np
+
+    book = _collect_codebook(cb)
+    if queries_pdf.empty:
+        return emb.sparkSession.createDataFrame(
+            [],
+            "query_id long, vec_id long, exact_cos double, approx_cos double",
+        )
+    q_ids = queries_pdf[id_col].to_numpy()
+    qn = np.vstack(queries_pdf[vec_col].to_numpy())  # native dtype
+    q_dq = _pq_encode_np(qn.astype(np.float64), book, m, sub)
+    q_norm = np.sqrt(np.sum((qn * qn).astype(np.float64), axis=1))
+    q_dq_norm = np.sqrt(np.sum(q_dq * q_dq, axis=1))
+
+    src = emb.select(id_col, vec_col)
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy()
+            xn = np.vstack(pdf[vec_col].to_numpy())  # native dtype
+            dq = _pq_encode_np(xn.astype(np.float64), book, m, sub)
+            x_norm = np.sqrt(np.sum((xn * xn).astype(np.float64), axis=1))
+            dq_norm = np.sqrt(np.sum(dq * dq, axis=1))
+            out = []
+            for qi, qid in enumerate(q_ids):
+                # native-dtype product rounding (float32 iff the column
+                # is array<float> — exactly zip_with on two same-typed
+                # arrays), float64 accumulation
+                ex = np.sum((xn * qn[qi]).astype(np.float64), axis=1)
+                ex /= x_norm * q_norm[qi]
+                ap = dq @ q_dq[qi]
+                ap /= dq_norm * q_dq_norm[qi]
+                keep = ids != qid
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(int(keep.sum()), qid),
+                            "vec_id": ids[keep],
+                            "exact_cos": ex[keep],
+                            "approx_cos": ap[keep],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    return src.mapInPandas(
+        score,
+        schema="query_id long, vec_id long, exact_cos double, approx_cos double",
+    )
 
 
 def _pq_apply_expr(

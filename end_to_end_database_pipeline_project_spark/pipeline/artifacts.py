@@ -240,14 +240,13 @@ def publish_pq_epoch(
     this codebook) riding on every row, so the artifact is one
     self-contained table like `streaming/drift.reference_histogram`.
     ≤ m*k rows (4096 at the defaults) — broadcast-sized forever."""
-    from ..functions.vector import cosine
-    from ..operators.similarity import pq_apply, pq_codebook
+    from ..operators.similarity import pq_codebook, pq_recon_stats
 
     cb = pq_codebook(ref, m, sub, k).localCheckpoint(eager=False)
-    baseline = (
-        pq_apply(ref, cb, m, sub)
-        .select(cosine(F.col("embedding"), F.col("dq")).alias("c"))
-        .agg(F.round(F.avg("c"), _R).alias("ref_recon_cos"))
+    # r12: fused encode + recon-cosine partials (one Python crossing,
+    # per-batch partial sums) instead of pq_apply + per-row HOF cosine
+    baseline = pq_recon_stats(ref, cb, m, sub).agg(
+        F.round(F.sum("c_sum") / F.sum("n"), _R).alias("ref_recon_cos")
     )
     rows = (
         cb.select(
@@ -308,9 +307,10 @@ def pq_quantization_report(
     than the epoch's reference did — the batch distribution has moved
     off the codebook's support and the codebook needs re-sampling (the
     PQ analog of `centroid_maintenance_report`'s occupancy trigger).
-    Per-batch cost: one batch pass against the broadcast codebook."""
-    from ..functions.vector import cosine
-    from ..operators.similarity import pq_apply
+    Per-batch cost: one batch pass against the broadcast codebook —
+    since r12 a FUSED pass (`pq_recon_stats`): encode and recon cosine
+    in one Python crossing, per-batch partial sums back to the JVM."""
+    from ..operators.similarity import pq_recon_stats
 
     # resolve the version label FIRST, then pin the read to it: a
     # publish committing between a latest-read and a second manifest
@@ -325,10 +325,10 @@ def pq_quantization_report(
     ver = version
     cb = _nest_pq_rows(rows)
     baseline = rows.agg(F.first("ref_recon_cos").alias("ref_recon_cos"))
-    enc = pq_apply(batch, cb, m, sub)
-    stats = enc.select(cosine(F.col("embedding"), F.col("dq")).alias("c")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_batch"),
-        F.round(F.avg("c"), _R).alias("batch_recon_cos"),
+    stats = pq_recon_stats(batch, cb, m, sub).agg(
+        # coalesce: an empty batch emits no partials — count() read 0
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_batch"),
+        F.round(F.sum("c_sum") / F.sum("n"), _R).alias("batch_recon_cos"),
     )
     return stats.crossJoin(F.broadcast(baseline)).select(
         F.lit(ver).cast("long").alias("artifact_version"),

@@ -592,27 +592,21 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     this ADC scan slots behind the IVF bucketing as the in-cluster
     scorer, with exact re-rank on the top survivors."""
     emb = _emb(spark, sf_dir)
-    # r11: build the codebook once, then encode the corpus side and the
-    # 5-row probe side as separate pq_apply calls — the encode is now an
-    # opaque Arrow kernel (guide §4.2), so a `vec_id < 5` filter can no
-    # longer be pushed below it; filtering BEFORE the probe-side encode
-    # keeps that branch at 5 encoded rows (per-row deterministic encode,
-    # so the output is unchanged).
+    # r11: build the codebook once (a `vec_id < 5` filter cannot be
+    # pushed below the opaque Arrow encode, so the probe side filters
+    # first). r12 (VERDICT r11 "Next round #5"): the broadcast pair
+    # join + two interpreted HOF cosines per pair are FUSED into the
+    # encode kernel — one Python crossing encodes each corpus batch
+    # and scores it against the 5 probes as vectorized batch×probe
+    # products (`pq_adc_pair_scores`); the probe side is a bounded
+    # driver-side slab (the `near_dup_pairs_pandas` shape) encoded
+    # with the same kernel body. Rank parity vs the unfused plan is
+    # pinned in tests/test_r12_pq_paths.py.
     cb = SIM_PQ.pq_codebook(emb).localCheckpoint()
-    enc = SIM_PQ.pq_apply(emb, cb)
-    queries = SIM_PQ.pq_apply(emb.where(F.col("vec_id") < 5), cb).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("dq").alias("q_dq"),
+    queries_pdf = (
+        emb.where(F.col("vec_id") < 5).select("vec_id", "embedding").toPandas()
     )
-    pairs = enc.join(
-        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
-    ).select(
-        "query_id",
-        "vec_id",
-        cosine(F.col("embedding"), F.col("q_emb")).alias("exact_cos"),
-        cosine(F.col("dq"), F.col("q_dq")).alias("approx_cos"),
-    )
+    pairs = SIM_PQ.pq_adc_pair_scores(emb, cb, queries_pdf)
     w_exact = Window.partitionBy("query_id").orderBy(
         F.desc("exact_cos"), F.asc("vec_id")
     )
