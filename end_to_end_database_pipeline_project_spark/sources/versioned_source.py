@@ -713,12 +713,24 @@ class _VersionedBatchReader(DataSourceReader):
         entry = _entry(vs, self.path, self.version)
         chain = _chain(vs, entry, self.path)
         parts = []
+        # ONE directory walk per chain entry per plan (r12, guide §6
+        # metadata I/O): a replace entry is both a tombstone source and
+        # a data source, and previously had its directory os.walk'd
+        # once for each role
+        listed: dict = {}
+
+        def files_of(e: dict) -> list:
+            v = e["version"]
+            if v not in listed:
+                listed[v] = _data_files_with_parts(self.path, e)
+            return listed[v]
+
         # delete AND replace entries both tombstone their keys in
         # earlier commits (a replace additionally contributes its own
         # rows as data); only their FILE PATHS travel in the partition
         # — keys load executor-side (driver memory stays O(manifest))
         tomb_files = {
-            e["version"]: (e["key"], tuple(_data_files(self.path, e)))
+            e["version"]: (e["key"], tuple(f for f, _ in files_of(e)))
             for e in chain
             if _mode(e) in ("delete", "replace")
         }
@@ -768,7 +780,7 @@ class _VersionedBatchReader(DataSourceReader):
             inv = {new: old for old, new in ren.items()}
             vdir = os.path.join(self.path, e["dir"])
             fstats = e.get("file_stats") or {}
-            for f, pvals in _data_files_with_parts(self.path, e):
+            for f, pvals in files_of(e):
                 # pushed filters name CURRENT columns; partition dirs
                 # and file stats carry at-commit names. A DROPPED
                 # at-commit column's dirs/stats must never prune a
