@@ -76,20 +76,43 @@ def shingle_index(
     if max_doc_freq is not None:
         # r11 (guide §2.4): materialize the exploded index ONCE — the
         # hot-shingle aggregate and the anti-join input are two plan
-        # branches, and without the checkpoint each re-ran the full
-        # shingle explode (two Generate subtrees over the same scan).
-        # At 100 TB this is the persisted inverted-index table the
-        # docstring already promises; the hot set and the capped index
-        # are both derived from it in one pass over the stored rows.
-        idx = idx.localCheckpoint()
+        # branches, and without it each re-ran the full shingle explode
+        # (two Generate subtrees over the same scan). At 100 TB this is
+        # the persisted inverted-index table the docstring already
+        # promises; the hot set and the capped index are both derived
+        # from it in one pass over the stored rows. r12 (ADVICE r11):
+        # persist() instead of localCheckpoint() so the uncapped index
+        # is RELEASABLE — callers that eagerly checkpoint the capped
+        # result free it via ``free_uncapped_index`` instead of pinning
+        # both copies in executor storage for the session's lifetime
+        # (the broadcast hot-set job runs first and populates the
+        # cache, so the anti-join probe still reads stored rows, not a
+        # second explode).
+        from pyspark import StorageLevel
+
+        idx = idx.persist(StorageLevel.MEMORY_AND_DISK_DESER)
         hot = (
             idx.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
             .where(F.col("df") > max_doc_freq)
             .select("shingle")
         )
-        idx = idx.join(F.broadcast(hot), "shingle", "left_anti")
+        out = idx.join(F.broadcast(hot), "shingle", "left_anti")
+        out._uncapped_index = idx  # handle for free_uncapped_index
+        return out
     return idx
+
+
+def free_uncapped_index(capped: DataFrame) -> None:
+    """Release the uncapped shingle index persisted inside a
+    ``max_doc_freq`` :func:`shingle_index` result, once the caller has
+    eagerly materialized everything derived from it (e.g. an outer
+    ``localCheckpoint`` of the capped index). No-op for uncapped
+    results (ADVICE r11: without this, both the uncapped and the
+    capped index stayed pinned in executor storage per invocation)."""
+    inner = getattr(capped, "_uncapped_index", None)
+    if inner is not None:
+        inner.unpersist()
 
 
 def ngram_jaccard_pairs(
@@ -115,7 +138,9 @@ def ngram_jaccard_pairs(
     :func:`shingle_index`); Jaccard is then computed over the capped
     shingle sets on both the numerator and the sizes, which is the
     standard stop-word-removed set similarity."""
-    sh = shingle_index(df, text_col, id_col, k, max_doc_freq).localCheckpoint()
+    raw = shingle_index(df, text_col, id_col, k, max_doc_freq)
+    sh = raw.localCheckpoint()
+    free_uncapped_index(raw)  # the outer checkpoint holds the rows now
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     # (r11 note: a groupBy(shingle) + in-array ordered-pair expansion
     # was A/B-tested against this self-join and measured ~10% SLOWER at
@@ -173,7 +198,9 @@ def jaccard_on_pairs(
         .distinct()
     )
     sub = df.join(wanted, id_col, "left_semi")
-    sh = shingle_index(sub, text_col, id_col, k, max_doc_freq).localCheckpoint()
+    raw = shingle_index(sub, text_col, id_col, k, max_doc_freq)
+    sh = raw.localCheckpoint()
+    free_uncapped_index(raw)  # the outer checkpoint holds the rows now
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

@@ -3804,6 +3804,24 @@ def suffix_duplicate_substrings_salted(
     residual irreducible case — millions of suffixes sharing 20+ chars
     — is real duplication the aggregate itself then counts."""
     docs = load_table(spark, sf_dir, "documents")
+    return _suffix_salted_pairs(docs)
+
+
+def _suffix_salted_pairs(docs, detector_sample_mod: int = 4):
+    """The salted suffix-pair plan with the detector SAMPLE-RATE DIAL
+    exposed (r12, VERDICT r11 "Next round #8"): the hot-prefix
+    detector runs on a deterministic 1-in-``detector_sample_mod`` doc
+    sample (``doc_id % mod == 0``; 1 = every doc). The dial is a pure
+    cost knob: the hot set only CHOOSES the bucket refinement, and the
+    qualifying pair set is provably identical under any refinement
+    (every pair with LCP >= 20 shares its 20-char prefix), so the
+    output is invariant across rates — pinned, together with the
+    detector actually FIRING on a synthetic hot-prefix corpus, by
+    tests/test_scale.py::test_salted_detector_sample_rate_dial. At
+    real scale the rate trades detector cost against detection lag on
+    newly-hot prefixes; the refinement stays lossless either way. The
+    returned frame carries the hot set as ``_hot_prefixes`` for that
+    coverage."""
     # r11: bounded slice-and-join suffix construction, same argument as
     # the unsalted twin (33 one-char words + separators >= 65 chars, so
     # a 33-word slice always covers the 64-char cap; the >= 20-char
@@ -3834,7 +3852,12 @@ def suffix_duplicate_substrings_salted(
     # invariant above; row-identity vs the unsalted plan stays pinned
     # by tests/test_scale.py), so sampling the detector is a pure
     # cost dial, exactly the "sample it at real scale" note says.
-    p12_only = fan_out(docs.where(F.col("doc_id") % 4 == 0)).select(
+    sample = (
+        docs
+        if detector_sample_mod <= 1
+        else docs.where(F.col("doc_id") % detector_sample_mod == 0)
+    )
+    p12_only = fan_out(sample).select(
         F.split(F.trim(F.col("text")), r"\s+").alias("ws")
     ).select(
         F.explode(
@@ -3871,7 +3894,7 @@ def suffix_duplicate_substrings_salted(
             "k, acc))"
         ).alias("lcp"),
     )
-    return (
+    out = (
         pairs.groupBy(
             F.expr("substring(s, 1, lcp)").alias("dup_text"),
             F.col("lcp").cast("int").alias("dup_len"),
@@ -3880,6 +3903,8 @@ def suffix_duplicate_substrings_salted(
         .orderBy(F.desc("dup_len"), F.asc("dup_text"))
         .limit(20)
     )
+    out._hot_prefixes = hot.select("p12")
+    return out
 
 
 @query(

@@ -16,12 +16,19 @@ def _parquet_files(path):
 
 
 def test_compaction_preserves_content_and_bounds_files(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     path = str(tmp_path / "landing")
     # a drip-fed landing zone: 40 single-row appends -> 40 tiny files
+    # (written directly as parquet — the compactor doesn't care who
+    # wrote them, and 40 Spark write jobs cost ~1 s each)
+    os.makedirs(path)
     for i in range(40):
-        spark.createDataFrame([(i, f"v{i}")], "id long, v string").coalesce(
-            1
-        ).write.mode("append").parquet(path)
+        pq.write_table(
+            pa.table({"id": pa.array([i], pa.int64()), "v": [f"v{i}"]}),
+            os.path.join(path, f"part-{i:05d}.parquet"),
+        )
     assert len(_parquet_files(path)) >= 40
 
     before = {(r["id"], r["v"]) for r in spark.read.parquet(path).collect()}

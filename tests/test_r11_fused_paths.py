@@ -85,6 +85,23 @@ def test_ngram_generous_cap_is_noop(docs):
     assert capped.where(F.col("doc_a") >= F.col("doc_b")).count() == 0
 
 
+def test_capped_shingle_index_releases_uncapped_storage(docs):
+    # r12 (ADVICE r11): the uncapped exploded index persisted inside a
+    # max_doc_freq shingle_index must be RELEASABLE once everything
+    # derived from it is materialized — not pinned for the session
+    raw = DD.shingle_index(docs, max_doc_freq=10_000)
+    inner = raw._uncapped_index
+    assert inner.storageLevel.useMemory or inner.storageLevel.useDisk
+    out = raw.localCheckpoint()
+    DD.free_uncapped_index(raw)
+    lvl = inner.storageLevel
+    assert not lvl.useMemory and not lvl.useDisk
+    # the outer checkpoint still serves the capped rows
+    assert out.count() > 0
+    # uncapped results carry no handle; the free is a no-op
+    DD.free_uncapped_index(DD.shingle_index(docs))
+
+
 def test_pq_apply_kernel_matches_expression_form(spark):
     # the Arrow/NumPy PQ encode must reproduce the retained Catalyst
     # expression form bit-for-bit: same left-associative distance

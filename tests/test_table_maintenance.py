@@ -29,11 +29,24 @@ def test_compact_publish_zorder_vacuum_roundtrip(spark, tmp_path):
     landing = str(tmp_path / "landing")
     table = str(tmp_path / "table")
 
-    # 1. drip-fed landing zone: 30 tiny appends
+    # 1. drip-fed landing zone: 30 tiny appends (written directly as
+    # parquet — the compactor doesn't care who wrote them, and 30
+    # Spark write jobs cost ~1 s each)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(landing)
     for i in range(30):
-        spark.createDataFrame(
-            [(i, i % 7, float(i))], "id long, k long, v double"
-        ).coalesce(1).write.mode("append").parquet(landing)
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array([i], pa.int64()),
+                    "k": pa.array([i % 7], pa.int64()),
+                    "v": pa.array([float(i)], pa.float64()),
+                }
+            ),
+            os.path.join(landing, f"part-{i:05d}.parquet"),
+        )
     n_small = len([f for f in os.listdir(landing) if f.endswith(".parquet")])
     assert n_small >= 30
     truth = {(r["id"], r["k"], r["v"]) for r in spark.read.parquet(landing).collect()}

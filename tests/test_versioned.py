@@ -668,7 +668,7 @@ def test_model_based_commit_sequences(spark, tmp_path):
             assert sorted(state) == want, "CDF apply diverged from the table"
 
     @settings(
-        max_examples=10,
+        max_examples=10 if os.environ.get("SPARK_GRAFT_STRESS") else 5,
         deadline=None,
         suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
         derandomize=True,
@@ -1230,7 +1230,7 @@ def test_model_based_rename_partition_sequences(spark, tmp_path):
             assert sorted(state) == sorted((k, v) for k, v, _a in model)
 
     @settings(
-        max_examples=8,
+        max_examples=8 if os.environ.get("SPARK_GRAFT_STRESS") else 4,
         deadline=None,
         suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
         derandomize=True,
@@ -1592,15 +1592,24 @@ def test_maybe_compact_bounds_plan_depth_over_200_commits(spark, tmp_path):
     chain — over 200 streaming-sized commits the chain never exceeds
     N+1 entries, the optimized plan stays bounded, and content equals
     the uncompacted fold (compaction is content-preserving)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     path = str(tmp_path / "mc")
     MAX_CHAIN = 40
     V.write_version(spark.createDataFrame([(0,)], "x long"), path)
     compactions = 0
     max_seen = 0
+    scratch = str(tmp_path / "stage")
+    os.makedirs(scratch)
     for i in range(1, 201):
-        V.append_version(
-            spark.createDataFrame([(i,)], "x long").coalesce(1), path
-        )
+        # streaming-sized appends through adopt_staged_files (the
+        # format writers' commit path) — same manifest/lock protocol
+        # as append_version without paying a Spark write job per
+        # commit, so all 200 commits stay in the default run
+        f = os.path.join(scratch, f"c{i}.parquet")
+        pq.write_table(pa.table({"x": pa.array([i], pa.int64())}), f)
+        V.adopt_staged_files(path, [f], "append", 1)
         if V.maybe_compact(spark, path, MAX_CHAIN) is not None:
             compactions += 1
         max_seen = max(max_seen, V.chain_length(path))

@@ -46,28 +46,33 @@ SCAN_RE = re.compile(
 
 # Queries whose BroadcastNestedLoopJoin is intentional and BOUNDED —
 # the broadcast side is a handful of rows by construction, so the
-# nested loop is O(|corpus| * tiny). Each entry names the bound.
+# nested loop is O(|corpus| * tiny). Each entry is
+# (max BNLJ nodes in the executed plan, boundedness argument): the cap
+# pins the DOCUMENTED joins only, so a future accidental unbounded
+# theta join in a whitelisted query raises the count past its cap and
+# FAILS the audit instead of riding the exemption (ADVICE r11).
+# (pq_adc_topk left the list in r12: the fused pair-scoring kernel
+# removed its BNLJs outright; mmr_diversified_topk's greedy rounds
+# plan without any BNLJ at the audit SF.)
 BNLJ_ALLOWED = {
-    "knn_topk": "broadcast side = 10 query vectors (self-exclusion theta)",
-    "ivf_topk": "broadcast sides = 8 centroids + 10 probed queries",
-    "ivf_multiprobe_topk": "broadcast sides = 8 centroids + 10 probed queries",
-    "ivf_kmeans_topk": "broadcast sides = 8 fitted centroids + 10 queries",
-    "price_band_join": "documented small-side theta demo; binned_price_band_join is the scale path",
-    "fuzzy_nation_match": "dim x dim (25x25) edit-distance self-join; blocking bounds it at scale",
-    "hard_negative_mining": "broadcast side = 3 anchor vectors (label-inequality theta)",
-    "rolling_distinct_users_7d": "days x id-buckets densify grid (bounded state: #days * id_space/2^15)",
-    "idw_station_interpolation": "broadcast side = 20 probe grid points (forecast grid, bounded by construction)",
-    "knn_label_accuracy": "broadcast side = 50 probe vectors (self-exclusion theta, fixed probe sample)",
-    "pq_adc_topk": "broadcast side = 5 probe vectors (self-exclusion theta; r11: the codebook aggregate moved out of the plan into the pq_apply kernel closure, so the plan no longer carries a keys=[] signature)",
-    "sq8_ann_topk": "broadcast sides = the checkpointed 1-row per-dim quantization-stats frame + 5 probe vectors (self-exclusion theta; r11: the stats localCheckpoint replaced the in-plan keys=[] aggregate with an ExistingRDD scan, so the signature left the plan — the build sides are unchanged and bounded)",
-    "centroid_classifier_confusion": "broadcast side = |labels| centroid prototypes (10 rows)",
-    "bitmap_set_algebra": "all joins over the KB-sized (type, bucket) bitmap state: type-pair self-join (|types| rows) + OR-membership tag (|pairs| rows)",
-    "quality_logreg_classifier": "broadcast side = the 1-row weight vector each GD iteration (spark.range(1) seed, then groupBy over the single weight row — provably 1 row, but no keys=[] aggregate signature in the plan)",
-    "source_token_js_divergence": "broadcast side = the |sources|-row totals frame (20 rows) building the all-pairs matrix skeleton",
-    "mmr_diversified_topk": "broadcast sides = 3 query vectors (self-exclusion theta) + the bounded per-query candidate frames in the greedy rounds",
-    "mann_kendall_trend_test": "O(days^2) pair theta-join on the bounded day-grain rollup (same documented class as theil_sen_trend)",
-    "ann_index_incremental_probe": "broadcast sides = the committed 8-row centroid epoch (assign_clusters centroid fan, for the query batch and the CDF delta)",
-    "weekday_seasonality_strength": "+/-3-day moving-average range self-join on the bounded day-grain rollup",
+    "knn_topk": (1, "broadcast side = 10 query vectors (self-exclusion theta)"),
+    "ivf_topk": (2, "broadcast sides = 8 centroids + 10 probed queries"),
+    "ivf_multiprobe_topk": (2, "broadcast sides = 8 centroids + 10 probed queries"),
+    "ivf_kmeans_topk": (2, "broadcast sides = 8 fitted centroids + 10 queries"),
+    "price_band_join": (1, "documented small-side theta demo; binned_price_band_join is the scale path"),
+    "fuzzy_nation_match": (1, "dim x dim (25x25) edit-distance self-join; blocking bounds it at scale"),
+    "hard_negative_mining": (1, "broadcast side = 3 anchor vectors (label-inequality theta)"),
+    "rolling_distinct_users_7d": (1, "days x id-buckets densify grid (bounded state: #days * id_space/2^15)"),
+    "idw_station_interpolation": (1, "broadcast side = 20 probe grid points (forecast grid, bounded by construction)"),
+    "knn_label_accuracy": (1, "broadcast side = 50 probe vectors (self-exclusion theta, fixed probe sample)"),
+    "sq8_ann_topk": (3, "broadcast sides = the checkpointed 1-row per-dim quantization-stats frame + 5 probe vectors (self-exclusion theta; r11: the stats localCheckpoint replaced the in-plan keys=[] aggregate with an ExistingRDD scan, so the signature left the plan — the build sides are unchanged and bounded)"),
+    "centroid_classifier_confusion": (1, "broadcast side = |labels| centroid prototypes (10 rows)"),
+    "bitmap_set_algebra": (3, "all joins over the KB-sized (type, bucket) bitmap state: type-pair self-join (|types| rows) + OR-membership tag (|pairs| rows)"),
+    "quality_logreg_classifier": (4, "broadcast side = the 1-row weight vector each GD iteration (spark.range(1) seed, then groupBy over the single weight row — provably 1 row, but no keys=[] aggregate signature in the plan)"),
+    "source_token_js_divergence": (1, "broadcast side = the |sources|-row totals frame (20 rows) building the all-pairs matrix skeleton"),
+    "mann_kendall_trend_test": (3, "O(days^2) pair theta-join on the bounded day-grain rollup (same documented class as theil_sen_trend)"),
+    "ann_index_incremental_probe": (1, "broadcast sides = the committed 8-row centroid epoch (assign_clusters centroid fan, for the query batch and the CDF delta)"),
+    "weekday_seasonality_strength": (5, "+/-3-day moving-average range self-join on the bounded day-grain rollup"),
 }
 
 
@@ -116,7 +121,15 @@ def audit(spark, name: str) -> list[str]:
     # build side must be an aggregate that collapses to a single row
     # (HashAggregate with an empty grouping key feeding the broadcast)
     n_bnlj = plan.count("BroadcastNestedLoopJoin")
-    if n_bnlj and "keys=[]" not in plan and name not in BNLJ_ALLOWED:
+    if name in BNLJ_ALLOWED:
+        cap, _why = BNLJ_ALLOWED[name]
+        if n_bnlj > cap:
+            out.append(
+                f"{name}: {n_bnlj} BroadcastNestedLoopJoin exceed the "
+                f"whitelist's documented cap of {cap} — a new undocumented "
+                "theta join entered the plan"
+            )
+    elif n_bnlj and "keys=[]" not in plan:
         out.append(
             f"{name}: {n_bnlj} BroadcastNestedLoopJoin without a "
             "scalar-aggregate build side or whitelist entry"
