@@ -464,9 +464,15 @@ def versioned_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     yr = F.year("o_orderdate")
     store = scratch_artifact_dir("cdf_orders_")
-    V.write_version(orders.where(yr < 2000), store)  # v1: history, full
-    V.append_version(orders.where(yr == 2000), store)  # v2: one year's delta
-    V.append_version(orders.where(yr >= 2001), store)  # v3: next delta
+    # r12: the three data commits stage with one write job
+    staged = V.stage_slices(
+        orders,
+        store,
+        [("base", yr < 2000), ("y2000", yr == 2000), ("later", yr >= 2001)],
+    )
+    staged.commit("base", "full")  # v1: history, full
+    staged.commit("y2000", "append")  # v2: one year's delta
+    staged.commit("later", "append")  # v3: next delta
 
     def sync_row(step: int, frm: int, to: int) -> DataFrame:
         inc = V.incremental_scan(spark, store, from_version=frm, to_version=to)
@@ -567,13 +573,19 @@ def versioned_delete_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     yr = F.year("o_orderdate")
     store = scratch_artifact_dir("mor_orders_")
-    V.write_version(orders.where(yr < 2000), store)  # v1: history, full
-    V.append_version(orders.where(yr == 2000), store)  # v2
+    # r12: the three data commits stage with one write job
+    staged = V.stage_slices(
+        orders,
+        store,
+        [("base", yr < 2000), ("y2000", yr == 2000), ("later", yr >= 2001)],
+    )
+    staged.commit("base", "full")  # v1: history, full
+    staged.commit("y2000", "append")  # v2
     forget = orders.where((F.col("o_custkey") % 97 == 0) & (yr <= 2000)).select(
         "o_orderkey"
     )
     V.delete_version(forget, store, "o_orderkey")  # v3: tombstone commit
-    V.append_version(orders.where(yr >= 2001), store)  # v4
+    staged.commit("later", "append")  # v4
 
     def ledger_row(to_v: int, mode: str) -> DataFrame:
         cdf = V.incremental_scan(
@@ -813,13 +825,21 @@ def versioned_table_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     yr = F.year("o_orderdate")
     store = scratch_artifact_dir("vt_source_")
-    V.write_version(orders.where(yr < 2000), store)
-    V.append_version(orders.where(yr == 2000), store)
+    # r12: the three data commits stage with ONE write job
+    # (stage_slices) and adopt in chain order — content per version is
+    # identical to the sequential write/append calls this replaces
+    staged = V.stage_slices(
+        orders,
+        store,
+        [("base", yr < 2000), ("y2000", yr == 2000), ("later", yr >= 2001)],
+    )
+    staged.commit("base", "full")
+    staged.commit("y2000", "append")
     forget = orders.where((F.col("o_custkey") % 97 == 0) & (yr <= 2000)).select(
         "o_orderkey"
     )
     V.delete_version(forget, store, "o_orderkey")
-    V.append_version(orders.where(yr >= 2001), store)
+    staged.commit("later", "append")
 
     ddl = (
         "o_orderkey bigint, o_custkey bigint, "
@@ -960,13 +980,19 @@ def versioned_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     yr = F.year("o_orderdate")
     store = scratch_artifact_dir("hist_orders_")
-    V.write_version(orders.where(yr < 2000), store)
-    V.append_version(orders.where(yr == 2000), store)
+    # r12: the three data commits stage with one write job
+    staged = V.stage_slices(
+        orders,
+        store,
+        [("base", yr < 2000), ("y2000", yr == 2000), ("later", yr >= 2001)],
+    )
+    staged.commit("base", "full")
+    staged.commit("y2000", "append")
     forget = orders.where((F.col("o_custkey") % 97 == 0) & (yr <= 2000)).select(
         "o_orderkey"
     )
     V.delete_version(forget, store, "o_orderkey")
-    V.append_version(orders.where(yr >= 2001), store)
+    staged.commit("later", "append")
     return V.history(spark, store).select("version", "commit_mode", "n_rows")
 
 
@@ -1241,8 +1267,15 @@ def versioned_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFra
     )
     store = scratch_artifact_dir("vt_part_")
     pby = ("o_year",)
-    V.write_version(orders.where(F.col("o_year") < 2001), store, partition_by=pby)
-    V.append_version(orders.where(F.col("o_year") >= 2001), store, partition_by=pby)
+    # r12: both partitioned data commits stage with one write job
+    staged = V.stage_slices(
+        orders,
+        store,
+        [("lo", F.col("o_year") < 2001), ("hi", F.col("o_year") >= 2001)],
+        partition_by=pby,
+    )
+    staged.commit("lo", "full")
+    staged.commit("hi", "append")
     V.delete_version(
         orders.where(F.col("o_orderkey") % 101 == 0).select("o_orderkey"),
         store,
@@ -1568,8 +1601,12 @@ def versioned_date_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFr
     store = scratch_artifact_dir("vt_datep_")
     pby = ("o_month",)
     split = F.year("o_orderdate") < 1996
-    V.write_version(orders.where(split), store, partition_by=pby)
-    V.append_version(orders.where(~split), store, partition_by=pby)
+    # r12: both partitioned data commits stage with one write job
+    staged = V.stage_slices(
+        orders, store, [("old", split), ("new", ~split)], partition_by=pby
+    )
+    staged.commit("old", "full")
+    staged.commit("new", "append")
 
     lo, hi = datetime.date(1997, 3, 1), datetime.date(1997, 5, 1)
     pruned = V.read_version(spark, store, prune=("o_month", lo, hi)).where(
@@ -1656,13 +1693,17 @@ def versioned_column_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     yr = F.year("o_orderdate")
     store = scratch_artifact_dir("vt_drop_")
-    V.write_version(
-        orders.where(yr < 1996).withColumn("batch_tag", F.lit(1)), store
+    # r12: both data commits stage with one write job (the per-slice
+    # batch_tag values ride a when() on the shared source frame)
+    tagged = orders.withColumn(
+        "batch_tag", F.when(yr < 1996, F.lit(1)).otherwise(F.lit(2))
     )
+    staged = V.stage_slices(
+        tagged, store, [("old", yr < 1996), ("new", yr >= 1996)]
+    )
+    staged.commit("old", "full")
     V.drop_column(spark, store, "batch_tag")
-    V.append_version(
-        orders.where(yr >= 1996).withColumn("batch_tag", F.lit(2)), store
-    )
+    staged.commit("new", "append")
 
     cur = V.read_version(spark, store)
     old = V.read_version(spark, store, 1)
@@ -1922,8 +1963,18 @@ def versioned_cdf_format_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = scratch_artifact_dir("vt_cdf_fmt_")
     nov = F.col("o_orderdate").between("1997-11-01", "1997-11-30")
     dec = F.col("o_orderdate").between("1997-12-01", "1997-12-31")
-    V.write_version(orders.where(F.col("o_orderdate") < "1997-11-01"), store)
-    V.append_version(orders.where(nov), store)
+    # r12: the three data commits stage with one write job
+    staged = V.stage_slices(
+        orders,
+        store,
+        [
+            ("base", F.col("o_orderdate") < "1997-11-01"),
+            ("nov", nov),
+            ("dec", dec),
+        ],
+    )
+    staged.commit("base", "full")
+    staged.commit("nov", "append")
     V.delete_version(
         orders.where(nov & (F.col("o_orderkey") % 13 == 0)).select(
             "o_orderkey"
@@ -1931,7 +1982,7 @@ def versioned_cdf_format_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         store,
         "o_orderkey",
     )
-    V.append_version(orders.where(dec), store)
+    staged.commit("dec", "append")
 
     feed = (
         spark.read.format("versioned_table")
@@ -2122,11 +2173,19 @@ def versioned_operational_lifecycle(
     store = scratch_artifact_dir("vt_lifecycle_")
     max_chain = 4
 
-    V.write_version(orders.where(yr <= 1996), store)
+    # r12: the base and the five yearly deltas stage with one write
+    # job; adoption stays in chain order with maybe_compact interleaved
+    staged = V.stage_slices(
+        orders,
+        store,
+        [("base", yr <= 1996)]
+        + [(f"y{y}", yr == y) for y in (1997, 1998, 1999, 2000, 2001)],
+    )
+    staged.commit("base", "full")
     chain_ok = True
     compact_v = None
     for year in (1997, 1998, 1999, 2000, 2001):
-        V.append_version(orders.where(yr == year), store)
+        staged.commit(f"y{year}", "append")
         new_full = V.maybe_compact(spark, store, max_chain=max_chain)
         if new_full is not None:
             compact_v = new_full

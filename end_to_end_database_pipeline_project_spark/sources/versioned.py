@@ -949,6 +949,110 @@ def upsert_version(
     )
 
 
+class StagedSlices:
+    """Handle returned by :func:`stage_slices`: the staged files of
+    several pending commits, adopted one slice at a time (in any
+    order, interleavable with other commits — adoption is a manifest
+    operation, the Spark write already happened). ``commit`` moves the
+    slice's files into the next ``v=N`` via ``adopt_staged_files`` —
+    the same lock/manifest protocol every writer uses."""
+
+    def __init__(
+        self, path: str, staging: str, slices: dict, schema, partition_by=()
+    ):
+        self.path = path
+        self._staging = staging
+        self._slices = slices  # name -> [(abs_path, rel_dir), ...]
+        self._schema = schema  # pyarrow schema for empty slices
+        self._partition_by = tuple(partition_by)
+
+    def commit(self, name: str, mode: str, meta: dict | None = None) -> int:
+        import pyarrow.parquet as pq
+
+        import shutil
+        import uuid
+
+        files = self._slices.pop(name)
+        if not files:
+            # an empty slice still needs a schema-bearing commit (the
+            # same empty-snapshot discipline as _commit): land one
+            # empty flat parquet file
+            os.makedirs(self._staging, exist_ok=True)
+            f = os.path.join(self._staging, f"empty-{uuid.uuid4().hex}.parquet")
+            pq.write_table(self._schema.empty_table(), f)
+            files = [(f, "")]
+        rows = sum(pq.read_metadata(f).num_rows for f, _rel in files)
+        meta = dict(meta or {})
+        dirs = sorted({rel for _f, rel in files if rel})
+        if self._partition_by and dirs:
+            meta["partition_by"] = list(self._partition_by)
+            meta["partition_dirs"] = dirs
+        ver = adopt_staged_files(self.path, files, mode, rows, meta=meta)
+        if not self._slices:
+            shutil.rmtree(self._staging, ignore_errors=True)
+        return ver
+
+
+def stage_slices(
+    df: DataFrame,
+    path: str,
+    slices: list,
+    partition_by: tuple[str, ...] = (),
+) -> StagedSlices:
+    """Stage SEVERAL pending commits' data with ONE Spark write job
+    (r12, the batched scaffolding writer): ``slices`` is a list of
+    ``(name, condition)`` pairs with pairwise-DISJOINT conditions —
+    each input row lands in the slice whose condition it satisfies
+    (rows matching none are dropped, exactly like writing each
+    ``df.where(cond)`` separately). The job partitions by a synthetic
+    ``__slice`` tag (plus ``partition_by``, which then rides the
+    manifest exactly as ``write_version(partition_by=...)`` records
+    it), so an N-commit chain built from one source frame costs one
+    write job + N manifest adoptions instead of N write jobs + N
+    row-count jobs — per-slice row counts come from the staged parquet
+    footers, no Spark action. Content per committed version is
+    IDENTICAL to the sequential ``write_version``/``append_version``
+    calls it replaces (same rows, same hive layout, same manifest
+    fields); pinned by tests/test_versioned.py::test_stage_slices_*.
+
+    Commits that need per-commit stats (``stats_cols``), tombstones
+    and upserts keep the sequential paths — only plain data commits
+    batch."""
+    import uuid
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    os.makedirs(path, exist_ok=True)
+    staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
+    tag = None
+    for name, cond in slices:
+        if "/" in name or "=" in name:
+            raise ValueError(f"slice name {name!r} must be hive-path-safe")
+        tag = (
+            F.when(cond, F.lit(name))
+            if tag is None
+            else tag.when(cond, F.lit(name))
+        )
+    staged = df.withColumn("__slice", tag).where(
+        F.col("__slice").isNotNull()
+    )
+    staged.write.mode("overwrite").partitionBy(
+        "__slice", *partition_by
+    ).parquet(staging)
+    out: dict = {name: [] for name, _c in slices}
+    for name in out:
+        sdir = os.path.join(staging, f"__slice={name}")
+        for root, _dirs, files in os.walk(sdir):
+            rel = os.path.relpath(root, sdir)
+            rel = "" if rel == "." else rel.replace(os.sep, "/")
+            for f in sorted(files):
+                if f.startswith("part-") and f.endswith(".parquet"):
+                    out[name].append((os.path.join(root, f), rel))
+    schema = to_arrow_schema(df.schema)
+    return StagedSlices(path, staging, out, schema, partition_by)
+
+
 def adopt_staged_files(
     path: str,
     files: list[str],

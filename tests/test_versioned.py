@@ -2203,3 +2203,86 @@ def test_expire_versions_dry_run_reports_without_changing(spark, tmp_path):
     assert V.expire_versions(path, retain_last=2) == [1]
     assert [e["version"] for e in V.versions(path)] == [2, 3]
     assert not os.path.isdir(orphan)  # real vacuum swept it
+
+
+# --- stage_slices: the batched scaffolding writer (r12) ---------------
+
+
+def test_stage_slices_matches_sequential_commits(spark, tmp_path):
+    """A chain built by stage_slices (one write job, N adoptions) must
+    be indistinguishable from the sequential write/append calls it
+    replaces: same per-version content, same modes, tombstones
+    interleave at the right position."""
+    df = spark.range(100).selectExpr("id AS x", "CAST(id % 10 AS INT) AS b")
+    seq = str(tmp_path / "seq")
+    V.write_version(df.where("x < 40"), seq)
+    V.append_version(df.where("x >= 40 AND x < 70"), seq)
+    V.delete_version(df.where("x % 7 = 0").select("x"), seq, "x")
+    V.append_version(df.where("x >= 70"), seq)
+
+    bat = str(tmp_path / "bat")
+    staged = V.stage_slices(
+        df,
+        bat,
+        [
+            ("lo", F.col("x") < 40),
+            ("mid", (F.col("x") >= 40) & (F.col("x") < 70)),
+            ("hi", F.col("x") >= 70),
+        ],
+    )
+    staged.commit("lo", "full")
+    staged.commit("mid", "append")
+    V.delete_version(df.where("x % 7 = 0").select("x"), bat, "x")
+    staged.commit("hi", "append")
+
+    assert [
+        (e["version"], e.get("mode", "full"), e["rows"])
+        for e in V.versions(seq)
+    ] == [
+        (e["version"], e.get("mode", "full"), e["rows"])
+        for e in V.versions(bat)
+    ]
+    for v in (1, 2, 3, 4):
+        assert sorted(
+            (r.x, r.b) for r in V.read_version(spark, seq, v).collect()
+        ) == sorted((r.x, r.b) for r in V.read_version(spark, bat, v).collect())
+    # staging dir cleaned up after the last slice commits
+    assert not [d for d in os.listdir(bat) if d.startswith("_staging-")]
+
+
+def test_stage_slices_partitioned_layout_prunes(spark, tmp_path):
+    """partition_by through stage_slices records the same manifest
+    partition metadata as write_version(partition_by=...): a pruned
+    read opens only the matching hive dirs."""
+    df = spark.range(60).selectExpr("id AS x", "CAST(id % 3 AS INT) AS b")
+    path = str(tmp_path / "p")
+    staged = V.stage_slices(
+        df,
+        path,
+        [("lo", F.col("x") < 30), ("hi", F.col("x") >= 30)],
+        partition_by=("b",),
+    )
+    staged.commit("lo", "full")
+    staged.commit("hi", "append")
+    for e in V.versions(path):
+        assert e["partition_by"] == ["b"]
+        assert sorted(e["partition_dirs"]) == ["b=0", "b=1", "b=2"]
+    pruned = V.read_version(spark, path, prune=("b", 1, 1))
+    files = pruned.inputFiles()
+    assert files and all("/b=1/" in f for f in files)
+    assert sorted(r.x for r in pruned.collect()) == [
+        x for x in range(60) if x % 3 == 1
+    ]
+
+
+def test_stage_slices_empty_slice_commits_schema_bearing_file(spark, tmp_path):
+    df = spark.range(10).selectExpr("id AS x")
+    path = str(tmp_path / "e")
+    staged = V.stage_slices(
+        df, path, [("all", F.col("x") >= 0), ("none", F.col("x") < 0)]
+    )
+    staged.commit("all", "full")
+    staged.commit("none", "append")  # empty delta: 0 rows, readable
+    assert V.versions(path)[-1]["rows"] == 0
+    assert V.read_version(spark, path).count() == 10
+    assert "x" in V.read_version(spark, path, 2).columns
