@@ -176,8 +176,14 @@ def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(vsize))
         .select("w1", "w2", nll.alias("nll"))
     )
+    # r12 (guide §3.1, found by the sf1 spot bench): pin the scorer
+    # join to sort-merge — the checkpointed occurrence stream carries
+    # no stats, and past the broadcast threshold for the MODEL side
+    # the planner flipped to broadcasting the OCCURRENCE side (the big
+    # one; serial locally, an OOM at scale). Merge shuffles both sides
+    # by (w1, w2) and spills gracefully — the 1000-executor shape.
     return (
-        bge.join(model, ["w1", "w2"])
+        bge.join(model.hint("shuffle_hash"), ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_bigrams"),
@@ -273,8 +279,10 @@ def kneser_ney_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(t))
         .select("w1", "w2", (-F.log(p_kn)).alias("nll_kn"))
     )
+    # r12: same deliberate sort-merge pin as bigram_lm_scores (the
+    # planner must never broadcast the occurrence stream)
     return (
-        bge.join(model, ["w1", "w2"])
+        bge.join(model.hint("shuffle_hash"), ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_bigrams"),
@@ -2003,7 +2011,9 @@ def doremi_proxy_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nll = -F.log((F.col("c2") + 1) / (F.col("c1") + F.col("vsize")))
     per_doc = (
-        bge.join(bc, ["w1", "w2"])
+        # r12: same sort-merge pin as bigram_lm_scores — never let the
+        # planner broadcast the stats-less occurrence stream
+        bge.join(bc.hint("shuffle_hash"), ["w1", "w2"])
         .join(uc, ["w1"])
         .crossJoin(F.broadcast(vsize))
         .groupBy("doc_id")
