@@ -976,9 +976,10 @@ class StagedSlices:
         if not files:
             # an empty slice still needs a schema-bearing commit (the
             # same empty-snapshot discipline as _commit): land one
-            # empty flat parquet file
+            # empty flat parquet file — named part-* like every data
+            # file, because readers recognize ONLY part-*.parquet
             os.makedirs(self._staging, exist_ok=True)
-            f = os.path.join(self._staging, f"empty-{uuid.uuid4().hex}.parquet")
+            f = os.path.join(self._staging, f"part-{uuid.uuid4().hex}.parquet")
             pq.write_table(self._schema.empty_table(), f)
             files = [(f, "")]
         rows = sum(pq.read_metadata(f).num_rows for f, _rel in files)

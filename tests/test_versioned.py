@@ -2276,6 +2276,11 @@ def test_stage_slices_partitioned_layout_prunes(spark, tmp_path):
 
 
 def test_stage_slices_empty_slice_commits_schema_bearing_file(spark, tmp_path):
+    from end_to_end_database_pipeline_project_spark.sources.versioned_source import (
+        register,
+    )
+
+    register(spark)
     df = spark.range(10).selectExpr("id AS x")
     path = str(tmp_path / "e")
     staged = V.stage_slices(
@@ -2286,3 +2291,36 @@ def test_stage_slices_empty_slice_commits_schema_bearing_file(spark, tmp_path):
     assert V.versions(path)[-1]["rows"] == 0
     assert V.read_version(spark, path).count() == 10
     assert "x" in V.read_version(spark, path, 2).columns
+    # the format reader sees the empty slice's schema-bearing file too
+    # (readers recognize only part-*.parquet — an all-empty chain must
+    # still plan >= 1 partition, caught by the empty-fixture suite)
+    fmt = (
+        spark.read.format("versioned_table")
+        .option("path", path)
+        .option("schema", "x bigint")
+        .load()
+    )
+    assert fmt.count() == 10
+
+
+def test_stage_slices_all_empty_input_format_readable(spark, tmp_path):
+    from end_to_end_database_pipeline_project_spark.sources.versioned_source import (
+        register,
+    )
+
+    register(spark)
+    df = spark.range(10).selectExpr("id AS x").where("x < 0")  # empty
+    path = str(tmp_path / "ee")
+    staged = V.stage_slices(
+        df, path, [("lo", F.col("x") < 5), ("hi", F.col("x") >= 5)]
+    )
+    staged.commit("lo", "full")
+    staged.commit("hi", "append")
+    fmt = (
+        spark.read.format("versioned_table")
+        .option("path", path)
+        .option("schema", "x bigint")
+        .load()
+    )
+    assert fmt.count() == 0
+    assert V.read_version(spark, path).count() == 0
