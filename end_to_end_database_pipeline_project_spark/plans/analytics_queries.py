@@ -2299,14 +2299,36 @@ def linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         # re-running the join under three plan branches
         .localCheckpoint()
     )
-    n = j.groupBy("event_id").agg(F.count(F.lit(1)).cast("long").alias("n_t"))
-    credited = j.join(n, "event_id").select(
-        "channel", (F.col("value") / F.col("n_t")).alias("credit"), "event_id"
+    # r12 (guide §2.3, found by the sf1 spot bench going 14x at 10x
+    # data): aggregate the touch stream to (event_id, channel) grain
+    # FIRST — the per-channel credit sum is then
+    # sum(c_ec * value/n_t) over ~|events| rows instead of summing
+    # value/n_t per TOUCH row, which re-shuffled and re-sorted the
+    # whole checkpointed touch stream through a second event_id
+    # exchange. Touch credits within one (event, channel) group are
+    # identical doubles, so the grouped multiply replaces c equal-value
+    # adds (sub-ulp reordering, inside the 1e-6 output rounding and
+    # the same class as the engine-vs-oracle summation differences);
+    # exact-output parity vs the touch-grain plan is pinned in
+    # tests/test_r12_pq_paths.py::test_linear_attribution_grouped_credit_parity.
+    g = j.groupBy("event_id", "channel").agg(
+        F.count(F.lit(1)).cast("long").alias("c_ec"),
+        F.first("value").alias("value"),
     )
-    per_channel = credited.groupBy("channel").agg(
-        F.count(F.lit(1)).cast("long").alias("n_touches"),
-        F.countDistinct("event_id").cast("long").alias("n_purchases"),
-        F.round(F.sum("credit"), _R).alias("credited_value"),
+    n = g.groupBy("event_id").agg(F.sum("c_ec").cast("long").alias("n_t"))
+    per_channel = (
+        g.join(n, "event_id")
+        .groupBy("channel")
+        .agg(
+            F.sum("c_ec").cast("long").alias("n_touches"),
+            F.countDistinct("event_id").cast("long").alias("n_purchases"),
+            F.round(
+                F.sum(
+                    F.col("c_ec") * (F.col("value") / F.col("n_t"))
+                ),
+                _R,
+            ).alias("credited_value"),
+        )
     )
     direct = (
         p.join(n, "event_id", "left_anti")

@@ -136,3 +136,58 @@ def test_collect_codebook_empty_frame_raises(spark):
     empty = spark.createDataFrame([], "cb array<array<array<double>>>")
     with pytest.raises(ValueError, match="codebook frame has no rows"):
         _collect_codebook(empty)
+
+
+def test_linear_attribution_grouped_credit_parity(spark):
+    """r12: linear_attribution's per-channel credit now sums
+    c_ec * (value / n_t) over (event_id, channel) groups instead of
+    value / n_t per touch row. The outputs must match the touch-grain
+    shape exactly at the query's 1e-6 rounding."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_database_pipeline_project_spark.plans.analytics_queries import (
+        linear_attribution,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["channel"]: (r["n_touches"], r["n_purchases"], r["credited_value"])
+        for r in linear_attribution(spark, sf).collect()
+    }
+
+    # the pre-r12 touch-grain reference, rebuilt inline
+    from end_to_end_database_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    ev = load_table(spark, sf, "events")
+    p = ev.where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select("event_id", "user_id", "ts", "value")
+    t = ev.where(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    j = p.join(
+        t,
+        (F.col("t_user") == F.col("user_id"))
+        & (F.col("t_ts") < F.col("ts"))
+        & (F.col("t_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")),
+    ).select("event_id", "value", "channel")
+    n = j.groupBy("event_id").agg(F.count(F.lit(1)).cast("long").alias("n_t"))
+    credited = j.join(n, "event_id").select(
+        "channel", (F.col("value") / F.col("n_t")).alias("credit"), "event_id"
+    )
+    want = {
+        r["channel"]: (r["n_touches"], r["n_purchases"], r["credited_value"])
+        for r in credited.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.countDistinct("event_id").cast("long").alias("n_purchases"),
+            F.round(F.sum("credit"), 6).alias("credited_value"),
+        )
+        .collect()
+    }
+    for ch, vals in want.items():
+        assert got[ch] == vals, (ch, got[ch], vals)
